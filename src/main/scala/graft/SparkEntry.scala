@@ -1,13 +1,200 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.tables.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (and the beyond-reference LLM-pipeline
+  * operators of §7.6) is a named entry in [[queries]]; [[oracleSql]] holds
+  * the equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables. Determinism rules (BASELINE.md): stable total ORDER BY on every
+  * query, aggregates rounded (summation order differs between engines),
+  * raw column pass-throughs NOT rounded (bit-identical already),
+  * stddev_pop not sample, exact index-based quantiles, epoch-millis
+  * BIGINT instead of raw timestamps.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's use case 1 (windowed per-key metric stats) over the
+    * events table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    MetricStatsOp.tumbling(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, d) => RelationalOps.pricingSummary(s, d)),
+
+    "q02_topk_revenue" -> ((s, d) => RelationalOps.topCustomersByRevenue(s, d)),
+
+    "q03_enrich_agg" -> ((s, d) =>
+      RelationalOps.enrich(Tables.events(s, d), Tables.customer(s, d))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+             round(avg(col("value")), 4).as("avg_value"),
+             round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("c_mktsegment")),
+
+    "q04_latest_per_key" -> ((s, d) =>
+      RelationalOps.latestPerKey(Tables.events(s, d))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_millis(col("ts")).as("ts_ms"))
+        .orderBy("user_id")),
+
+    "q05_stats_tumbling" -> ((s, d) =>
+      MetricStatsOp.tumbling(Tables.events(s, d))),
+
+    "q06_stats_sliding" -> ((s, d) =>
+      MetricStatsOp.sliding(Tables.events(s, d))),
+
+    "q07_iqr_outliers" -> ((s, d) =>
+      OutlierOp.outliers(Tables.events(s, d), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")),
+
+    "q08_revenue_by_nation" -> ((s, d) => RelationalOps.revenueByNation(s, d)),
+
+    "q09_top_orders_per_customer" -> ((s, d) =>
+      RelationalOps.topOrdersPerCustomer(s, d)),
+
+    "q10_customers_without_orders" -> ((s, d) =>
+      RelationalOps.customersWithoutOrders(s, d)),
+
+    "q11_rollup_revenue" -> ((s, d) => RelationalOps.rollupRevenue(s, d)),
+
+    "q12_price_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
+
+    "q13_props_json" -> ((s, d) => EventOps.propsK(Tables.events(s, d))),
+
+    "q14_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),4) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  round(avg(l_quantity),4) AS avg_qty,
+        |  round(avg(l_extendedprice),4) AS avg_price,
+        |  round(avg(l_discount),6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q02_topk_revenue" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  round(sum(o.o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1,2 ORDER BY revenue DESC, c.c_custkey LIMIT 10""".stripMargin,
+
+    "q03_enrich_agg" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |  round(avg(e.value),4) AS avg_value, round(sum(e.value),2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value, ts_ms FROM (
+        |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q05_stats_tumbling" ->
+      """SELECT (epoch_ms(ts) // 30000) * 30000 AS bucket_ms, event_type,
+        |  count(*) AS n, round(avg(value),4) AS avg_value,
+        |  round(stddev_pop(value),4) AS std_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q06_stats_sliding" ->
+      """WITH w AS (
+        |  SELECT ((epoch_ms(ts) // 10000) - s.i) * 10000 AS bucket_ms, event_type, value
+        |  FROM events, (SELECT unnest(generate_series(0,2)) AS i) s
+        |)
+        |SELECT bucket_ms, event_type, count(*) AS n, round(avg(value),4) AS avg_value,
+        |  round(stddev_pop(value),4) AS std_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q07_iqr_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, list_sort(list(value)) AS vs, count(*) AS n
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT event_type, n, vs[n//4 + 1] AS q1, vs[(n*3)//4 + 1] AS q3 FROM s
+        |), th AS (
+        |  SELECT event_type, n, q1 - (q3-q1)*1.5 AS lo, q3 + (q3-q1)*1.5 AS hi FROM t
+        |)
+        |SELECT e.event_id, e.event_type, e.value
+        |FROM events e JOIN th ON e.event_type = th.event_type
+        |WHERE th.n > 4 AND (e.value < th.lo OR e.value > th.hi)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q08_revenue_by_nation" ->
+      """SELECT r.r_name, n.n_name,
+        |  round(sum(l.l_extendedprice*(1-l.l_discount)),2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q09_top_orders_per_customer" ->
+      """SELECT o_custkey, rk, o_orderkey, totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice AS totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q10_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = customer.c_custkey AND o.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_rollup_revenue" ->
+      """SELECT coalesce(n_name,'ALL') AS nation, coalesce(c_mktsegment,'ALL') AS segment,
+        |  round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment) ORDER BY 1,2""".stripMargin,
+
+    "q12_price_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_props_json" ->
+      """SELECT event_type, count(*) AS n, round(avg(k),4) AS avg_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+        |  FROM events) t
+        |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM x
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+        |  round(sum(value),4) AS sum_value
+        |FROM y GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+  )
 }

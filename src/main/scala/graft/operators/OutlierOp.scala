@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IQR-based outlier detection (reference use case 3, the non-ML half).
+  *
+  * Semantics from `traffic/process/ClusterAnalyser.scala:157-170` (index
+  * quartiles) and `:50-60` (threshold join + flag): per group, sort the
+  * values, Q1 = v[n/4], Q3 = v[3n/4] (0-based integer indices), threshold
+  * band = [Q1 - 1.5·IQR, Q3 + 1.5·IQR]; groups with n ≤ 4 flag nothing
+  * (`ClusterAnalyser.scala:158-159`).
+  *
+  * The quartiles are exact index-based (NOT percentile_approx) for
+  * bit-parity with the reference and the DuckDB oracle. The per-group
+  * sorted list is one `sort_array(collect_list(...))` — fine while a
+  * single group's values fit an executor; the at-scale variant is
+  * `approxQuantile`/`percentile_approx`, provided as [[thresholdsApprox]].
+  */
+object OutlierOp {
+
+  /** Per-group lo/hi IQR thresholds, exact index-based quartiles. */
+  def thresholds(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col(valCol))).as("vs"),
+           count(lit(1)).as("n"))
+      .select(col(keyCol), col("n"),
+        element_at(col("vs"), (expr("n DIV 4") + 1).cast("int")).as("q1"),
+        element_at(col("vs"), (expr("(n * 3) DIV 4") + 1).cast("int")).as("q3"))
+      .select(col(keyCol), col("n"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+
+  /** Scale path: same band from approximate quartiles (no per-group
+    * collect; mergeable sketches, bounded memory at any cardinality).
+    */
+  def thresholdsApprox(df: DataFrame, keyCol: String, valCol: String,
+                       accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(percentile_approx(col(valCol), array(lit(0.25), lit(0.75)),
+             lit(accuracy)).as("qs"),
+           count(lit(1)).as("n"))
+      .select(col(keyCol), col("n"),
+        (element_at(col("qs"), 1)
+          - (element_at(col("qs"), 2) - element_at(col("qs"), 1)) * 1.5).as("lo"),
+        (element_at(col("qs"), 2)
+          + (element_at(col("qs"), 2) - element_at(col("qs"), 1)) * 1.5).as("hi"))
+
+  /** Rows outside the per-group IQR band; groups with n ≤ 4 emit nothing.
+    * The thresholds side is tiny (one row per group) so it broadcasts —
+    * no shuffle of the fact side.
+    */
+  def outliers(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val th = thresholds(df, keyCol, valCol)
+    df.join(broadcast(th), keyCol)
+      .where(col("n") > 4 &&
+        (col(valCol) < col("lo") || col(valCol) > col("hi")))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Core relational shapes: the enrichment join (reference J1), the keyed
+  * upsert store / latest-per-key (reference W5/S4 — Cassandra
+  * last-write-wins emulation), plus the standard agg/join/top-k/rollup
+  * the rebuild gets from Catalyst for free (SURVEY.md §2.3/§2.4/§2.9).
+  */
+object RelationalOps {
+
+  /** Latest event per key — the batch form of the reference's Cassandra
+    * upsert store (`TrafficStreamProcessor.scala:42`,
+    * `prepare_cassandra.sh:24-30`: PRIMARY KEY(bearer_id) ⇒
+    * last-write-wins). One shuffle on the key; ties broken by event_id
+    * so the result is deterministic.
+    */
+  def latestPerKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
+
+  /** Enrichment join (reference J1: celltowerStream ⋈ attach store ON
+    * bearerId, inner — unmatched events dropped,
+    * `TrafficStreamProcessor.scala:52-56`). Dimension side is small ⇒
+    * broadcast hash join, no shuffle of the fact side.
+    */
+  def enrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer),
+      events("user_id") === customer("c_custkey"), "inner")
+
+  /** TPC-H Q1-shaped pricing summary over lineitem: single-pass
+    * multi-aggregate (count/sum/avg share one HashAggregate, exactly the
+    * one-pass StatCounter trick the reference hand-rolled,
+    * `MetricStats.scala:28-32` — Catalyst does it automatically).
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Top-k by aggregate (reference has only `take(5)`; this is the
+    * distributed form — partial agg → shuffle on group key → global
+    * top-k via sort+limit, which Spark executes as TakeOrderedAndProject,
+    * never materializing a full sort at scale).
+    */
+  def topCustomersByRevenue(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** Multi-way star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    * → revenue per nation. Dims broadcast; the single big shuffle is the
+    * lineitem⋈orders equi-join (both sides large), which AQE can convert
+    * or coalesce at runtime.
+    */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = broadcast(Tables.customer(s, dir))
+    val n  = broadcast(Tables.nation(s, dir))
+    val r  = broadcast(Tables.region(s, dir))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Analytic window ranking (SURVEY.md §2.5 — absent in the reference,
+    * standard in the rebuild): top-3 orders per customer.
+    */
+  def topOrdersPerCustomer(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        col("o_totalprice").as("totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Anti join: customers with no large order (set-op coverage, §2.9).
+    * The filter is pushed below the join so the anti side shrinks before
+    * the hash build — no null-unsafe NOT IN trap.
+    */
+  def customersWithoutOrders(s: SparkSession, dir: String,
+                             minTotal: Double = 300000.0): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).where(col("o_totalprice") > minTotal),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** ROLLUP hierarchy aggregate (grouping-sets coverage, §2.4-absent row). */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("revenue"), col("n_orders"))
+      .orderBy("nation", "segment")
+
+  /** Histogram: fixed-width bucketing — pure arithmetic, no custom
+    * operator, one partial-aggregated shuffle.
+    */
+  def priceHistogram(s: SparkSession, dir: String, width: Double = 1000.0): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(floor(col("l_extendedprice") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+}
