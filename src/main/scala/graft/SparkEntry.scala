@@ -70,6 +70,24 @@ object SparkEntry {
     "q13_props_json" -> ((s, d) => EventOps.propsK(Tables.events(s, d))),
 
     "q14_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
+
+    "q15_geofence" -> ((s, d) =>
+      GeofenceOp.geofence(GeofenceOp.syntheticPoints(Tables.customer(s, d)))),
+
+    "q16_kmeans_assign" -> ((s, d) =>
+      KMeansOp.assign(Tables.embeddings(s, d), Seq(7L, 42L, 123L))),
+
+    "q17_kmeans_anomalies" -> ((s, d) =>
+      KMeansOp.anomalies(Tables.embeddings(s, d), Seq(7L, 42L, 123L))),
+
+    "q18_knn_topk" -> ((s, d) =>
+      SimilarityOp.topK(Tables.embeddings(s, d), 0L, 10)),
+
+    "q19_near_dup_blocked" -> ((s, d) =>
+      SimilarityOp.nearDupBlocked(Tables.embeddings(s, d), 0.2)),
+
+    "q20_near_dup_lsh" -> ((s, d) =>
+      SimilarityOp.nearDupLsh(Tables.embeddings(s, d), 0.2)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -196,5 +214,68 @@ object SparkEntry {
         |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
         |  round(sum(value),4) AS sum_value
         |FROM y GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q15_geofence" -> GeofenceOp.oracleSql,
+
+    "q16_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id IN (7, 42, 123)),
+        |d AS (
+        |  SELECT e.vec_id, c.cid,
+        |    round(sqrt(sum((e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE)
+        |                 * (e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE))), 6) AS dist
+        |  FROM embeddings e, c, range(64) i(i)
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT vec_id, cid, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d)
+        |SELECT vec_id, cid AS prediction, dist FROM r WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "q17_kmeans_anomalies" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id IN (7, 42, 123)),
+        |d AS (
+        |  SELECT e.vec_id, c.cid,
+        |    round(sqrt(sum((e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE)
+        |                 * (e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE))), 6) AS dist
+        |  FROM embeddings e, c, range(64) i(i)
+        |  GROUP BY 1, 2
+        |), asg AS (
+        |  SELECT vec_id, cid AS prediction, dist FROM (
+        |    SELECT vec_id, cid, dist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d) r WHERE rn = 1
+        |), s AS (
+        |  SELECT prediction, list_sort(list(dist)) AS vs, count(*) AS n
+        |  FROM asg GROUP BY 1
+        |), t AS (
+        |  SELECT prediction, n, vs[n//4 + 1] AS q1, vs[(n*3)//4 + 1] AS q3 FROM s
+        |), th AS (
+        |  SELECT prediction, n, q1 - (q3-q1)*1.5 AS lo, q3 + (q3-q1)*1.5 AS hi FROM t
+        |)
+        |SELECT a.vec_id, a.prediction, a.dist
+        |FROM asg a JOIN th ON a.prediction = th.prediction
+        |WHERE th.n > 4 AND (a.dist < th.lo OR a.dist > th.hi)
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "q18_knn_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT e.vec_id,
+        |    sum(e.embedding[i.i+1]::DOUBLE * q.qv[i.i+1]::DOUBLE) AS dot,
+        |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+        |    sum(q.qv[i.i+1]::DOUBLE * q.qv[i.i+1]::DOUBLE) AS nb
+        |  FROM embeddings e, q, range(64) i(i)
+        |  WHERE e.vec_id <> 0
+        |  GROUP BY 1
+        |)
+        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+        |FROM d ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q19_near_dup_blocked" -> SimilarityOp.nearDupBlockedOracle(0.2),
+
+    "q20_near_dup_lsh" -> SimilarityOp.nearDupLshOracle(0.2),
   )
 }

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector kernels over `ArrayType` columns, built entirely from
+  * codegen'd higher-order functions — no UDFs, so they stay inside
+  * whole-stage codegen (SURVEY.md M3: the reference's euclidean `dist`,
+  * `traffic/process/ClusterAnalyser.scala:186-188`, generalized).
+  *
+  * `aggregate(zip_with(...))` folds left-to-right, giving a fixed
+  * summation order — required for cross-engine float parity.
+  * Squares are written `x*x` (never `pow`) so DuckDB matches bitwise.
+  */
+object VectorFunctions {
+
+  /** array<float> → array<double> (embeddings are float32 on disk). */
+  def toDoubleArray(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, v) => s + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Sign-sketch for cosine LSH: `bits` hyperplanes with deterministic
+    * integer weights w(j,d) = ((j*37 + d*101) % 13) - 6; bit j set iff
+    * dot(v, w_j) > 0. Engine-portable pure arithmetic (no RNG), so the
+    * DuckDB oracle computes the identical sketch.
+    */
+  def signSketch(v: Column, bits: Int = 8, dims: Int = 64): Column =
+    (0 until bits).map { j =>
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), lit(dims - 1)),
+          (x, i) => x * ((lit(j) * 37 + i * 101) % 13 - 6).cast("double")),
+        lit(0.0), (s, x) => s + x)
+      when(d > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _).as("sketch")
+}

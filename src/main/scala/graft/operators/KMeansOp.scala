@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** K-means scoring (reference use case 3, M2/M3: nearest-center id +
+  * centroid distance per point, `traffic/process/ClusterAnalyser.scala:40-45`).
+  *
+  * The centers are collected to the driver (k rows — always tiny) and
+  * compiled into literal per-row expressions, so assignment is a pure
+  * map over the scan: NO join, NO shuffle, embarrassingly parallel at
+  * any scale. This is the plan a 1000-executor cluster wants — the
+  * alternative (crossJoin + window argmin) shuffles k×N rows.
+  *
+  * Training (the reference's `StreamingKMeans.trainOn`) lives in
+  * [[graft.streaming.IncrementalKMeans]]; this op is the scoring half.
+  */
+object KMeansOp {
+
+  /** Assign each embedding to the nearest of the centers given by
+    * `centerIds` (deterministic seed rows, stand-in for trained centers).
+    * Distances rounded to 6dp before the argmin so cross-engine float
+    * noise cannot flip the chosen center; ties break to the smallest
+    * center id (centers evaluated in ascending-id order).
+    */
+  def assign(embeddings: DataFrame, centerIds: Seq[Long]): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centers: Seq[(Long, Seq[Double])] = embeddings
+      .filter(col("vec_id").isin(centerIds: _*))
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
+    val v = toDoubleArray(col("embedding"))
+    val dists: Seq[(Long, Column)] = centers.map { case (cid, cv) =>
+      cid -> round(l2(v, array(cv.map(lit): _*)), 6)
+    }
+    val dcols = dists.zipWithIndex.map { case ((_, c), i) => c.as(s"d$i") }
+    val withD = embeddings.select(col("vec_id") +: dcols: _*)
+    val minD = least(dists.indices.map(i => col(s"d$i")): _*)
+    val pred = dists.zipWithIndex.foldRight(lit(centers.last._1)) {
+      case (((cid, _), i), elseCol) =>
+        when(col(s"d$i") === minD, lit(cid)).otherwise(elseCol)
+    }
+    // foldRight builds when-chains in ascending-cid order: first match wins
+    withD
+      .select(col("vec_id"), pred.as("prediction"), minD.as("dist"))
+      .orderBy("vec_id")
+  }
+
+  /** Full anomaly pipeline (reference ClusterAnalyser semantics):
+    * assign → per-cluster IQR outlier flag on the centroid distance.
+    */
+  def anomalies(embeddings: DataFrame, centerIds: Seq[Long]): DataFrame =
+    OutlierOp.outliers(assign(embeddings, centerIds), "prediction", "dist")
+      .select(col("vec_id"), col("prediction"), col("dist"))
+      .orderBy("vec_id")
+}
