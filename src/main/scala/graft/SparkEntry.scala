@@ -88,6 +88,29 @@ object SparkEntry {
 
     "q20_near_dup_lsh" -> ((s, d) =>
       SimilarityOp.nearDupLsh(Tables.embeddings(s, d), 0.2)),
+
+    "q21_dedup_exact" -> ((s, d) => DedupOp.exact(Tables.documents(s, d))),
+
+    "q22_fingerprint_by_source" -> ((s, d) =>
+      TextOps.fingerprintBySource(Tables.documents(s, d))),
+
+    "q23_text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
+
+    "q24_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+
+    "q25_token_topk" -> ((s, d) => TextOps.tokenTopK(Tables.documents(s, d))),
+
+    "q26_minhash_lsh" -> ((s, d) =>
+      DedupOp.minhashLsh(Tables.documents(s, d), 0.5)),
+
+    "q27_simhash_pairs" -> ((s, d) =>
+      DedupOp.simhashPairs(Tables.documents(s, d), 3)),
+
+    "q28_ngram_jaccard" -> ((s, d) =>
+      DedupOp.ngramJaccard(Tables.documents(s, d), 0.5)),
+
+    "q29_media_summary" -> ((s, d) =>
+      MultimodalOp.mediaSummary(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -277,5 +300,30 @@ object SparkEntry {
     "q19_near_dup_blocked" -> SimilarityOp.nearDupBlockedOracle(0.2),
 
     "q20_near_dup_lsh" -> SimilarityOp.nearDupLshOracle(0.2),
+
+    "q21_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, md5(text) AS text_hash, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+
+    "q22_fingerprint_by_source" -> TextOps.fingerprintBySourceOracle,
+
+    "q23_text_quality" -> TextOps.qualityOracle,
+
+    "q24_lang_id" -> TextOps.langIdOracle,
+
+    "q25_token_topk" -> TextOps.tokenTopKOracle(20),
+
+    "q26_minhash_lsh" -> DedupOp.minhashLshOracle(0.5),
+
+    "q27_simhash_pairs" -> DedupOp.simhashOracle(3),
+
+    "q28_ngram_jaccard" -> DedupOp.ngramJaccardOracle(0.5),
+
+    "q29_media_summary" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

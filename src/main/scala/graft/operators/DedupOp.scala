@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document deduplication (north-star LLM-pipeline operators): exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard — the standard near-dup
+  * stack of a large-scale training-data pipeline.
+  *
+  * Scale design: every variant avoids the all-pairs O(N²) comparison.
+  * Exact dedup is a hash groupBy; MinHash pairs only documents sharing
+  * an LSH band; SimHash pairs only documents sharing a 4-bit band of the
+  * 16-bit signature; n-gram Jaccard pairs only documents sharing a
+  * shingle. All hashing is the engine-portable polynomial hash from
+  * [[graft.functions.TextFunctions]], so the DuckDB oracles (generated
+  * here from the same constants) run the identical algorithm.
+  */
+object DedupOp {
+
+  val NumPerms = 16
+  val BandRows = 4 // 4 bands × 4 rows
+  val SimBits = 24 // 4 bands × 6 bits; 16 bits collides too often
+
+  /** Exact dedup: canonical (min doc_id) keeper per distinct text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("text_hash"), col("n_copies"))
+      .orderBy("keeper")
+
+  /** (doc_id, shingle) distinct pairs. */
+  private def docShingles(docs: DataFrame, w: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        explode(shingles(tokens(col("text")), w)).as("sh"))
+      .distinct()
+
+  /** MinHash signatures in long format (doc_id, i, minv): the portable
+    * hash is computed once per (doc, shingle); the 16 permutations are
+    * cheap affine maps exploded from one array; the min is
+    * partial-aggregated map-side so only |docs|×16 rows shuffle.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val perms = array((0 until NumPerms).map(i =>
+      (lit(permA(i)) * col("hx") + lit(permB(i))) % lit(HashMod)): _*)
+    docShingles(docs)
+      .withColumn("hx", portableHash(col("sh")))
+      .select(col("doc_id"), posexplode(perms).as(Seq("i", "hv")))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("hv")).as("minv"))
+  }
+
+  /** MinHash + LSH near-dup pairs: banded candidate generation, then
+    * signature-similarity verification (fraction of equal minhashes ≥
+    * `minSim`).
+    */
+  def minhashLsh(docs: DataFrame, minSim: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bands = sigs
+      .withColumn("band", expr(s"i DIV $BandRows"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("minv")))),
+        x => x.getField("minv").cast("string")), ",").as("sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("da"), col("i"), col("minv").as("ma"))
+    val sb = sigs.select(col("doc_id").as("db"), col("i"), col("minv").as("mb"))
+    cand.join(sa, Seq("da")).join(sb, Seq("db", "i"))
+      .groupBy(col("da"), col("db"))
+      .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).cast("double")
+        / NumPerms.toDouble).as("est_jaccard"))
+      .where(col("est_jaccard") >= minSim)
+      .orderBy("da", "db")
+  }
+
+  /** 16-bit SimHash signature per document (term-frequency weighted:
+    * repeated tokens count each occurrence, as in Charikar's original).
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("hx", portableHash(col("tok")))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(SimBits - 1))).as("b"),
+        when((expr("shiftright(hx, b)") % 2) === 1, 1L).otherwise(-1L).as("contrib"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+
+  /** SimHash near-dup pairs: 4-bit band LSH on the 16-bit signature,
+    * then exact Hamming distance ≤ `maxHamming`.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("nib", expr("shiftright(simhash, 6 * j) & 63"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.j") === col("b.j") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    cand.select(col("da"), col("db"),
+        expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("da", "db")
+  }
+
+  /** Exact n-gram (w-shingle) Jaccard over candidate pairs that share at
+    * least one shingle — the shingle join IS the blocking.
+    */
+  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sh = docShingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")).cast("double"), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy("da", "db")
+  }
+
+  // ---- DuckDB oracle generators (same constants, same algorithms) ----
+
+  /** Shared CTE: distinct (doc_id, shingle) + portable hash. */
+  private def shingleCte(w: Int = 3): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+       |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${w - 1})) AS i
+       |        FROM toks WHERE len(tk) >= $w) t
+       |), shx AS (
+       |  SELECT doc_id, ${portableHashSql("sh")} AS hx FROM sh
+       |)""".stripMargin
+
+  def minhashLshOracle(minSim: Double = 0.5): String = {
+    val permRows = (0 until NumPerms)
+      .map(i => s"(${i}, ${permA(i)}::BIGINT, ${permB(i)}::BIGINT)")
+      .mkString(", ")
+    s"""WITH ${shingleCte()},
+       |perms(i, a, b) AS (VALUES $permRows),
+       |sigs AS (
+       |  SELECT s.doc_id, p.i, min((p.a * s.hx + p.b) % $HashMod) AS minv
+       |  FROM shx s, perms p GROUP BY 1, 2
+       |), bands AS (
+       |  SELECT doc_id, i // $BandRows AS band,
+       |    string_agg(minv::VARCHAR, ',' ORDER BY i) AS sig
+       |  FROM sigs GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |)
+       |SELECT da, db, est_jaccard FROM (
+       |  SELECT c.da, c.db,
+       |    CAST(sum(CASE WHEN sa.minv = sb.minv THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / $NumPerms.0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.da
+       |  JOIN sigs sb ON sb.doc_id = c.db AND sb.i = sa.i
+       |  GROUP BY 1, 2) t
+       |WHERE est_jaccard >= $minSim ORDER BY da, db""".stripMargin
+  }
+
+  def simhashOracle(maxHamming: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), thx AS (
+       |  SELECT doc_id, ${portableHashSql("tok")} AS hx FROM toks
+       |), bits AS (
+       |  SELECT t.doc_id, b.b,
+       |    sum(CASE WHEN (t.hx >> b.b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM thx t, range($SimBits) b(b) GROUP BY 1, 2
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY 1
+       |), banded AS (
+       |  SELECT doc_id, simhash, j.j, (simhash >> (6 * j.j)) & 63 AS nib
+       |  FROM sigs, range(4) j(j)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM banded a JOIN banded b
+       |    ON a.j = b.j AND a.nib = b.nib AND a.doc_id < b.doc_id
+       |)
+       |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
+       |ORDER BY da, db""".stripMargin
+
+  def ngramJaccardOracle(minJaccard: Double = 0.5): String =
+    s"""WITH ${shingleCte()},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT da, db, jaccard FROM (
+       |  SELECT i.da, i.db,
+       |    round(CAST(i.inter AS DOUBLE)
+       |      / CAST(sa.n + sb.n - i.inter AS DOUBLE), 4) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.da
+       |  JOIN sizes sb ON sb.doc_id = i.db) t
+       |WHERE jaccard >= $minJaccard ORDER BY da, db""".stripMargin
+}

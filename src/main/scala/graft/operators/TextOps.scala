@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table (north-star
+  * LLM-pipeline surface): quality scoring, language ID, token stats,
+  * fingerprinting. All per-document metrics are computed with
+  * higher-order array functions — row-local, zero shuffle, fully inside
+  * whole-stage codegen — so they scale linearly with the scan.
+  */
+object TextOps {
+
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** Small marker vocabularies per language for the n-gram/stopword
+    * language-ID heuristic. (The synthetic corpus is English-ish word
+    * soup, so `en` dominates; the operator is the point, not the corpus.)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "los", "las", "y", "es", "que"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "que"),
+    "zh" -> Seq("de5", "le5", "shi4", "bu4", "wo3", "ni3"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Per-document quality metrics: token count, mean token length,
+    * stopword ratio, unique-token ratio, punctuation ratio.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (s, x) => s + x)
+    val punct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long")
+    docs.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      round(sumLen.cast("double") / n, 4).as("avg_token_len"),
+      round(countIn(toks, EnStop).cast("double") / n, 4).as("stop_ratio"),
+      round(size(array_distinct(toks)).cast("double") / n, 4).as("uniq_ratio"),
+      round(punct.cast("double") / col("n_chars"), 4).as("punct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-scoring language ID: argmax of per-language marker hits,
+    * alphabetical tie-break, `unknown` when nothing matches.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = LangMarkers.map { case (l, ws) => l -> countIn(toks, ws) }
+    val m = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("unknown")) { case ((l, sc), other) =>
+      when(sc === m && m > 0, lit(l)).otherwise(other)
+    }
+    docs.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Global token frequency top-k: explode → partial-aggregated count →
+    * TakeOrdered. The explode is narrow; only (token, count) pairs
+    * shuffle.
+    */
+  def tokenTopK(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Normalized content fingerprint (lower + whitespace-collapse + md5)
+    * aggregated per source: duplicate-rate profiling.
+    */
+  def fingerprintBySource(docs: DataFrame): DataFrame = {
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    docs.select(col("source"), fp.as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("fp")).as("n_unique"))
+      .orderBy("source")
+  }
+
+  // ---- DuckDB oracle generators (same constants as the Column forms) ----
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def qualityOracle: String =
+    s"""SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  round(CAST(list_aggregate(list_transform(tk, t -> len(t)), 'sum') AS DOUBLE) / len(tk), 4) AS avg_token_len,
+       |  round(CAST(len(list_filter(tk, t -> list_contains(${sqlList(EnStop)}, t))) AS DOUBLE) / len(tk), 4) AS stop_ratio,
+       |  round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS uniq_ratio,
+       |  round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / n_chars, 4) AS punct_ratio
+       |FROM (SELECT doc_id, text, n_chars, string_split(text, ' ') AS tk
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  def langIdOracle: String = {
+    val scoreCols = LangMarkers.map { case (l, ws) =>
+      s"len(list_filter(tk, t -> list_contains(${sqlList(ws)}, t))) AS s_$l"
+    }.mkString(",\n  ")
+    val m = LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val cases = LangMarkers
+      .map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN m = 0 THEN 'unknown' $cases ELSE 'unknown' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang, $m AS m, s_de, s_en, s_es, s_fr, s_zh FROM (
+       |    SELECT doc_id, lang,
+       |  ${scoreCols}
+       |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents) t0
+       |  ) t1
+       |) t2 ORDER BY doc_id""".stripMargin
+  }
+
+  def tokenTopKOracle(k: Int = 20): String =
+    s"""SELECT token, count(*) AS n FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+       |GROUP BY 1 ORDER BY n DESC, token LIMIT $k""".stripMargin
+
+  def fingerprintBySourceOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+}
