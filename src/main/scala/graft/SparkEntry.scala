@@ -111,6 +111,17 @@ object SparkEntry {
 
     "q29_media_summary" -> ((s, d) =>
       MultimodalOp.mediaSummary(Tables.documents(s, d))),
+
+    // S3/F1/F2: Kafka-shaped JSON encode → decode round trip must be
+    // lossless; the aggregate proves no rows are corrupted or dropped.
+    "q30_json_roundtrip" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val decoded = graft.model.Model.decodeJson(
+        graft.model.Model.encodeJson(ev), ev.schema, Seq("event_id"))
+      decoded.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+        .orderBy("event_type")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -325,5 +336,9 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the reference pipelines (SURVEY.md
+  * §2.6/§3). Every transform here accepts batch OR streaming frames —
+  * the plan is identical; only the sink differs. Event-time windows with
+  * watermarks replace the reference's arrival-time DStream windows
+  * (strictly more capable: deterministic under replay and late data).
+  */
+object StreamOps {
+
+  /** Use case 1 (A1/W2): sliding-window per-key multi-metric stats over
+    * a `metrics: map<string,double>` column. The map is exploded so the
+    * whole aggregate is built-ins — one partial+final HashAggregate per
+    * micro-batch, state bounded by (keys × metrics × open windows).
+    * Emits per (window, key..., metric): count, mean, population stdev,
+    * max, min — the reference's StatCounter surface
+    * (`traffic/model/MetricStats.scala:16-23`).
+    */
+  def metricStats(events: DataFrame, keyCols: Seq[String],
+                  windowSize: String = "30 seconds",
+                  slide: String = "2 seconds",
+                  watermark: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select((keyCols.map(col) :+ col("ts") :+
+        explode(col("metrics")).as(Seq("metric", "value"))): _*)
+      .groupBy(window(col("ts"), windowSize, slide) +: keyCols.map(col) :+
+        col("metric"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("value")).as("mean"),
+        stddev_pop(col("value")).as("stdev"),
+        max(col("value")).as("max"),
+        min(col("value")).as("min"))
+
+  /** The keyed upsert store (W5/S4): latest attach event per bearerId —
+    * last-write-wins, emulating the reference's Cassandra
+    * `PRIMARY KEY (bearer_id)` table. Batch form; in streaming this runs
+    * inside `foreachBatch` against the accumulating store.
+    */
+  def latestByKey(df: DataFrame, key: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Use case prefix (J1): enrichment stream-static inner join on
+    * bearerId — unmatched events drop, exactly the reference's
+    * `joinWithCassandraTable` semantics. The static side is re-read (or
+    * re-deduped) per micro-batch; Spark broadcasts it when small.
+    */
+  def enrich(celltowerEvents: DataFrame, attachLatest: DataFrame): DataFrame =
+    celltowerEvents.join(attachLatest, Seq("bearerId"), "inner")
+
+  /** Use case 2: geofence stream — the batch operator applied per
+    * micro-batch; fences are tiny and broadcast. Accepts any frame with
+    * (id, lat, lng).
+    */
+  def geofence(points: DataFrame): DataFrame =
+    graft.operators.GeofenceOp.geofence(points)
+}

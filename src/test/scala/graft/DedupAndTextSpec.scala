@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{DedupOp, TextOps, MultimodalOp}
+import graft.functions.TextFunctions
+
+/** Dedup-stack semantics on a crafted corpus with known duplicates. */
+class DedupAndTextSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+    "india juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+  private val nearDup = base.replace("oscar", "OSCAR") // 1 token differs
+  private val distinct1 = "one two three four five six seven eight nine ten " +
+    "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+
+  private lazy val docs = Seq(
+    (0L, base, "en", "srcA", base.length.toLong),
+    (1L, base, "en", "srcA", base.length.toLong),       // exact dup of 0
+    (2L, nearDup, "en", "srcB", nearDup.length.toLong), // near dup of 0
+    (3L, distinct1, "en", "srcB", distinct1.length.toLong)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val out = DedupOp.exact(docs).collect()
+    assert(out.length === 3)
+    val byKeeper = out.map(r => r.getAs[Long]("keeper") -> r.getAs[Long]("n_copies")).toMap
+    assert(byKeeper(0L) === 2L) // docs 0 and 1
+    assert(byKeeper(2L) === 1L)
+    assert(byKeeper(3L) === 1L)
+  }
+
+  test("ngram jaccard finds exact and near duplicates, not distinct docs") {
+    val pairs = DedupOp.ngramJaccard(docs, 0.5).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("jaccard")))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0)) // exact
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L && p._3 > 0.5))  // near
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))               // distinct
+  }
+
+  test("minhash LSH estimated jaccard tracks the true jaccard") {
+    val pairs = DedupOp.minhashLsh(docs, 0.5).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(pairs((0L, 1L)) === 1.0) // identical signatures
+    assert(pairs.get((0L, 2L)).forall(_ >= 0.5)) // near-dup: high estimate if banded together
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("simhash: identical docs at hamming 0; near dups close; distinct docs far") {
+    val sigs = DedupOp.simhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(0L) === sigs(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(2L)) < ham(sigs(0L), sigs(3L)))
+  }
+
+  test("portable hash: Column form equals the recipe computed in Scala") {
+    // independently fold the documented recipe
+    def ref(s: String): Long = {
+      val padded = s.padTo(8, '#').take(8)
+      val h = padded.foldLeft(0L)((h, c) => (h * 131 + c.toLong) % 1000000007L)
+      (h * 131 + s.length) % 1000000007L
+    }
+    val words = Seq("alpha", "x", "", "a b c", "longish-token-here")
+    val got = words.toDF("w")
+      .select(TextFunctions.portableHash($"w")).as[Long].collect()
+    assert(got.toSeq === words.map(ref))
+  }
+
+  test("text quality metrics on a known document") {
+    val d = Seq((1L, "the cat the dog", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.quality(d).collect().head
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Double]("avg_token_len") === 3.0)
+    assert(r.getAs[Double]("stop_ratio") === 0.5)  // "the" twice
+    assert(r.getAs[Double]("uniq_ratio") === 0.75) // the,cat,dog
+  }
+
+  test("media pipeline: byte stats from the stubbed decoder are exact") {
+    val media = MultimodalOp.extractFeatures(MultimodalOp.asMedia(docs)).collect()
+    val r0 = media.find(_.doc_id == 0L).get
+    assert(r0.n_bytes === base.getBytes("UTF-8").length.toLong)
+    assert(r0.n_frames === (r0.n_bytes + 1023) / 1024)
+    val expMean = base.getBytes("UTF-8").map(_ & 0xff).sum.toDouble / r0.n_bytes
+    assert(math.abs(r0.mean_byte - expMean) < 1e-12)
+    assert(Set("image", "audio", "video").contains(r0.kind))
+  }
+}

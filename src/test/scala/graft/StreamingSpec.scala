@@ -1,0 +1,141 @@
+package graft
+
+import graft.model._
+import graft.streaming.{StreamOps, IncrementalKMeans}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming forms of the reference pipelines driven through
+  * MemoryStream (SURVEY.md §5.4): event-time windowed stats, watermark
+  * late-data drop, JSON decode-drop, stream-static enrichment, and the
+  * incremental k-means foreachBatch loop.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ct(bearer: String, tsSec: Long, rtt: Double, loss: Double) =
+    CelltowerEvent(Celltower(206, 10, 1, 40, LatLng(50.8, 4.3)),
+      bearer, Map("rtt" -> rtt, "byteLoss" -> loss), "celltower-topic",
+      tsSec * 1000L)
+
+  test("streaming windowed metric stats emit per (window, key, metric)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CelltowerEvent]
+    val events = mem.toDF().withColumn("ts", Model.eventTime(col("ts")))
+    val agg = StreamOps.metricStats(events, Seq("bearerId"),
+      windowSize = "30 seconds", slide = "30 seconds", watermark = "10 seconds")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stats_out").start()
+    try {
+      mem.addData(ct("b1", 3, 10.0, 0.1), ct("b1", 5, 30.0, 0.3),
+                  ct("b2", 7, 7.0, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("stats_out")
+        .select($"bearerId", $"metric", $"n", $"mean", $"stdev")
+        .as[(String, String, Long, Double, Double)].collect()
+        .map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+      val rtt1 = out(("b1", "rtt"))
+      assert(rtt1._1 === 2L && rtt1._2 === 20.0)
+      assert(math.abs(rtt1._3 - 10.0) < 1e-9) // population stdev
+      val loss1 = out(("b1", "byteLoss"))
+      assert(loss1._1 === 2L && math.abs(loss1._2 - 0.2) < 1e-9)
+      assert(math.abs(loss1._3 - 0.1) < 1e-9)
+      assert(out(("b2", "rtt")) === ((1L, 7.0, 0.0)))
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CelltowerEvent]
+    val events = mem.toDF().withColumn("ts", Model.eventTime(col("ts")))
+    val agg = StreamOps.metricStats(events, Seq("bearerId"),
+      windowSize = "10 seconds", slide = "10 seconds", watermark = "5 seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      mem.addData(ct("b1", 2, 10.0, 0.1)) // window [0,10)
+      q.processAllAvailable()
+      mem.addData(ct("b1", 60, 1.0, 0.0)) // advances watermark to 55s; [0,10) closes
+      q.processAllAvailable()
+      val afterClose = spark.table("late_out")
+        .where($"metric" === "rtt" && $"bearerId" === "b1")
+        .select($"n").as[Long].collect().toSeq
+      assert(afterClose === Seq(1L)) // [0,10) emitted with 1 event
+      mem.addData(ct("b1", 3, 999.0, 9.9)) // late: before watermark, dropped
+      q.processAllAvailable()
+      val afterLate = spark.table("late_out")
+        .where($"metric" === "rtt" && $"bearerId" === "b1")
+        .select($"n").as[Long].collect().toSeq
+      assert(afterLate === Seq(1L)) // unchanged: late row never re-emitted
+    } finally q.stop()
+  }
+
+  test("JSON decode silently drops undecodable records (reference S3/P7)") {
+    val good =
+      """{"bearerId":"b-1","subscriber":{"id":1,"imsi":"i","msisdn":"m",
+        |"imei":"e","lastName":"L","firstName":"F","address":"A","city":"C",
+        |"zip":"Z","country":"BE"},"topic":"attach-topic","ts":1700000000000}"""
+        .stripMargin.replace("\n", "")
+    val bad = """{"this is": "not an attach event"}"""
+    val junk = """{{{"""
+    val df = Seq(good, bad, junk).toDF("value")
+    val decoded = Model.decodeJson(df, Model.attachSchema)
+    assert(decoded.count() === 1) // 'bad' and 'junk' silently dropped
+    assert(decoded.where($"bearerId" === "b-1").count() === 1)
+  }
+
+  test("stream-static enrichment join drops unmatched events (reference J1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val attachStore = Seq(
+      ("b1", "alice", 1700000000000L), ("b1", "alice2", 1700000005000L),
+      ("b2", "bob", 1700000001000L))
+      .toDF("bearerId", "name", "ts")
+    val latest = StreamOps.latestByKey(attachStore, "bearerId", "ts")
+    assert(latest.count() === 2) // last-write-wins per bearer
+    assert(latest.where($"bearerId" === "b1").select($"name")
+      .as[String].head() === "alice2")
+
+    val mem = MemoryStream[CelltowerEvent]
+    val enriched = StreamOps.enrich(mem.toDF(),
+      latest.select($"bearerId", $"name"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      mem.addData(ct("b1", 3, 1.0, 0.1), ct("bX", 4, 2.0, 0.2))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+      assert(out.count() === 1) // bX has no attach -> dropped
+      assert(out.select($"name").as[String].head() === "alice2")
+    } finally q.stop()
+  }
+
+  test("incremental k-means converges on separated clusters, deterministically") {
+    val rnd = new scala.util.Random(5)
+    val centersTrue = Seq(Array(0.0, 0.0), Array(10.0, 10.0), Array(-10.0, 5.0))
+    def batch() = (1 to 300).map { _ =>
+      val c = centersTrue(rnd.nextInt(3))
+      Tuple1(Array(c(0) + rnd.nextGaussian() * 0.3, c(1) + rnd.nextGaussian() * 0.3))
+    }.toDF("v")
+
+    def train(): Array[Array[Double]] = {
+      val km = new IncrementalKMeans(k = 3, dims = 2, decay = 1.0, seed = 42L)
+      (1 to 5).foreach(_ => km.update(batch(), "v"))
+      km.currentCenters
+    }
+    val c1 = train()
+    // every true center has a learned center within 0.5
+    for (t <- centersTrue) {
+      val best = c1.map(c => math.sqrt(
+        (c(0) - t(0)) * (c(0) - t(0)) + (c(1) - t(1)) * (c(1) - t(1)))).min
+      assert(best < 0.5, s"no learned center near ${t.toSeq}")
+    }
+    // scoring: points near a true center get consistent predictions
+    val scored = new IncrementalKMeans(3, 2, 1.0, 42L)
+    (1 to 5).foreach(_ => scored.update(batch(), "v"))
+    val preds = scored.transform(
+      Seq(Tuple1(Array(0.1, -0.1)), Tuple1(Array(9.9, 10.2))).toDF("v"), "v")
+      .select($"prediction", $"dist").collect()
+    assert(preds.forall(_.getAs[Double]("dist") < 1.0))
+    assert(preds(0).getInt(0) !== preds(1).getInt(0))
+  }
+}
