@@ -32,8 +32,17 @@ object TextFunctions {
         concat_ws(" ", (0 until w).map(off => element_at(toks, k + off + 1)): _*)))
       .otherwise(array())
 
-  /** Portable polynomial hash, Column form. */
-  def portableHash(s: Column): Column = {
+  /** Portable polynomial hash, Column form — delegates to the codegen'd
+    * [[PortableHashExpr]] (one pass per row). The equivalent
+    * composed-built-ins formulation is kept in [[portableHashBuiltins]]
+    * for cross-checking.
+    */
+  def portableHash(s: Column): Column = PortableHashExpr.column(s)
+
+  /** Same recipe from built-ins only (8× substring+ascii) — the slower
+    * reference formulation, retained for tests.
+    */
+  def portableHashBuiltins(s: Column): Column = {
     val padded = rpad(s, HashPrefixLen, "#")
     val chars = (1 to HashPrefixLen)
       .map(k => ascii(substring(padded, k, 1)).cast("long"))

@@ -35,19 +35,27 @@ object DedupOp {
         explode(shingles(tokens(col("text")), w)).as("sh"))
       .distinct()
 
-  /** MinHash signatures in long format (doc_id, i, minv): the portable
-    * hash is computed once per (doc, shingle); the 16 permutations are
-    * cheap affine maps exploded from one array; the min is
-    * partial-aggregated map-side so only |docs|×16 rows shuffle.
+  /** MinHash signatures in long format (doc_id, i, minv). The portable
+    * hash is computed once per (doc, shingle); the 16 permutation minima
+    * are 16 aggregate expressions in ONE hash aggregate (no row
+    * multiplication — a posexplode formulation would push 16× the rows
+    * through the shuffle), then unpivoted to long format from |docs|×16
+    * tiny rows.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val perms = array((0 until NumPerms).map(i =>
-      (lit(permA(i)) * col("hx") + lit(permB(i))) % lit(HashMod)): _*)
-    docShingles(docs)
+    val minExprs = (0 until NumPerms).map(i =>
+      min((lit(permA(i)) * col("hx") + lit(permB(i))) % lit(HashMod)).as(s"m$i"))
+    // NO distinct before hashing: min() is idempotent over duplicate
+    // shingles, so the dedup shuffle the Jaccard path needs is pure
+    // waste here — signatures aggregate straight off the narrow scan.
+    docs.select(col("doc_id"),
+        explode(shingles(tokens(col("text")))).as("sh"))
       .withColumn("hx", portableHash(col("sh")))
-      .select(col("doc_id"), posexplode(perms).as(Seq("i", "hv")))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("hv")).as("minv"))
+      .groupBy(col("doc_id"))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until NumPerms).map(i => col(s"m$i")): _*))
+          .as(Seq("i", "minv")))
   }
 
   /** MinHash + LSH near-dup pairs: banded candidate generation, then
@@ -55,7 +63,9 @@ object DedupOp {
     * `minSim`).
     */
   def minhashLsh(docs: DataFrame, minSim: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(docs)
+    // |docs|×16 rows, reused by the band build AND both sides of the
+    // verification join — persist so the shingle+hash subtree runs once.
+    val sigs = minhashSignatures(docs).persist()
     val bands = sigs
       .withColumn("band", expr(s"i DIV $BandRows"))
       .groupBy(col("doc_id"), col("band"))
@@ -77,25 +87,31 @@ object DedupOp {
       .orderBy("da", "db")
   }
 
-  /** 16-bit SimHash signature per document (term-frequency weighted:
-    * repeated tokens count each occurrence, as in Charikar's original).
+  /** SimHash signature per document (term-frequency weighted: repeated
+    * tokens count each occurrence, as in Charikar's original). One hash
+    * aggregate with `SimBits` per-bit vote sums — no per-bit row
+    * explosion (which would multiply the token stream ×24 before the
+    * shuffle) — then the signature composes from the vote columns.
     */
-  def simhashSignatures(docs: DataFrame): DataFrame =
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val voteExprs = (0 until SimBits).map(b =>
+      sum(when((shiftright(col("hx"), b) % 2) === 1, 1L).otherwise(-1L)).as(s"s$b"))
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("hx", portableHash(col("tok")))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(SimBits - 1))).as("b"),
-        when((expr("shiftright(hx, b)") % 2) === 1, 1L).otherwise(-1L).as("contrib"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+      .agg(voteExprs.head, voteExprs.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimBits).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs: 4-bit band LSH on the 16-bit signature,
     * then exact Hamming distance ≤ `maxHamming`.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs)
+    // one row per doc; reused by both sides of the band self-join
+    val sigs = simhashSignatures(docs).persist()
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("j"))
       .withColumn("nib", expr("shiftright(simhash, 6 * j) & 63"))
@@ -116,7 +132,8 @@ object DedupOp {
     * least one shingle — the shingle join IS the blocking.
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val sh = docShingles(docs)
+    // reused 3× (both join sides + sizes); persist the distinct shingles
+    val sh = docShingles(docs).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -53,8 +53,12 @@ object KMeansOp {
   /** Full anomaly pipeline (reference ClusterAnalyser semantics):
     * assign → per-cluster IQR outlier flag on the centroid distance.
     */
-  def anomalies(embeddings: DataFrame, centerIds: Seq[Long]): DataFrame =
-    OutlierOp.outliers(assign(embeddings, centerIds), "prediction", "dist")
+  def anomalies(embeddings: DataFrame, centerIds: Seq[Long]): DataFrame = {
+    // assignment feeds both the threshold build and the outlier filter —
+    // persist so the 64-dim distance expressions evaluate once
+    val assigned = assign(embeddings, centerIds).persist()
+    OutlierOp.outliers(assigned, "prediction", "dist")
       .select(col("vec_id"), col("prediction"), col("dist"))
       .orderBy("vec_id")
+  }
 }

@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: run one named query against a sf dir, print timing and
+  * optionally the formatted physical plan. Not part of the driver
+  * contract.
+  *
+  * Usage: RunOne <queryName> <sfDir> [explain] [repeat]
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val doExplain = args.contains("explain")
+    val repeat = args.find(_.startsWith("x")).map(_.drop(1).toInt).getOrElse(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    for (i <- 1 to repeat) {
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      if (doExplain && i == 1) df.explain("formatted")
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[runone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
