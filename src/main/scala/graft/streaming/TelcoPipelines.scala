@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.model.Model
+import graft.operators.{GeofenceOp, OutlierOp}
+
+/** The reference's complete topology (SURVEY.md §3), Spark-native: two
+  * decoded event streams → keyed upsert store → enrichment join → three
+  * fan-out consumers (windowed stats ×2 keys, geofencing, k-means IQR
+  * anomalies). A user of the reference runs exactly these pipelines;
+  * here each is a pure DataFrame transform usable in batch mode or per
+  * micro-batch, plus [[start]] wiring them as streaming queries.
+  */
+object TelcoPipelines {
+
+  /** P4: configured metric dimensions → dense vector, in DECLARED order.
+    * (The reference's `.filterKeys(dims.contains).values` —
+    * `ClusterAnalyser.scala:22-27` — iterates Scala Map order, a latent
+    * nondeterminism deliberately not reproduced; SURVEY.md §7.4.)
+    */
+  def metricsVector(dims: Seq[String]): Column =
+    array(dims.map(d => col("metrics").getItem(d).cast("double")): _*)
+
+  /** A5: gather a whole (micro-)batch into ONE JSON record
+    * `{"points": [...]}` (`ClusterAnalyser.scala:62-65`) — a global
+    * collect_list aggregate instead of `repartition(1).glom()`; sorted
+    * for deterministic output.
+    */
+  def gatherJson(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("j"))
+      .agg(concat(lit("{\"points\": ["),
+        array_join(array_sort(collect_list(col("j"))), ","),
+        lit("]}")).as("value"))
+
+  final case class Outputs(subscriberStats: DataFrame,
+                           celltowerStats: DataFrame,
+                           geofenceHits: DataFrame,
+                           anomalies: DataFrame)
+
+  /** Process one decoded celltower frame against the current attach
+    * store and model — the shared enrichment prefix plus all three use
+    * cases. Works on a batch table or inside `foreachBatch`.
+    */
+  def processBatch(celltower: DataFrame, attachStore: Option[DataFrame],
+                   km: IncrementalKMeans,
+                   kmeansDims: Seq[String] = Seq("rtt", "byteLoss"),
+                   train: Boolean = true): Outputs = {
+    val enriched = attachStore match {
+      case Some(store) =>
+        StreamOps.enrich(celltower,
+          store.select(col("bearerId"), col("subscriber")))
+      case None => celltower.limit(0)
+        .withColumn("subscriber", lit(null).cast(Model.attachSchema("subscriber").dataType))
+    }
+    val withTs = enriched.withColumn("ts", Model.eventTime(col("ts")))
+
+    val subscriberStats = StreamOps.metricStats(
+      withTs.withColumn("subscriber_id", col("subscriber.id")),
+      Seq("subscriber_id"))
+    val celltowerStats = StreamOps.metricStats(
+      withTs.withColumn("cell", col("celltower.cell")), Seq("cell"))
+
+    val geofenceHits = GeofenceOp.geofence(enriched.select(
+      col("bearerId").as("id"),
+      col("celltower.location.lat").as("lat"),
+      col("celltower.location.lng").as("lng")))
+
+    val vectored = enriched
+      .withColumn("v", metricsVector(kmeansDims))
+      .where(kmeansDims.map(d => col("metrics").getItem(d).isNotNull)
+        .reduce(_ && _))
+    if (train) km.update(vectored, "v")
+    val scored = km.transform(vectored, "v").persist()
+    val anomalies = OutlierOp.outliers(scored, "prediction", "dist")
+      .select(col("bearerId"), col("subscriber.id").as("subscriber_id"),
+        col("prediction"), col("dist"))
+    Outputs(subscriberStats, celltowerStats, geofenceHits, anomalies)
+  }
+
+  /** Streaming wiring: attach stream feeds the upsert store; celltower
+    * stream runs the fan-out per micro-batch (stream-static join against
+    * the store as of each batch — the reference's Cassandra-lookup
+    * semantics, `TrafficStreamProcessor.scala:52-56`).
+    */
+  def start(attachStream: DataFrame, celltowerStream: DataFrame,
+            storePath: String, km: IncrementalKMeans,
+            sink: (Outputs, Long) => Unit,
+            kmeansDims: Seq[String] = Seq("rtt", "byteLoss")): Seq[StreamingQuery] = {
+    val spark = attachStream.sparkSession
+    val store = new KeyedUpsertStore(spark, storePath, "bearerId", "ts")
+    val attachQ = attachStream.writeStream
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, _: Long) => store.upsert(batch))
+      .start()
+    val fanoutQ = celltowerStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(processBatch(batch, store.current, km, kmeansDims), id)
+      }
+      .start()
+    Seq(attachQ, fanoutQ)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.model._
+import graft.streaming.{IncrementalKMeans, KeyedUpsertStore, TelcoPipelines}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.DataFrame
+
+/** End-to-end reference topology: two streams in, upsert store,
+  * enrichment, three fan-out consumers — driven through MemoryStream
+  * exactly as a deployment drives Kafka topics.
+  */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sub(id: Int) = Subscriber(id, s"imsi$id", s"+32$id", s"imei$id",
+    "Last", "First", "Addr", "City", "1000", "BE")
+
+  private def attach(bearer: String, id: Int, ts: Long) =
+    AttachEvent(bearer, sub(id), "attach-topic", ts)
+
+  private def ct(bearer: String, ts: Long, rtt: Double, loss: Double,
+                 lat: Double = 50.85, lng: Double = 4.35) =
+    CelltowerEvent(Celltower(206, 10, 1234, 40, LatLng(lat, lng)),
+      bearer, Map("rtt" -> rtt, "byteLoss" -> loss), "celltower-topic", ts)
+
+  test("keyed upsert store is last-write-wins across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val store = new KeyedUpsertStore(spark, s"$dir/attach", "bearerId", "ts")
+    assert(store.current.isEmpty)
+    store.upsert(Seq(attach("b1", 1, 1000L), attach("b2", 2, 1000L)).toDF())
+    store.upsert(Seq(attach("b1", 9, 2000L)).toDF()) // b1 re-attaches
+    val cur = store.current.get
+    assert(cur.count() === 2)
+    assert(cur.where($"bearerId" === "b1").select($"subscriber.id")
+      .as[Int].head() === 9)
+  }
+
+  test("full telco topology end-to-end via two MemoryStreams") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val attachMem = MemoryStream[AttachEvent]
+    val ctMem = MemoryStream[CelltowerEvent]
+    val km = new IncrementalKMeans(k = 2, dims = 2, decay = 1.0, seed = 1L)
+
+    @volatile var lastOut: Option[TelcoPipelines.Outputs] = None
+    val queries = TelcoPipelines.start(
+      attachMem.toDF(), ctMem.toDF(), s"$dir/attach", km,
+      (out, _) => lastOut = Some(out))
+    try {
+      // batch 1: attach events land first (store fills)
+      attachMem.addData(attach("b1", 1, 1000L), attach("b2", 2, 1000L))
+      queries.foreach(_.processAllAvailable())
+      // batch 2: celltower traffic; bX has no attach -> dropped by J1
+      ctMem.addData(
+        ct("b1", 10000L, 10.0, 0.1), ct("b1", 12000L, 12.0, 0.2),
+        ct("b2", 11000L, 100.0, 5.0, lat = 40.0, lng = 1.0),
+        ct("bX", 13000L, 1.0, 0.0))
+      queries.foreach(_.processAllAvailable())
+
+      val out = lastOut.get
+      // use case 1: windowed stats per subscriber (b1 -> sub 1, b2 -> sub 2)
+      val stats = out.subscriberStats.collect()
+      val subs = stats.map(_.getAs[Int]("subscriber_id")).toSet
+      assert(subs === Set(1, 2)) // bX dropped
+      val b1rtt = out.subscriberStats
+        .where($"subscriber_id" === 1 && $"metric" === "rtt")
+        .select($"n", $"mean").as[(Long, Double)].collect()
+      assert(b1rtt.exists { case (n, m) => n === 2L && math.abs(m - 11.0) < 1e-9 })
+      // use case 2: b1/b2 in Brussels-area fences; the (40,1) event in none
+      val hits = out.geofenceHits.collect()
+      assert(hits.forall(_.getAs[String]("id") === "b1"))
+      assert(hits.nonEmpty)
+      // use case 3: anomalies frame computes (small batch => n<=4 per
+      // cluster => no flags, the reference's n<=4 guard)
+      assert(out.anomalies.count() === 0)
+    } finally queries.foreach(_.stop())
+  }
+
+  test("gatherJson collapses a frame to one sorted JSON array record (A5)") {
+    val df = Seq((2, "b"), (1, "a")).toDF("k", "s")
+    val out = TelcoPipelines.gatherJson(df).as[String].collect()
+    assert(out.length === 1)
+    assert(out.head === """{"points": [{"k":1,"s":"a"},{"k":2,"s":"b"}]}""")
+  }
+
+  test("metricsVector projects declared dimension order (P4)") {
+    val df = Seq(Map("byteLoss" -> 0.5, "rtt" -> 9.0, "x" -> 1.0))
+      .toDF("metrics")
+    val v = df.select(TelcoPipelines.metricsVector(Seq("rtt", "byteLoss")))
+      .as[Seq[Double]].head()
+    assert(v === Seq(9.0, 0.5))
+  }
+}
