@@ -112,6 +112,11 @@ object SparkEntry {
     "q29_media_summary" -> ((s, d) =>
       MultimodalOp.mediaSummary(Tables.documents(s, d))),
 
+    // The reference computes the same windowed stats under a second key
+    // (subscriber vs celltower) — q31 is the user_id-keyed run.
+    "q31_stats_by_user" -> ((s, d) =>
+      MetricStatsOp.tumbling(Tables.events(s, d), "60 seconds", "user_id")),
+
     // S3/F1/F2: Kafka-shaped JSON encode → decode round trip must be
     // lossless; the aggregate proves no rows are corrupted or dropped.
     "q30_json_roundtrip" -> ((s, d) => {
@@ -340,5 +345,12 @@ object SparkEntry {
     "q30_json_roundtrip" ->
       """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_stats_by_user" ->
+      """SELECT (epoch_ms(ts) // 60000) * 60000 AS bucket_ms, user_id,
+        |  count(*) AS n, round(avg(value),4) AS avg_value,
+        |  round(stddev_pop(value),4) AS std_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
   )
 }

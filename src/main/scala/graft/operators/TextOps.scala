@@ -85,36 +85,48 @@ object TextOps {
 
   // ---- DuckDB oracle generators (same constants as the Column forms) ----
 
-  private def sqlList(ws: Seq[String]): String =
-    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  // Lambda-free SQL (DuckDB's `->` lambda syntax is deprecated in newer
+  // versions; unnest-based long form is stable across all of them).
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   def qualityOracle: String =
-    s"""SELECT doc_id,
-       |  CAST(len(tk) AS BIGINT) AS n_tokens,
-       |  round(CAST(list_aggregate(list_transform(tk, t -> len(t)), 'sum') AS DOUBLE) / len(tk), 4) AS avg_token_len,
-       |  round(CAST(len(list_filter(tk, t -> list_contains(${sqlList(EnStop)}, t))) AS DOUBLE) / len(tk), 4) AS stop_ratio,
-       |  round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS uniq_ratio,
-       |  round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / n_chars, 4) AS punct_ratio
-       |FROM (SELECT doc_id, text, n_chars, string_split(text, ' ') AS tk
-       |      FROM documents) t
-       |ORDER BY doc_id""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS tk
+       |           FROM documents),
+       |t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+       |ag AS (
+       |  SELECT doc_id, count(*) AS n_tokens, sum(len(tok)) AS sum_len,
+       |    sum(CASE WHEN tok IN ${inList(EnStop)} THEN 1 ELSE 0 END) AS stops,
+       |    count(DISTINCT tok) AS uniq
+       |  FROM t GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(ag.n_tokens AS BIGINT) AS n_tokens,
+       |  round(CAST(ag.sum_len AS DOUBLE) / ag.n_tokens, 4) AS avg_token_len,
+       |  round(CAST(ag.stops AS DOUBLE) / ag.n_tokens, 4) AS stop_ratio,
+       |  round(CAST(ag.uniq AS DOUBLE) / ag.n_tokens, 4) AS uniq_ratio,
+       |  round(CAST(length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+       |    / d.n_chars, 4) AS punct_ratio
+       |FROM d JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin
 
   def langIdOracle: String = {
     val scoreCols = LangMarkers.map { case (l, ws) =>
-      s"len(list_filter(tk, t -> list_contains(${sqlList(ws)}, t))) AS s_$l"
-    }.mkString(",\n  ")
+      s"sum(CASE WHEN tok IN ${inList(ws)} THEN 1 ELSE 0 END) AS s_$l"
+    }.mkString(",\n    ")
     val m = LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
     val cases = LangMarkers
       .map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
-    s"""SELECT doc_id, lang,
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+       |           FROM documents),
+       |t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $scoreCols
+       |  FROM t GROUP BY 1)
+       |SELECT d.doc_id, d.lang,
        |  CASE WHEN m = 0 THEN 'unknown' $cases ELSE 'unknown' END AS pred_lang
-       |FROM (
-       |  SELECT doc_id, lang, $m AS m, s_de, s_en, s_es, s_fr, s_zh FROM (
-       |    SELECT doc_id, lang,
-       |  ${scoreCols}
-       |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents) t0
-       |  ) t1
-       |) t2 ORDER BY doc_id""".stripMargin
+       |FROM (SELECT doc_id, $m AS m, s_de, s_en, s_es, s_fr, s_zh FROM sc) j
+       |JOIN d USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
   def tokenTopKOracle(k: Int = 20): String =
