@@ -117,6 +117,27 @@ object SparkEntry {
     "q31_stats_by_user" -> ((s, d) =>
       MetricStatsOp.tumbling(Tables.events(s, d), "60 seconds", "user_id")),
 
+    // Scale-path variant: IQR bands from mergeable percentile sketches
+    // instead of per-group sorted lists. No SQL oracle (approx quantiles
+    // are engine-specific) → driver records the weaker rows-only check;
+    // StatsAndIqrSpec asserts agreement with the exact bands.
+    "q32_iqr_outliers_approx" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val th = OutlierOp.thresholdsApprox(ev, "event_type", "value")
+      ev.join(broadcast(th), "event_type")
+        .where(col("n") > 4 &&
+          (col("value") < col("lo") || col("value") > col("hi")))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    "q33_distinct_users" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // S3/F1/F2: Kafka-shaped JSON encode → decode round trip must be
     // lossless; the aggregate proves no rows are corrupted or dropped.
     "q30_json_roundtrip" -> ((s, d) => {
@@ -352,5 +373,11 @@ object SparkEntry {
         |  round(stddev_pop(value),4) AS std_value,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // q32 intentionally has no oracle (approx sketches are engine-specific)
+
+    "q33_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

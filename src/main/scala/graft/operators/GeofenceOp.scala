@@ -45,11 +45,15 @@ object GeofenceOp {
       (lit(50.4) + (((col("c_custkey") * lit(2654435761L)) % 1000L) / lit(1000.0)) * lit(1.03)).as("lat"),
       (lit(3.32) + (((col("c_custkey") * lit(40503L)) % 1000L) / lit(1000.0)) * lit(2.38)).as("lng"))
 
-  /** points(id, lat, lng) × fences → (id, fence_name) for contained points. */
+  /** points(id, lat, lng) × fences → (id, fence_name) for contained
+    * points. The predicate is the codegen'd [[PointInPolygonExpr]]
+    * (identical arithmetic to the UDF tier, asserted in GeoSpec).
+    */
   def geofence(points: DataFrame): DataFrame = {
     val spark = points.sparkSession
     points.crossJoin(broadcast(fencesDf(spark)))
-      .where(GeoFunctions.st_contains(col("lat"), col("lng"), col("lats"), col("lngs")))
+      .where(graft.functions.PointInPolygonExpr.column(
+        col("lat"), col("lng"), col("lats"), col("lngs")))
       .select(col("id"), col("fence_name"))
       .orderBy("id", "fence_name")
   }

@@ -45,6 +45,23 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen PointInPolygonExpr equals the UDF tier on a probe grid") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pts = (for (i <- 0 until 40; j <- 0 until 40)
+      yield (50.3 + i * 0.03, 3.2 + j * 0.065)).toDF("lat", "lng")
+    val fences = GeofenceOp.fencesDf(spark)
+    val both = pts.crossJoin(fences).select(
+      graft.functions.PointInPolygonExpr.column(
+        col("lat"), col("lng"), col("lats"), col("lngs")).as("expr"),
+      GeoFunctions.st_contains(
+        col("lat"), col("lng"), col("lats"), col("lngs")).as("udf"))
+    assert(both.where($"expr" =!= $"udf").count() === 0)
+    assert(both.where($"expr").count() > 0) // some probes inside
+  }
+
   test("1000 random probes agree with the winding-number oracle on all fences") {
     val rnd = new scala.util.Random(42)
     var agreed = 0

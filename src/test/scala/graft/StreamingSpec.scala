@@ -109,6 +109,26 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("built-in session_window agrees with the manual gap sessionization") {
+    import graft.operators.EventOps
+    // user 1: two sessions (gap 45 min); user 2: one session
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val df = Seq(
+      (1L, 1L, t(0), 1.0), (2L, 1L, t(10), 1.0), (3L, 1L, t(55), 1.0),
+      (4L, 2L, t(5), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val manual = EventOps.sessionize(df)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val builtin = df
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manual === Map(1L -> 2L, 2L -> 1L))
+    assert(builtin === manual)
+  }
+
   test("incremental k-means converges on separated clusters, deterministically") {
     val rnd = new scala.util.Random(5)
     val centersTrue = Seq(Array(0.0, 0.0), Array(10.0, 10.0), Array(-10.0, 5.0))
