@@ -138,6 +138,11 @@ object SparkEntry {
              count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Dedup survivor selection: connected components over the near-dup
+    // pair graph; root = canonical kept doc per duplicate cluster.
+    "q34_dedup_keepset" -> ((s, d) =>
+      DedupOp.keepSet(DedupOp.ngramJaccard(Tables.documents(s, d), 0.5))),
+
     // S3/F1/F2: Kafka-shaped JSON encode → decode round trip must be
     // lossless; the aggregate proves no rows are corrupted or dropped.
     "q30_json_roundtrip" -> ((s, d) => {
@@ -379,5 +384,7 @@ object SparkEntry {
     "q33_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q34_dedup_keepset" -> DedupOp.keepSetOracle(0.5),
   )
 }

@@ -151,6 +151,40 @@ object DedupOp {
       .orderBy("da", "db")
   }
 
+  /** Survivor selection — the step a dedup pipeline actually ends with:
+    * connected components over the near-dup pair graph, root = min
+    * doc_id per component (the kept canonical). Iterative min-label
+    * propagation with a driver-side convergence check; dedup components
+    * have tiny diameters, so this converges in a handful of joins, each
+    * over the (small) pair set, never the corpus.
+    */
+  def keepSet(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("root", col("id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("root").as("nroot")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nroot")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("root"), coalesce(col("nmin"), col("root"))).as("root"))
+        .persist()
+      changed = updated
+        .join(labels.select(col("id"), col("root").as("oldroot")), "id")
+        .where(col("root") =!= col("oldroot")).count()
+      labels = updated
+      iter += 1
+    }
+    labels.orderBy("id")
+  }
+
   // ---- DuckDB oracle generators (same constants, same algorithms) ----
 
   /** Shared CTE: distinct (doc_id, shingle) + portable hash. */
@@ -219,6 +253,34 @@ object DedupOp {
        |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
        |ORDER BY da, db""".stripMargin
+
+  /** Connected components via recursive CTE over the same pair graph. */
+  def keepSetOracle(minJaccard: Double = 0.5): String =
+    s"""WITH RECURSIVE ${shingleCte()},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), p AS (
+       |  SELECT da, db FROM (
+       |    SELECT i.da, i.db,
+       |      round(CAST(i.inter AS DOUBLE)
+       |        / CAST(sa.n + sb.n - i.inter AS DOUBLE), 4) AS jaccard
+       |    FROM inter i
+       |    JOIN sizes sa ON sa.doc_id = i.da
+       |    JOIN sizes sb ON sb.doc_id = i.db) t
+       |  WHERE jaccard >= $minJaccard
+       |), edges AS (
+       |  SELECT da AS s, db AS d FROM p UNION ALL SELECT db, da FROM p
+       |), nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.id
+       |)
+       |SELECT id, CAST(min(r) AS BIGINT) AS root FROM reach
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def ngramJaccardOracle(minJaccard: Double = 0.5): String =
     s"""WITH ${shingleCte()},

@@ -35,6 +35,35 @@ object GeofenceOp {
     fences.map(f => (f.name, f.lats, f.lngs)).toDF("fence_name", "lats", "lngs")
   }
 
+  /** S6: load fences from a JSON file of the reference's wire shape
+    * (`work/traffic-geofences.json`: one array of {name, path, polygon:
+    * [{lat,lng}...]}). The reference hot-reloads this file every 5 s on
+    * a driver timer (`Geofencer.scala:18-23`); the Structured Streaming
+    * analog is re-reading inside `foreachBatch` — this reader is that
+    * per-batch call.
+    */
+  def fencesFromJson(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("path", StringType),
+      StructField("polygon", ArrayType(StructType(Seq(
+        StructField("lat", DoubleType), StructField("lng", DoubleType))))))))
+    spark.read.text(path)
+      .select(explode(from_json(col("value"), schema)).as("f"))
+      .select(col("f.name").as("fence_name"),
+        expr("transform(f.polygon, p -> p.lat)").as("lats"),
+        expr("transform(f.polygon, p -> p.lng)").as("lngs"))
+  }
+
+  /** Geofence against an explicit fence frame (hot-reloaded or fixture). */
+  def geofenceWith(points: DataFrame, fencesFrame: DataFrame): DataFrame =
+    points.crossJoin(broadcast(fencesFrame))
+      .where(graft.functions.PointInPolygonExpr.column(
+        col("lat"), col("lng"), col("lats"), col("lngs")))
+      .select(col("id"), col("fence_name"))
+      .orderBy("id", "fence_name")
+
   /** Deterministic synthetic points inside the Belgium bounding box,
     * derived from customer keys by pure integer/double arithmetic
     * (engine-portable: same ops in the DuckDB oracle).

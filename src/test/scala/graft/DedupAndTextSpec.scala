@@ -67,6 +67,29 @@ class DedupAndTextSpec extends SparkSuite {
     assert(got.toSeq === words.map(ref))
   }
 
+  test("keepSet resolves transitive duplicate chains to one root") {
+    // chain 10-20, 20-30 (one component), isolated pair 40-50
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("da", "db")
+    val roots = DedupOp.keepSet(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L))
+  }
+
+  test("fencesFromJson parses the reference wire shape") {
+    val json = """[{"name":"f0","path":"x","polygon":[
+      {"lat":50.0,"lng":4.0},{"lat":51.0,"lng":4.0},{"lat":51.0,"lng":5.0},
+      {"lat":50.0,"lng":5.0}]}]""".replace("\n", "")
+    val dir = java.nio.file.Files.createTempDirectory("fences")
+    val f = dir.resolve("fences.json")
+    java.nio.file.Files.writeString(f, json)
+    val fences = graft.operators.GeofenceOp.fencesFromJson(spark, f.toString)
+    assert(fences.count() === 1)
+    val pts = Seq((1L, 50.5, 4.5), (2L, 49.0, 3.0)).toDF("id", "lat", "lng")
+    val hits = graft.operators.GeofenceOp.geofenceWith(pts, fences).collect()
+    assert(hits.map(_.getLong(0)).toSeq === Seq(1L)) // inside the square
+  }
+
   test("text quality metrics on a known document") {
     val d = Seq((1L, "the cat the dog", "en", "s", 15L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
