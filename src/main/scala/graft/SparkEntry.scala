@@ -143,6 +143,21 @@ object SparkEntry {
     "q34_dedup_keepset" -> ((s, d) =>
       DedupOp.keepSet(DedupOp.ngramJaccard(Tables.documents(s, d), 0.5))),
 
+    // A1's map-typed metrics shape (reference CelltowerEvent.metrics:
+    // Map[String,Double]): build a metric map per event, explode, and
+    // aggregate per (key, metric) — the exact MetricStats surface.
+    "q35_metric_map_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), explode(map(
+          lit("value"), col("value"),
+          lit("propk"), get_json_object(col("props"), "$.k").cast("double")))
+          .as(Seq("metric", "v")))
+        .where(col("v").isNotNull)
+        .groupBy(col("event_type"), col("metric"))
+        .agg(count(lit(1)).as("n"), round(avg(col("v")), 4).as("avg_v"),
+             round(stddev_pop(col("v")), 4).as("std_v"))
+        .orderBy("event_type", "metric")),
+
     // S3/F1/F2: Kafka-shaped JSON encode → decode round trip must be
     // lossless; the aggregate proves no rows are corrupted or dropped.
     "q30_json_roundtrip" -> ((s, d) => {
@@ -386,5 +401,17 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q34_dedup_keepset" -> DedupOp.keepSetOracle(0.5),
+
+    "q35_metric_map_stats" ->
+      """WITH m AS (
+        |  SELECT event_type, 'value' AS metric, value AS v FROM events
+        |  UNION ALL
+        |  SELECT event_type, 'propk',
+        |    CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS DOUBLE)
+        |  FROM events
+        |)
+        |SELECT event_type, metric, count(*) AS n, round(avg(v),4) AS avg_v,
+        |  round(stddev_pop(v),4) AS std_v
+        |FROM m WHERE v IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
   )
 }

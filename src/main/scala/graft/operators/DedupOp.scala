@@ -153,36 +153,63 @@ object DedupOp {
 
   /** Survivor selection — the step a dedup pipeline actually ends with:
     * connected components over the near-dup pair graph, root = min
-    * doc_id per component (the kept canonical). Iterative min-label
-    * propagation with a driver-side convergence check; dedup components
-    * have tiny diameters, so this converges in a handful of joins, each
-    * over the (small) pair set, never the corpus.
+    * doc_id per component (the kept canonical).
+    *
+    * The pair graph is orders of magnitude smaller than the corpus (it
+    * is the OUTPUT of blocking + verification), so the default path
+    * collects it and runs union-find on the driver: two Spark jobs
+    * total. Above `driverLimit` edges it falls back to distributed
+    * iterative min-label propagation (diameter-bounded join rounds).
     */
-  def keepSet(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .select(col("da").as("src"), col("db").as("dst"))
-      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+  def keepSet(pairs: DataFrame, driverLimit: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("da").cast("long"), col("db").cast("long"))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("root", col("id")).persist()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 25) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("root").as("nroot")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nroot")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("root"), coalesce(col("nmin"), col("root"))).as("root"))
+    if (edges.count() <= driverLimit) {
+      // union-find with path compression, min-id roots
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { val lo = math.min(ra, rb); val hi = math.max(ra, rb)
+          parent(hi) = lo }
+      }
+      parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "root")
+    } else {
+      val bi = edges.select(col("da").as("src"), col("db").as("dst"))
+        .unionByName(edges.select(col("db").as("src"), col("da").as("dst")))
         .persist()
-      changed = updated
-        .join(labels.select(col("id"), col("root").as("oldroot")), "id")
-        .where(col("root") =!= col("oldroot")).count()
-      labels = updated
-      iter += 1
+      var labels = bi.select(col("src").as("id")).distinct()
+        .withColumn("root", col("id")).persist()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 25) {
+        val neighborMin = bi
+          .join(labels.select(col("id").as("dst"), col("root").as("nroot")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nroot")).as("nmin"))
+        val updated = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("root"), coalesce(col("nmin"), col("root"))).as("root"))
+          .persist()
+        changed = updated
+          .join(labels.select(col("id"), col("root").as("oldroot")), "id")
+          .where(col("root") =!= col("oldroot")).count()
+        labels = updated
+        iter += 1
+      }
+      labels.orderBy("id")
     }
-    labels.orderBy("id")
   }
 
   // ---- DuckDB oracle generators (same constants, same algorithms) ----

@@ -70,10 +70,15 @@ class DedupAndTextSpec extends SparkSuite {
   test("keepSet resolves transitive duplicate chains to one root") {
     // chain 10-20, 20-30 (one component), isolated pair 40-50
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("da", "db")
-    val roots = DedupOp.keepSet(pairs).collect()
+    val expected = Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L)
+    val viaDriver = DedupOp.keepSet(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(roots === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
-      40L -> 40L, 50L -> 40L))
+    assert(viaDriver === expected)
+    // force the distributed label-propagation path; must agree
+    val viaCluster = DedupOp.keepSet(pairs, driverLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCluster === expected)
   }
 
   test("fencesFromJson parses the reference wire shape") {
