@@ -158,6 +158,11 @@ object SparkEntry {
              round(stddev_pop(col("v")), 4).as("std_v"))
         .orderBy("event_type", "metric")),
 
+    "q36_priority_semi" -> ((s, d) => RelationalOps.prioritySemi(s, d)),
+
+    "q37_small_qty_revenue" -> ((s, d) =>
+      RelationalOps.smallQuantityRevenue(s, d)),
+
     // S3/F1/F2: Kafka-shaped JSON encode → decode round trip must be
     // lossless; the aggregate proves no rows are corrupted or dropped.
     "q30_json_roundtrip" -> ((s, d) => {
@@ -401,6 +406,20 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q34_dedup_keepset" -> DedupOp.keepSetOracle(0.5),
+
+    "q36_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.09)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q37_small_qty_revenue" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN (
+        |  SELECT l_partkey AS pk, avg(l_quantity) AS aq
+        |  FROM lineitem GROUP BY 1) a ON l.l_partkey = a.pk
+        |WHERE l.l_quantity < a.aq * 0.5""".stripMargin,
 
     "q35_metric_map_stats" ->
       """WITH m AS (

@@ -142,4 +142,48 @@ object RelationalOps {
       .groupBy(floor(col("l_extendedprice") / width).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
+
+  /** TPC-H Q4 shape: EXISTS-style semi join — orders having at least one
+    * deep-discount line, counted by priority. Plans as a hash semi join
+    * (build = filtered lineitem keys only).
+    */
+  def prioritySemi(s: SparkSession, dir: String, minDisc: Double = 0.09): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir).where(col("l_discount") >= minDisc),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q17 shape: correlated scalar-aggregate subquery — revenue of
+    * lines below half the part's average quantity. The subquery
+    * decorrelates to an aggregate + join (Catalyst does this for SQL;
+    * here it is written directly in its decorrelated form).
+    */
+  def smallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val avgQ = li.groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    li.join(avgQ, col("l_partkey") === col("pk"))
+      .where(col("l_quantity") < col("aq") * 0.5)
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** Salted equi-join for skewed keys: the small side is replicated
+    * `salts` ways; each large-side row picks a deterministic salt, so a
+    * single hot key fans across `salts` tasks instead of one straggler.
+    * Semantics identical to `large ⋈ small ON key` (verified in
+    * RelationalSpec); AQE's skew-join handles the same problem
+    * adaptively, this is the explicit form for engines/configs without
+    * it.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 8): DataFrame = {
+    val saltedLarge = large.withColumn("__salt",
+      pmod(hash(large.columns.map(col): _*), lit(salts)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLarge.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import graft.model.AttachEvent
 
 /** Structured Streaming forms of the reference pipelines (SURVEY.md
   * §2.6/§3). Every transform here accepts batch OR streaming frames —
@@ -46,6 +48,23 @@ object StreamOps {
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol).desc)
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** W5, pure-streaming form: the latest attach per bearer held in
+    * Spark-managed keyed state (`mapGroupsWithState`) instead of an
+    * external store — emits the updated latest row per key per batch
+    * (update mode). State is one row per bearer: bounded by key
+    * cardinality, partitioned by the state store, no external system.
+    */
+  def latestAttachStateful(attach: Dataset[AttachEvent]): Dataset[AttachEvent] = {
+    import attach.sparkSession.implicits._
+    attach.groupByKey(_.bearerId)
+      .mapGroupsWithState[AttachEvent, AttachEvent](GroupStateTimeout.NoTimeout) {
+        (_, events, state) =>
+          val latest = (state.getOption.iterator ++ events).maxBy(_.ts)
+          state.update(latest)
+          latest
+      }
   }
 
   /** Use case prefix (J1): enrichment stream-static inner join on

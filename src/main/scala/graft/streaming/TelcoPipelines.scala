@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.model.Model
 import graft.operators.{GeofenceOp, OutlierOp}
 
@@ -87,15 +87,23 @@ object TelcoPipelines {
   def start(attachStream: DataFrame, celltowerStream: DataFrame,
             storePath: String, km: IncrementalKMeans,
             sink: (Outputs, Long) => Unit,
-            kmeansDims: Seq[String] = Seq("rtt", "byteLoss")): Seq[StreamingQuery] = {
+            kmeansDims: Seq[String] = Seq("rtt", "byteLoss"),
+            trigger: Option[Trigger] = None,
+            checkpointDir: Option[String] = None): Seq[StreamingQuery] = {
     val spark = attachStream.sparkSession
     val store = new KeyedUpsertStore(spark, storePath, "bearerId", "ts")
-    val attachQ = attachStream.writeStream
-      .outputMode("append")
+    // W1: the reference's 1000 ms micro-batch clock maps to
+    // Trigger.ProcessingTime("1 second"); W4: checkpointing per query.
+    def configure(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+                  name: String) = {
+      val t = trigger.map(w.trigger).getOrElse(w)
+      checkpointDir.map(d => t.option("checkpointLocation", s"$d/$name"))
+        .getOrElse(t)
+    }
+    val attachQ = configure(attachStream.writeStream.outputMode("append"), "attach")
       .foreachBatch((batch: DataFrame, _: Long) => store.upsert(batch))
       .start()
-    val fanoutQ = celltowerStream.writeStream
-      .outputMode("append")
+    val fanoutQ = configure(celltowerStream.writeStream.outputMode("append"), "fanout")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(processBatch(batch, store.current, km, kmeansDims), id)
       }

@@ -109,6 +109,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps the latest attach per bearer (W5 stateful)") {
+    implicit val sqlCtx = spark.sqlContext
+    def at(bearer: String, id: Int, ts: Long) =
+      AttachEvent(bearer, Subscriber(id, "i", "m", "e", "L", "F", "A", "C",
+        "Z", "BE"), "attach-topic", ts)
+    val mem = MemoryStream[AttachEvent]
+    val q = StreamOps.latestAttachStateful(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("attach_state").start()
+    try {
+      mem.addData(at("b1", 1, 1000L), at("b2", 2, 1000L))
+      q.processAllAvailable()
+      mem.addData(at("b1", 9, 2000L)) // re-attach: state must advance
+      q.processAllAvailable()
+      val rows = spark.table("attach_state")
+        .select($"bearerId", $"subscriber.id", $"ts")
+        .as[(String, Int, Long)].collect()
+      // update-mode sink appends each state change; the latest b1 row is sub 9
+      val latestB1 = rows.filter(_._1 == "b1").maxBy(_._3)
+      assert(latestB1._2 === 9)
+      assert(rows.filter(_._1 == "b2").map(_._2).toSet === Set(2))
+    } finally q.stop()
+  }
+
   test("built-in session_window agrees with the manual gap sessionization") {
     import graft.operators.EventOps
     // user 1: two sessions (gap 45 min); user 2: one session
