@@ -95,6 +95,23 @@ class DedupAndTextSpec extends SparkSuite {
     assert(hits.map(_.getLong(0)).toSeq === Seq(1L)) // inside the square
   }
 
+  test("custom expressions are SQL-callable after registration") {
+    graft.GraftFunctions.register(spark)
+    val h = spark.sql("SELECT portable_hash('alpha') AS h").as[Long].head()
+    // same recipe as the documented fold
+    def ref(s: String): Long = {
+      val padded = s.padTo(8, '#').take(8)
+      val acc = padded.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+      (acc * 131 + s.length) % 1000000007L
+    }
+    assert(h === ref("alpha"))
+    val inside = spark.sql(
+      """SELECT st_contains(0.5, 0.5,
+        |  array(0.0, 1.0, 1.0, 0.0), array(0.0, 0.0, 1.0, 1.0)) AS c"""
+        .stripMargin).as[Boolean].head()
+    assert(inside)
+  }
+
   test("text quality metrics on a known document") {
     val d = Seq((1L, "the cat the dog", "en", "s", 15L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
