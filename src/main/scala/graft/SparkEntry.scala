@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.DetAgg
 import graft.operators._
 import graft.tables.Tables
 
@@ -34,7 +35,7 @@ object SparkEntry {
       RelationalOps.enrich(Tables.events(s, d), Tables.customer(s, d))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
-             round(avg(col("value")), 4).as("avg_value"),
+             graft.functions.DetAgg.avgCents2(col("value")).as("avg_value"),
              round(sum(col("value")), 2).as("sum_value"))
         .orderBy("c_mktsegment")),
 
@@ -154,7 +155,8 @@ object SparkEntry {
           .as(Seq("metric", "v")))
         .where(col("v").isNotNull)
         .groupBy(col("event_type"), col("metric"))
-        .agg(count(lit(1)).as("n"), round(avg(col("v")), 4).as("avg_v"),
+        .agg(count(lit(1)).as("n"),
+             graft.functions.DetAgg.avgCents2(col("v")).as("avg_v"),
              round(stddev_pop(col("v")), 4).as("std_v"))
         .orderBy("event_type", "metric")),
 
@@ -162,6 +164,15 @@ object SparkEntry {
 
     "q37_small_qty_revenue" -> ((s, d) =>
       RelationalOps.smallQuantityRevenue(s, d)),
+
+    "q38_daily_pivot" -> ((s, d) =>
+      EventOps.dailyTypePivot(Tables.events(s, d))),
+
+    "q39_intersect_users" -> ((s, d) =>
+      EventOps.purchaseAndErrorUsers(Tables.events(s, d))),
+
+    "q40_stats_unpivot" -> ((s, d) =>
+      EventOps.statsUnpivot(MetricStatsOp.tumbling(Tables.events(s, d)))),
 
     // S3/F1/F2: Kafka-shaped JSON encode → decode round trip must be
     // lossless; the aggregate proves no rows are corrupted or dropped.
@@ -177,15 +188,15 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity),4) AS sum_qty,
-        |  round(sum(l_extendedprice),2) AS sum_base_price,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |  round(avg(l_quantity),4) AS avg_qty,
-        |  round(avg(l_extendedprice),4) AS avg_price,
-        |  round(avg(l_discount),6) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  round(sum(l_quantity),4) AS sum_qty,
+         |  round(sum(l_extendedprice),2) AS sum_base_price,
+         |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         |  ${DetAgg.avgIntSql("l_quantity")} AS avg_qty,
+         |  ${DetAgg.avgCents2Sql("l_extendedprice")} AS avg_price,
+         |  ${DetAgg.avgCents2Sql("l_discount", 6)} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q02_topk_revenue" ->
       """SELECT c.c_custkey, c.c_name,
@@ -194,10 +205,11 @@ object SparkEntry {
         |GROUP BY 1,2 ORDER BY revenue DESC, c.c_custkey LIMIT 10""".stripMargin,
 
     "q03_enrich_agg" ->
-      """SELECT c.c_mktsegment, count(*) AS n,
-        |  round(avg(e.value),4) AS avg_value, round(sum(e.value),2) AS sum_value
-        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT c.c_mktsegment, count(*) AS n,
+         |  ${DetAgg.avgCents2Sql("e.value")} AS avg_value,
+         |  round(sum(e.value),2) AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q04_latest_per_key" ->
       """SELECT user_id, event_id, event_type, value, ts_ms FROM (
@@ -206,21 +218,22 @@ object SparkEntry {
         |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q05_stats_tumbling" ->
-      """SELECT (epoch_ms(ts) // 30000) * 30000 AS bucket_ms, event_type,
-        |  count(*) AS n, round(avg(value),4) AS avg_value,
-        |  round(stddev_pop(value),4) AS std_value,
-        |  min(value) AS min_value, max(value) AS max_value
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      s"""SELECT (epoch_ms(ts) // 30000) * 30000 AS bucket_ms, event_type,
+         |  count(*) AS n, ${DetAgg.avgCents2Sql("value")} AS avg_value,
+         |  round(stddev_pop(value),4) AS std_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q06_stats_sliding" ->
-      """WITH w AS (
-        |  SELECT ((epoch_ms(ts) // 10000) - s.i) * 10000 AS bucket_ms, event_type, value
-        |  FROM events, (SELECT unnest(generate_series(0,2)) AS i) s
-        |)
-        |SELECT bucket_ms, event_type, count(*) AS n, round(avg(value),4) AS avg_value,
-        |  round(stddev_pop(value),4) AS std_value,
-        |  min(value) AS min_value, max(value) AS max_value
-        |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      s"""WITH w AS (
+         |  SELECT ((epoch_ms(ts) // 10000) - s.i) * 10000 AS bucket_ms, event_type, value
+         |  FROM events, (SELECT unnest(generate_series(0,2)) AS i) s
+         |)
+         |SELECT bucket_ms, event_type, count(*) AS n,
+         |  ${DetAgg.avgCents2Sql("value")} AS avg_value,
+         |  round(stddev_pop(value),4) AS std_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q07_iqr_outliers" ->
       """WITH s AS (
@@ -273,13 +286,13 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q13_props_json" ->
-      """SELECT event_type, count(*) AS n, round(avg(k),4) AS avg_k,
-        |  CAST(sum(k) AS BIGINT) AS sum_k
-        |FROM (
-        |  SELECT event_type,
-        |    CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
-        |  FROM events) t
-        |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT event_type, count(*) AS n, ${DetAgg.avgIntSql("k")} AS avg_k,
+         |  CAST(sum(k) AS BIGINT) AS sum_k
+         |FROM (
+         |  SELECT event_type,
+         |    CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+         |  FROM events) t
+         |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q14_sessionize" ->
       """WITH x AS (
@@ -393,11 +406,11 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q31_stats_by_user" ->
-      """SELECT (epoch_ms(ts) // 60000) * 60000 AS bucket_ms, user_id,
-        |  count(*) AS n, round(avg(value),4) AS avg_value,
-        |  round(stddev_pop(value),4) AS std_value,
-        |  min(value) AS min_value, max(value) AS max_value
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      s"""SELECT (epoch_ms(ts) // 60000) * 60000 AS bucket_ms, user_id,
+         |  count(*) AS n, ${DetAgg.avgCents2Sql("value")} AS avg_value,
+         |  round(stddev_pop(value),4) AS std_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     // q32 intentionally has no oracle (approx sketches are engine-specific)
 
@@ -406,6 +419,39 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q34_dedup_keepset" -> DedupOp.keepSetOracle(0.5),
+
+    "q38_daily_pivot" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view")
+        .map(t => s"  ${DetAgg.avgCents2WhenSql("value", s"event_type = '$t'")} AS $t")
+        .mkString(",\n")
+      s"""SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+         |$cols
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q39_intersect_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q40_stats_unpivot" ->
+      s"""WITH s AS (
+         |  SELECT (epoch_ms(ts) // 30000) * 30000 AS bucket_ms, event_type,
+         |    ${DetAgg.avgCents2Sql("value")} AS avg_value,
+         |    round(stddev_pop(value),4) AS std_value,
+         |    min(value) AS min_value, max(value) AS max_value
+         |  FROM events GROUP BY 1,2
+         |)
+        |SELECT bucket_ms, event_type, stat, value FROM (
+        |  SELECT bucket_ms, event_type, 'avg_value' AS stat, avg_value AS value FROM s
+        |  UNION ALL
+        |  SELECT bucket_ms, event_type, 'std_value', std_value FROM s
+        |  UNION ALL
+        |  SELECT bucket_ms, event_type, 'min_value', min_value FROM s
+        |  UNION ALL
+        |  SELECT bucket_ms, event_type, 'max_value', max_value FROM s) t
+        |ORDER BY bucket_ms, event_type, stat""".stripMargin,
 
     "q36_priority_semi" ->
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
@@ -422,15 +468,16 @@ object SparkEntry {
         |WHERE l.l_quantity < a.aq * 0.5""".stripMargin,
 
     "q35_metric_map_stats" ->
-      """WITH m AS (
-        |  SELECT event_type, 'value' AS metric, value AS v FROM events
-        |  UNION ALL
-        |  SELECT event_type, 'propk',
-        |    CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS DOUBLE)
-        |  FROM events
-        |)
-        |SELECT event_type, metric, count(*) AS n, round(avg(v),4) AS avg_v,
-        |  round(stddev_pop(v),4) AS std_v
-        |FROM m WHERE v IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT event_type, 'value' AS metric, value AS v FROM events
+         |  UNION ALL
+         |  SELECT event_type, 'propk',
+         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '') AS DOUBLE)
+         |  FROM events
+         |)
+         |SELECT event_type, metric, count(*) AS n,
+         |  ${DetAgg.avgCents2Sql("v")} AS avg_v,
+         |  round(stddev_pop(v),4) AS std_v
+         |FROM m WHERE v IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
   )
 }

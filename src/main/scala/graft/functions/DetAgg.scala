@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic decimal averages for cross-engine oracle parity.
+  *
+  * Two engine divergences make `round(avg(x), s)` over decimal data a
+  * coin flip:
+  *  1. summation order: float sums differ at the last ulp, flipping
+  *     values that sit on a rounding boundary — and means of 2-decimal
+  *     data sit on boundaries OFTEN (they are small-denominator
+  *     rationals);
+  *  2. round() semantics on the SAME double: Spark rounds the shortest
+  *     decimal representation (`BigDecimal.valueOf`), DuckDB rounds the
+  *     true binary value — 38.37874999…96 rounds to 38.3788 in Spark
+  *     and 38.3787 in DuckDB.
+  *
+  * Fix: no float rounding at all. Sum exact scaled integers (2-decimal
+  * data ×100 is exactly integral), do half-up division in integer
+  * arithmetic, and only then convert to double — both engines produce
+  * the IDENTICAL integer, hence the identical double.
+  */
+object DetAgg {
+
+  /** Round-half-up of num/den in exact integer math (floor-division
+    * identity: (2·num + den) div (2·den)); for negative numerators this
+    * is half-toward-+∞ — identical in both engines either way, which is
+    * what parity needs.
+    */
+  private def halfUpDiv(num: Column, den: Column): Column = {
+    val x = num * 2 + den
+    val d = den * 2
+    ((x - pmod(x, d)) / d).cast("long") // exact: x−mod is a multiple of d
+  }
+
+  private def pow10(n: Int): Long = math.pow(10, n).toLong
+
+  /** Mean of 2-decimal data, `scale` output decimals. */
+  def avgCents2(c: Column, scale: Int = 4): Column = {
+    val a = sum(round(c * 100).cast("long")) * pow10(scale - 2)
+    halfUpDiv(a, count(lit(1))).cast("double") / pow10(scale).toDouble
+  }
+
+  def avgCents2Sql(e: String, scale: Int = 4): String = {
+    val up = pow10(scale - 2)
+    s"(CAST((sum(CAST(round(($e) * 100) AS BIGINT)) * $up * 2 + count(*)) " +
+      s"// (count(*) * 2) AS DOUBLE) / ${pow10(scale)}.0)"
+  }
+
+  /** Mean of integral data, `scale` output decimals. */
+  def avgInt(c: Column, scale: Int = 4): Column = {
+    val a = sum(c.cast("long")) * pow10(scale)
+    halfUpDiv(a, count(lit(1))).cast("double") / pow10(scale).toDouble
+  }
+
+  def avgIntSql(e: String, scale: Int = 4): String =
+    s"(CAST((sum(CAST($e AS BIGINT)) * ${pow10(scale)} * 2 + count(*)) " +
+      s"// (count(*) * 2) AS DOUBLE) / ${pow10(scale)}.0)"
+
+  /** Conditional (pivot-cell) variant; null when no rows match. */
+  def avgCents2When(c: Column, cond: Column, scale: Int = 4): Column = {
+    val a = sum(when(cond, round(c * 100).cast("long"))) * pow10(scale - 2)
+    val n = sum(when(cond, 1L))
+    halfUpDiv(a, n).cast("double") / pow10(scale).toDouble
+  }
+
+  def avgCents2WhenSql(e: String, condSql: String, scale: Int = 4): String = {
+    val up = pow10(scale - 2)
+    s"(CAST((sum(CASE WHEN $condSql THEN CAST(round(($e) * 100) AS BIGINT) END) " +
+      s"* $up * 2 + sum(CASE WHEN $condSql THEN 1 END)) " +
+      s"// (sum(CASE WHEN $condSql THEN 1 END) * 2) AS DOUBLE) / ${pow10(scale)}.0)"
+  }
+}

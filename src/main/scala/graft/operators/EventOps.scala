@@ -23,9 +23,40 @@ object EventOps {
       .where(col("k").isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-           round(avg(col("k")), 4).as("avg_k"),
+           graft.functions.DetAgg.avgInt(col("k")).as("avg_k"),
            sum(col("k")).as("sum_k"))
       .orderBy("event_type")
+
+  /** Pivot: day × event_type matrix of mean values. Pivot values are
+    * declared explicitly so the output schema is static (required for
+    * both determinism and sane plans — an unlisted pivot needs an extra
+    * distinct-values job).
+    */
+  def dailyTypePivot(events: DataFrame): DataFrame =
+    events
+      .withColumn("__ms", unix_millis(col("ts")))
+      .groupBy((expr("__ms DIV 86400000") * 86400000L).as("day_ms"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(graft.functions.DetAgg.avgCents2(col("value")))
+      .orderBy("day_ms")
+
+  /** Set op: users having BOTH purchase and error events (intersect). */
+  def purchaseAndErrorUsers(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "purchase").select(col("user_id"))
+      .intersect(
+        events.where(col("event_type") === "error").select(col("user_id")))
+      .orderBy("user_id")
+
+  /** Unpivot (melt): wide per-bucket stats back to long (stat, value)
+    * rows — the inverse of the stats aggregate's wide shape.
+    */
+  def statsUnpivot(stats: DataFrame): DataFrame =
+    stats.unpivot(
+      Array(col("bucket_ms"), col("event_type")),
+      Array(col("avg_value"), col("std_value"), col("min_value"),
+        col("max_value")),
+      "stat", "value")
+      .orderBy("bucket_ms", "event_type", "stat")
 
   /** Gap-based sessionization per user: a new session starts when the
     * gap from the previous event exceeds `gapMs`. Classic lag + running

@@ -26,7 +26,9 @@ object MetricStatsOp {
     grouped
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("avg_value"),
+        // exact-cents mean: see graft.functions.DetAgg (plain rounded avg
+        // of 2-decimal data is a cross-engine coin flip at boundaries)
+        graft.functions.DetAgg.avgCents2(col("value")).as("avg_value"),
         round(stddev_pop(col("value")), 4).as("std_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))

@@ -47,9 +47,9 @@ object RelationalOps {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        graft.functions.DetAgg.avgInt(col("l_quantity")).as("avg_qty"),
+        graft.functions.DetAgg.avgCents2(col("l_extendedprice")).as("avg_price"),
+        graft.functions.DetAgg.avgCents2(col("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 

@@ -55,7 +55,9 @@ class StatsAndIqrSpec extends SparkSuite {
       val popStd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.size)
       val (n, gmean, gstd) = got(key)
       assert(n === xs.size.toLong)
-      assert(math.abs(gmean - mean) < 2e-4) // output rounded to 4dp
+      // avg_value quantizes inputs to cents (DetAgg cross-engine
+      // determinism): tolerance = max quantization bias + 4dp rounding
+      assert(math.abs(gmean - mean) < 6e-3)
       assert(math.abs(gstd - popStd) < 2e-3)
     }
   }
