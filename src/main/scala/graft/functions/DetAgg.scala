@@ -58,6 +58,18 @@ object DetAgg {
     s"(CAST((sum(CAST($e AS BIGINT)) * ${pow10(scale)} * 2 + count(*)) " +
       s"// (count(*) * 2) AS DOUBLE) / ${pow10(scale)}.0)"
 
+  /** Exact ratio of two integer columns (e.g. jaccard = inter/union,
+    * stopword ratio = hits/tokens) — integer/integer rationals hit
+    * rounding boundaries just like decimal means do.
+    */
+  def ratio(num: Column, den: Column, scale: Int = 4): Column =
+    halfUpDiv(num.cast("long") * pow10(scale), den.cast("long"))
+      .cast("double") / pow10(scale).toDouble
+
+  def ratioSql(numE: String, denE: String, scale: Int = 4): String =
+    s"(CAST((CAST($numE AS BIGINT) * ${pow10(scale)} * 2 + CAST($denE AS BIGINT)) " +
+      s"// (CAST($denE AS BIGINT) * 2) AS DOUBLE) / ${pow10(scale)}.0)"
+
   /** Conditional (pivot-cell) variant; null when no rows match. */
   def avgCents2When(c: Column, cond: Column, scale: Int = 4): Column = {
     val a = sum(when(cond, round(c * 100).cast("long"))) * pow10(scale - 2)

@@ -144,9 +144,8 @@ object DedupOp {
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
       .select(col("da"), col("db"),
-        round(col("inter").cast("double")
-          / (col("na") + col("nb") - col("inter")).cast("double"), 4)
-          .as("jaccard"))
+        graft.functions.DetAgg.ratio(col("inter"),
+          col("na") + col("nb") - col("inter")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
       .orderBy("da", "db")
   }
@@ -292,8 +291,7 @@ object DedupOp {
        |), p AS (
        |  SELECT da, db FROM (
        |    SELECT i.da, i.db,
-       |      round(CAST(i.inter AS DOUBLE)
-       |        / CAST(sa.n + sb.n - i.inter AS DOUBLE), 4) AS jaccard
+       |      ${graft.functions.DetAgg.ratioSql("i.inter", "sa.n + sb.n - i.inter")} AS jaccard
        |    FROM inter i
        |    JOIN sizes sa ON sa.doc_id = i.da
        |    JOIN sizes sb ON sb.doc_id = i.db) t
@@ -319,8 +317,7 @@ object DedupOp {
        |)
        |SELECT da, db, jaccard FROM (
        |  SELECT i.da, i.db,
-       |    round(CAST(i.inter AS DOUBLE)
-       |      / CAST(sa.n + sb.n - i.inter AS DOUBLE), 4) AS jaccard
+       |    ${graft.functions.DetAgg.ratioSql("i.inter", "sa.n + sb.n - i.inter")} AS jaccard
        |  FROM inter i
        |  JOIN sizes sa ON sa.doc_id = i.da
        |  JOIN sizes sb ON sb.doc_id = i.db) t

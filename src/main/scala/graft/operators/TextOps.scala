@@ -32,18 +32,21 @@ object TextOps {
     * stopword ratio, unique-token ratio, punctuation ratio.
     */
   def quality(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.ratio
     val toks = tokens(col("text"))
     val n = size(toks).cast("long")
     val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
       lit(0L), (s, x) => s + x)
     val punct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long")
+    // int/int ratios via exact integer rounding (DetAgg) — float round
+    // of small-denominator rationals diverges between engines
     docs.select(
       col("doc_id"),
       n.as("n_tokens"),
-      round(sumLen.cast("double") / n, 4).as("avg_token_len"),
-      round(countIn(toks, EnStop).cast("double") / n, 4).as("stop_ratio"),
-      round(size(array_distinct(toks)).cast("double") / n, 4).as("uniq_ratio"),
-      round(punct.cast("double") / col("n_chars"), 4).as("punct_ratio"))
+      ratio(sumLen, n).as("avg_token_len"),
+      ratio(countIn(toks, EnStop), n).as("stop_ratio"),
+      ratio(size(array_distinct(toks)), n).as("uniq_ratio"),
+      ratio(punct, col("n_chars")).as("punct_ratio"))
       .orderBy("doc_id")
   }
 
@@ -91,7 +94,8 @@ object TextOps {
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  def qualityOracle: String =
+  def qualityOracle: String = {
+    import graft.functions.DetAgg.ratioSql
     s"""WITH d AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS tk
        |           FROM documents),
        |t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
@@ -102,12 +106,12 @@ object TextOps {
        |  FROM t GROUP BY 1)
        |SELECT d.doc_id,
        |  CAST(ag.n_tokens AS BIGINT) AS n_tokens,
-       |  round(CAST(ag.sum_len AS DOUBLE) / ag.n_tokens, 4) AS avg_token_len,
-       |  round(CAST(ag.stops AS DOUBLE) / ag.n_tokens, 4) AS stop_ratio,
-       |  round(CAST(ag.uniq AS DOUBLE) / ag.n_tokens, 4) AS uniq_ratio,
-       |  round(CAST(length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-       |    / d.n_chars, 4) AS punct_ratio
+       |  ${ratioSql("ag.sum_len", "ag.n_tokens")} AS avg_token_len,
+       |  ${ratioSql("ag.stops", "ag.n_tokens")} AS stop_ratio,
+       |  ${ratioSql("ag.uniq", "ag.n_tokens")} AS uniq_ratio,
+       |  ${ratioSql("length(regexp_replace(d.text, '[^.,!?;:]', '', 'g'))", "d.n_chars")} AS punct_ratio
        |FROM d JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 
   def langIdOracle: String = {
     val scoreCols = LangMarkers.map { case (l, ws) =>
