@@ -191,7 +191,7 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus,
          |  round(sum(l_quantity),4) AS sum_qty,
          |  round(sum(l_extendedprice),2) AS sum_base_price,
-         |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         |  ${DetAgg.sumDiscounted2Sql("l_extendedprice", "l_discount")} AS sum_disc_price,
          |  ${DetAgg.avgIntSql("l_quantity")} AS avg_qty,
          |  ${DetAgg.avgCents2Sql("l_extendedprice")} AS avg_price,
          |  ${DetAgg.avgCents2Sql("l_discount", 6)} AS avg_disc,
@@ -250,8 +250,8 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
 
     "q08_revenue_by_nation" ->
-      """SELECT r.r_name, n.n_name,
-        |  round(sum(l.l_extendedprice*(1-l.l_discount)),2) AS revenue,
+      s"""SELECT r.r_name, n.n_name,
+        |  ${DetAgg.sumDiscounted2Sql("l.l_extendedprice", "l.l_discount")} AS revenue,
         |  count(*) AS n_items
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -460,7 +460,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q37_small_qty_revenue" ->
-      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+      """SELECT (CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) * 2 + 7)
+        |    // 14 AS DOUBLE) / 100.0) AS avg_yearly,
         |  count(*) AS n_lines
         |FROM lineitem l JOIN (
         |  SELECT l_partkey AS pk, avg(l_quantity) AS aq

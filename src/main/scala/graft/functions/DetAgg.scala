@@ -28,7 +28,7 @@ object DetAgg {
     * is half-toward-+∞ — identical in both engines either way, which is
     * what parity needs.
     */
-  private def halfUpDiv(num: Column, den: Column): Column = {
+  def halfUpDiv(num: Column, den: Column): Column = {
     val x = num * 2 + den
     val d = den * 2
     ((x - pmod(x, d)) / d).cast("long") // exact: x−mod is a multiple of d
@@ -57,6 +57,23 @@ object DetAgg {
   def avgIntSql(e: String, scale: Int = 4): String =
     s"(CAST((sum(CAST($e AS BIGINT)) * ${pow10(scale)} * 2 + count(*)) " +
       s"// (count(*) * 2) AS DOUBLE) / ${pow10(scale)}.0)"
+
+  /** Exact `sum(p · (1−d))` of 2-decimal price × 2-decimal discount,
+    * output 2dp. The products are 4-decimal rationals whose sums DO sit
+    * exactly on 0.005 rounding boundaries (unlike plain 2-decimal sums,
+    * which are always 0.005-safe) — so they get the integer treatment:
+    * cents × (100−disc-cents) is an exact integer in 1e-4 units.
+    */
+  def sumDiscounted2(p: Column, d: Column): Column = {
+    val s = sum(round(p * 100).cast("long")
+      * (lit(100L) - round(d * 100).cast("long")))
+    halfUpDiv(s, lit(100L)).cast("double") / 100.0
+  }
+
+  def sumDiscounted2Sql(pE: String, dE: String): String =
+    s"(CAST((sum(CAST(round(($pE) * 100) AS BIGINT) " +
+      s"* (100 - CAST(round(($dE) * 100) AS BIGINT))) * 2 + 100) " +
+      s"// 200 AS DOUBLE) / 100.0)"
 
   /** Exact ratio of two integer columns (e.g. jaccard = inter/union,
     * stopword ratio = hits/tokens) — integer/integer rationals hit

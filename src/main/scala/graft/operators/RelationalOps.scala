@@ -45,8 +45,8 @@ object RelationalOps {
       .agg(
         round(sum(col("l_quantity")), 4).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
+        graft.functions.DetAgg.sumDiscounted2(
+          col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
         graft.functions.DetAgg.avgInt(col("l_quantity")).as("avg_qty"),
         graft.functions.DetAgg.avgCents2(col("l_extendedprice")).as("avg_price"),
         graft.functions.DetAgg.avgCents2(col("l_discount"), 6).as("avg_disc"),
@@ -86,8 +86,8 @@ object RelationalOps {
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        graft.functions.DetAgg.sumDiscounted2(
+          col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -166,8 +166,13 @@ object RelationalOps {
       .agg(avg(col("l_quantity")).as("aq"))
     li.join(avgQ, col("l_partkey") === col("pk"))
       .where(col("l_quantity") < col("aq") * 0.5)
-      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
-           count(lit(1)).as("n_lines"))
+      .agg(
+        // exact: cents sum / 7 with integer half-up (sum/7 is a
+        // small-denominator rational — boundary-prone if float-rounded)
+        (graft.functions.DetAgg.halfUpDiv(
+          sum(round(col("l_extendedprice") * 100).cast("long")), lit(7L))
+          .cast("double") / 100.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
   }
 
   /** Salted equi-join for skewed keys: the small side is replicated
