@@ -174,6 +174,9 @@ object SparkEntry {
     "q40_stats_unpivot" -> ((s, d) =>
       EventOps.statsUnpivot(MetricStatsOp.tumbling(Tables.events(s, d)))),
 
+    "q41_token_counts" -> ((s, d) =>
+      TextOps.tokenCounts(Tables.documents(s, d))),
+
     // S3/F1/F2: Kafka-shaped JSON encode → decode round trip must be
     // lossless; the aggregate proves no rows are corrupted or dropped.
     "q30_json_roundtrip" -> ((s, d) => {
@@ -419,6 +422,8 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q34_dedup_keepset" -> DedupOp.keepSetOracle(0.5),
+
+    "q41_token_counts" -> TextOps.tokenCountsOracle,
 
     "q38_daily_pivot" -> {
       val cols = Seq("click", "error", "purchase", "signup", "view")

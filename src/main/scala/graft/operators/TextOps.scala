@@ -64,6 +64,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Token counting, whitespace vs regex ("BPE-ish" alphanumeric-run)
+    * tokenizations side by side (north-star text-analysis surface). Both
+    * are row-local array ops — no shuffle.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val re = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+    docs.select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_ws_tokens"),
+      size(re).cast("long").as("n_re_tokens"),
+      col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  def tokenCountsOracle: String =
+    """SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  (SELECT count(*) FROM (
+      |     SELECT unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS tok) u
+      |   WHERE u.tok <> '') AS n_re_tokens,
+      |  d.n_chars
+      |FROM documents d ORDER BY d.doc_id""".stripMargin
+
   /** Global token frequency top-k: explode → partial-aggregated count →
     * TakeOrdered. The explode is narrow; only (token, count) pairs
     * shuffle.
