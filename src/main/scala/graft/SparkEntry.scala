@@ -177,6 +177,14 @@ object SparkEntry {
     "q41_token_counts" -> ((s, d) =>
       TextOps.tokenCounts(Tables.documents(s, d))),
 
+    // Reference J3: same IQR semantics as q07, group-internal strategy
+    // (no join) — two physical plans, one oracle each.
+    "q42_iqr_grouped" -> ((s, d) =>
+      OutlierOp.outliersGrouped(Tables.events(s, d),
+        "event_id", "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")),
+
     // S3/F1/F2: Kafka-shaped JSON encode → decode round trip must be
     // lossless; the aggregate proves no rows are corrupted or dropped.
     "q30_json_roundtrip" -> ((s, d) => {
@@ -424,6 +432,20 @@ object SparkEntry {
     "q34_dedup_keepset" -> DedupOp.keepSetOracle(0.5),
 
     "q41_token_counts" -> TextOps.tokenCountsOracle,
+
+    "q42_iqr_grouped" ->
+      """WITH s AS (
+        |  SELECT event_type, list_sort(list(value)) AS vs, count(*) AS n
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT event_type, n, vs[n//4 + 1] AS q1, vs[(n*3)//4 + 1] AS q3 FROM s
+        |), th AS (
+        |  SELECT event_type, n, q1 - (q3-q1)*1.5 AS lo, q3 + (q3-q1)*1.5 AS hi FROM t
+        |)
+        |SELECT e.event_id, e.event_type, e.value
+        |FROM events e JOIN th ON e.event_type = th.event_type
+        |WHERE th.n > 4 AND (e.value < th.lo OR e.value > th.hi)
+        |ORDER BY e.event_id""".stripMargin,
 
     "q38_daily_pivot" -> {
       val cols = Seq("click", "error", "purchase", "signup", "view")

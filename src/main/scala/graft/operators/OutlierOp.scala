@@ -56,4 +56,29 @@ object OutlierOp {
       .where(col("n") > 4 &&
         (col(valCol) < col("lo") || col(valCol) > col("hi")))
   }
+
+  /** The reference's J3 variant (`_analyse`,
+    * `ClusterAnalyser.scala:101-120`): thresholds computed INSIDE each
+    * group — collect, band, explode back — no join at all. Same result
+    * as [[outliers]] (one oracle covers both), different physical plan:
+    * one shuffle total, but each group's rows materialize in one task —
+    * prefer [[outliers]] when groups can be huge, this one when the
+    * group count dwarfs per-group size.
+    */
+  def outliersGrouped(df: DataFrame, idCol: String, keyCol: String,
+                      valCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(collect_list(struct(col(idCol).as("id"), col(valCol).as("v"))).as("rows"),
+           sort_array(collect_list(col(valCol))).as("vs"),
+           count(lit(1)).as("n"))
+      .select(col(keyCol), col("n"), col("rows"),
+        element_at(col("vs"), (expr("n DIV 4") + 1).cast("int")).as("q1"),
+        element_at(col("vs"), (expr("(n * 3) DIV 4") + 1).cast("int")).as("q3"))
+      .select(col(keyCol), col("n"), col("rows"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      .select(col(keyCol), col("n"), col("lo"), col("hi"),
+        explode(col("rows")).as("r"))
+      .where(col("n") > 4 && (col("r.v") < col("lo") || col("r.v") > col("hi")))
+      .select(col("r.id").as(idCol), col(keyCol), col("r.v").as(valCol))
 }
