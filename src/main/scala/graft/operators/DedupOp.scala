@@ -71,11 +71,12 @@ object DedupOp {
       .groupBy(col("doc_id"), col("band"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("minv")))),
         x => x.getField("minv").cast("string")), ",").as("sig"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val cand = bands
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
       .distinct()
     val sa = sigs.select(col("doc_id").as("da"), col("i"), col("minv").as("ma"))
     val sb = sigs.select(col("doc_id").as("db"), col("i"), col("minv").as("mb"))
@@ -128,17 +129,29 @@ object DedupOp {
       .orderBy("da", "db")
   }
 
+  /** All ordered (da < db) pairs from a sorted id-array column — the
+    * group-collect candidate-generation pattern: one shuffle builds the
+    * groups, pairs expand in-task (a self-join would shuffle the
+    * exploded rows twice).
+    */
+  private def pairCombos(ds: Column): Column =
+    flatten(transform(ds, (a, i) =>
+      transform(slice(ds, i + 2, size(ds)),
+        b => struct(a.as("da"), b.as("db")))))
+
   /** Exact n-gram (w-shingle) Jaccard over candidate pairs that share at
-    * least one shingle — the shingle join IS the blocking.
+    * least one shingle — shared-shingle groups ARE the blocking.
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    // reused 3× (both join sides + sizes); persist the distinct shingles
+    // reused twice (sizes + groups); persist the distinct shingles
     val sh = docShingles(docs).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val inter = sh
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
