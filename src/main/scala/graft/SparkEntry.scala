@@ -177,6 +177,8 @@ object SparkEntry {
     "q41_token_counts" -> ((s, d) =>
       TextOps.tokenCounts(Tables.documents(s, d))),
 
+    "q43_brand_profile" -> ((s, d) => RelationalOps.brandProfile(s, d)),
+
     // Reference J3: same IQR semantics as q07, group-internal strategy
     // (no join) — two physical plans, one oracle each.
     "q42_iqr_grouped" -> ((s, d) =>
@@ -432,6 +434,16 @@ object SparkEntry {
     "q34_dedup_keepset" -> DedupOp.keepSetOracle(0.5),
 
     "q41_token_counts" -> TextOps.tokenCountsOracle,
+
+    "q43_brand_profile" ->
+      s"""SELECT p.p_brand, count(*) AS n_items,
+         |  count(DISTINCT s.s_suppkey) AS n_suppliers,
+         |  round(sum(l.l_extendedprice), 2) AS revenue,
+         |  ${DetAgg.avgIntSql("p.p_size")} AS avg_size
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q42_iqr_grouped" ->
       """WITH s AS (

@@ -175,6 +175,23 @@ object RelationalOps {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Brand profile across the full star: lineitem ⋈ part ⋈ supplier —
+    * completes table coverage (both dims broadcast; one fact shuffle for
+    * the final aggregate).
+    */
+  def brandProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"),
+        graft.functions.DetAgg.avgInt(col("p_size")).as("avg_size"))
+      .orderBy("p_brand")
+
   /** Salted equi-join for skewed keys: the small side is replicated
     * `salts` ways; each large-side row picks a deterministic salt, so a
     * single hot key fans across `salts` tasks instead of one straggler.
