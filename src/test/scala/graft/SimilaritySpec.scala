@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{KMeansOp, SimilarityOp}
+import graft.tables.Tables
+
+/** Vector kernels and ANN operators vs plain-Scala brute force on the
+  * real embeddings fixture.
+  */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d*d; i += 1 }
+    math.sqrt(s)
+  }
+
+  test("topK matches brute-force cosine ranking") {
+    val got = SimilarityOp.topK(Tables.embeddings(spark, sfDir), 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    val q = vecs(0L)
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, math.rint(cos(q, v) * 1e6) / 1e6) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.map(_._1) === expected.map(_._1))
+    got.zip(expected).foreach { case ((_, gs), (_, es)) =>
+      assert(math.abs(gs - es) < 2e-6) }
+  }
+
+  test("kmeans assign picks the true nearest center") {
+    val centerIds = Seq(7L, 42L, 123L)
+    val got = KMeansOp.assign(Tables.embeddings(spark, sfDir), centerIds)
+      .select($"vec_id", $"prediction", $"dist")
+      .as[(Long, Long, Double)].collect()
+    val centers = centerIds.map(id => id -> vecs(id))
+    got.foreach { case (id, pred, dist) =>
+      val best = centers.map { case (cid, cv) =>
+        (cid, math.rint(l2(vecs(id), cv) * 1e6) / 1e6) }
+        .minBy { case (cid, d) => (d, cid) }
+      assert(pred === best._1, s"vec $id assigned $pred, brute force ${best._1}")
+      assert(math.abs(dist - best._2) < 2e-6)
+    }
+  }
+
+  test("LSH near-dup pairs all satisfy the cosine threshold, symmetric blocking") {
+    val pairs = SimilarityOp.nearDupLsh(Tables.embeddings(spark, sfDir), 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(c >= 0.2)
+      assert(math.abs(c - math.rint(cos(vecs(a), vecs(b)) * 1e4) / 1e4) < 2e-4)
+    }
+  }
+}
