@@ -35,22 +35,27 @@ object Bench {
     // sfDir. Persisted intermediates survive between a query's two
     // passes (warm-cache steady state), and are released before the
     // next query so the suite doesn't contend for block-manager memory.
+    // Returns the elapsed seconds, or -1 (sentinel) if the query threw —
+    // a failed query must be distinguishable from a fast one in the JSON.
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val dt = math.min(timeOne(name, fn), timeOne(name, fn))
+      val (a, b) = (timeOne(name, fn), timeOne(name, fn))
+      val dt = if (a < 0 || b < 0) -1.0 else math.min(a, b)
       spark.catalog.clearCache()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -253,7 +253,7 @@ object SparkEntry {
         |  SELECT event_type, list_sort(list(value)) AS vs, count(*) AS n
         |  FROM events GROUP BY 1
         |), t AS (
-        |  SELECT event_type, n, vs[n//4 + 1] AS q1, vs[(n*3)//4 + 1] AS q3 FROM s
+        |  SELECT event_type, n, vs[n//4 + 1] AS q1, vs[(n//4)*3 + 1] AS q3 FROM s
         |), th AS (
         |  SELECT event_type, n, q1 - (q3-q1)*1.5 AS lo, q3 + (q3-q1)*1.5 AS hi FROM t
         |)
@@ -362,7 +362,7 @@ object SparkEntry {
         |  SELECT prediction, list_sort(list(dist)) AS vs, count(*) AS n
         |  FROM asg GROUP BY 1
         |), t AS (
-        |  SELECT prediction, n, vs[n//4 + 1] AS q1, vs[(n*3)//4 + 1] AS q3 FROM s
+        |  SELECT prediction, n, vs[n//4 + 1] AS q1, vs[(n//4)*3 + 1] AS q3 FROM s
         |), th AS (
         |  SELECT prediction, n, q1 - (q3-q1)*1.5 AS lo, q3 + (q3-q1)*1.5 AS hi FROM t
         |)
@@ -450,7 +450,7 @@ object SparkEntry {
         |  SELECT event_type, list_sort(list(value)) AS vs, count(*) AS n
         |  FROM events GROUP BY 1
         |), t AS (
-        |  SELECT event_type, n, vs[n//4 + 1] AS q1, vs[(n*3)//4 + 1] AS q3 FROM s
+        |  SELECT event_type, n, vs[n//4 + 1] AS q1, vs[(n//4)*3 + 1] AS q3 FROM s
         |), th AS (
         |  SELECT event_type, n, q1 - (q3-q1)*1.5 AS lo, q3 + (q3-q1)*1.5 AS hi FROM t
         |)

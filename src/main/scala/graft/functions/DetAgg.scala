@@ -31,7 +31,12 @@ object DetAgg {
   def halfUpDiv(num: Column, den: Column): Column = {
     val x = num * 2 + den
     val d = den * 2
-    ((x - pmod(x, d)) / d).cast("long") // exact: x−mod is a multiple of d
+    // IntegralDivide keeps the whole computation in long arithmetic.
+    // (Column `/` would divide as doubles, which stops being exact past
+    // 2^53 — fatal for the parity guarantee at large scale factors.)
+    // x − pmod(x, d) is an exact multiple of d, so truncating division
+    // IS floor division here regardless of sign.
+    call_function("div", x - pmod(x, d), d)
   }
 
   private def pow10(n: Int): Long = math.pow(10, n).toLong

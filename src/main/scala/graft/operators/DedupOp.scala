@@ -10,8 +10,8 @@ import graft.functions.TextFunctions._
   *
   * Scale design: every variant avoids the all-pairs O(N²) comparison.
   * Exact dedup is a hash groupBy; MinHash pairs only documents sharing
-  * an LSH band; SimHash pairs only documents sharing a 4-bit band of the
-  * 16-bit signature; n-gram Jaccard pairs only documents sharing a
+  * an LSH band; SimHash pairs only documents sharing a 6-bit band of the
+  * 24-bit signature; n-gram Jaccard pairs only documents sharing a
   * shingle. All hashing is the engine-portable polynomial hash from
   * [[graft.functions.TextFunctions]], so the DuckDB oracles (generated
   * here from the same constants) run the identical algorithm.
@@ -107,8 +107,8 @@ object DedupOp {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 4-bit band LSH on the 16-bit signature,
-    * then exact Hamming distance ≤ `maxHamming`.
+  /** SimHash near-dup pairs: LSH on 4 bands of 6 bits each over the
+    * 24-bit signature, then exact Hamming distance ≤ `maxHamming`.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // one row per doc; reused by both sides of the band self-join
@@ -201,11 +201,26 @@ object DedupOp {
       val bi = edges.select(col("da").as("src"), col("db").as("dst"))
         .unionByName(edges.select(col("db").as("src"), col("da").as("dst")))
         .persist()
+      // Min-label propagation runs until a fixpoint (components converge
+      // in ≤ diameter rounds); localCheckpoint each round truncates the
+      // otherwise exponentially-deepening lineage, and the superseded
+      // labels frame is unpersisted as soon as its successor is
+      // materialized. The cap is a safety net against a broken graph —
+      // returning partial labels silently would be a WRONG answer, so
+      // hitting it throws. (An O(log n)-round alternative is
+      // large-star/small-star [Kiveris et al., SoCC'14]; diameter-bounded
+      // propagation is simpler and near-dup components are shallow.)
+      val maxIters = 100
       var labels = bi.select(col("src").as("id")).distinct()
-        .withColumn("root", col("id")).persist()
+        .withColumn("root", col("id")).localCheckpoint()
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 25) {
+      while (changed > 0) {
+        if (iter >= maxIters)
+          throw new IllegalStateException(
+            s"keepSet: min-label propagation did not converge in $maxIters " +
+              s"rounds ($changed labels still changing) — graph diameter " +
+              "exceeds the cap; raise maxIters or switch to large-star/small-star")
         val neighborMin = bi
           .join(labels.select(col("id").as("dst"), col("root").as("nroot")), "dst")
           .groupBy(col("src").as("id"))
@@ -213,10 +228,11 @@ object DedupOp {
         val updated = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("root"), coalesce(col("nmin"), col("root"))).as("root"))
-          .persist()
+          .localCheckpoint()
         changed = updated
           .join(labels.select(col("id"), col("root").as("oldroot")), "id")
           .where(col("root") =!= col("oldroot")).count()
+        labels.unpersist()
         labels = updated
         iter += 1
       }

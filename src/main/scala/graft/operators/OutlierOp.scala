@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   *
   * Semantics from `traffic/process/ClusterAnalyser.scala:157-170` (index
   * quartiles) and `:50-60` (threshold join + flag): per group, sort the
-  * values, Q1 = v[n/4], Q3 = v[3n/4] (0-based integer indices), threshold
+  * values, Q1 = v[n/4], Q3 = v[n/4*3] (0-based integer indices; the
+  * reference's `v.length / 4 * 3` evaluates left-to-right, so Q3 is
+  * (n/4)*3, NOT (3n)/4 — they differ whenever n % 4 != 0), threshold
   * band = [Q1 - 1.5·IQR, Q3 + 1.5·IQR]; groups with n ≤ 4 flag nothing
   * (`ClusterAnalyser.scala:158-159`).
   *
@@ -26,7 +28,7 @@ object OutlierOp {
            count(lit(1)).as("n"))
       .select(col(keyCol), col("n"),
         element_at(col("vs"), (expr("n DIV 4") + 1).cast("int")).as("q1"),
-        element_at(col("vs"), (expr("(n * 3) DIV 4") + 1).cast("int")).as("q3"))
+        element_at(col("vs"), (expr("n DIV 4") * 3 + 1).cast("int")).as("q3"))
       .select(col(keyCol), col("n"),
         (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
         (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
@@ -73,7 +75,7 @@ object OutlierOp {
            count(lit(1)).as("n"))
       .select(col(keyCol), col("n"), col("rows"),
         element_at(col("vs"), (expr("n DIV 4") + 1).cast("int")).as("q1"),
-        element_at(col("vs"), (expr("(n * 3) DIV 4") + 1).cast("int")).as("q3"))
+        element_at(col("vs"), (expr("n DIV 4") * 3 + 1).cast("int")).as("q3"))
       .select(col(keyCol), col("n"), col("rows"),
         (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
         (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))

@@ -126,7 +126,7 @@ object IqrProps extends Properties("IqrRule") {
     if (n <= 4) None
     else {
       val s = vs.sorted
-      val q1 = s(n / 4); val q3 = s(n * 3 / 4)
+      val q1 = s(n / 4); val q3 = s(n / 4 * 3)
       Some((q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5))
     }
   }
@@ -138,7 +138,7 @@ object IqrProps extends Properties("IqrRule") {
     forAll(Gen.listOf(Gen.choose(-1e3, 1e3)).suchThat(_.length > 4)) { vs =>
       val s = vs.sorted
       val (lo, hi) = band(vs).get
-      val q1 = s(vs.length / 4); val q3 = s(vs.length * 3 / 4)
+      val q1 = s(vs.length / 4); val q3 = s(vs.length / 4 * 3)
       vs.contains(q1) && vs.contains(q3) && lo <= q1 && hi >= q3
     }
 

@@ -74,8 +74,9 @@ class StatsAndIqrSpec extends SparkSuite {
   }
 
   test("IQR: index-based quartiles flag the planted extreme") {
-    // sorted v = [1..9, 1000]; n=10: q1 = v[2] (0-based n/4=2) = 3, q3 = v[7] = 8
-    // iqr=5 -> band [-4.5, 15.5] -> only 1000 flagged
+    // sorted v = [1..9, 1000]; n=10: q1 = v[2] (0-based n/4=2) = 3,
+    // q3 = v[(n/4)*3 = 6] = 7 (reference evaluates n/4*3 left-to-right)
+    // iqr=4 -> band [-3.0, 13.0] -> only 1000 flagged
     val vals = (1 to 9).map(_.toDouble) :+ 1000.0
     val df = vals.map(("g", _)).toDF("k", "v")
     val out = OutlierOp.outliers(df, "k", "v").select("v").as[Double].collect()
