@@ -197,6 +197,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
         .orderBy("event_type")
     }),
+
+    // As-of join (reference J1 generalized): every non-purchase event
+    // picks up the user's most recent purchase at-or-before its
+    // timestamp. Union + running-last window — one shuffle, no join.
+    "q44_asof_purchase" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val l = ev.where(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val r = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_ms").as("p_ms"))
+        .agg(max(col("value")).as("p_val"))
+        .withColumn("ts_ms", col("p_ms"))
+      TemporalOps.asOfJoin(l, r, Seq("user_id"), "ts_ms", Seq("p_ms", "p_val"))
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          coalesce(col("asof_p_ms"), lit(-1L)).as("last_purchase_ms"),
+          coalesce(col("asof_p_val"), lit(-1.0)).as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // W2 via the built-in session_window operator (the streaming-native
+    // form of q14's manual sessionization).
+    "q45_session_window" -> ((s, d) =>
+      TemporalOps.sessionWindowAgg(Tables.events(s, d))),
+
+    // Skew machinery: two-phase salted aggregation over a 3-value key;
+    // result identical to the direct groupBy (exact integer cents).
+    "q46_salted_summary" -> ((s, d) =>
+      ScaleOps.saltedPricingSummary(Tables.lineitem(s, d))),
+
+    // Deterministic hash sampling (training-pipeline staple): portable
+    // polynomial hash buckets, reproducible in DuckDB bit-for-bit.
+    "q47_sample_stratified" -> ((s, d) =>
+      ScaleOps.sampleDocs(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -519,5 +553,54 @@ object SparkEntry {
          |  ${DetAgg.avgCents2Sql("v")} AS avg_v,
          |  round(stddev_pop(v),4) AS std_v
          |FROM m WHERE v IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN (>= picks the greatest p_ms <= ts_ms,
+    // same-instant rows match) — an independent formulation of the
+    // union + running-last plan on the Spark side.
+    "q44_asof_purchase" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value
+        |  FROM events
+        |), l AS (
+        |  SELECT event_id, user_id, ts_ms FROM ev WHERE event_type <> 'purchase'
+        |), r AS (
+        |  SELECT user_id, ts_ms AS p_ms, max(value) AS p_val
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT l.event_id, l.user_id, l.ts_ms,
+        |  coalesce(r.p_ms, -1) AS last_purchase_ms,
+        |  coalesce(r.p_val, -1.0) AS purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_ms >= r.p_ms
+        |ORDER BY l.event_id""".stripMargin,
+
+    // session_window semantics (verified in ScaleAndTemporalSpec): an
+    // event exactly `gap` after its predecessor still MERGES — a new
+    // session needs strictly more than the gap, hence `>`; session end
+    // = last event + gap.
+    "q45_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+        |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, ms, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM y GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+
+    "q46_salted_summary" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_sample_stratified" -> ScaleOps.sampleDocsOracle(),
   )
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators: as-of join and built-in session windows.
+  *
+  * The reference's enrichment join J1 (`TrafficStreamProcessor.scala:52-56`)
+  * is "join each event with the LATEST attach row for its bearer" — a
+  * point-in-time lookup that generalizes to the as-of join every temporal
+  * pipeline needs (latest quote per trade, latest config per event, …).
+  * [[asOfJoin]] is that operator in full generality; q04_latest_per_key
+  * covers the degenerate "as of +∞" case.
+  */
+object TemporalOps {
+
+  /** As-of join: for every left row, attach the payload of the most
+    * recent right row with the same key and `right.tsCol <= left.tsCol`
+    * (a right row at exactly the left timestamp matches).
+    *
+    * Scale design: the naive formulation is an inequality join — O(L·R)
+    * per key under a nested-loop or a planner range join. This instead
+    * UNIONs the two sides and takes one running `last(_, ignoreNulls)`
+    * window pass: a single shuffle on the key, one linear scan per
+    * partition, no join at all. At 100 TB the cost is one exchange of
+    * L+R rows; a skewed key is the only hazard (pre-split such keys by
+    * time range if one dominates).
+    *
+    * `left` keeps all its columns; each right payload column `c` comes
+    * back as `asof_c`, null when no right row precedes. Right rows must
+    * be unique per (keys, tsCol) — pre-aggregate the right side,
+    * otherwise the winner among same-timestamp rows is tie-ambiguous.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__row", struct(leftCols.map(col): _*))
+      .select(keys.map(col) ++
+        Seq(col(tsCol).as("__ts"), lit(1).as("__is_l"), col("__row")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .select(keys.map(col) ++
+        Seq(col(tsCol).as("__ts"), lit(0).as("__is_l"),
+          lit(null).cast(l.schema("__row").dataType).as("__row")) ++
+        payload.map(col): _*)
+    // Right sorts before left at equal __ts (0 < 1), so a same-instant
+    // right row is visible to the left row — the ASOF `>=` convention.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__is_l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__is_l") === 1)
+      .select(leftCols.map(c => col(s"__row.$c").as(c)) ++
+        payload.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Event-time gap sessions via the built-in `session_window` — the
+    * operator form of q14's manual lag+cumsum sessionization, and the
+    * one that runs unchanged under Structured Streaming (watermark +
+    * merging session state). Window end = last event + gap, half-open:
+    * an event exactly `gap` after the previous one starts a NEW session
+    * (verified in ScaleAndTemporalSpec).
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_ms")
+}

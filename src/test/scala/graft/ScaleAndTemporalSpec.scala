@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ScaleOps, TemporalOps}
+
+/** As-of join semantics, session_window boundary behavior, and the skew
+  * machinery (salted agg/join equivalence, bucketed co-located joins,
+  * deterministic sampling).
+  */
+class ScaleAndTemporalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def asOf(l: Seq[(Long, Long, Long)], r: Seq[(Long, Long, Double)]) = {
+    val left = l.toDF("event_id", "user_id", "ts_ms")
+    val right = r.toDF("user_id", "p_ms", "p_val")
+      .withColumn("ts_ms", col("p_ms"))
+    TemporalOps.asOfJoin(left, right, Seq("user_id"), "ts_ms", Seq("p_ms", "p_val"))
+      .select("event_id", "asof_p_ms", "asof_p_val")
+      .collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some((row.getLong(1), row.getDouble(2)))))
+      .toMap
+  }
+
+  test("asOfJoin: most recent at-or-before match, same-instant inclusive, null when none") {
+    val out = asOf(
+      l = Seq((1L, 7L, 100L), (2L, 7L, 50L), (3L, 7L, 10L), (4L, 8L, 100L)),
+      r = Seq((7L, 20L, 1.0), (7L, 50L, 2.0), (7L, 99L, 3.0), (9L, 1L, 9.0)))
+    assert(out(1L) === Some((99L, 3.0)))  // picks most recent, not first
+    assert(out(2L) === Some((50L, 2.0)))  // ts == p_ms matches (>= convention)
+    assert(out(3L) === None)              // nothing at or before
+    assert(out(4L) === None)              // key with no right rows at all
+  }
+
+  test("asOfJoin agrees with a brute-force scan on pseudo-random data") {
+    val rng = new scala.util.Random(42)
+    val lefts = (1 to 300).map(i =>
+      (i.toLong, (rng.nextInt(5) + 1).toLong, rng.nextInt(1000).toLong))
+    val rights = (1 to 80).map(i =>
+      ((rng.nextInt(5) + 1).toLong, rng.nextInt(1000).toLong, i.toDouble))
+      .distinct
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq // unique (key, ts)
+    val expected = lefts.map { case (id, u, t) =>
+      val m = rights.filter(r => r._1 == u && r._2 <= t)
+      id -> (if (m.isEmpty) None
+             else Some(m.maxBy(_._2)).map(r => (r._2, r._3)))
+    }.toMap
+    assert(asOf(lefts, rights) === expected)
+  }
+
+  test("session_window: exactly-gap merges, one ms beyond starts a new session") {
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val gapMs = 30 * 60 * 1000L
+    val df = Seq(
+      (1L, 1L, t(0L), 1.0),
+      (2L, 1L, t(gapMs), 1.0),               // exactly gap later -> MERGES
+      (3L, 1L, t(2 * gapMs + 1L), 1.0))      // gap + 1 ms later -> NEW session
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalOps.sessionWindowAgg(df).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getLong(3)).toSeq === Seq(2L, 1L)) // n_events per session
+    // end = last event + gap (the oracle's max(ms) + gap)
+    assert(out(0).getLong(2) === gapMs + gapMs)
+    assert(out(1).getLong(2) === 2 * gapMs + 1L + gapMs)
+  }
+
+  test("salted two-phase aggregation equals the direct groupBy") {
+    val rng = new scala.util.Random(7)
+    val li = (1 to 5000).map { _ =>
+      (rng.nextInt(100).toLong, Seq("A", "N", "R")(rng.nextInt(3)),
+        (rng.nextInt(50) + 1).toDouble,
+        math.round(rng.nextDouble() * 10000.0) / 100.0)
+    }.toDF("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_price"))
+      .orderBy("l_returnflag").collect().map(_.toString).toSeq
+    val salted = ScaleOps.saltedPricingSummary(li).collect().map(_.toString).toSeq
+    assert(salted === direct)
+  }
+
+  test("replicate-salt join returns exactly the plain join's rows") {
+    val rng = new scala.util.Random(11)
+    val big = (1 to 2000).map(i => (rng.nextInt(10).toLong, i.toLong))
+      .toDF("k", "payload")
+    val small = (0 to 9).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val plain = big.join(small, "k")
+      .orderBy("k", "payload").collect().map(_.toString).toSeq
+    val salted = ScaleOps.saltedJoin(big, small, "k", 8, col("payload"))
+      .select("k", "payload", "name")
+      .orderBy("k", "payload").collect().map(_.toString).toSeq
+    assert(salted === plain)
+  }
+
+  test("bucketed tables co-locate: the join plans without a shuffle") {
+    val n = 1000
+    (1 to n).map(i => (i.toLong, i * 2.0)).toDF("k", "a")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bkt_left")
+    (1 to n).map(i => (i.toLong, s"v$i")).toDF("k", "b")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bkt_right")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$physical")
+      assert(joined.count() === n)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
+  test("hash sampling is deterministic, a subset, and ~the target rate") {
+    val docs = (0 until 1000).map(i => (i.toLong, s"src${i % 20}", 100L + i))
+      .toDF("doc_id", "source", "n_chars")
+    val s1 = ScaleOps.sampleDocs(docs).collect().map(_.toString).toSeq
+    val s2 = ScaleOps.sampleDocs(docs).collect().map(_.toString).toSeq
+    assert(s1 === s2)
+    assert(s1.nonEmpty && s1.size < 1000)
+    // ~10% within loose bounds (hash is not a real RNG; just sanity)
+    assert(s1.size > 40 && s1.size < 250, s"rate off: ${s1.size}/1000")
+  }
+}
