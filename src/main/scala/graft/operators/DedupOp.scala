@@ -29,11 +29,22 @@ object DedupOp {
       .select(col("keeper"), col("text_hash"), col("n_copies"))
       .orderBy("keeper")
 
-  /** (doc_id, shingle) distinct pairs. */
+  /** Default document-frequency cap for shingle blocking: a shingle
+    * shared by more than this many documents is a stop-phrase, not a
+    * near-dup signal — one such group would emit df²/2 candidate pairs
+    * (quadratic in ONE task at corpus scale). Standard production
+    * near-dup practice; the oracles apply the identical cap.
+    */
+  val MaxShingleDf = 64
+
+  /** (doc_id, shingle) distinct pairs. The dedup is ROW-LOCAL
+    * (`array_distinct` inside each document) — a global `.distinct()`
+    * would shuffle the whole exploded shingle stream for a set
+    * semantics that per-document dedup already provides.
+    */
   private def docShingles(docs: DataFrame, w: Int = 3): DataFrame =
     docs.select(col("doc_id"),
-        explode(shingles(tokens(col("text")), w)).as("sh"))
-      .distinct()
+      explode(array_distinct(shingles(tokens(col("text")), w))).as("sh"))
 
   /** MinHash signatures in long format (doc_id, i, minv). The portable
     * hash is computed once per (doc, shingle); the 16 permutation minima
@@ -140,15 +151,26 @@ object DedupOp {
         b => struct(a.as("da"), b.as("db")))))
 
   /** Exact n-gram (w-shingle) Jaccard over candidate pairs that share at
-    * least one shingle — shared-shingle groups ARE the blocking.
+    * least one shingle — shared-shingle groups ARE the blocking, with a
+    * document-frequency cap: shingles shared by more than `maxDf`
+    * documents are dropped BEFORE sizing and pairing, so no single
+    * blocking group can go quadratic (Jaccard is computed over the
+    * capped shingle space, mirrored exactly by the oracle).
+    *
+    * Plan shape: one groupBy(sh) builds the blocking groups; sizes and
+    * intersections both derive from that persisted (and df-capped)
+    * grouped frame — the raw shingle stream is shuffled once.
     */
-  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    // reused twice (sizes + groups); persist the distinct shingles
-    val sh = docShingles(docs).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh
+  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5,
+                   maxDf: Int = MaxShingleDf): DataFrame = {
+    val byShingle = docShingles(docs)
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) <= maxDf)
+      .persist()
+    val sizes = byShingle.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = byShingle
       .where(size(col("ds")) > 1)
       .select(explode(pairCombos(col("ds"))).as("p"))
       .groupBy(col("p.da").as("da"), col("p.db").as("db"))
@@ -254,6 +276,17 @@ object DedupOp {
        |  SELECT doc_id, ${portableHashSql("sh")} AS hx FROM sh
        |)""".stripMargin
 
+  /** df-capped shingles (mirror of [[ngramJaccard]]'s `maxDf` blocking
+    * cap): `shc` = (doc_id, sh) restricted to shingles shared by at most
+    * `maxDf` documents. Appended after [[shingleCte]].
+    */
+  private def cappedShingleCte(maxDf: Int): String =
+    s"""shdf AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+       |shc AS (
+       |  SELECT s.doc_id, s.sh FROM sh s JOIN shdf f ON s.sh = f.sh
+       |  WHERE f.df <= $maxDf
+       |)""".stripMargin
+
   def minhashLshOracle(minSim: Double = 0.5): String = {
     val permRows = (0 until NumPerms)
       .map(i => s"(${i}, ${permA(i)}::BIGINT, ${permB(i)}::BIGINT)")
@@ -310,12 +343,14 @@ object DedupOp {
        |ORDER BY da, db""".stripMargin
 
   /** Connected components via recursive CTE over the same pair graph. */
-  def keepSetOracle(minJaccard: Double = 0.5): String =
+  def keepSetOracle(minJaccard: Double = 0.5,
+                    maxDf: Int = MaxShingleDf): String =
     s"""WITH RECURSIVE ${shingleCte()},
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |${cappedShingleCte(maxDf)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |), p AS (
        |  SELECT da, db FROM (
@@ -336,12 +371,14 @@ object DedupOp {
        |SELECT id, CAST(min(r) AS BIGINT) AS root FROM reach
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  def ngramJaccardOracle(minJaccard: Double = 0.5): String =
+  def ngramJaccardOracle(minJaccard: Double = 0.5,
+                         maxDf: Int = MaxShingleDf): String =
     s"""WITH ${shingleCte()},
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |${cappedShingleCte(maxDf)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT da, db, jaccard FROM (

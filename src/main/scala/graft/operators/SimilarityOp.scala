@@ -11,12 +11,19 @@ import graft.functions.VectorFunctions._
   *  - [[topK]]: brute-force exact top-k vs one query vector — the
   *    baseline. Query vector is compiled to a literal, so scoring is a
   *    pure map + TakeOrdered: no join, no shuffle of the scan.
-  *  - [[nearDupLsh]]: sign-sketch (random-hyperplane) LSH bucketing —
-  *    candidate pairs only within equal 8-bit sketches (~256× pair
-  *    reduction), then exact cosine refine. The bucket join shuffles on
-  *    the sketch key only.
+  *  - [[nearDupLsh]]: BANDED sign-sketch (random-hyperplane) LSH —
+  *    [[NumBands]] independent bands of [[BandBits]] hyperplanes each; a
+  *    pair is a candidate iff it agrees on ALL bits of at least one
+  *    band. Band-value cardinality is 2^BandBits per band, so bucket
+  *    sizes (and the candidate count) shrink as the corpus grows —
+  *    unlike a single small sketch, whose fixed bucket count degenerates
+  *    to all-pairs at scale. Candidate generation joins (band, bval,
+  *    vec_id) rows ONLY; the 64-dim vectors are fetched afterwards by
+  *    id, so each vector crosses a shuffle once per side, keyed by the
+  *    high-cardinality id (no fat payload through a low-cardinality
+  *    key).
   *  - [[nearDupBlocked]]: IVF-style coarse blocking (label = cell) AND
-  *    sketch equality — the partition-local search pattern a 100 TB ANN
+  *    band agreement — the partition-local search pattern a 100 TB ANN
   *    pipeline uses after a coarse quantizer.
   *
   * All arithmetic is engine-portable (fixed fold order, integer
@@ -40,62 +47,98 @@ object SimilarityOp {
       .limit(k)
   }
 
-  private def withSketch(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), col("label"),
-      toDoubleArray(col("embedding")).as("v"),
-      signSketch(toDoubleArray(col("embedding"))).as("sketch"))
+  val NumBands = 4
+  val BandBits = 16
 
-  private def pairCos(a: DataFrame, b: DataFrame, joinKeys: Seq[String],
-                      minCos: Double): DataFrame = {
-    val l = a.select(joinKeys.map(col) :+ col("vec_id").as("ida") :+ col("v").as("va"): _*)
-    val r = b.select(joinKeys.map(col) :+ col("vec_id").as("idb") :+ col("v").as("vb"): _*)
-    l.join(r, joinKeys)
+  /** One row per (vector, band): (vec_id, label, band, bval) where
+    * `bval` is the band's BandBits-bit sign sketch. Band b uses
+    * hyperplanes [b*BandBits, (b+1)*BandBits) of the global family.
+    */
+  private def bandedSketches(embeddings: DataFrame): DataFrame = {
+    val v = toDoubleArray(col("embedding"))
+    embeddings.select(col("vec_id"), col("label"),
+      posexplode(array((0 until NumBands).map(b =>
+        signSketch(v, BandBits, 64, b * BandBits)): _*))
+        .as(Seq("band", "bval")))
+  }
+
+  /** Distinct candidate id pairs: agree on all BandBits bits of ≥1 band
+    * (and on `label`, if `alsoLabel`). Only (band, bval, id) rows enter
+    * the self-join — no vectors.
+    */
+  private def candidatePairs(embeddings: DataFrame,
+                             alsoLabel: Boolean): DataFrame = {
+    val keys = Seq("band", "bval") ++ (if (alsoLabel) Seq("label") else Nil)
+    val sk = bandedSketches(embeddings)
+      .select(keys.map(col) :+ col("vec_id"): _*)
+    sk.select(keys.map(col) :+ col("vec_id").as("ida"): _*)
+      .join(sk.select(keys.map(col) :+ col("vec_id").as("idb"): _*), keys)
       .where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"))
+      .distinct()
+  }
+
+  /** Fetch each candidate's vector by id (once per side) and keep exact
+    * cosine ≥ `minCos`.
+    */
+  private def refine(embeddings: DataFrame, cand: DataFrame,
+                     minCos: Double): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+    cand
+      .join(vecs.select(col("vec_id").as("ida"), col("v").as("va")), Seq("ida"))
+      .join(vecs.select(col("vec_id").as("idb"), col("v").as("vb")), Seq("idb"))
       .select(col("ida"), col("idb"),
         round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
       .where(col("cos_sim") >= minCos)
       .orderBy("ida", "idb")
   }
 
-  /** LSH-bucketed near-dup: pairs sharing the 8-bit sign sketch, exact
-    * cosine ≥ `minCos`.
+  /** Banded-LSH near-dup: candidates share a full band, exact cosine
+    * refine ≥ `minCos`.
     */
-  def nearDupLsh(embeddings: DataFrame, minCos: Double = 0.2): DataFrame = {
-    val s = withSketch(embeddings)
-    pairCos(s, s, Seq("sketch"), minCos)
-  }
+  def nearDupLsh(embeddings: DataFrame, minCos: Double = 0.2): DataFrame =
+    refine(embeddings, candidatePairs(embeddings, alsoLabel = false), minCos)
 
-  /** Coarse-cell (label) + sketch blocked near-dup — IVF-style. */
-  def nearDupBlocked(embeddings: DataFrame, minCos: Double = 0.2): DataFrame = {
-    val s = withSketch(embeddings)
-    pairCos(s, s, Seq("label", "sketch"), minCos)
-  }
+  /** Coarse-cell (label) + band-blocked near-dup — IVF-style. */
+  def nearDupBlocked(embeddings: DataFrame, minCos: Double = 0.2): DataFrame =
+    refine(embeddings, candidatePairs(embeddings, alsoLabel = true), minCos)
 
   // ---- DuckDB oracle generators (same constants, same arithmetic) ----
 
-  /** CTE computing (vec_id, label, sketch) — mirror of [[signSketch]]. */
-  def sketchCte(bits: Int = 8, dims: Int = 64): String =
+  /** CTE computing (vec_id, label, band, bval) — mirror of
+    * [[bandedSketches]]: hyperplane j belongs to band j // BandBits with
+    * local bit j % BandBits.
+    */
+  def bandCte(dims: Int = 64): String =
     s"""dots AS (
        |  SELECT e.vec_id, j.j,
        |    sum(e.embedding[d.d + 1]::DOUBLE * (((j.j*37 + d.d*101) % 13) - 6)) AS dot
-       |  FROM embeddings e, range($bits) j(j), range($dims) d(d)
+       |  FROM embeddings e, range(${NumBands * BandBits}) j(j), range($dims) d(d)
        |  GROUP BY 1, 2
-       |), sk AS (
-       |  SELECT d2.vec_id, e2.label,
-       |    CAST(sum(CASE WHEN d2.dot > 0 THEN (1 << d2.j) ELSE 0 END) AS BIGINT) AS sketch,
-       |    any_value(e2.embedding) AS emb
+       |), bands AS (
+       |  SELECT d2.vec_id, e2.label, d2.j // $BandBits AS band,
+       |    CAST(sum(CASE WHEN d2.dot > 0
+       |      THEN (1::BIGINT << (d2.j % $BandBits)) ELSE 0 END) AS BIGINT) AS bval
        |  FROM dots d2 JOIN embeddings e2 ON d2.vec_id = e2.vec_id
-       |  GROUP BY 1, 2
+       |  GROUP BY 1, 2, 3
        |)""".stripMargin
 
   private def pairSql(joinCond: String, minCos: Double, dims: Int = 64): String =
-    s"""WITH ${sketchCte()},
-       |pc AS (
-       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
-       |    sum(a.emb[i.i+1]::DOUBLE * b.emb[i.i+1]::DOUBLE) AS dot,
-       |    sum(a.emb[i.i+1]::DOUBLE * a.emb[i.i+1]::DOUBLE) AS na,
-       |    sum(b.emb[i.i+1]::DOUBLE * b.emb[i.i+1]::DOUBLE) AS nb
-       |  FROM sk a JOIN sk b ON $joinCond AND a.vec_id < b.vec_id, range($dims) i(i)
+    s"""WITH ${bandCte(dims)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bval = b.bval AND $joinCond
+       |      AND a.vec_id < b.vec_id
+       |), pc AS (
+       |  SELECT c.ida, c.idb,
+       |    sum(ea.embedding[i.i+1]::DOUBLE * eb.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(ea.embedding[i.i+1]::DOUBLE * ea.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(eb.embedding[i.i+1]::DOUBLE * eb.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.ida
+       |  JOIN embeddings eb ON eb.vec_id = c.idb, range($dims) i(i)
        |  GROUP BY 1, 2
        |)
        |SELECT ida, idb, cos_sim FROM (
@@ -103,8 +146,8 @@ object SimilarityOp {
        |WHERE cos_sim >= $minCos ORDER BY ida, idb""".stripMargin
 
   def nearDupLshOracle(minCos: Double = 0.2): String =
-    pairSql("a.sketch = b.sketch", minCos)
+    pairSql("TRUE", minCos)
 
   def nearDupBlockedOracle(minCos: Double = 0.2): String =
-    pairSql("a.label = b.label AND a.sketch = b.sketch", minCos)
+    pairSql("a.label = b.label", minCos)
 }
