@@ -66,8 +66,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query (sentinel -1) must not shrink the headline total —
+    // report -1 with an explicit failed count so a regression can never
+    // read as an improvement to a totals-only comparison.
+    val failed = results.count(_._2 < 0)
+    val total = if (failed > 0) -1.0 else results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -220,45 +220,66 @@ object DedupOp {
       parent.keys.toSeq.sorted.map(id => (id, find(id)))
         .toDF("id", "root")
     } else {
-      val bi = edges.select(col("da").as("src"), col("db").as("dst"))
-        .unionByName(edges.select(col("db").as("src"), col("da").as("dst")))
-        .persist()
-      // Min-label propagation runs until a fixpoint (components converge
-      // in ≤ diameter rounds); localCheckpoint each round truncates the
-      // otherwise exponentially-deepening lineage, and the superseded
-      // labels frame is unpersisted as soon as its successor is
-      // materialized. The cap is a safety net against a broken graph —
-      // returning partial labels silently would be a WRONG answer, so
-      // hitting it throws. (An O(log n)-round alternative is
-      // large-star/small-star [Kiveris et al., SoCC'14]; diameter-bounded
-      // propagation is simpler and near-dup components are shallow.)
+      // Alternating large-star / small-star connected components
+      // [Kiveris et al., "Connected Components in MapReduce and Beyond",
+      // SoCC'14]: each step is one groupBy + one join over the CURRENT
+      // edge set, and the alternation converges in O(log² n) rounds
+      // worst-case (O(log n) observed) on ANY graph shape — a
+      // diameter-200 chain costs a handful of rounds here, where plain
+      // min-label propagation needs one round per diameter step. At the
+      // fixpoint the edges form disjoint stars whose centers are the
+      // component minima. localCheckpoint truncates each round's
+      // lineage; superseded rounds' checkpoint blocks are released by
+      // the ContextCleaner once unreferenced (Dataset.unpersist does
+      // not apply to checkpointed plans, so no eager release is
+      // attempted). The iteration cap is a safety net against a broken
+      // fixpoint test — partial labels would be a WRONG answer, so
+      // hitting it throws.
+      val nodes = edges.select(col("da").as("id"))
+        .unionByName(edges.select(col("db").as("id"))).distinct()
+      // canonical undirected edge = (hi > lo)
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+          .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+        val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        sym.join(mins, "u").where(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .where(col("hi") =!= col("lo")).distinct()
+      }
+      def smallStar(e: DataFrame): DataFrame = {
+        val mins = e.groupBy("hi").agg(min(col("lo")).as("m"))
+        e.join(mins, "hi").select(col("lo").as("x"), col("m"))
+          .unionByName(mins.select(col("hi").as("x"), col("m")))
+          .where(col("x") =!= col("m"))
+          .select(col("x").as("hi"), col("m").as("lo"))
+          .distinct()
+      }
       val maxIters = 100
-      var labels = bi.select(col("src").as("id")).distinct()
-        .withColumn("root", col("id")).localCheckpoint()
-      var changed = 1L
+      var e = edges
+        .select(greatest(col("da"), col("db")).as("hi"),
+          least(col("da"), col("db")).as("lo"))
+        .where(col("hi") =!= col("lo")).distinct().localCheckpoint()
+      var cnt = e.count()
+      var converged = false
       var iter = 0
-      while (changed > 0) {
+      while (!converged) {
         if (iter >= maxIters)
           throw new IllegalStateException(
-            s"keepSet: min-label propagation did not converge in $maxIters " +
-              s"rounds ($changed labels still changing) — graph diameter " +
-              "exceeds the cap; raise maxIters or switch to large-star/small-star")
-        val neighborMin = bi
-          .join(labels.select(col("id").as("dst"), col("root").as("nroot")), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(min(col("nroot")).as("nmin"))
-        val updated = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("root"), coalesce(col("nmin"), col("root"))).as("root"))
-          .localCheckpoint()
-        changed = updated
-          .join(labels.select(col("id"), col("root").as("oldroot")), "id")
-          .where(col("root") =!= col("oldroot")).count()
-        labels.unpersist()
-        labels = updated
+            s"keepSet: large-star/small-star did not converge in $maxIters " +
+              "rounds — fixpoint test broken for this graph; investigate " +
+              "before trusting any output")
+        val next = smallStar(largeStar(e)).localCheckpoint()
+        val nextCnt = next.count()
+        converged = nextCnt == cnt && next.except(e).isEmpty
+        e = next
+        cnt = nextCnt
         iter += 1
       }
-      labels.orderBy("id")
+      val starMin = e.groupBy(col("hi").as("id")).agg(min(col("lo")).as("mn"))
+      nodes.join(starMin, Seq("id"), "left")
+        .select(col("id"), coalesce(col("mn"), col("id")).as("root"))
+        .orderBy("id")
     }
   }
 

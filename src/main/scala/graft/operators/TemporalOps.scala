@@ -31,39 +31,46 @@ object TemporalOps {
     * back as `asof_c`, null when no right row precedes. Right rows must
     * be unique per (keys, tsCol) — pre-aggregate the right side,
     * otherwise the winner among same-timestamp rows is tie-ambiguous.
+    *
+    * The payload columns travel as ONE struct and the running fill is a
+    * single `last(struct, ignoreNulls)` — every `asof_*` value comes
+    * from the SAME matched right row, and a NULL payload value in that
+    * row stays NULL (filling columns independently would backfill each
+    * one from a possibly different, older right row).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = left
-      .withColumn("__row", struct(leftCols.map(col): _*))
-      .select(keys.map(col) ++
-        Seq(col(tsCol).as("__ts"), lit(1).as("__is_l"), col("__row")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
     val r = right
       .select(keys.map(col) ++
         Seq(col(tsCol).as("__ts"), lit(0).as("__is_l"),
-          lit(null).cast(l.schema("__row").dataType).as("__row")) ++
-        payload.map(col): _*)
+          struct(payload.map(col): _*).as("__pay")): _*)
+    val l = left
+      .withColumn("__row", struct(leftCols.map(col): _*))
+      .select(keys.map(col) ++
+        Seq(col(tsCol).as("__ts"), lit(1).as("__is_l"), col("__row"),
+          lit(null).cast(r.schema("__pay").dataType).as("__pay")): _*)
+    val r2 = r.withColumn("__row",
+      lit(null).cast(l.schema("__row").dataType))
     // Right sorts before left at equal __ts (0 < 1), so a same-instant
     // right row is visible to the left row — the ASOF `>=` convention.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__is_l"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__is_l") === 1)
+    l.unionByName(r2)
+      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__is_l") === 1)
       .select(leftCols.map(c => col(s"__row.$c").as(c)) ++
-        payload.map(c => col(s"asof_$c")): _*)
+        payload.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
   /** Event-time gap sessions via the built-in `session_window` — the
     * operator form of q14's manual lag+cumsum sessionization, and the
     * one that runs unchanged under Structured Streaming (watermark +
     * merging session state). Window end = last event + gap, half-open:
-    * an event exactly `gap` after the previous one starts a NEW session
-    * (verified in ScaleAndTemporalSpec).
+    * an event exactly `gap` after the previous one MERGES into the same
+    * session — a new session requires a gap strictly greater than `gap`
+    * (verified in ScaleAndTemporalSpec, and matched by the q45 oracle).
     */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -75,10 +75,20 @@ class DedupAndTextSpec extends SparkSuite {
     val viaDriver = DedupOp.keepSet(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaDriver === expected)
-    // force the distributed label-propagation path; must agree
+    // force the distributed large-star/small-star path; must agree
     val viaCluster = DedupOp.keepSet(pairs, driverLimit = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaCluster === expected)
+  }
+
+  test("distributed keepSet converges on a chain of diameter 200 (O(log n) rounds)") {
+    // Adversarial shape for label propagation (one round per diameter
+    // step); large-star/small-star must resolve it well inside the cap.
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("da", "db")
+    val out = DedupOp.keepSet(chain, driverLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 201)
+    assert(out.values.forall(_ === 0L))
   }
 
   test("fencesFromJson parses the reference wire shape") {

@@ -48,6 +48,23 @@ class ScaleAndTemporalSpec extends SparkSuite {
     assert(asOf(lefts, rights) === expected)
   }
 
+  test("asOfJoin: NULL payload in the matched row stays NULL (no backfill from older rows)") {
+    val left = Seq((1L, 1L, 25L), (2L, 1L, 15L)).toDF("event_id", "user_id", "ts_ms")
+    val right = Seq(
+      (1L, 10L, Some(1.0), Some("x")),
+      (1L, 20L, None, Some("y"))) // matched by event 1; a is NULL here
+      .toDF("user_id", "ts_ms", "a", "b")
+    val out = TemporalOps.asOfJoin(left, right, Seq("user_id"), "ts_ms", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3))), r.getString(4)))
+      .toMap
+    // ASOF semantics: all payload columns come from the SAME matched row —
+    // event 1 matches ts=20 whose a is NULL; backfilling a=1.0 from ts=10
+    // while taking b="y" from ts=20 would mix rows.
+    assert(out(1L) === ((None, "y")))
+    assert(out(2L) === ((Some(1.0), "x")))
+  }
+
   test("session_window: exactly-gap merges, one ms beyond starts a new session") {
     def t(ms: Long) = new java.sql.Timestamp(ms)
     val gapMs = 30 * 60 * 1000L
