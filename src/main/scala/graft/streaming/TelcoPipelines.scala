@@ -37,23 +37,35 @@ object TelcoPipelines {
   final case class Outputs(subscriberStats: DataFrame,
                            celltowerStats: DataFrame,
                            geofenceHits: DataFrame,
-                           anomalies: DataFrame)
+                           anomalies: DataFrame,
+                           cached: Seq[DataFrame] = Nil) {
+    /** Release the per-batch cached frames (shared enrichment prefix +
+      * scored vectors) once every sink has consumed its output.
+      */
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
 
   /** Process one decoded celltower frame against the current attach
     * store and model — the shared enrichment prefix plus all three use
     * cases. Works on a batch table or inside `foreachBatch`.
+    *
+    * S8: `enriched` feeds all four outputs, so it is persisted for the
+    * batch (the reference caches the same prefix,
+    * `TrafficStreamProcessor.scala:58`) — without it each sink would
+    * re-run the decode + store join. Call [[Outputs.release]] after the
+    * sinks run; [[start]] does.
     */
   def processBatch(celltower: DataFrame, attachStore: Option[DataFrame],
                    km: IncrementalKMeans,
                    kmeansDims: Seq[String] = Seq("rtt", "byteLoss"),
                    train: Boolean = true): Outputs = {
-    val enriched = attachStore match {
+    val enriched = (attachStore match {
       case Some(store) =>
         StreamOps.enrich(celltower,
           store.select(col("bearerId"), col("subscriber")))
       case None => celltower.limit(0)
         .withColumn("subscriber", lit(null).cast(Model.attachSchema("subscriber").dataType))
-    }
+    }).persist()
     val withTs = enriched.withColumn("ts", Model.eventTime(col("ts")))
 
     val subscriberStats = StreamOps.metricStats(
@@ -76,7 +88,8 @@ object TelcoPipelines {
     val anomalies = OutlierOp.outliers(scored, "prediction", "dist")
       .select(col("bearerId"), col("subscriber.id").as("subscriber_id"),
         col("prediction"), col("dist"))
-    Outputs(subscriberStats, celltowerStats, geofenceHits, anomalies)
+    Outputs(subscriberStats, celltowerStats, geofenceHits, anomalies,
+      cached = Seq(enriched, scored))
   }
 
   /** Streaming wiring: attach stream feeds the upsert store; celltower
@@ -105,7 +118,8 @@ object TelcoPipelines {
       .start()
     val fanoutQ = configure(celltowerStream.writeStream.outputMode("append"), "fanout")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(processBatch(batch, store.current, km, kmeansDims), id)
+        val out = processBatch(batch, store.current, km, kmeansDims)
+        try sink(out, id) finally out.release()
       }
       .start()
     Seq(attachQ, fanoutQ)

@@ -4,6 +4,7 @@ import graft.model._
 import graft.streaming.{IncrementalKMeans, KeyedUpsertStore, TelcoPipelines}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{hash, lit, pmod}
 
 /** End-to-end reference topology: two streams in, upsert store,
   * enrichment, three fan-out consumers — driven through MemoryStream
@@ -74,6 +75,55 @@ class PipelineSpec extends SparkSuite {
       // cluster => no flags, the reference's n<=4 guard)
       assert(out.anomalies.count() === 0)
     } finally queries.foreach(_.stop())
+  }
+
+  test("upsert rewrites only touched buckets: untouched bucket files stay byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val store = new KeyedUpsertStore(spark, s"$dir/attach", "bearerId", "ts")
+    store.upsert((1 to 40).map(i => attach(s"b$i", i, 1000L)).toDF())
+    val root = java.nio.file.Paths.get(s"$dir/attach")
+    def snapshot(): Map[String, Seq[Byte]] = {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => root.relativize(p).toString ->
+            java.nio.file.Files.readAllBytes(p).toSeq)
+          .toMap
+      } finally s.close()
+    }
+    val before = snapshot()
+    // second batch touches exactly one key -> exactly one bucket
+    store.upsert(Seq(attach("b1", 99, 2000L)).toDF())
+    val after = snapshot()
+    val touched = spark.range(1)
+      .select(pmod(hash(lit("b1")), lit(16))).as[Int].head()
+    val touchedPrefix = s"bucket=$touched/"
+    // every file outside the touched bucket survives byte-for-byte
+    before.filterNot(_._1.startsWith(touchedPrefix)).foreach { case (f, bytes) =>
+      assert(after.get(f).contains(bytes), s"untouched file changed: $f")
+    }
+    // the touched bucket did change, and semantics are last-write-wins
+    assert(before.filter(_._1.startsWith(touchedPrefix)) !==
+      after.filter(_._1.startsWith(touchedPrefix)))
+    val cur = store.current.get
+    assert(cur.count() === 40)
+    assert(cur.where($"bearerId" === "b1").select($"subscriber.id")
+      .as[Int].head() === 99)
+  }
+
+  test("processBatch persists the shared enrichment prefix; release() drops it (S8)") {
+    val attachDf = Seq(attach("b1", 1, 1000L)).toDF()
+    val ctDf = Seq(ct("b1", 10000L, 10.0, 0.1), ct("b1", 12000L, 12.0, 0.2)).toDF()
+    val km = new IncrementalKMeans(k = 2, dims = 2, decay = 1.0, seed = 1L)
+    val out = TelcoPipelines.processBatch(ctDf, Some(attachDf), km)
+    assert(out.cached.nonEmpty)
+    out.cached.foreach(df =>
+      assert(df.storageLevel.useMemory, "shared prefix not cached"))
+    assert(out.subscriberStats.count() > 0) // sinks run against the cache
+    out.release()
+    out.cached.foreach(df =>
+      assert(df.storageLevel === org.apache.spark.storage.StorageLevel.NONE))
   }
 
   test("gatherJson collapses a frame to one sorted JSON array record (A5)") {
