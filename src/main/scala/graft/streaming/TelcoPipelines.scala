@@ -58,7 +58,11 @@ object TelcoPipelines {
   def processBatch(celltower: DataFrame, attachStore: Option[DataFrame],
                    km: IncrementalKMeans,
                    kmeansDims: Seq[String] = Seq("rtt", "byteLoss"),
-                   train: Boolean = true): Outputs = {
+                   train: Boolean = true,
+                   windowSize: String = "30 seconds",
+                   slide: String = "2 seconds",
+                   watermark: String = "1 minute",
+                   fenceFile: Option[String] = None): Outputs = {
     val enriched = (attachStore match {
       case Some(store) =>
         StreamOps.enrich(celltower,
@@ -70,14 +74,21 @@ object TelcoPipelines {
 
     val subscriberStats = StreamOps.metricStats(
       withTs.withColumn("subscriber_id", col("subscriber.id")),
-      Seq("subscriber_id"))
+      Seq("subscriber_id"), windowSize, slide, watermark)
     val celltowerStats = StreamOps.metricStats(
-      withTs.withColumn("cell", col("celltower.cell")), Seq("cell"))
+      withTs.withColumn("cell", col("celltower.cell")), Seq("cell"),
+      windowSize, slide, watermark)
 
-    val geofenceHits = GeofenceOp.geofence(enriched.select(
+    val points = enriched.select(
       col("bearerId").as("id"),
       col("celltower.location.lat").as("lat"),
-      col("celltower.location.lng").as("lng")))
+      col("celltower.location.lng").as("lng"))
+    // S6: a configured fence file is re-read per batch (hot reload)
+    val geofenceHits = fenceFile match {
+      case Some(f) => GeofenceOp.geofenceWith(points,
+        GeofenceOp.fencesFromJson(celltower.sparkSession, f))
+      case None => GeofenceOp.geofence(points)
+    }
 
     val vectored = enriched
       .withColumn("v", metricsVector(kmeansDims))
@@ -123,5 +134,39 @@ object TelcoPipelines {
       }
       .start()
     Seq(attachQ, fanoutQ)
+  }
+
+  /** Config-file-driven wiring — the analog of the reference booting its
+    * whole topology from `application.conf` (`AppConfig.scala:10-53`).
+    * Every knob (micro-batch clock, checkpoint, store path, window
+    * geometry, k-means hyper-parameters, fence file) comes from
+    * [[PipelineConfig]]; the model is built from the config too. Returns
+    * the running queries plus the model handle.
+    */
+  def start(config: PipelineConfig, attachStream: DataFrame,
+            celltowerStream: DataFrame,
+            sink: (Outputs, Long) => Unit): (Seq[StreamingQuery], IncrementalKMeans) = {
+    val spark = attachStream.sparkSession
+    val store = new KeyedUpsertStore(spark, config.storePath, "bearerId", "ts")
+    val km = config.newKMeans()
+    def configure(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+                  name: String) = {
+      val t = w.trigger(config.trigger)
+      config.checkpoint.map(d => t.option("checkpointLocation", s"$d/$name"))
+        .getOrElse(t)
+    }
+    val attachQ = configure(attachStream.writeStream.outputMode("append"), "attach")
+      .foreachBatch((batch: DataFrame, _: Long) => store.upsert(batch))
+      .start()
+    val fanoutQ = configure(celltowerStream.writeStream.outputMode("append"), "fanout")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val out = processBatch(batch, store.current, km,
+          kmeansDims = config.kmeansDimensions,
+          windowSize = config.metricsWindow, slide = config.metricsSlide,
+          watermark = config.watermark, fenceFile = config.geofenceFile)
+        try sink(out, id) finally out.release()
+      }
+      .start()
+    (Seq(attachQ, fanoutQ), km)
   }
 }

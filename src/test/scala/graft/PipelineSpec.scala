@@ -126,6 +126,69 @@ class PipelineSpec extends SparkSuite {
       assert(df.storageLevel === org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("PipelineConfig: defaults, file round-trip, unknown keys fail loudly") {
+    val d = streaming.PipelineConfig()
+    assert(d.batchMillis === 1000L && d.kmeansK === 3 && d.kmeansDecay === 1.0)
+    assert(d.metricsWindow === "30000 milliseconds")
+    val dir = java.nio.file.Files.createTempDirectory("graft-conf")
+    val f = dir.resolve("pipeline.json")
+    java.nio.file.Files.write(f,
+      """{"batchMillis": 500, "metricsWindowMillis": 10000,
+        | "metricsSlideMillis": 10000, "kmeansDimensions": ["rtt"],
+        | "kmeansK": 2, "kmeansDecay": 0.5, "storePath": "/tmp/s",
+        | "checkpoint": "/tmp/cp"}""".stripMargin.getBytes("UTF-8"))
+    val c = streaming.PipelineConfig.fromJsonFile(f.toString)
+    assert(c.batchMillis === 500L)
+    assert(c.metricsWindow === "10000 milliseconds")
+    assert(c.kmeansDimensions === Seq("rtt"))
+    assert(c.kmeansK === 2 && c.kmeansDecay === 0.5)
+    assert(c.checkpoint === Some("/tmp/cp"))
+    assert(c.attachTopic === "attach-topic") // absent key keeps default
+    val err = intercept[IllegalArgumentException] {
+      streaming.PipelineConfig.fromJson("""{"kmaensK": 2}""")
+    }
+    assert(err.getMessage.contains("kmaensK"))
+  }
+
+  test("config fixture drives the whole topology (windows, k, dims, fence file)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg-e2e")
+    // one square fence around Brussels, in the reference wire shape
+    val fenceFile = dir.resolve("fences.json")
+    java.nio.file.Files.write(fenceFile,
+      ("""[{"name":"bxl","path":"x","polygon":[""" +
+        """{"lat":50.0,"lng":4.0},{"lat":51.5,"lng":4.0},""" +
+        """{"lat":51.5,"lng":5.0},{"lat":50.0,"lng":5.0}]}]""").getBytes("UTF-8"))
+    val confFile = dir.resolve("pipeline.json")
+    java.nio.file.Files.write(confFile,
+      (s"""{"storePath": "$dir/attach", "metricsWindowMillis": 60000,
+         | "metricsSlideMillis": 60000, "kmeansDimensions": ["rtt", "byteLoss"],
+         | "kmeansK": 2, "geofenceFile": "$fenceFile"}""").stripMargin.getBytes("UTF-8"))
+    val config = streaming.PipelineConfig.fromJsonFile(confFile.toString)
+    val attachMem = MemoryStream[AttachEvent]
+    val ctMem = MemoryStream[CelltowerEvent]
+    @volatile var lastOut: Option[TelcoPipelines.Outputs] = None
+    val (queries, km) = TelcoPipelines.start(config, attachMem.toDF(), ctMem.toDF(),
+      (out, _) => lastOut = Some(out))
+    try {
+      attachMem.addData(attach("b1", 1, 1000L))
+      queries.foreach(_.processAllAvailable())
+      ctMem.addData(ct("b1", 10000L, 10.0, 0.1), ct("b1", 12000L, 12.0, 0.2))
+      queries.foreach(_.processAllAvailable())
+      val out = lastOut.get
+      // tumbling 60 s window from config -> both events in ONE window row
+      val rtt = out.subscriberStats.where($"metric" === "rtt").collect()
+      assert(rtt.length === 1)
+      assert(rtt.head.getAs[Long]("n") === 2L)
+      // fence file from config -> hits against the fixture fence name
+      val hits = out.geofenceHits.collect()
+      assert(hits.nonEmpty)
+      assert(hits.forall(_.getAs[String]("fence_name") === "bxl"))
+      // k from config
+      assert(km.k === 2)
+    } finally queries.foreach(_.stop())
+  }
+
   test("gatherJson collapses a frame to one sorted JSON array record (A5)") {
     val df = Seq((2, "b"), (1, "a")).toDF("k", "s")
     val out = TelcoPipelines.gatherJson(df).as[String].collect()
