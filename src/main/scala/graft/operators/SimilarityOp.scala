@@ -52,15 +52,16 @@ object SimilarityOp {
 
   /** One row per (vector, band): (vec_id, label, band, bval) where
     * `bval` is the band's BandBits-bit sign sketch. Band b uses
-    * hyperplanes [b*BandBits, (b+1)*BandBits) of the global family.
+    * hyperplanes [b*BandBits, (b+1)*BandBits) of the global family. All
+    * bands come from ONE codegen'd pass over the vector
+    * ([[graft.functions.SignSketchExpr]] — bit-equal to the
+    * [[signSketch]] built-ins formulation, asserted in SimilaritySpec).
     */
-  private def bandedSketches(embeddings: DataFrame): DataFrame = {
-    val v = toDoubleArray(col("embedding"))
+  private def bandedSketches(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("label"),
-      posexplode(array((0 until NumBands).map(b =>
-        signSketch(v, BandBits, 64, b * BandBits)): _*))
+      posexplode(graft.functions.SignSketchExpr.column(
+        toDoubleArray(col("embedding")), NumBands, BandBits))
         .as(Seq("band", "bval")))
-  }
 
   /** Distinct candidate id pairs: agree on all BandBits bits of ≥1 band
     * (and on `label`, if `alsoLabel`). Only (band, bval, id) rows enter

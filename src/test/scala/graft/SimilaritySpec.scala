@@ -55,6 +55,20 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("SignSketchExpr bands are bit-equal to the composed-built-ins signSketch") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    val v = VectorFunctions.toDoubleArray(col("embedding"))
+    val nb = SimilarityOp.NumBands; val bb = SimilarityOp.BandBits
+    val both = emb.select(
+      graft.functions.SignSketchExpr.column(v, nb, bb).as("fast"),
+      array((0 until nb).map(b =>
+        VectorFunctions.signSketch(v, bb, 64, b * bb)): _*).as("slow"))
+    assert(both.where(col("fast") =!= col("slow")).count() === 0)
+    assert(both.count() === 200)
+  }
+
   test("LSH near-dup pairs all satisfy the cosine threshold, symmetric blocking") {
     val pairs = SimilarityOp.nearDupLsh(Tables.embeddings(spark, sfDir), 0.2)
       .as[(Long, Long, Double)].collect()
