@@ -24,9 +24,17 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word w-shingles as space-joined strings; docs shorter than w words
-    * yield an empty array.
+    * yield an empty array. Delegates to the codegen'd [[ShinglesExpr]]
+    * (one pass per row); the composed-built-ins formulation is kept in
+    * [[shinglesBuiltins]] for cross-checking.
     */
   def shingles(toks: Column, w: Int = 3): Column =
+    ShinglesExpr.column(toks, w)
+
+  /** Same semantics from built-ins only (interpreted higher-order
+    * transform) — retained for tests.
+    */
+  def shinglesBuiltins(toks: Column, w: Int = 3): Column =
     when(size(toks) >= w,
       transform(sequence(lit(0), size(toks) - w), k =>
         concat_ws(" ", (0 until w).map(off => element_at(toks, k + off + 1)): _*)))

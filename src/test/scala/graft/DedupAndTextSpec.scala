@@ -67,6 +67,21 @@ class DedupAndTextSpec extends SparkSuite {
     assert(got.toSeq === words.map(ref))
   }
 
+  test("codegen'd shingles equal the built-ins formulation on the corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs.select(
+      TextFunctions.shingles(TextFunctions.tokens(col("text"))).as("fast"),
+      TextFunctions.shinglesBuiltins(TextFunctions.tokens(col("text"))).as("slow"))
+    assert(both.where(col("fast") =!= col("slow")).count() === 0)
+    // short/degenerate docs: both paths yield empty arrays below w tokens
+    val edge = Seq("", "one", "one two", "one two three", "a  b c")
+      .toDF("text").select(
+        TextFunctions.shingles(TextFunctions.tokens(col("text"))).as("fast"),
+        TextFunctions.shinglesBuiltins(TextFunctions.tokens(col("text"))).as("slow"))
+    assert(edge.where(col("fast") =!= col("slow")).count() === 0)
+  }
+
   test("keepSet resolves transitive duplicate chains to one root") {
     // chain 10-20, 20-30 (one component), isolated pair 40-50
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("da", "db")
