@@ -231,6 +231,17 @@ object SparkEntry {
     // polynomial hash buckets, reproducible in DuckDB bit-for-bit.
     "q47_sample_stratified" -> ((s, d) =>
       ScaleOps.sampleDocs(Tables.documents(s, d))),
+
+    // Approximate nearest neighbours: banded-LSH candidate retrieval +
+    // exact-cosine rank — one scan, no join (vs q18's full brute force).
+    "q48_ann_topk" -> ((s, d) =>
+      SimilarityOp.annTopK(Tables.embeddings(s, d), 0L, 10)),
+
+    // The canonical pretraining pipeline end to end: integer-predicate
+    // quality filter -> df-capped near-dup survivor selection ->
+    // per-source yield (docs in, docs passing, docs kept, token mass).
+    "q49_clean_corpus" -> ((s, d) =>
+      DedupOp.cleanCorpus(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -602,5 +613,9 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q47_sample_stratified" -> ScaleOps.sampleDocsOracle(),
+
+    "q48_ann_topk" -> SimilarityOp.annTopKOracle(0L, 10),
+
+    "q49_clean_corpus" -> DedupOp.cleanCorpusOracle(),
   )
 }

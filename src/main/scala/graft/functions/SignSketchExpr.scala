@@ -44,8 +44,14 @@ object SignSketchExpr {
   /** All band values for one vector. Weights stay in integer arithmetic
     * until the single double multiply per (j, d) term — engine-portable.
     */
-  def sketch(v: ArrayData, numBands: Int, bandBits: Int): ArrayData = {
-    val n = v.numElements()
+  def sketch(v: ArrayData, numBands: Int, bandBits: Int): ArrayData =
+    new GenericArrayData(sketchOf(v.toDoubleArray(), numBands, bandBits))
+
+  /** Plain-Scala core — also used driver-side to sketch a collected
+    * query vector (ANN candidate retrieval).
+    */
+  def sketchOf(v: Array[Double], numBands: Int, bandBits: Int): Array[Long] = {
+    val n = v.length
     val out = new Array[Long](numBands)
     var b = 0
     while (b < numBands) {
@@ -56,7 +62,7 @@ object SignSketchExpr {
         var s = 0.0
         var d = 0
         while (d < n) {
-          s += v.getDouble(d) * (((j * 37 + d * 101) % 13) - 6).toDouble
+          s += v(d) * (((j * 37 + d * 101) % 13) - 6).toDouble
           d += 1
         }
         if (s > 0.0) bval |= (1L << k)
@@ -65,7 +71,7 @@ object SignSketchExpr {
       out(b) = bval
       b += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
   /** Column form: `v` must be `array<double>`. */

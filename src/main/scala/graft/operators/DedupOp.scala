@@ -285,9 +285,11 @@ object DedupOp {
 
   // ---- DuckDB oracle generators (same constants, same algorithms) ----
 
-  /** Shared CTE: distinct (doc_id, shingle) + portable hash. */
-  private def shingleCte(w: Int = 3): String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** Shared CTE: distinct (doc_id, shingle) + portable hash. `from` is
+    * the doc relation (any CTE/table with doc_id + text).
+    */
+  private def shingleCte(w: Int = 3, from: String = "documents"): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
        |sh AS (
        |  SELECT DISTINCT doc_id,
        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
@@ -363,11 +365,12 @@ object DedupOp {
        |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
        |ORDER BY da, db""".stripMargin
 
-  /** Connected components via recursive CTE over the same pair graph. */
-  def keepSetOracle(minJaccard: Double = 0.5,
-                    maxDf: Int = MaxShingleDf): String =
-    s"""WITH RECURSIVE ${shingleCte()},
-       |${cappedShingleCte(maxDf)},
+  /** CTE chain `sizes → … → roots` computing connected-component minima
+    * over the df-capped shingle pair graph (assumes `sh` defined by
+    * [[shingleCte]]; requires WITH RECURSIVE for `reach`).
+    */
+  private def pairGraphRootsCtes(minJaccard: Double, maxDf: Int): String =
+    s"""${cappedShingleCte(maxDf)},
        |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
@@ -388,9 +391,16 @@ object DedupOp {
        |  SELECT id, id FROM nodes
        |  UNION
        |  SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.id
-       |)
-       |SELECT id, CAST(min(r) AS BIGINT) AS root FROM reach
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |), roots AS (
+       |  SELECT id, CAST(min(r) AS BIGINT) AS root FROM reach GROUP BY 1
+       |)""".stripMargin
+
+  /** Connected components via recursive CTE over the same pair graph. */
+  def keepSetOracle(minJaccard: Double = 0.5,
+                    maxDf: Int = MaxShingleDf): String =
+    s"""WITH RECURSIVE ${shingleCte()},
+       |${pairGraphRootsCtes(minJaccard, maxDf)}
+       |SELECT id, root FROM roots ORDER BY 1""".stripMargin
 
   def ngramJaccardOracle(minJaccard: Double = 0.5,
                          maxDf: Int = MaxShingleDf): String =
@@ -409,4 +419,82 @@ object DedupOp {
        |  JOIN sizes sa ON sa.doc_id = i.da
        |  JOIN sizes sb ON sb.doc_id = i.db) t
        |WHERE jaccard >= $minJaccard ORDER BY da, db""".stripMargin
+
+  /** The canonical pretraining-data pipeline, end to end: quality
+    * filter → near-dup survivor selection → per-source yield stats.
+    *
+    * Filter predicates are PURE INTEGER comparisons (token count ≥
+    * `minTokens`, unique-token ratio ≥ 1/2 expressed as `2·uniq ≥ n`) so
+    * cross-engine float parity is a non-issue. Survivors are the
+    * connected-component minima of the df-capped n-gram Jaccard pair
+    * graph over the FILTERED corpus — docs outside any pair keep
+    * themselves. Output per source: total docs, docs passing quality,
+    * docs kept after dedup, kept token mass (what actually feeds
+    * training).
+    *
+    * Scale shape: the quality filter is row-local on the scan; the pair
+    * graph inherits [[ngramJaccard]]'s one-shuffle df-capped blocking;
+    * the final stats are three tiny per-source aggregates joined by a
+    * broadcast. The filtered-docs frame is persisted — it feeds the
+    * shingle pass, the survivor join, and the stats.
+    */
+  def cleanCorpus(docs: DataFrame, minTokens: Int = 30,
+                  minJaccard: Double = 0.5): DataFrame = {
+    val toks = tokens(col("text"))
+    val passed = docs.select(col("doc_id"), col("source"), col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .where(col("n_tokens") >= minTokens &&
+        col("n_uniq") * 2L >= col("n_tokens"))
+      .persist()
+    val roots = keepSet(ngramJaccard(passed, minJaccard))
+    val kept = passed.join(
+        roots.select(col("id").as("doc_id"), col("root")), Seq("doc_id"), "left")
+      .where(col("root").isNull || col("root") === col("doc_id"))
+    val total = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val nQuality = passed.groupBy("source").agg(count(lit(1)).as("n_quality"))
+    val nKept = kept.groupBy("source").agg(count(lit(1)).as("n_kept"),
+      sum(col("n_tokens")).as("kept_tokens"))
+    total
+      .join(broadcast(nQuality), Seq("source"), "left")
+      .join(broadcast(nKept), Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  def cleanCorpusOracle(minTokens: Int = 30, minJaccard: Double = 0.5,
+                        maxDf: Int = MaxShingleDf): String =
+    s"""WITH RECURSIVE
+       |dt AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk
+       |       FROM documents),
+       |tu AS (SELECT doc_id, unnest(tk) AS tok FROM dt),
+       |ag AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_uniq
+       |       FROM tu GROUP BY 1),
+       |passed AS (
+       |  SELECT dt.doc_id, dt.source, dt.text, ag.n_tokens
+       |  FROM dt JOIN ag USING (doc_id)
+       |  WHERE ag.n_tokens >= $minTokens AND 2 * ag.n_uniq >= ag.n_tokens
+       |),
+       |${shingleCte(from = "passed")},
+       |${pairGraphRootsCtes(minJaccard, maxDf)},
+       |kept AS (
+       |  SELECT p.source, p.n_tokens FROM passed p
+       |  LEFT JOIN roots r ON r.id = p.doc_id
+       |  WHERE r.root IS NULL OR r.root = p.doc_id
+       |),
+       |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |nq AS (SELECT source, count(*) AS n_quality FROM passed GROUP BY 1),
+       |nk AS (SELECT source, count(*) AS n_kept,
+       |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens FROM kept GROUP BY 1)
+       |SELECT t.source, t.n_docs,
+       |  coalesce(nq.n_quality, 0) AS n_quality,
+       |  coalesce(nk.n_kept, 0) AS n_kept,
+       |  coalesce(nk.kept_tokens, 0) AS kept_tokens
+       |FROM tot t
+       |LEFT JOIN nq USING (source)
+       |LEFT JOIN nk USING (source)
+       |ORDER BY t.source""".stripMargin
 }

@@ -50,6 +50,37 @@ object SimilarityOp {
   val NumBands = 4
   val BandBits = 16
 
+  /** Approximate top-k via banded-LSH candidate retrieval: the query
+    * vector's band values are computed driver-side (same arithmetic as
+    * [[graft.functions.SignSketchExpr]]) and compiled into the filter,
+    * so the whole search is ONE scan — sketch each row inside codegen,
+    * keep rows agreeing with the query on ≥1 band, exact-cosine rank the
+    * survivors, TakeOrdered(k). No join, no shuffle of the scan: the
+    * partition-local candidate-search pattern a 100 TB ANN serving path
+    * uses after this same bucketing (vs [[topK]], which scores ALL N
+    * rows — the recall/cost dial is the band count).
+    */
+  def annTopK(embeddings: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
+    val qv: Seq[Double] = embeddings
+      .filter(col("vec_id") === queryId)
+      .select(toDoubleArray(col("embedding")))
+      .collect().head.getSeq[Double](0)
+    val qBands = graft.functions.SignSketchExpr.sketchOf(
+      qv.toArray, NumBands, BandBits)
+    val qlit = array(qv.map(lit): _*)
+    val bandMatch = (0 until NumBands).map(b =>
+      element_at(col("__sk"), b + 1) === lit(qBands(b))).reduce(_ || _)
+    embeddings
+      .where(col("vec_id") =!= queryId)
+      .withColumn("__sk", graft.functions.SignSketchExpr.column(
+        toDoubleArray(col("embedding")), NumBands, BandBits))
+      .where(bandMatch)
+      .select(col("vec_id"),
+        round(cosine(toDoubleArray(col("embedding")), qlit), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** One row per (vector, band): (vec_id, label, band, bval) where
     * `bval` is the band's BandBits-bit sign sketch. Band b uses
     * hyperplanes [b*BandBits, (b+1)*BandBits) of the global family. All
@@ -151,4 +182,24 @@ object SimilarityOp {
 
   def nearDupBlockedOracle(minCos: Double = 0.2): String =
     pairSql("a.label = b.label", minCos)
+
+  def annTopKOracle(queryId: Long, k: Int = 10, dims: Int = 64): String =
+    s"""WITH ${bandCte(dims)},
+       |qb AS (SELECT band, bval FROM bands WHERE vec_id = $queryId),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM bands b JOIN qb ON b.band = qb.band AND b.bval = qb.bval
+       |  WHERE b.vec_id <> $queryId
+       |), pc AS (
+       |  SELECT c.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * q.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(q.embedding[i.i+1]::DOUBLE * q.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN embeddings q ON q.vec_id = $queryId, range($dims) i(i)
+       |  GROUP BY 1
+       |)
+       |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |FROM pc ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
 }

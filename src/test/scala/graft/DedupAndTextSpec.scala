@@ -106,6 +106,18 @@ class DedupAndTextSpec extends SparkSuite {
     assert(out.values.forall(_ === 0L))
   }
 
+  test("cleanCorpus yields are consistent: kept <= quality <= total, kept excludes non-roots") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = DedupOp.cleanCorpus(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nd, nq, nk) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nk <= nq && nq <= nd)
+      assert(r.getLong(4) >= nk * 30) // every kept doc has >= minTokens tokens
+    }
+    assert(out.map(_.getLong(1)).sum === docs.count())
+  }
+
   test("fencesFromJson parses the reference wire shape") {
     val json = """[{"name":"f0","path":"x","polygon":[
       {"lat":50.0,"lng":4.0},{"lat":51.0,"lng":4.0},{"lat":51.0,"lng":5.0},

@@ -69,6 +69,19 @@ class SimilaritySpec extends SparkSuite {
     assert(both.count() === 200)
   }
 
+  test("annTopK returns correctly-scored, correctly-ordered band-mates") {
+    val got = SimilarityOp.annTopK(Tables.embeddings(spark, sfDir), 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    val q = vecs(0L)
+    // exact cosine for every returned candidate; ordering is (sim desc, id)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - math.rint(cos(q, vecs(id)) * 1e6) / 1e6) < 2e-6) }
+    assert(got === got.sortBy { case (id, s) => (-s, id) })
+    // candidates are a subset of the corpus minus the query itself
+    assert(!got.exists(_._1 == 0L))
+  }
+
   test("LSH near-dup pairs all satisfy the cosine threshold, symmetric blocking") {
     val pairs = SimilarityOp.nearDupLsh(Tables.embeddings(spark, sfDir), 0.2)
       .as[(Long, Long, Double)].collect()
