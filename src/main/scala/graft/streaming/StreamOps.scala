@@ -81,4 +81,21 @@ object StreamOps {
     */
   def geofence(points: DataFrame): DataFrame =
     graft.operators.GeofenceOp.geofence(points)
+
+  /** Streaming exact dedup — the ingest-time form of
+    * [[graft.operators.DedupOp.exact]]: drop any record whose dedup key
+    * (e.g. a content hash) was already seen. State is Spark-managed and
+    * WATERMARK-BOUNDED (`dropDuplicatesWithinWatermark`): a key is
+    * remembered only within the lateness horizon, so state size is
+    * (arrival rate × horizon), not corpus size — the standard tradeoff
+    * for unbounded streams. Exact global dedup over the full history
+    * belongs to the batch operator; this catches the overwhelmingly
+    * common near-in-time duplicates (retries, re-sends, crawler
+    * re-fetches) with bounded memory at any scale.
+    */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String],
+                     tsCol: String = "ts",
+                     watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

@@ -70,6 +70,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingDedup drops repeated content hashes across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)] // (doc_id, text, ts_sec)
+    val docs = mem.toDF().toDF("doc_id", "text", "ts_sec")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withColumn("h", md5(col("text")))
+    val deduped = StreamOps.streamingDedup(docs, Seq("h"),
+      tsCol = "ts", watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData((1L, "alpha", 10L), (2L, "alpha", 11L), (3L, "beta", 12L))
+      q.processAllAvailable()
+      // batch 2: duplicate of batch 1 within the watermark horizon
+      mem.addData((4L, "alpha", 20L), (5L, "gamma", 21L))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select($"doc_id").as[Long]
+        .collect().toSet
+      // one survivor per distinct text: alpha (1 or 2, first wins in-batch),
+      // beta, gamma; cross-batch duplicate 4 dropped
+      assert(kept.intersect(Set(1L, 2L)).size === 1)
+      assert(kept.contains(3L) && kept.contains(5L))
+      assert(!kept.contains(4L))
+    } finally q.stop()
+  }
+
   test("JSON decode silently drops undecodable records (reference S3/P7)") {
     val good =
       """{"bearerId":"b-1","subscriber":{"id":1,"imsi":"i","msisdn":"m",
