@@ -242,6 +242,13 @@ object SparkEntry {
     // per-source yield (docs in, docs passing, docs kept, token mass).
     "q49_clean_corpus" -> ((s, d) =>
       DedupOp.cleanCorpus(Tables.documents(s, d))),
+
+    // True IVF ANN: k-means coarse quantizer cells + nProbe-limited
+    // exact search — the partition-pruned serving layout (vs q48's
+    // quantizer-free LSH bands).
+    "q50_ivf_topk" -> ((s, d) =>
+      SimilarityOp.ivfTopK(Tables.embeddings(s, d), 0L,
+        Seq(7L, 42L, 123L), 2, 10)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -617,5 +624,7 @@ object SparkEntry {
     "q48_ann_topk" -> SimilarityOp.annTopKOracle(0L, 10),
 
     "q49_clean_corpus" -> DedupOp.cleanCorpusOracle(),
+
+    "q50_ivf_topk" -> SimilarityOp.ivfTopKOracle(0L, Seq(7L, 42L, 123L), 2, 10),
   )
 }

@@ -81,6 +81,54 @@ object SimilarityOp {
       .limit(k)
   }
 
+  /** True IVF approximate top-k: a k-means coarse quantizer (literal
+    * centers, as [[KMeansOp.assign]]) partitions the corpus into cells;
+    * the query probes its `nProbe` nearest cells and exact-cosine ranks
+    * only their members. ONE scan — per-row cell assignment and the
+    * probe filter are literal expressions, so there is no join and the
+    * scan never shuffles (TakeOrdered ships k rows per partition). This
+    * is the inverted-file ANN layout: at 100 TB the corpus would be
+    * WRITTEN partitioned by cell and probing prunes whole partitions
+    * ([[annTopK]]'s LSH bands are the quantizer-free alternative).
+    * Recall/cost dial = `nProbe`.
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, centerIds: Seq[Long],
+              nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val rows = embeddings
+      .filter(col("vec_id").isin((queryId +: centerIds).distinct: _*))
+      .select(col("vec_id"), toDoubleArray(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val qv = rows(queryId)
+    val centers = centerIds.sorted.map(id => id -> rows(id))
+    // driver-side probe selection: same rounded distance + (dist, cid)
+    // tie order as the per-row assignment and the SQL oracle
+    def l2r(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.rint(math.sqrt(s) * 1e6) / 1e6
+    }
+    val probes = centers.map { case (cid, cv) => (cid, l2r(qv, cv)) }
+      .sortBy { case (cid, dd) => (dd, cid) }.take(nProbe).map(_._1)
+    val v = toDoubleArray(col("embedding"))
+    val dists = centers.map { case (cid, cv) =>
+      cid -> round(l2(v, array(cv.map(lit): _*)), 6)
+    }
+    val withD = embeddings.where(col("vec_id") =!= queryId)
+      .select(col("vec_id") +: col("embedding") +:
+        dists.zipWithIndex.map { case ((_, c), i) => c.as(s"d$i") }: _*)
+    val minD = least(dists.indices.map(i => col(s"d$i")): _*)
+    val cell = dists.zipWithIndex.foldRight(lit(centers.last._1)) {
+      case (((cid, _), i), elseCol) =>
+        when(col(s"d$i") === minD, lit(cid)).otherwise(elseCol)
+    }
+    val qlit = array(qv.map(lit): _*)
+    withD.where(cell.isin(probes: _*))
+      .select(col("vec_id"),
+        round(cosine(toDoubleArray(col("embedding")), qlit), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** One row per (vector, band): (vec_id, label, band, bval) where
     * `bval` is the band's BandBits-bit sign sketch. Band b uses
     * hyperplanes [b*BandBits, (b+1)*BandBits) of the global family. All
@@ -182,6 +230,41 @@ object SimilarityOp {
 
   def nearDupBlockedOracle(minCos: Double = 0.2): String =
     pairSql("a.label = b.label", minCos)
+
+  def ivfTopKOracle(queryId: Long, centerIds: Seq[Long], nProbe: Int = 2,
+                    k: Int = 10, dims: Int = 64): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id IN (${centerIds.sorted.mkString(", ")})),
+       |d AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sqrt(sum((e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE)
+       |                 * (e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE))), 6) AS dist
+       |  FROM embeddings e, c, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), asg AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d) r WHERE rn = 1
+       |), qc AS (
+       |  SELECT cid AS cell FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn
+       |    FROM d WHERE vec_id = $queryId) q WHERE rn <= $nProbe
+       |), cand AS (
+       |  SELECT a.vec_id FROM asg a JOIN qc USING (cell)
+       |  WHERE a.vec_id <> $queryId
+       |), pc AS (
+       |  SELECT cd.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * q.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(q.embedding[i.i+1]::DOUBLE * q.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM cand cd
+       |  JOIN embeddings e ON e.vec_id = cd.vec_id
+       |  JOIN embeddings q ON q.vec_id = $queryId, range($dims) i(i)
+       |  GROUP BY 1
+       |)
+       |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |FROM pc ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
 
   def annTopKOracle(queryId: Long, k: Int = 10, dims: Int = 64): String =
     s"""WITH ${bandCte(dims)},

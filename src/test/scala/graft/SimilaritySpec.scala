@@ -82,6 +82,27 @@ class SimilaritySpec extends SparkSuite {
     assert(!got.exists(_._1 == 0L))
   }
 
+  test("ivfTopK searches only probed cells and scores exactly") {
+    val centerIds = Seq(7L, 42L, 123L)
+    val got = SimilarityOp.ivfTopK(Tables.embeddings(spark, sfDir), 0L,
+      centerIds, nProbe = 2, k = 10).as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    val q = vecs(0L)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - math.rint(cos(q, vecs(id)) * 1e6) / 1e6) < 2e-6) }
+    assert(got === got.sortBy { case (id, s) => (-s, id) })
+    // brute-force the quantizer: every hit's nearest cell must be one of
+    // the query's nProbe nearest cells
+    val centers = centerIds.map(id => id -> vecs(id))
+    def cellOf(v: Array[Double]): Long = centers
+      .map { case (cid, cv) => (cid, math.rint(l2(v, cv) * 1e6) / 1e6) }
+      .minBy { case (cid, d) => (d, cid) }._1
+    val probes = centers
+      .map { case (cid, cv) => (cid, math.rint(l2(q, cv) * 1e6) / 1e6) }
+      .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1).toSet
+    got.foreach { case (id, _) => assert(probes.contains(cellOf(vecs(id)))) }
+  }
+
   test("LSH near-dup pairs all satisfy the cosine threshold, symmetric blocking") {
     val pairs = SimilarityOp.nearDupLsh(Tables.embeddings(spark, sfDir), 0.2)
       .as[(Long, Long, Double)].collect()
