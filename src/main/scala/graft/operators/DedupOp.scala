@@ -20,7 +20,15 @@ object DedupOp {
 
   val NumPerms = 16
   val BandRows = 4 // 4 bands × 4 rows
-  val SimBits = 24 // 4 bands × 6 bits; 16 bits collides too often
+  // 60-bit signature in 4 bands × 15 bits: 2^15 buckets per band, so
+  // band-bucket occupancy (and the candidate count) shrinks as the
+  // corpus grows — a 6-bit band (64 buckets) degenerates toward
+  // all-pairs at scale, the same failure mode as a single small LSH
+  // sketch. 60 stays clear of the BIGINT sign bit, which Spark and SQL
+  // engines shift/ sum differently.
+  val SimBits = 60
+  val SimBands = 4
+  val SimBandBits = 15
 
   /** Exact dedup: canonical (min doc_id) keeper per distinct text. */
   def exact(docs: DataFrame): DataFrame =
@@ -102,7 +110,7 @@ object DedupOp {
   /** SimHash signature per document (term-frequency weighted: repeated
     * tokens count each occurrence, as in Charikar's original). One hash
     * aggregate with `SimBits` per-bit vote sums — no per-bit row
-    * explosion (which would multiply the token stream ×24 before the
+    * explosion (which would multiply the token stream ×SimBits before the
     * shuffle) — then the signature composes from the vote columns.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
@@ -118,15 +126,19 @@ object DedupOp {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: LSH on 4 bands of 6 bits each over the
-    * 24-bit signature, then exact Hamming distance ≤ `maxHamming`.
+  /** SimHash near-dup pairs: LSH on [[SimBands]] bands of
+    * [[SimBandBits]] bits each over the [[SimBits]]-bit signature
+    * (band agreement guarantees recall for Hamming ≤ bands−1 by
+    * pigeonhole), then exact Hamming distance ≤ `maxHamming`.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // one row per doc; reused by both sides of the band self-join
     val sigs = simhashSignatures(docs).persist()
+    val bandMask = (1L << SimBandBits) - 1L
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("j"))
-      .withColumn("nib", expr("shiftright(simhash, 6 * j) & 63"))
+      explode(sequence(lit(0), lit(SimBands - 1))).as("j"))
+      .withColumn("nib",
+        expr(s"shiftright(simhash, $SimBandBits * j) & $bandMask"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.j") === col("b.j") && col("a.nib") === col("b.nib") &&
@@ -353,8 +365,9 @@ object DedupOp {
        |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY 1
        |), banded AS (
-       |  SELECT doc_id, simhash, j.j, (simhash >> (6 * j.j)) & 63 AS nib
-       |  FROM sigs, range(4) j(j)
+       |  SELECT doc_id, simhash, j.j,
+       |    (simhash >> ($SimBandBits * j.j)) & ${(1L << SimBandBits) - 1L} AS nib
+       |  FROM sigs, range($SimBands) j(j)
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
        |    a.simhash AS sa, b.simhash AS sb
