@@ -433,28 +433,40 @@ object DedupOp {
        |  JOIN sizes sb ON sb.doc_id = i.db) t
        |WHERE jaccard >= $minJaccard ORDER BY da, db""".stripMargin
 
-  /** The canonical pretraining-data pipeline, end to end: quality
-    * filter → near-dup survivor selection → per-source yield stats.
+  /** The canonical pretraining-data pipeline, end to end, in production
+    * order: EXACT dedup → quality filter → NEAR-dup survivor selection →
+    * per-source yield stats.
     *
-    * Filter predicates are PURE INTEGER comparisons (token count ≥
-    * `minTokens`, unique-token ratio ≥ 1/2 expressed as `2·uniq ≥ n`) so
-    * cross-engine float parity is a non-issue. Survivors are the
-    * connected-component minima of the df-capped n-gram Jaccard pair
-    * graph over the FILTERED corpus — docs outside any pair keep
-    * themselves. Output per source: total docs, docs passing quality,
-    * docs kept after dedup, kept token mass (what actually feeds
-    * training).
+    * Exact dedup must run FIRST: a cluster of k identical documents
+    * shares shingles of document-frequency k, so for k > the blocking
+    * cap the near-dup stage deliberately never pairs them — the
+    * hash-groupBy stage is what removes mass duplication (and it is
+    * also why the df-cap is safe). Quality predicates are PURE INTEGER
+    * comparisons (token count ≥ `minTokens`, unique-token ratio ≥ 1/2
+    * as `2·uniq ≥ n`) so cross-engine float parity is a non-issue.
+    * Near-dup survivors are the connected-component minima of the
+    * df-capped n-gram Jaccard pair graph — docs outside any pair keep
+    * themselves. Output per source: total docs, exact-dedup survivors,
+    * those passing quality, docs kept after near-dup, kept token mass
+    * (what actually feeds training).
     *
-    * Scale shape: the quality filter is row-local on the scan; the pair
-    * graph inherits [[ngramJaccard]]'s one-shuffle df-capped blocking;
-    * the final stats are three tiny per-source aggregates joined by a
-    * broadcast. The filtered-docs frame is persisted — it feeds the
-    * shingle pass, the survivor join, and the stats.
+    * Scale shape: exact dedup is one hash-partitioned window; the
+    * quality filter is row-local; the pair graph inherits
+    * [[ngramJaccard]]'s one-shuffle df-capped blocking; the final stats
+    * are tiny per-source aggregates joined by broadcast. The filtered
+    * frame is persisted — it feeds the shingle pass, the survivor join,
+    * and the stats.
     */
   def cleanCorpus(docs: DataFrame, minTokens: Int = 30,
                   minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = tokens(col("text"))
-    val passed = docs.select(col("doc_id"), col("source"), col("text"),
+    val exact = docs
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("__rn") === 1).drop("__rn")
+      .persist()
+    val passed = exact.select(col("doc_id"), col("source"), col("text"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_uniq"))
       .where(col("n_tokens") >= minTokens &&
@@ -465,13 +477,16 @@ object DedupOp {
         roots.select(col("id").as("doc_id"), col("root")), Seq("doc_id"), "left")
       .where(col("root").isNull || col("root") === col("doc_id"))
     val total = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val nExact = exact.groupBy("source").agg(count(lit(1)).as("n_exact"))
     val nQuality = passed.groupBy("source").agg(count(lit(1)).as("n_quality"))
     val nKept = kept.groupBy("source").agg(count(lit(1)).as("n_kept"),
       sum(col("n_tokens")).as("kept_tokens"))
     total
+      .join(broadcast(nExact), Seq("source"), "left")
       .join(broadcast(nQuality), Seq("source"), "left")
       .join(broadcast(nKept), Seq("source"), "left")
       .select(col("source"), col("n_docs"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
         coalesce(col("n_quality"), lit(0L)).as("n_quality"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
@@ -481,8 +496,14 @@ object DedupOp {
   def cleanCorpusOracle(minTokens: Int = 30, minJaccard: Double = 0.5,
                         maxDf: Int = MaxShingleDf): String =
     s"""WITH RECURSIVE
+       |ex AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents) r WHERE rn = 1
+       |),
        |dt AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk
-       |       FROM documents),
+       |       FROM ex),
        |tu AS (SELECT doc_id, unnest(tk) AS tok FROM dt),
        |ag AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_uniq
        |       FROM tu GROUP BY 1),
@@ -499,14 +520,17 @@ object DedupOp {
        |  WHERE r.root IS NULL OR r.root = p.doc_id
        |),
        |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |ne AS (SELECT source, count(*) AS n_exact FROM ex GROUP BY 1),
        |nq AS (SELECT source, count(*) AS n_quality FROM passed GROUP BY 1),
        |nk AS (SELECT source, count(*) AS n_kept,
        |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens FROM kept GROUP BY 1)
        |SELECT t.source, t.n_docs,
+       |  coalesce(ne.n_exact, 0) AS n_exact,
        |  coalesce(nq.n_quality, 0) AS n_quality,
        |  coalesce(nk.n_kept, 0) AS n_kept,
        |  coalesce(nk.kept_tokens, 0) AS kept_tokens
        |FROM tot t
+       |LEFT JOIN ne USING (source)
        |LEFT JOIN nq USING (source)
        |LEFT JOIN nk USING (source)
        |ORDER BY t.source""".stripMargin

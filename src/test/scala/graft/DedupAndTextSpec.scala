@@ -106,14 +106,15 @@ class DedupAndTextSpec extends SparkSuite {
     assert(out.values.forall(_ === 0L))
   }
 
-  test("cleanCorpus yields are consistent: kept <= quality <= total, kept excludes non-roots") {
+  test("cleanCorpus yields are monotone: kept <= quality <= exact <= total") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = DedupOp.cleanCorpus(docs).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val (nd, nq, nk) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(nk <= nq && nq <= nd)
-      assert(r.getLong(4) >= nk * 30) // every kept doc has >= minTokens tokens
+      val (nd, ne, nq, nk) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nk <= nq && nq <= ne && ne <= nd)
+      assert(r.getLong(5) >= nk * 30) // every kept doc has >= minTokens tokens
     }
     assert(out.map(_.getLong(1)).sum === docs.count())
   }
