@@ -80,6 +80,13 @@ object DedupOp {
   /** MinHash + LSH near-dup pairs: banded candidate generation, then
     * signature-similarity verification (fraction of equal minhashes ≥
     * `minSim`).
+    *
+    * Scale precondition: run EXACT dedup first ([[exact]] /
+    * [[cleanCorpus]]'s first stage). Pair output is inherently
+    * quadratic in near-dup cluster size, and band buckets collapse
+    * identical signatures into one group — after exact dedup, bucket
+    * occupancy is bounded by true NEAR-dup cluster size (small), not by
+    * mass duplication.
     */
   def minhashLsh(docs: DataFrame, minSim: Double = 0.5): DataFrame = {
     // |docs|×16 rows, reused by the band build AND both sides of the
