@@ -149,3 +149,51 @@ object IqrProps extends Properties("IqrRule") {
       !vs.exists(x => x < lo || x > hi)
     }
 }
+
+object ShingleProps extends Properties("ShinglesExpr") {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Independent reference: sliding windows joined by one space. */
+  private def ref(toks: Seq[String], w: Int): Seq[String] =
+    if (toks.length < w) Seq.empty
+    else toks.sliding(w).map(_.mkString(" ")).toSeq
+
+  private val tokGen = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("a b"))
+  private val toksGen = Gen.listOf(tokGen)
+
+  property("equals the sliding-window reference for w in 1..5") =
+    forAll(toksGen, Gen.choose(1, 5)) { (toks, w) =>
+      val in = new GenericArrayData(
+        toks.map(UTF8String.fromString).toArray[Any])
+      val out = graft.functions.ShinglesExpr.shingle(in, w)
+      val got = (0 until out.numElements())
+        .map(i => out.getUTF8String(i).toString)
+      got == ref(toks, w)
+    }
+}
+
+object SketchProps extends Properties("SignSketchExpr") {
+  /** Independent reference: per-hyperplane left-fold dot (ascending d —
+    * the summation order the expression, the built-ins formulation, and
+    * the DuckDB oracle all share).
+    */
+  private def ref(v: Seq[Double], numBands: Int, bandBits: Int): Seq[Long] =
+    (0 until numBands).map { b =>
+      (0 until bandBits).foldLeft(0L) { (acc, k) =>
+        val j = b * bandBits + k
+        val dot = v.zipWithIndex.foldLeft(0.0) { case (s, (x, d)) =>
+          s + x * (((j * 37 + d * 101) % 13) - 6)
+        }
+        if (dot > 0.0) acc | (1L << k) else acc
+      }
+    }
+
+  property("equals the fold reference on random vectors") =
+    forAll(Gen.listOf(Gen.choose(-5.0, 5.0)), Gen.choose(1, 4),
+      Gen.choose(1, 16)) { (v, nb, bb) =>
+      graft.functions.SignSketchExpr.sketchOf(v.toArray, nb, bb).toSeq ==
+        ref(v, nb, bb)
+    }
+}
