@@ -67,13 +67,19 @@ object TemporalOps {
   /** Event-time gap sessions via the built-in `session_window` — the
     * operator form of q14's manual lag+cumsum sessionization, and the
     * one that runs unchanged under Structured Streaming (watermark +
-    * merging session state). Window end = last event + gap, half-open:
-    * an event exactly `gap` after the previous one MERGES into the same
-    * session — a new session requires a gap strictly greater than `gap`
-    * (verified in ScaleAndTemporalSpec, and matched by the q45 oracle).
+    * merging session state; StreamingSpec drives it through
+    * MemoryStream). Window end = last event + gap, half-open: an event
+    * exactly `gap` after the previous one MERGES into the same session —
+    * a new session requires a gap strictly greater than `gap` (verified
+    * in ScaleAndTemporalSpec, and matched by the q45 oracle).
+    *
+    * `sorted = false` skips the presentation ORDER BY — required for
+    * streaming append mode, where a global sort is unsupported (the
+    * batch/oracle path keeps the stable total order).
     */
-  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    events
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       sorted: Boolean = true): DataFrame = {
+    val agg = events
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),
            round(sum(col("value")), 4).as("sum_value"))
@@ -81,5 +87,6 @@ object TemporalOps {
         unix_millis(col("session_window.start")).as("start_ms"),
         unix_millis(col("session_window.end")).as("end_ms"),
         col("n_events"), col("sum_value"))
-      .orderBy("user_id", "start_ms")
+    if (sorted) agg.orderBy("user_id", "start_ms") else agg
+  }
 }

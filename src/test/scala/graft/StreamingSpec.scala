@@ -96,6 +96,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("session windows run under streaming: merge within gap, close past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)] // (user_id, ts_sec, value)
+    val events = mem.toDF().toDF("user_id", "ts_sec", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts", "10 seconds")
+    val agg = graft.operators.TemporalOps
+      .sessionWindowAgg(events, gap = "30 seconds", sorted = false)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // two events 20 s apart (< gap) -> ONE merged session
+      mem.addData((1L, 10L, 1.0), (1L, 30L, 2.0))
+      q.processAllAvailable()
+      // far-future event advances the watermark past session end -> emit
+      mem.addData((1L, 500L, 9.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select($"user_id", $"start_ms", $"end_ms", $"n_events", $"sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      assert(out === Seq((1L, 10000L, 60000L, 2L, 3.0))) // end = 30 s + gap
+    } finally q.stop()
+  }
+
   test("JSON decode silently drops undecodable records (reference S3/P7)") {
     val good =
       """{"bearerId":"b-1","subscriber":{"id":1,"imsi":"i","msisdn":"m",
