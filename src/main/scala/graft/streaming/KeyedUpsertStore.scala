@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,40 +13,73 @@ import org.apache.spark.sql.functions._
   * runs against Delta/Iceberg MERGE; this keeps the semantics with zero
   * extra dependencies.
   *
-  * Scale design: the store is HASH-BUCKETED by key
-  * (`bucket=N` partition dirs, N = pmod(hash(key), numBuckets)), and an
-  * upsert rewrites ONLY the buckets its batch touches — cost is
-  * O(touched buckets), not O(store). A micro-batch whose keys land in 3
-  * of 64 buckets leaves the other 61 buckets' files untouched
-  * byte-for-byte (asserted in PipelineSpec). The reference's Cassandra
-  * table gets the same effect from per-partition-key writes.
+  * Scale design — two properties a 100 TB store needs:
+  *
+  *  - '''Bucketed writes''': rows hash into `numBuckets` buckets by key
+  *    (`pmod(hash(key), numBuckets)`), and an upsert rewrites ONLY the
+  *    buckets its batch touches — cost is O(touched buckets), not
+  *    O(store). Untouched buckets' files are not read, rewritten, or
+  *    moved (byte-identity asserted in PipelineSpec).
+  *  - '''Snapshot reads via a manifest''': the set of live bucket
+  *    directories is recorded in a manifest file that is swapped with
+  *    one ATOMIC_MOVE — the miniature form of a table format's
+  *    transaction log. A reader resolves the manifest once and reads
+  *    exactly the directories it names, so it can never observe a
+  *    half-finished multi-bucket swap (the naive move-directories
+  *    scheme has a window where a bucket dir is simply absent — a
+  *    SILENT missing-rows read). Superseded bucket versions are kept
+  *    for one generation and vacuumed on the following upsert, so a
+  *    reader holding the previous manifest stays consistent through
+  *    one concurrent upsert (the Delta/Iceberg retention idea, scaled
+  *    to the single-writer driver-owned case).
   */
 class KeyedUpsertStore(spark: SparkSession, path: String,
                        key: String, tsCol: String, numBuckets: Int = 16) {
 
-  private def bucketDir(b: Int): Path = Paths.get(path, s"bucket=$b")
+  private def manifestPath: Path = Paths.get(path, "manifest.json")
 
-  private def bucketDirs: Seq[Path] =
-    if (!Files.exists(Paths.get(path))) Nil
+  /** manifest = bucket index → live dir name (e.g. "b3_v7"). */
+  private def readManifest(): Map[Int, String] =
+    if (!Files.exists(manifestPath)) Map.empty
     else {
-      val s = Files.list(Paths.get(path))
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter(_.getFileName.toString.startsWith("bucket=")).toList
-      } finally s.close()
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(
+        new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)) match {
+        case JObject(fs) => fs.collect {
+          case (b, JString(dir)) => b.toInt -> dir
+        }.toMap
+        case _ => Map.empty
+      }
     }
 
-  /** Current store contents (empty-schema-safe: caller sees rows only
-    * after the first upsert). The `bucket` partition column is internal
-    * and stripped.
-    */
-  def current: Option[DataFrame] =
-    if (bucketDirs.isEmpty) None
-    else Some(spark.read.parquet(path).drop("bucket"))
+  private def writeManifest(m: Map[Int, String]): Unit = {
+    val json = m.toSeq.sortBy(_._1)
+      .map { case (b, dir) => s""""$b": "$dir"""" }
+      .mkString("{", ", ", "}")
+    val tmp = Paths.get(path, ".manifest.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
-  /** Merge a batch: per touched bucket, union with that bucket's rows,
-    * keep latest per key, swap the bucket dir in. Untouched buckets are
-    * not read, rewritten, or moved.
+  private def versionOf(dir: String): Long = dir.drop(dir.indexOf("_v") + 2).toLong
+
+  /** Current store contents as of the manifest snapshot (empty-schema-
+    * safe: caller sees rows only after the first upsert).
+    */
+  def current: Option[DataFrame] = {
+    val m = readManifest()
+    if (m.isEmpty) None
+    else Some(spark.read.parquet(
+      m.values.toSeq.sorted.map(d => s"$path/$d"): _*))
+  }
+
+  /** Merge a batch: per touched bucket, union with that bucket's live
+    * rows, keep latest per key, write a NEW versioned dir; then one
+    * atomic manifest swap publishes all touched buckets at once.
+    * Untouched buckets are not read, rewritten, or moved. The previous
+    * version of each touched bucket survives until the NEXT upsert
+    * touching it (one-generation retention for in-flight readers).
     */
   def upsert(batch: DataFrame): Unit = {
     val bucketed = batch
@@ -54,28 +88,34 @@ class KeyedUpsertStore(spark: SparkSession, path: String,
     try {
       val touched = bucketed.select(col("__b")).distinct()
         .collect().map(_.getInt(0)).sorted
-      if (touched.nonEmpty) Files.createDirectories(Paths.get(path))
-      touched.foreach { b =>
+      if (touched.isEmpty) return
+      Files.createDirectories(Paths.get(path))
+      val manifest = readManifest()
+      val updates = touched.map { b =>
         val slice = bucketed.where(col("__b") === b).drop("__b")
-        val merged =
-          if (Files.exists(bucketDir(b)))
-            spark.read.parquet(bucketDir(b).toString).unionByName(slice)
-          else slice
+        val live = manifest.get(b)
+        val merged = live match {
+          case Some(dir) => spark.read.parquet(s"$path/$dir").unionByName(slice)
+          case None      => slice
+        }
         val deduped = StreamOps.latestByKey(merged, key, tsCol)
-        // dot-prefixed staging dir: invisible to parquet partition
-        // discovery, so a concurrent `current` never sees half a swap
-        val tmp = Paths.get(path, s".tmp_bucket_$b")
-        deleteRecursive(tmp)
-        deduped.write.mode("overwrite").parquet(tmp.toString)
-        // swap: the store is driver-owned, single-writer
-        if (Files.exists(bucketDir(b))) {
-          val old = Paths.get(path, s".old_bucket_$b")
-          deleteRecursive(old)
-          Files.move(bucketDir(b), old, StandardCopyOption.ATOMIC_MOVE)
-          Files.move(tmp, bucketDir(b), StandardCopyOption.ATOMIC_MOVE)
-          deleteRecursive(old)
-        } else {
-          Files.move(tmp, bucketDir(b), StandardCopyOption.ATOMIC_MOVE)
+        val newDir = s"b${b}_v${live.map(versionOf).getOrElse(0L) + 1L}"
+        // write to a dot-prefixed staging dir, then one atomic rename —
+        // the dir appears fully-formed or not at all
+        val staging = Paths.get(path, s".stage_$newDir")
+        deleteRecursive(staging)
+        deduped.write.mode("overwrite").parquet(staging.toString)
+        Files.move(staging, Paths.get(path, newDir), StandardCopyOption.ATOMIC_MOVE)
+        b -> newDir
+      }
+      // single ATOMIC_MOVE publishes every touched bucket at once
+      writeManifest(manifest ++ updates)
+      // vacuum: superseded versions older than the one just replaced
+      // (kept one generation for readers holding the prior manifest)
+      touched.foreach { b =>
+        val vNew = versionOf((manifest ++ updates)(b))
+        (1L until vNew - 1L).foreach { v =>
+          deleteRecursive(Paths.get(path, s"b${b}_v$v"))
         }
       }
     } finally bucketed.unpersist()

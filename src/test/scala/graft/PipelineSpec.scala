@@ -98,18 +98,28 @@ class PipelineSpec extends SparkSuite {
     val after = snapshot()
     val touched = spark.range(1)
       .select(pmod(hash(lit("b1")), lit(16))).as[Int].head()
-    val touchedPrefix = s"bucket=$touched/"
-    // every file outside the touched bucket survives byte-for-byte
-    before.filterNot(_._1.startsWith(touchedPrefix)).foreach { case (f, bytes) =>
+    def isTouched(f: String) =
+      f.startsWith(s"b${touched}_v") || f == "manifest.json"
+    // every file outside the touched bucket (and the manifest) survives
+    // byte-for-byte — untouched buckets are never rewritten
+    before.filterNot(t => isTouched(t._1)).foreach { case (f, bytes) =>
       assert(after.get(f).contains(bytes), s"untouched file changed: $f")
     }
-    // the touched bucket did change, and semantics are last-write-wins
-    assert(before.filter(_._1.startsWith(touchedPrefix)) !==
-      after.filter(_._1.startsWith(touchedPrefix)))
+    // the touched bucket published a NEW version; the superseded one is
+    // retained one generation for in-flight readers of the old manifest
+    assert(java.nio.file.Files.exists(root.resolve(s"b${touched}_v1")))
+    assert(java.nio.file.Files.exists(root.resolve(s"b${touched}_v2")))
     val cur = store.current.get
     assert(cur.count() === 40)
     assert(cur.where($"bearerId" === "b1").select($"subscriber.id")
       .as[Int].head() === 99)
+    // a third upsert to the same bucket vacuums v1, keeps v2 + v3
+    store.upsert(Seq(attach("b1", 7, 3000L)).toDF())
+    assert(!java.nio.file.Files.exists(root.resolve(s"b${touched}_v1")))
+    assert(java.nio.file.Files.exists(root.resolve(s"b${touched}_v2")))
+    assert(java.nio.file.Files.exists(root.resolve(s"b${touched}_v3")))
+    assert(store.current.get.where($"bearerId" === "b1")
+      .select($"subscriber.id").as[Int].head() === 7)
   }
 
   test("processBatch persists the shared enrichment prefix; release() drops it (S8)") {
