@@ -249,6 +249,12 @@ object SparkEntry {
     "q50_ivf_topk" -> ((s, d) =>
       SimilarityOp.ivfTopK(Tables.embeddings(s, d), 0L,
         Seq(7L, 42L, 123L), 2, 10)),
+
+    // Multimodal frame sampling: every stride-th fixed-size payload
+    // block as a frame row (pure-expression Generate, no UDF) —
+    // summarized per doc for the oracle.
+    "q51_frame_sample" -> ((s, d) =>
+      MultimodalOp.frameSampleSummary(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -626,5 +632,7 @@ object SparkEntry {
     "q49_clean_corpus" -> DedupOp.cleanCorpusOracle(),
 
     "q50_ivf_topk" -> SimilarityOp.ivfTopKOracle(0L, Seq(7L, 42L, 123L), 2, 10),
+
+    "q51_frame_sample" -> MultimodalOp.frameSampleOracle(),
   )
 }

@@ -67,4 +67,85 @@ object MultimodalOp {
     extractFeatures(asMedia(docs)).toDF()
       .select(col("doc_id"), col("kind"), col("n_bytes"), col("n_frames"))
       .orderBy("doc_id")
+
+  /** Frame sampling: every `stride`-th fixed-size block of the payload
+    * becomes a frame row — the row-multiplying Generate shape of real
+    * video frame extraction (stub: blocks of the byte stream stand in
+    * for decoded frames; the schema, the explode, and the per-frame
+    * byte slicing are the real plumbing). Pure expressions
+    * (`sequence(0, nf-1, stride)` + binary `substring`), so the whole
+    * op runs inside whole-stage codegen with no UDF and scales as a
+    * narrow map + Generate — no shuffle.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 1024,
+                   stride: Int = 4): DataFrame = {
+    val nBytes = length(col("payload")).cast("long")
+    // Column `/` is double division; exact for byte counts < 2^53
+    val nf = ((nBytes + (frameBytes - 1)) / frameBytes).cast("long")
+    media
+      .select(col("doc_id"), col("kind"), col("payload"), nf.as("n_frames"))
+      .where(col("n_frames") > 0)
+      .select(col("doc_id"), col("kind"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"),
+        col("payload"))
+      .select(col("doc_id"), col("kind"), col("n_frames"), col("frame_idx"),
+        col("payload").substr((col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(frameBytes)).as("frame"))
+  }
+
+  /** Oracled summary of [[sampleFrames]]: frames per doc, frames kept by
+    * the stride, and the byte mass of the kept frames (all codec-
+    * independent facts DuckDB derives from the text's UTF-8 length).
+    */
+  def frameSampleSummary(docs: DataFrame, frameBytes: Int = 1024,
+                         stride: Int = 4): DataFrame =
+    sampleFrames(asMedia(docs), frameBytes, stride)
+      .groupBy(col("doc_id"), col("kind"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        sum(length(col("frame")).cast("long")).as("sampled_bytes"))
+      .orderBy("doc_id")
+
+  def frameSampleOracle(frameBytes: Int = 1024, stride: Int = 4): String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS kind,
+       |    octet_length(encode(text)) AS n FROM documents
+       |), f AS (
+       |  SELECT doc_id, kind, (n + ${frameBytes - 1}) // $frameBytes AS nf, n
+       |  FROM m WHERE n > 0
+       |), s AS (
+       |  SELECT doc_id, kind, nf,
+       |    unnest(generate_series(0, CAST(nf - 1 AS BIGINT), $stride)) AS idx, n
+       |  FROM f
+       |)
+       |SELECT doc_id, kind, CAST(nf AS BIGINT) AS n_frames,
+       |  count(*) AS n_sampled,
+       |  CAST(sum(least($frameBytes, n - idx * $frameBytes)) AS BIGINT)
+       |    AS sampled_bytes
+       |FROM s GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+
+  /** Batched partition-local "resize": keeps every `factor`-th byte —
+    * the stub stand-in for a codec's resample, with the real plumbing
+    * (typed Dataset, one batch context per partition, binary-in/
+    * binary-out schema, metadata untouched upstream). Deterministic so
+    * the spec can assert shape and content.
+    */
+  def resizeStub(media: DataFrame, factor: Int = 4): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(factor >= 1)
+    media.select(col("doc_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+          MediaRow(r.doc_id, r.kind, out)
+        }
+      }
+  }
 }

@@ -169,4 +169,29 @@ class DedupAndTextSpec extends SparkSuite {
     assert(math.abs(r0.mean_byte - expMean) < 1e-12)
     assert(Set("image", "audio", "video").contains(r0.kind))
   }
+
+  test("frame sampling: stride-1 frames reassemble the payload exactly") {
+    import org.apache.spark.sql.functions._
+    val media = MultimodalOp.asMedia(docs)
+    val frames = MultimodalOp.sampleFrames(media, frameBytes = 16, stride = 1)
+      .where(col("doc_id") === 0L)
+      .orderBy("frame_idx")
+      .select("frame").as[Array[Byte]].collect()
+    assert(frames.flatten.toSeq === base.getBytes("UTF-8").toSeq)
+    assert(frames.init.forall(_.length === 16)) // full blocks except tail
+    // stride 4 keeps frames 0, 4, 8, ...
+    val sampled = MultimodalOp.sampleFrames(media, frameBytes = 16, stride = 4)
+      .where(col("doc_id") === 0L)
+      .select("frame_idx").as[Long].collect().sorted.toSeq
+    assert(sampled === sampled.indices.map(_ * 4L))
+  }
+
+  test("resize stub keeps every factor-th byte with ceil-length output") {
+    val resized = MultimodalOp.resizeStub(MultimodalOp.asMedia(docs), factor = 3)
+      .collect().map(r => r.doc_id -> r.payload).toMap
+    val b = base.getBytes("UTF-8")
+    val expected = b.indices.collect { case i if i % 3 == 0 => b(i) }
+    assert(resized(0L).toSeq === expected.toSeq)
+    assert(resized(0L).length === (b.length + 2) / 3)
+  }
 }
