@@ -255,6 +255,12 @@ object SparkEntry {
     // summarized per doc for the oracle.
     "q51_frame_sample" -> ((s, d) =>
       MultimodalOp.frameSampleSummary(Tables.documents(s, d))),
+
+    // Winnowing (MOSS) rolling-hash document fingerprints: positional
+    // shingle hashes -> per-doc rolling window minimum -> distinct
+    // fingerprint set summary.
+    "q52_winnowing" -> ((s, d) =>
+      TextOps.winnowingFingerprints(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -634,5 +640,7 @@ object SparkEntry {
     "q50_ivf_topk" -> SimilarityOp.ivfTopKOracle(0L, Seq(7L, 42L, 123L), 2, 10),
 
     "q51_frame_sample" -> MultimodalOp.frameSampleOracle(),
+
+    "q52_winnowing" -> TextOps.winnowingOracle(),
   )
 }

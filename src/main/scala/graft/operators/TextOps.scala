@@ -98,6 +98,56 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Winnowing (MOSS) rolling-hash fingerprints: hash every w-shingle
+    * at its POSITION, take the window minimum over each run of `win`
+    * consecutive shingle hashes, and fingerprint the document as the
+    * distinct set of those minima. The standard local-fingerprinting
+    * guarantee: any shared substring of ≥ w+win−1 tokens contributes at
+    * least one IDENTICAL fingerprint to both documents, while only
+    * ~1/win of positions are retained.
+    *
+    * Scale shape: positional shingles are a narrow Generate off the
+    * scan; the rolling min is one window pass partitioned by doc (the
+    * per-doc shingle run always fits a partition); the summary is one
+    * partial+final aggregate. No self-joins, no row blowup beyond the
+    * shingle stream.
+    */
+  def winnowingFingerprints(docs: DataFrame, w: Int = 3,
+                            win: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingled = docs.select(col("doc_id"),
+      posexplode(shingles(tokens(col("text")), w)).as(Seq("pos", "sh")))
+    val rollMin = min(portableHash(col("sh"))).over(
+      Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(-(win - 1), 0))
+    shingled
+      .select(col("doc_id"), col("pos"), rollMin.as("mh"))
+      .where(col("pos") >= win - 1) // full windows only
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("mh")).as("n_fp"),
+        min(col("mh")).as("min_fp"), max(col("mh")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
+  def winnowingOracle(w: Int = 3, win: Int = 4): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |s AS (
+       |  SELECT doc_id, i AS pos,
+       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+       |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${w - 1})) AS i
+       |        FROM toks WHERE len(tk) >= $w) t
+       |), h AS (
+       |  SELECT doc_id, pos, ${portableHashSql("sh")} AS hx FROM s
+       |), m AS (
+       |  SELECT doc_id, pos,
+       |    min(hx) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${win - 1} PRECEDING AND CURRENT ROW) AS mh
+       |  FROM h
+       |)
+       |SELECT doc_id, count(DISTINCT mh) AS n_fp,
+       |  min(mh) AS min_fp, max(mh) AS max_fp
+       |FROM m WHERE pos >= $win GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Normalized content fingerprint (lower + whitespace-collapse + md5)
     * aggregated per source: duplicate-rate profiling.
     */

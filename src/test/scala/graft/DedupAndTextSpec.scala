@@ -170,6 +170,26 @@ class DedupAndTextSpec extends SparkSuite {
     assert(Set("image", "audio", "video").contains(r0.kind))
   }
 
+  test("winnowing fingerprints match an independent Scala reference; dups agree") {
+    // reference: hash every 3-shingle, rolling min over 4, distinct set
+    def ref(text: String): (Long, Long, Long) = {
+      def hash(s: String): Long = {
+        val padded = s.padTo(8, '#').take(8)
+        val h = padded.foldLeft(0L)((h, c) => (h * 131 + c.toLong) % 1000000007L)
+        (h * 131 + s.length) % 1000000007L
+      }
+      val hs = text.split(" ").sliding(3).map(_.mkString(" ")).map(hash).toSeq
+      val mins = hs.sliding(4).map(_.min).toSeq
+      (mins.distinct.length.toLong, mins.min, mins.max)
+    }
+    val out = TextOps.winnowingFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L) === ref(base))
+    assert(out(0L) === out(1L)) // exact duplicates fingerprint identically
+    assert(out(3L) === ref(distinct1))
+  }
+
   test("frame sampling: stride-1 frames reassemble the payload exactly") {
     import org.apache.spark.sql.functions._
     val media = MultimodalOp.asMedia(docs)
