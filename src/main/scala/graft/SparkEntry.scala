@@ -261,6 +261,12 @@ object SparkEntry {
     // fingerprint set summary.
     "q52_winnowing" -> ((s, d) =>
       TextOps.winnowingFingerprints(Tables.documents(s, d))),
+
+    // Per-label embedding centroids (class prototypes / quantizer
+    // training): narrow posexplode rows, map-side partial aggregate,
+    // fixed-point exact arithmetic for cross-engine parity.
+    "q53_label_centroids" -> ((s, d) =>
+      KMeansOp.labelCentroids(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -642,5 +648,7 @@ object SparkEntry {
     "q51_frame_sample" -> MultimodalOp.frameSampleOracle(),
 
     "q52_winnowing" -> TextOps.winnowingOracle(),
+
+    "q53_label_centroids" -> KMeansOp.labelCentroidsOracle(),
   )
 }

@@ -39,6 +39,18 @@ object DetAgg {
     call_function("div", x - pmod(x, d), d)
   }
 
+  /** SQL twin of [[halfUpDiv]] that is safe for NEGATIVE numerators:
+    * DuckDB's `//` truncates toward zero (−7 // 2 = −3), so the same
+    * `x − pmod(x, d)` floor-division identity is spelled out. (The
+    * other *Sql helpers sum non-negative quantities and keep the plain
+    * `//` form.)
+    */
+  def halfUpDivSql(numE: String, denE: String): String = {
+    val x = s"(CAST($numE AS BIGINT) * 2 + CAST($denE AS BIGINT))"
+    val d = s"(CAST($denE AS BIGINT) * 2)"
+    s"(($x - ((($x % $d) + $d) % $d)) // $d)"
+  }
+
   private def pow10(n: Int): Long = math.pow(10, n).toLong
 
   /** Mean of 2-decimal data, `scale` output decimals. */

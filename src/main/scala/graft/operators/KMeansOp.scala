@@ -50,6 +50,45 @@ object KMeansOp {
       .orderBy("vec_id")
   }
 
+  /** Per-label embedding centroids — the class-prototype / quantizer-
+    * training vector aggregate (the batch form of what
+    * [[graft.streaming.IncrementalKMeans]] does per step). Long-format
+    * output (label, dim, n, c): one row per (label, dimension).
+    *
+    * Scale shape: `posexplode` emits NARROW (label, dim, q) rows that
+    * partial-aggregate map-side, so the shuffle carries only
+    * |labels|×dims rows per partition — never whole vectors through a
+    * fat-row shuffle, and no driver-side vector math.
+    *
+    * Parity: values are fixed-point quantized with `floor(v·10⁶)` —
+    * floor of the SAME IEEE double is binary-exact in every engine
+    * (round() is not: Spark rounds the shortest decimal repr, DuckDB
+    * the binary value) — then summed exactly as longs and divided
+    * half-up in integer arithmetic ([[graft.functions.DetAgg]]).
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        posexplode(toDoubleArray(col("embedding"))).as(Seq("dim", "v")))
+      .withColumn("q", floor(col("v") * 1000000L).cast("long"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+        (graft.functions.DetAgg.halfUpDiv(col("sq"), col("n")).cast("double")
+          / 1000000.0).as("c"))
+      .orderBy("label", "dim")
+
+  def labelCentroidsOracle(dims: Int = 64): String =
+    s"""SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       |  CAST(${graft.functions.DetAgg.halfUpDivSql("sum(q)", "count(*)")}
+       |    AS DOUBLE) / 1000000.0 AS c
+       |FROM (
+       |  SELECT e.label, d.d AS dim,
+       |    CAST(floor(e.embedding[d.d + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+       |  FROM embeddings e, range($dims) d(d)
+       |) t
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Full anomaly pipeline (reference ClusterAnalyser semantics):
     * assign → per-cluster IQR outlier flag on the centroid distance.
     */

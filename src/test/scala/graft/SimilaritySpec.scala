@@ -103,6 +103,27 @@ class SimilaritySpec extends SparkSuite {
     got.foreach { case (id, _) => assert(probes.contains(cellOf(vecs(id)))) }
   }
 
+  test("labelCentroids equals the exact fixed-point mean per (label, dim)") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select($"label", $"embedding").as[(Int, Array[Float])].collect()
+    val got = KMeansOp.labelCentroids(Tables.embeddings(spark, sfDir))
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val byLabel = rows.groupBy(_._1)
+    byLabel.foreach { case (label, vs) =>
+      (0 until 64).foreach { d =>
+        val qs = vs.map(v => math.floor(v._2(d).toDouble * 1e6).toLong)
+        val (n, sum) = (qs.length.toLong, qs.sum)
+        // half-up integer division, floor-division identity (DetAgg)
+        val x = sum * 2 + n; val den = n * 2
+        val exp = (x - (((x % den) + den) % den)) / den / 1e6
+        val (gn, gc) = got((label, d.toLong))
+        assert(gn === n)
+        assert(gc === exp, s"label $label dim $d")
+      }
+    }
+  }
+
   test("LSH near-dup pairs all satisfy the cosine threshold, symmetric blocking") {
     val pairs = SimilarityOp.nearDupLsh(Tables.embeddings(spark, sfDir), 0.2)
       .as[(Long, Long, Double)].collect()
