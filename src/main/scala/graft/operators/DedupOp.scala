@@ -114,6 +114,19 @@ object DedupOp {
       .orderBy("da", "db")
   }
 
+  /** Per-bit token hash for SimHash: `portableHash` is mod 1e9+7
+    * (< 2^30), so its RAW bits 30.. are constant zero — extracting 60
+    * signature bits directly from it would make bands 2–3 constant and
+    * the banded join all-pairs. Instead every signature bit b gets its
+    * own universal hash g_b(hx) = ((a_b·hx + b_b) mod p) mod 2 (offset
+    * `SimPermOffset` keeps the (a, b) family disjoint from the MinHash
+    * permutations).
+    */
+  val SimPermOffset = 100
+  private def simBit(hx: Column, b: Int): Column =
+    ((lit(permA(SimPermOffset + b)) * hx + lit(permB(SimPermOffset + b)))
+      % lit(HashMod)) % 2
+
   /** SimHash signature per document (term-frequency weighted: repeated
     * tokens count each occurrence, as in Charikar's original). One hash
     * aggregate with `SimBits` per-bit vote sums — no per-bit row
@@ -122,7 +135,7 @@ object DedupOp {
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val voteExprs = (0 until SimBits).map(b =>
-      sum(when((shiftright(col("hx"), b) % 2) === 1, 1L).otherwise(-1L)).as(s"s$b"))
+      sum(when(simBit(col("hx"), b) === 1, 1L).otherwise(-1L)).as(s"s$b"))
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("hx", portableHash(col("tok")))
       .groupBy(col("doc_id"))
@@ -304,6 +317,14 @@ object DedupOp {
 
   // ---- DuckDB oracle generators (same constants, same algorithms) ----
 
+  /** w-gram concat over 1-based token array positions — shared by every
+    * shingle oracle so a non-default `w` can never silently disagree
+    * with the position range.
+    */
+  private[operators] def shingleConcatSql(w: Int): String =
+    (0 until w).map(o => if (o == 0) "tk[i]" else s"tk[i+$o]")
+      .mkString(" || ' ' || ")
+
   /** Shared CTE: distinct (doc_id, shingle) + portable hash. `from` is
     * the doc relation (any CTE/table with doc_id + text).
     */
@@ -311,7 +332,7 @@ object DedupOp {
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
        |sh AS (
        |  SELECT DISTINCT doc_id,
-       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+       |    ${shingleConcatSql(w)} AS sh
        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${w - 1})) AS i
        |        FROM toks WHERE len(tk) >= $w) t
        |), shx AS (
@@ -358,15 +379,21 @@ object DedupOp {
        |WHERE est_jaccard >= $minSim ORDER BY da, db""".stripMargin
   }
 
-  def simhashOracle(maxHamming: Int = 3): String =
+  def simhashOracle(maxHamming: Int = 3): String = {
+    val permRows = (0 until SimBits)
+      .map(b => s"($b, ${permA(SimPermOffset + b)}::BIGINT, " +
+        s"${permB(SimPermOffset + b)}::BIGINT)")
+      .mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
        |), thx AS (
        |  SELECT doc_id, ${portableHashSql("tok")} AS hx FROM toks
-       |), bits AS (
-       |  SELECT t.doc_id, b.b,
-       |    sum(CASE WHEN (t.hx >> b.b) % 2 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM thx t, range($SimBits) b(b) GROUP BY 1, 2
+       |), simperms(b, pa, pb) AS (VALUES $permRows),
+       |bits AS (
+       |  SELECT t.doc_id, p.b,
+       |    sum(CASE WHEN ((p.pa * t.hx + p.pb) % $HashMod) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS s
+       |  FROM thx t, simperms p GROUP BY 1, 2
        |), sigs AS (
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
@@ -384,6 +411,7 @@ object DedupOp {
        |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
        |ORDER BY da, db""".stripMargin
+  }
 
   /** CTE chain `sizes → … → roots` computing connected-component minima
     * over the df-capped shingle pair graph (assumes `sh` defined by

@@ -28,7 +28,7 @@ import graft.functions.VectorFunctions._
   *
   * All arithmetic is engine-portable (fixed fold order, integer
   * hyperplanes, x*x not pow) so the DuckDB oracles run the identical
-  * algorithm — generated from the same constants by [[sketchCte]].
+  * algorithm — generated from the same constants by [[bandCte]].
   */
 object SimilarityOp {
 

@@ -133,7 +133,7 @@ object TextOps {
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |s AS (
        |  SELECT doc_id, i AS pos,
-       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+       |    ${DedupOp.shingleConcatSql(w)} AS sh
        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${w - 1})) AS i
        |        FROM toks WHERE len(tk) >= $w) t
        |), h AS (

@@ -101,22 +101,26 @@ class KeyedUpsertStore(spark: SparkSession, path: String,
         val deduped = StreamOps.latestByKey(merged, key, tsCol)
         val newDir = s"b${b}_v${live.map(versionOf).getOrElse(0L) + 1L}"
         // write to a dot-prefixed staging dir, then one atomic rename —
-        // the dir appears fully-formed or not at all
+        // the dir appears fully-formed or not at all. A pre-existing
+        // `newDir` can only be an orphan of a crashed/failed upsert
+        // (the manifest never referenced it, since the manifest still
+        // names the PREVIOUS version) — clobber it, or the store would
+        // wedge on FileAlreadyExists forever after one mid-loop failure.
         val staging = Paths.get(path, s".stage_$newDir")
         deleteRecursive(staging)
+        deleteRecursive(Paths.get(path, newDir))
         deduped.write.mode("overwrite").parquet(staging.toString)
         Files.move(staging, Paths.get(path, newDir), StandardCopyOption.ATOMIC_MOVE)
         b -> newDir
       }
       // single ATOMIC_MOVE publishes every touched bucket at once
       writeManifest(manifest ++ updates)
-      // vacuum: superseded versions older than the one just replaced
-      // (kept one generation for readers holding the prior manifest)
+      // vacuum exactly the newly superseded generation (vNew−2): O(1)
+      // per touched bucket — earlier versions were vacuumed by earlier
+      // upserts, so rescanning from v1 would be O(stream lifetime)
       touched.foreach { b =>
         val vNew = versionOf((manifest ++ updates)(b))
-        (1L until vNew - 1L).foreach { v =>
-          deleteRecursive(Paths.get(path, s"b${b}_v$v"))
-        }
+        if (vNew >= 3L) deleteRecursive(Paths.get(path, s"b${b}_v${vNew - 2L}"))
       }
     } finally bucketed.unpersist()
   }

@@ -103,21 +103,19 @@ object TelcoPipelines {
       cached = Seq(enriched, scored))
   }
 
-  /** Streaming wiring: attach stream feeds the upsert store; celltower
-    * stream runs the fan-out per micro-batch (stream-static join against
-    * the store as of each batch — the reference's Cassandra-lookup
-    * semantics, `TrafficStreamProcessor.scala:52-56`).
+  /** Shared wiring for both `start` overloads: attach stream feeds the
+    * upsert store; celltower stream runs the fan-out per micro-batch
+    * (stream-static join against the store as of each batch — the
+    * reference's Cassandra-lookup semantics,
+    * `TrafficStreamProcessor.scala:52-56`). W1: the micro-batch clock is
+    * the optional trigger; W4: checkpointing per query under
+    * `checkpointDir/<name>`.
     */
-  def start(attachStream: DataFrame, celltowerStream: DataFrame,
-            storePath: String, km: IncrementalKMeans,
-            sink: (Outputs, Long) => Unit,
-            kmeansDims: Seq[String] = Seq("rtt", "byteLoss"),
-            trigger: Option[Trigger] = None,
-            checkpointDir: Option[String] = None): Seq[StreamingQuery] = {
-    val spark = attachStream.sparkSession
-    val store = new KeyedUpsertStore(spark, storePath, "bearerId", "ts")
-    // W1: the reference's 1000 ms micro-batch clock maps to
-    // Trigger.ProcessingTime("1 second"); W4: checkpointing per query.
+  private def wire(attachStream: DataFrame, celltowerStream: DataFrame,
+                   store: KeyedUpsertStore, sink: (Outputs, Long) => Unit,
+                   runBatch: (DataFrame, Option[DataFrame]) => Outputs,
+                   trigger: Option[Trigger],
+                   checkpointDir: Option[String]): Seq[StreamingQuery] = {
     def configure(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
                   name: String) = {
       val t = trigger.map(w.trigger).getOrElse(w)
@@ -129,11 +127,25 @@ object TelcoPipelines {
       .start()
     val fanoutQ = configure(celltowerStream.writeStream.outputMode("append"), "fanout")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val out = processBatch(batch, store.current, km, kmeansDims)
+        val out = runBatch(batch, store.current)
         try sink(out, id) finally out.release()
       }
       .start()
     Seq(attachQ, fanoutQ)
+  }
+
+  /** Streaming wiring with explicit parameters (reference defaults). */
+  def start(attachStream: DataFrame, celltowerStream: DataFrame,
+            storePath: String, km: IncrementalKMeans,
+            sink: (Outputs, Long) => Unit,
+            kmeansDims: Seq[String] = Seq("rtt", "byteLoss"),
+            trigger: Option[Trigger] = None,
+            checkpointDir: Option[String] = None): Seq[StreamingQuery] = {
+    val store = new KeyedUpsertStore(attachStream.sparkSession, storePath,
+      "bearerId", "ts")
+    wire(attachStream, celltowerStream, store, sink,
+      (batch, cur) => processBatch(batch, cur, km, kmeansDims),
+      trigger, checkpointDir)
   }
 
   /** Config-file-driven wiring — the analog of the reference booting its
@@ -146,27 +158,15 @@ object TelcoPipelines {
   def start(config: PipelineConfig, attachStream: DataFrame,
             celltowerStream: DataFrame,
             sink: (Outputs, Long) => Unit): (Seq[StreamingQuery], IncrementalKMeans) = {
-    val spark = attachStream.sparkSession
-    val store = new KeyedUpsertStore(spark, config.storePath, "bearerId", "ts")
+    val store = new KeyedUpsertStore(attachStream.sparkSession,
+      config.storePath, "bearerId", "ts")
     val km = config.newKMeans()
-    def configure(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
-                  name: String) = {
-      val t = w.trigger(config.trigger)
-      config.checkpoint.map(d => t.option("checkpointLocation", s"$d/$name"))
-        .getOrElse(t)
-    }
-    val attachQ = configure(attachStream.writeStream.outputMode("append"), "attach")
-      .foreachBatch((batch: DataFrame, _: Long) => store.upsert(batch))
-      .start()
-    val fanoutQ = configure(celltowerStream.writeStream.outputMode("append"), "fanout")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val out = processBatch(batch, store.current, km,
-          kmeansDims = config.kmeansDimensions,
-          windowSize = config.metricsWindow, slide = config.metricsSlide,
-          watermark = config.watermark, fenceFile = config.geofenceFile)
-        try sink(out, id) finally out.release()
-      }
-      .start()
-    (Seq(attachQ, fanoutQ), km)
+    val queries = wire(attachStream, celltowerStream, store, sink,
+      (batch, cur) => processBatch(batch, cur, km,
+        kmeansDims = config.kmeansDimensions,
+        windowSize = config.metricsWindow, slide = config.metricsSlide,
+        watermark = config.watermark, fenceFile = config.geofenceFile),
+      Some(config.trigger), config.checkpoint)
+    (queries, km)
   }
 }
