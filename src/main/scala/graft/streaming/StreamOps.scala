@@ -98,4 +98,28 @@ object StreamOps {
                      watermark: String = "10 minutes"): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming ingest-side corpus cleaning — the STREAMING PREFIX of
+    * [[graft.operators.DedupOp.cleanCorpus]]: content-hash exact dedup
+    * with watermark-bounded state, then the same pure-integer quality
+    * predicates (token count ≥ `minTokens`, `2·uniq ≥ n`), row-local on
+    * the stream. Near-dup survivor selection deliberately stays a BATCH
+    * compaction over the landed corpus (its pair graph needs global
+    * blocking state no stream should hold) — exactly how production
+    * ingest splits the pipeline. Output adds `n_tokens`/`n_uniq` so the
+    * sink can account token yield per batch.
+    */
+  def streamingCleanDocs(docs: DataFrame, minTokens: Int = 30,
+                         tsCol: String = "ts",
+                         watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val toks = tokens(col("text"))
+    streamingDedup(docs.withColumn("__h", md5(col("text"))), Seq("__h"),
+      tsCol, watermark)
+      .drop("__h")
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(toks)).cast("long"))
+      .where(col("n_tokens") >= minTokens &&
+        col("n_uniq") * 2L >= col("n_tokens"))
+  }
 }

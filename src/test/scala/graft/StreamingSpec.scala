@@ -120,6 +120,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingCleanDocs: dedup + quality filter on the stream, near-dup left to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = (1 to 40).map(i => s"tok$i").mkString(" ") // 40 unique tokens
+    val short = "too short"                               // fails minTokens
+    val loops = Seq.fill(40)("same").mkString(" ")        // fails 2*uniq >= n
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts_sec")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val q = StreamOps.streamingCleanDocs(docs, minTokens = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("clean_out").start()
+    try {
+      mem.addData((1L, good, 10L), (2L, short, 11L), (3L, loops, 12L))
+      q.processAllAvailable()
+      mem.addData((4L, good, 20L)) // exact dup of 1 -> dropped by dedup
+      q.processAllAvailable()
+      val kept = spark.table("clean_out")
+        .select($"doc_id", $"n_tokens", $"n_uniq").as[(Long, Long, Long)]
+        .collect().toSeq
+      assert(kept.map(_._1) === Seq(1L))
+      assert(kept.head._2 === 40L && kept.head._3 === 40L)
+    } finally q.stop()
+  }
+
   test("JSON decode silently drops undecodable records (reference S3/P7)") {
     val good =
       """{"bearerId":"b-1","subscriber":{"id":1,"imsi":"i","msisdn":"m",
