@@ -122,6 +122,24 @@ class PipelineSpec extends SparkSuite {
       .select($"subscriber.id").as[Int].head() === 7)
   }
 
+  test("store recovers from an orphaned version dir left by a crashed upsert") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orphan").toString
+    val store = new KeyedUpsertStore(spark, s"$dir/attach", "bearerId", "ts")
+    store.upsert(Seq(attach("b1", 1, 1000L)).toDF())
+    val touched = spark.range(1)
+      .select(pmod(hash(lit("b1")), lit(16))).as[Int].head()
+    // simulate a crash AFTER the bucket move but BEFORE the manifest
+    // swap: the next version dir exists (with junk), manifest points at v1
+    val orphan = java.nio.file.Paths.get(s"$dir/attach/b${touched}_v2")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("junk"), Array[Byte](1, 2, 3))
+    // the next upsert must clobber the orphan, not wedge on the rename
+    store.upsert(Seq(attach("b1", 99, 2000L)).toDF())
+    assert(store.current.get.where($"bearerId" === "b1")
+      .select($"subscriber.id").as[Int].head() === 99)
+    assert(!java.nio.file.Files.exists(orphan.resolve("junk")))
+  }
+
   test("processBatch persists the shared enrichment prefix; release() drops it (S8)") {
     val attachDf = Seq(attach("b1", 1, 1000L)).toDF()
     val ctDf = Seq(ct("b1", 10000L, 10.0, 0.1), ct("b1", 12000L, 12.0, 0.2)).toDF()
