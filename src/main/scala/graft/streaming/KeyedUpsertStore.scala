@@ -91,6 +91,15 @@ class KeyedUpsertStore(spark: SparkSession, path: String,
       if (touched.isEmpty) return
       Files.createDirectories(Paths.get(path))
       val manifest = readManifest()
+      // Fail loud rather than clobber: bucket dirs with NO manifest mean
+      // the manifest was lost or deleted — an empty map would make every
+      // live dir look like an orphan and the writes below would destroy
+      // real data silently.
+      if (manifest.isEmpty && bucketDirs.nonEmpty)
+        throw new IllegalStateException(
+          s"KeyedUpsertStore at $path has bucket dirs but no readable " +
+            "manifest.json — refusing to upsert over possibly-live data; " +
+            "restore or remove the store directory")
       val updates = touched.map { b =>
         val slice = bucketed.where(col("__b") === b).drop("__b")
         val live = manifest.get(b)
