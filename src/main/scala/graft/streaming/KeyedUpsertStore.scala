@@ -64,6 +64,21 @@ class KeyedUpsertStore(spark: SparkSession, path: String,
 
   private def versionOf(dir: String): Long = dir.drop(dir.indexOf("_v") + 2).toLong
 
+  /** Live-looking bucket dirs on disk (staging dirs excluded) — used only
+    * by the lost-manifest guard in `upsert`.
+    */
+  private def bucketDirs: Seq[Path] = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(root)
+      try s.iterator.asScala
+        .filter(p => p.getFileName.toString.matches("b\\d+_v\\d+")).toSeq
+      finally s.close()
+    }
+  }
+
   /** Current store contents as of the manifest snapshot (empty-schema-
     * safe: caller sees rows only after the first upsert).
     */
