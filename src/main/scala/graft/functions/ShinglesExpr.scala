@@ -19,7 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle at sf0.1). This loop is emitted inside whole-stage codegen
   * via a static call — the (b) tier of the custom-operator preference
   * order (SURVEY.md §7.5). Docs shorter than w tokens yield an empty
-  * array, like the built-ins form.
+  * array, like the built-ins form. One deliberate divergence: a NULL
+  * token array yields NULL here (standard unary-expression null
+  * propagation) where the built-ins form yields an empty array; every
+  * in-repo caller tokenizes a non-null text column and then explodes,
+  * so the two are runtime-equal (asserted null-safely in
+  * DedupAndTextSpec).
   */
 case class ShinglesExpr(child: Expression, w: Int) extends UnaryExpression {
   require(w >= 1, s"shingle width must be >= 1, got $w")

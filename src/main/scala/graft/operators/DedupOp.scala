@@ -106,12 +106,14 @@ object DedupOp {
       .distinct()
     val sa = sigs.select(col("doc_id").as("da"), col("i"), col("minv").as("ma"))
     val sb = sigs.select(col("doc_id").as("db"), col("i"), col("minv").as("mb"))
-    cand.join(sa, Seq("da")).join(sb, Seq("db", "i"))
-      .groupBy(col("da"), col("db"))
-      .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).cast("double")
-        / NumPerms.toDouble).as("est_jaccard"))
-      .where(col("est_jaccard") >= minSim)
-      .orderBy("da", "db")
+    materializeAndRelease(
+      cand.join(sa, Seq("da")).join(sb, Seq("db", "i"))
+        .groupBy(col("da"), col("db"))
+        .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).cast("double")
+          / NumPerms.toDouble).as("est_jaccard"))
+        .where(col("est_jaccard") >= minSim)
+        .orderBy("da", "db"),
+      sigs)
   }
 
   /** Per-bit token hash for SimHash: `portableHash` is mod 1e9+7
@@ -166,11 +168,25 @@ object DedupOp {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()
-    cand.select(col("da"), col("db"),
-        expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .orderBy("da", "db")
+    materializeAndRelease(
+      cand.select(col("da"), col("db"),
+          expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+        .where(col("hamming") <= maxHamming)
+        .orderBy("da", "db"),
+      sigs)
   }
+
+  /** Materialize the (small) output eagerly, then release the persisted
+    * intermediates: the dedup ops' results are pair lists / root maps /
+    * per-source stats — orders of magnitude smaller than their cached
+    * inputs — and the bench/verify drivers run 50+ queries in one
+    * session, so cached blocks must not outlive the call. The
+    * checkpoint blocks themselves are released by the ContextCleaner
+    * once the returned frame is unreferenced.
+    */
+  private def materializeAndRelease(out: DataFrame,
+                                    cached: DataFrame*): DataFrame =
+    try out.localCheckpoint() finally cached.foreach(_.unpersist())
 
   /** All ordered (da < db) pairs from a sorted id-array column — the
     * group-collect candidate-generation pattern: one shuffle builds the
@@ -207,14 +223,16 @@ object DedupOp {
       .select(explode(pairCombos(col("ds"))).as("p"))
       .groupBy(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-      .select(col("da"), col("db"),
-        graft.functions.DetAgg.ratio(col("inter"),
-          col("na") + col("nb") - col("inter")).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
-      .orderBy("da", "db")
+    materializeAndRelease(
+      inter
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .select(col("da"), col("db"),
+          graft.functions.DetAgg.ratio(col("inter"),
+            col("na") + col("nb") - col("inter")).as("jaccard"))
+        .where(col("jaccard") >= minJaccard)
+        .orderBy("da", "db"),
+      byShingle)
   }
 
   /** Survivor selection — the step a dedup pipeline actually ends with:
@@ -249,6 +267,7 @@ object DedupOp {
         if (ra != rb) { val lo = math.min(ra, rb); val hi = math.max(ra, rb)
           parent(hi) = lo }
       }
+      edges.unpersist()
       parent.keys.toSeq.sorted.map(id => (id, find(id)))
         .toDF("id", "root")
     } else {
@@ -267,8 +286,11 @@ object DedupOp {
       // attempted). The iteration cap is a safety net against a broken
       // fixpoint test — partial labels would be a WRONG answer, so
       // hitting it throws.
+      // small (distinct ids of the pair graph); checkpointed so `edges`
+      // can be released as soon as the first round is materialized
       val nodes = edges.select(col("da").as("id"))
         .unionByName(edges.select(col("db").as("id"))).distinct()
+        .localCheckpoint()
       // canonical undirected edge = (hi > lo)
       def largeStar(e: DataFrame): DataFrame = {
         val sym = e.select(col("hi").as("u"), col("lo").as("v"))
@@ -292,6 +314,7 @@ object DedupOp {
         .select(greatest(col("da"), col("db")).as("hi"),
           least(col("da"), col("db")).as("lo"))
         .where(col("hi") =!= col("lo")).distinct().localCheckpoint()
+      edges.unpersist()
       var cnt = e.count()
       var converged = false
       var iter = 0
@@ -309,9 +332,10 @@ object DedupOp {
         iter += 1
       }
       val starMin = e.groupBy(col("hi").as("id")).agg(min(col("lo")).as("mn"))
-      nodes.join(starMin, Seq("id"), "left")
-        .select(col("id"), coalesce(col("mn"), col("id")).as("root"))
-        .orderBy("id")
+      materializeAndRelease(
+        nodes.join(starMin, Seq("id"), "left")
+          .select(col("id"), coalesce(col("mn"), col("id")).as("root"))
+          .orderBy("id"))
     }
   }
 
@@ -516,16 +540,18 @@ object DedupOp {
     val nQuality = passed.groupBy("source").agg(count(lit(1)).as("n_quality"))
     val nKept = kept.groupBy("source").agg(count(lit(1)).as("n_kept"),
       sum(col("n_tokens")).as("kept_tokens"))
-    total
-      .join(broadcast(nExact), Seq("source"), "left")
-      .join(broadcast(nQuality), Seq("source"), "left")
-      .join(broadcast(nKept), Seq("source"), "left")
-      .select(col("source"), col("n_docs"),
-        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
-      .orderBy("source")
+    materializeAndRelease(
+      total
+        .join(broadcast(nExact), Seq("source"), "left")
+        .join(broadcast(nQuality), Seq("source"), "left")
+        .join(broadcast(nKept), Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .orderBy("source"),
+      exact, passed)
   }
 
   def cleanCorpusOracle(minTokens: Int = 30, minJaccard: Double = 0.5,

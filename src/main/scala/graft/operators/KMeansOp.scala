@@ -94,10 +94,14 @@ object KMeansOp {
     */
   def anomalies(embeddings: DataFrame, centerIds: Seq[Long]): DataFrame = {
     // assignment feeds both the threshold build and the outlier filter —
-    // persist so the 64-dim distance expressions evaluate once
+    // persist so the 64-dim distance expressions evaluate once; the
+    // outlier rows are materialized eagerly so the cache is released
+    // before returning (bench/verify run 50+ queries per session)
     val assigned = assign(embeddings, centerIds).persist()
-    OutlierOp.outliers(assigned, "prediction", "dist")
+    try OutlierOp.outliers(assigned, "prediction", "dist")
       .select(col("vec_id"), col("prediction"), col("dist"))
       .orderBy("vec_id")
+      .localCheckpoint()
+    finally assigned.unpersist()
   }
 }

@@ -101,11 +101,15 @@ object SimilarityOp {
     val qv = rows(queryId)
     val centers = centerIds.sorted.map(id => id -> rows(id))
     // driver-side probe selection: same rounded distance + (dist, cid)
-    // tie order as the per-row assignment and the SQL oracle
+    // tie order as the per-row assignment and the SQL oracle. HALF_UP,
+    // not math.rint (half-even): Spark round() and DuckDB round() both
+    // round .5 away from zero, and a center-distance tie landing
+    // exactly on .5 at the 6th decimal must pick the same probe set.
     def l2r(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      math.rint(math.sqrt(s) * 1e6) / 1e6
+      BigDecimal(math.sqrt(s))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     val probes = centers.map { case (cid, cv) => (cid, l2r(qv, cv)) }
       .sortBy { case (cid, dd) => (dd, cid) }.take(nProbe).map(_._1)

@@ -70,16 +70,27 @@ class DedupAndTextSpec extends SparkSuite {
   test("codegen'd shingles equal the built-ins formulation on the corpus") {
     import org.apache.spark.sql.functions._
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    // null-safe compare: a plain =!= yields NULL (row dropped) whenever
+    // either side is NULL, which would let a divergence slip through
     val both = docs.select(
       TextFunctions.shingles(TextFunctions.tokens(col("text"))).as("fast"),
       TextFunctions.shinglesBuiltins(TextFunctions.tokens(col("text"))).as("slow"))
-    assert(both.where(col("fast") =!= col("slow")).count() === 0)
+    assert(both.where(!(col("fast") <=> col("slow"))).count() === 0)
     // short/degenerate docs: both paths yield empty arrays below w tokens
     val edge = Seq("", "one", "one two", "one two three", "a  b c")
       .toDF("text").select(
         TextFunctions.shingles(TextFunctions.tokens(col("text"))).as("fast"),
         TextFunctions.shinglesBuiltins(TextFunctions.tokens(col("text"))).as("slow"))
-    assert(edge.where(col("fast") =!= col("slow")).count() === 0)
+    assert(edge.where(!(col("fast") <=> col("slow"))).count() === 0)
+    // the ONE documented divergence: NULL token array → NULL from the
+    // codegen'd expression, empty array from the built-ins form
+    // (unreachable in-repo: callers tokenize a non-null text column)
+    val onNull = Seq(Tuple1(null.asInstanceOf[Array[String]])).toDF("toks")
+      .select(TextFunctions.shingles(col("toks")).as("fast"),
+        TextFunctions.shinglesBuiltins(col("toks")).as("slow"))
+      .collect().head
+    assert(onNull.isNullAt(0))
+    assert(onNull.getSeq[String](1) === Seq.empty)
   }
 
   test("keepSet resolves transitive duplicate chains to one root") {
