@@ -267,6 +267,32 @@ object SparkEntry {
     // fixed-point exact arithmetic for cross-engine parity.
     "q53_label_centroids" -> ((s, d) =>
       KMeansOp.labelCentroids(Tables.embeddings(s, d))),
+
+    // Bucketed-table co-located join: both fact sides written
+    // bucketBy(order key) once, then joined with ZERO exchange and
+    // ZERO sort (plan asserted in BucketedOpsSpec) — the storage-level
+    // fix for a repeated fact⋈fact shuffle at 100 TB.
+    "q54_bucketed_join" -> ((s, d) =>
+      BucketedOps.bucketedOrderRevenue(Tables.orders(s, d),
+        Tables.lineitem(s, d), "/tmp/graft_warehouse")),
+
+    // Training-data prep: fixed-size token chunks with stride (partial
+    // tail kept), one row per chunk with an engine-reproducible
+    // content hash.
+    "q55_chunking" -> ((s, d) =>
+      TextOps.chunkDocs(Tables.documents(s, d))),
+
+    // Per-doc salient terms: tf-idf with linear idf (exact integer
+    // rational tf·N/df — ln() is not cross-engine hash-stable),
+    // deterministic (score desc, term asc) top-3.
+    "q56_tfidf_terms" -> ((s, d) =>
+      TextOps.salientTerms(Tables.documents(s, d))),
+
+    // HLL++ distinct-token cardinality per source: mergeable constant-
+    // size sketches, no token shuffle. Sketch is engine-specific ⇒
+    // rows-only oracle (q32 standing); error bound asserted in spec.
+    "q57_approx_distinct" -> ((s, d) =>
+      TextOps.approxDistinctTokens(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -650,5 +676,14 @@ object SparkEntry {
     "q52_winnowing" -> TextOps.winnowingOracle(),
 
     "q53_label_centroids" -> KMeansOp.labelCentroidsOracle(),
+
+    "q54_bucketed_join" -> BucketedOps.bucketedOrderRevenueOracle,
+
+    "q55_chunking" -> TextOps.chunkDocsOracle(),
+
+    "q56_tfidf_terms" -> TextOps.salientTermsOracle(),
+
+    // q57_approx_distinct: rows-only by design — HLL sketches are
+    // engine-specific (same standing as q32).
   )
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.DetAgg
+
+/** Bucketed-table machinery: the storage-level answer to repeated
+  * shuffles on the same join key.
+  *
+  * A fact⋈fact equi-join (orders ⋈ lineitem here; at 100 TB both sides
+  * are too big to broadcast) costs a full shuffle of BOTH sides every
+  * time it runs. Writing the tables bucketed by the join key —
+  * `write.bucketBy(n, key).sortBy(key)` — pays that shuffle ONCE at
+  * write time: every later join on the key reads co-located,
+  * co-sorted buckets and sort-merge-joins them with NO exchange — and,
+  * when the scan exposes the per-bucket ordering
+  * (`spark.sql.legacy.bucketedTableScan.outputOrdering`, gated on the
+  * one-file-per-bucket layout [[writeBucketed]] guarantees), NO sort
+  * either (both asserted on the physical plan in BucketedOpsSpec).
+  * This is the batch analog of the reference's
+  * keyed-by-partition Cassandra layout (`prepare_cassandra.sh:24-30`:
+  * PRIMARY KEY(bearer_id) means lookups never reshuffle).
+  */
+object BucketedOps {
+
+  /** Write `df` as a bucketed+sorted external parquet table, replacing
+    * any previous version. Bucket spec lives in the session catalog;
+    * data lives under `warehouse`.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    warehouse: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // repartition on the key with the bucket count first: Spark's
+    // repartition hash and its bucketing hash are the same Murmur3, so
+    // each writer task holds exactly one bucket's rows and emits ONE
+    // file per bucket — the precondition for the scan to expose the
+    // sortBy ordering (multi-file buckets force a Sort back into every
+    // reader's plan, which is the cost this layout exists to delete).
+    df.repartition(buckets, col(key))
+      .write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", s"$warehouse/$table")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** The co-located join itself (exposed for the plan assertion):
+    * orders ⋈ lineitem on the shared bucket key. With both tables
+    * bucketed `buckets`-way on the key, the physical plan is a
+    * sort-merge join whose children are bare bucketed scans — zero
+    * ShuffleExchange, zero Sort.
+    */
+  def colocatedJoin(spark: SparkSession, ordersTable: String,
+                    lineitemTable: String): DataFrame = {
+    val o = spark.table(ordersTable)
+    val l = spark.table(lineitemTable)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+  }
+
+  /** End-to-end demo query: bucket-write orders + lineitem by order
+    * key, then revenue per order priority off the co-located join.
+    * Result is bucketing-invariant (same rows as the plain parquet
+    * join — the oracle runs exactly that), so correctness checks the
+    * layout changed nothing while the plan check proves the shuffle
+    * went away.
+    */
+  def bucketedOrderRevenue(orders: DataFrame, lineitem: DataFrame,
+                           warehouse: String,
+                           buckets: Int = 16): DataFrame = {
+    val spark = orders.sparkSession
+    writeBucketed(orders.select(col("o_orderkey"), col("o_orderpriority")),
+      "g_orders_bucketed", "o_orderkey", warehouse, buckets)
+    writeBucketed(lineitem.select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_discount")),
+      "g_lineitem_bucketed", "l_orderkey", warehouse, buckets)
+    colocatedJoin(spark, "g_orders_bucketed", "g_lineitem_bucketed")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        DetAgg.sumDiscounted2(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Oracle SQL twin of [[bucketedOrderRevenue]] — the same join/agg on
+    * the raw parquet (bucketing must not change a single value).
+    */
+  def bucketedOrderRevenueOracle: String =
+    s"""SELECT o_orderpriority,
+       |  count(DISTINCT o_orderkey) AS n_orders,
+       |  count(*) AS n_lines,
+       |  ${DetAgg.sumDiscounted2Sql("l_extendedprice", "l_discount")} AS revenue
+       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+}

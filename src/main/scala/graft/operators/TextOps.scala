@@ -148,6 +148,128 @@ object TextOps {
        |  min(mh) AS min_fp, max(mh) AS max_fp
        |FROM m WHERE pos >= $win GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Fixed-size token chunking with stride — the training-data prep
+    * step that turns documents into model-sized sequences. Chunk i
+    * covers tokens [i·stride, i·stride + chunk); starts run while they
+    * are inside the document, so a trailing partial chunk is kept (the
+    * remainder feeds training too). Output is one row per chunk with
+    * its token count and a portable content hash (the compact,
+    * engine-reproducible stand-in for shipping chunk text through a
+    * correctness gate).
+    *
+    * Scale shape: sequence+explode is a narrow Generate off the scan
+    * and slice/hash are row-local — zero shuffle before the final
+    * presentation sort; chunk output is ~n_tokens/stride rows per doc,
+    * declared up front, no data-dependent blowup.
+    */
+  def chunkDocs(docs: DataFrame, chunk: Int = 64,
+                stride: Int = 32): DataFrame = {
+    require(chunk >= 1 && stride >= 1,
+      s"chunk and stride must be >= 1, got chunk=$chunk stride=$stride")
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0L),
+          expr(s"CAST((size(tk) - 1) DIV $stride AS BIGINT)")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("tk"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunk)).as("ctk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctk")).cast("long").as("n_tokens"),
+        portableHash(array_join(col("ctk"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def chunkDocsOracle(chunk: Int = 64, stride: Int = 32): String =
+    s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |st AS (
+       |  SELECT doc_id, tk,
+       |    unnest(generate_series(0, (len(tk) - 1) // $stride)) AS chunk_idx
+       |  FROM dt
+       |), ck AS (
+       |  SELECT doc_id, chunk_idx,
+       |    list_slice(tk, chunk_idx * $stride + 1,
+       |               chunk_idx * $stride + $chunk) AS ctk
+       |  FROM st
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(len(ctk) AS BIGINT) AS n_tokens,
+       |  ${portableHashSql("array_to_string(ctk, ' ')")} AS chunk_hash
+       |FROM ck ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Per-document salient terms by tf-idf with the LINEAR idf variant
+    * (idf = N/df instead of ln(N/df)): the score is then an exact
+    * integer rational `tf·N / df`, which [[graft.functions.DetAgg]]
+    * rounds identically in both engines — ln() is libm territory where
+    * a 1-ulp cross-engine difference at a rounding boundary breaks
+    * hash parity (see DetAgg's Scaladoc). Ranking is (score desc, term
+    * asc), fully deterministic.
+    *
+    * Scale shape: tf is one (doc, term) aggregate; df re-aggregates
+    * the (already distinct) tf pairs by term; N broadcasts as a
+    * one-row frame; the per-doc top-k is a partitioned window with no
+    * global sort until the k·docs-sized output.
+    */
+  def salientTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import graft.functions.DetAgg
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        DetAgg.ratio(col("tf") * col("n_docs"), col("df")).as("tfidf_lin"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf_lin").desc, col("term"))))
+      .where(col("rk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf_lin"), col("rk").cast("long").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  def salientTermsOracle(topK: Int = 3): String = {
+    import graft.functions.DetAgg
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT doc_id, term, tf, df,
+       |    ${DetAgg.ratioSql("tf * n_docs", "df")} AS tfidf_lin
+       |  FROM tf JOIN dfreq USING (term), n
+       |), rk AS (
+       |  SELECT sc.*, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY tfidf_lin DESC, term) AS rk
+       |  FROM sc
+       |)
+       |SELECT doc_id, term, tf, df, tfidf_lin, CAST(rk AS BIGINT) AS rk
+       |FROM rk WHERE rk <= $topK ORDER BY doc_id, rk""".stripMargin
+  }
+
+  /** Per-source approximate distinct-token count via HyperLogLog++
+    * (`approx_count_distinct`) next to the exact row count. The sketch
+    * is the 100 TB path for cardinality: it merges associatively
+    * across partitions (one map-side sketch per partition, constant
+    * size, no token shuffle), where exact countDistinct reshuffles the
+    * whole token stream. Engine-specific sketch ⇒ rows-only oracle
+    * (same standing as q32's approx quantiles); the error bound vs the
+    * exact count is asserted in DedupAndTextSpec.
+    */
+  def approxDistinctTokens(docs: DataFrame, rsd: Double = 0.02): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(col("tok"), rsd).as("approx_distinct_tokens"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("source")
+
   /** Normalized content fingerprint (lower + whitespace-collapse + md5)
     * aggregated per source: duplicate-rate profiling.
     */

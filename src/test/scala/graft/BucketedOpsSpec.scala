@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.BucketedOps
+import graft.functions.DetAgg
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+
+/** Bucketed-table co-located join: the plan must prove the shuffle and
+  * sort are gone, and the layout must not change a single output row.
+  */
+class BucketedOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val wh =
+    java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+
+  private lazy val orders = (1L to 200L)
+    .map(k => (k, s"${1 + (k % 5)}-P${k % 5}"))
+    .toDF("o_orderkey", "o_orderpriority")
+  private lazy val lineitem = (1L to 600L)
+    .map(i => (1L + i % 200L, 100.0 + (i % 50).toDouble, 0.01 * (i % 10)))
+    .toDF("l_orderkey", "l_extendedprice", "l_discount")
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("co-located join: sort-merge join with zero exchange, zero sort") {
+    BucketedOps.writeBucketed(orders, "t_orders_b", "o_orderkey", wh, 8)
+    BucketedOps.writeBucketed(lineitem, "t_lineitem_b", "l_orderkey", wh, 8)
+    // broadcast off so the join can't dodge the question; AQE off so
+    // executedPlan is the bare physical plan, inspectable pre-execution.
+    // The sort-free read additionally needs the scan to expose the
+    // per-bucket sortBy ordering, which Spark 3+ gates behind the
+    // legacy flag (SPARK-28595) and the one-file-per-bucket layout
+    // writeBucketed guarantees; without the flag only the exchange
+    // disappears.
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+             "spark.sql.adaptive.enabled" -> "false",
+             "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+      val joined = BucketedOps.colocatedJoin(spark, "t_orders_b", "t_lineitem_b")
+      val plan: SparkPlan = joined.queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"expected a sort-merge join:\n$plan")
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.collect { case s: SortExec => s }.isEmpty,
+        s"one-file-per-bucket sortBy scan must not re-sort:\n$plan")
+      assert(joined.count() === 600L)
+    }
+  }
+
+  test("bucketing changes the plan, not the result") {
+    val out = BucketedOps.bucketedOrderRevenue(orders, lineitem, wh, 8)
+      .collect().toSeq
+    val direct = orders
+      .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        DetAgg.sumDiscounted2(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect().toSeq
+    assert(out === direct)
+  }
+}

@@ -225,4 +225,59 @@ class DedupAndTextSpec extends SparkSuite {
     assert(resized(0L).toSeq === expected.toSeq)
     assert(resized(0L).length === (b.length + 2) / 3)
   }
+
+  test("chunking: stride starts, partial tail, and content hashes") {
+    import org.apache.spark.sql.functions.col
+    // 10 tokens, chunk 4, stride 3 → starts 0,3,6,9 → sizes 4,4,4,1
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(d, chunk = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getAs[Long]("chunk_idx")).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq === Seq(4L, 4L, 4L, 1L))
+    val expected = Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9")
+      .toDF("s").select(TextFunctions.portableHash(col("s")))
+      .as[Long].collect().toSeq
+    assert(out.map(_.getAs[Long]("chunk_hash")).toSeq === expected)
+    // non-overlapping stride == chunk partitions the doc exactly
+    val exact = TextOps.chunkDocs(d, chunk = 5, stride = 5).collect()
+    assert(exact.map(_.getAs[Long]("n_tokens")).sum === 10L)
+  }
+
+  test("salient terms: rarity outranks raw frequency at equal tf") {
+    import org.apache.spark.sql.functions.col
+    // doc 1: 'rare' (tf 1, df 1 → score 3) must outrank 'filler'
+    // (tf 2, df 3 → score 2) despite the lower raw frequency
+    val d = Seq(
+      (1L, "rare common filler filler"),
+      (2L, "common filler other other"),
+      (3L, "common filler misc misc")
+    ).toDF("doc_id", "text")
+    val top = TextOps.salientTerms(d, topK = 2)
+      .where(col("doc_id") === 1L).orderBy("rk").collect()
+    assert(top.head.getAs[String]("term") === "rare")
+    assert(top.head.getAs[Long]("df") === 1L)
+    assert(top(1).getAs[String]("term") === "filler")
+    assert(top(1).getAs[Long]("tf") === 2L)
+    val scores = top.map(_.getAs[Double]("tfidf_lin")).toSeq
+    assert(scores === scores.sorted.reverse) // rank follows score
+  }
+
+  test("approx distinct tokens lands within 5% of exact per source") {
+    import org.apache.spark.sql.functions.{col, countDistinct, explode}
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val approx = TextOps.approxDistinctTokens(corpus).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("approx_distinct_tokens")).toMap
+    val exact = corpus
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("source").agg(countDistinct(col("tok")).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (src, n) =>
+      val a = approx(src)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"source $src: approx $a vs exact $n")
+    }
+  }
 }

@@ -25,9 +25,12 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
-  test("oracle coverage: every query is oracled except the documented approx one") {
+  test("oracle coverage: every query is oracled except the documented approx ones") {
+    // engine-specific sketches (quantile digest, HLL) cannot hash-match
+    // a DuckDB rerun — these two are rows-only BY DESIGN, everything
+    // else must carry oracle SQL
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unoracled === Set("q32_iqr_outliers_approx"))
+    assert(unoracled === Set("q32_iqr_outliers_approx", "q57_approx_distinct"))
     // and no orphan oracle entries
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
