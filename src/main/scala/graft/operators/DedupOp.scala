@@ -77,6 +77,27 @@ object DedupOp {
           .as(Seq("i", "minv")))
   }
 
+  /** The full [[NumPerms]]-element MinHash signature as ONE row-local
+    * array column — `array_min(transform(...))` per permutation, no
+    * explode, no shuffle. Same values as [[minhashSignatures]]'s
+    * aggregate formulation (min over the shingle stream commutes with
+    * the per-shingle permutation hash; asserted in DedupAndTextSpec) —
+    * this is the STATELESS form the streaming near-dup path needs,
+    * where an aggregate would burn the one stateful-operator slot the
+    * query has. Docs with no shingles (< w tokens) yield an array of
+    * nulls (array_min of empty is null); callers filter on
+    * `size(shingles) > 0` first.
+    */
+  def minhashSignatureArray(text: Column): Column = {
+    // no distinct: min() is idempotent over duplicate shingles, same
+    // reasoning as the aggregate form
+    val hx = transform(shingles(tokens(text)), s => portableHash(s))
+    array((0 until NumPerms).map { i =>
+      array_min(transform(hx, h =>
+        (lit(permA(i)) * h + lit(permB(i))) % lit(HashMod)))
+    }: _*)
+  }
+
   /** MinHash + LSH near-dup pairs: banded candidate generation, then
     * signature-similarity verification (fraction of equal minhashes ≥
     * `minSim`).

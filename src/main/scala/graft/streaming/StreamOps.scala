@@ -109,6 +109,100 @@ object StreamOps {
     * ingest splits the pipeline. Output adds `n_tokens`/`n_uniq` so the
     * sink can account token yield per batch.
     */
+  /** One (doc, band) row of the streaming near-dup path: `bandSig` is
+    * the band's [[graft.operators.DedupOp.BandRows]] minhash values
+    * joined as the bucket key; `sig` is the full signature for
+    * verification.
+    */
+  case class BandedDoc(docId: Long, ts: java.sql.Timestamp, band: Int,
+                       bandSig: String, sig: Seq[Long])
+
+  /** LSH bucket state: every (docId, signature) currently live in this
+    * (band, bandSig) bucket.
+    */
+  case class BucketState(docs: Seq[(Long, Seq[Long])])
+
+  /** A verified near-dup hit. The same pair CAN surface from more than
+    * one band (each bucket is blind to the others — deduplicating
+    * across bands would need a second stateful operator); downstream
+    * consumers treat the pair stream as a set, exactly like the batch
+    * path's `.distinct()`.
+    */
+  case class NearDupHit(da: Long, db: Long, band: Int, est_jaccard: Double)
+
+  /** Streaming MinHash near-dup detection — the streaming form of
+    * [[graft.operators.DedupOp.minhashLsh]]: signatures are computed
+    * ROW-LOCALLY ([[graft.operators.DedupOp.minhashSignatureArray]] —
+    * stateless, so the query's single stateful operator is the bucket
+    * matcher), docs land in (band, bandSig) buckets via
+    * `flatMapGroupsWithState`, and each arrival is verified (signature
+    * agreement ≥ `minSim`) against the docs its bucket has seen.
+    *
+    * State = live docs per bucket, evicted `horizon` past each
+    * bucket's latest event time (event-time timeout against the
+    * watermark) — memory is arrival-rate × horizon, not corpus size,
+    * the same bounded-state stance as [[streamingDedup]]; global
+    * history belongs to the batch compaction.
+    */
+  def streamingNearDup(docs: DataFrame, minSim: Double = 0.5,
+                       tsCol: String = "ts",
+                       watermark: String = "10 minutes",
+                       horizonMs: Long = 600000L): Dataset[NearDupHit] = {
+    import graft.operators.DedupOp
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBands = DedupOp.NumPerms / DedupOp.BandRows
+    // .as[BandedDoc], never .map: a typed map re-encodes the rows and
+    // drops the event-time watermark attribute the timeout needs
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      .select(col("doc_id").as("docId"), col(tsCol).as("ts"),
+        DedupOp.minhashSignatureArray(col("text")).as("sig"))
+      .where(element_at(col("sig"), 1).isNotNull) // drop shingle-less docs
+      .select(col("docId"), col("ts"), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bandSig", array_join(transform(
+        slice(col("sig"), (col("band") * DedupOp.BandRows + 1).cast("int"),
+          lit(DedupOp.BandRows)), v => v.cast("string")), ","))
+      .select(col("docId"), col("ts"), col("band"), col("bandSig"), col("sig"))
+      .as[BandedDoc]
+    def estJaccard(a: Seq[Long], b: Seq[Long]): Double =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }
+        .toDouble / DedupOp.NumPerms
+    val matcher = (key: (Int, String), arrivals: Iterator[BandedDoc],
+                   state: GroupState[BucketState]) =>
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty[NearDupHit]
+      } else {
+        // deterministic within-batch order: event time, then id
+        val incoming = arrivals.toSeq.sortBy(d => (d.ts.getTime, d.docId))
+        var live = state.getOption.map(_.docs).getOrElse(Seq.empty)
+        val hits = Seq.newBuilder[NearDupHit]
+        incoming.foreach { d =>
+          live.foreach { case (oid, osig) =>
+            if (oid != d.docId) {
+              val est = estJaccard(osig, d.sig)
+              if (est >= minSim)
+                hits += NearDupHit(math.min(oid, d.docId),
+                  math.max(oid, d.docId), key._1, est)
+            }
+          }
+          live = live :+ (d.docId -> d.sig)
+        }
+        state.update(BucketState(live))
+        val maxTs = incoming.map(_.ts.getTime).max
+        state.setTimeoutTimestamp(
+          math.max(state.getCurrentWatermarkMs() + 1L, maxTs + horizonMs))
+        hits.result().iterator
+      }
+    banded
+      .groupByKey(d => (d.band, d.bandSig))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(matcher)
+  }
+
   def streamingCleanDocs(docs: DataFrame, minTokens: Int = 30,
                          tsCol: String = "ts",
                          watermark: String = "10 minutes"): DataFrame = {

@@ -144,6 +144,67 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingNearDup finds the same pairs as batch minhashLsh") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val nearDup = base.replace("oscar", "OSCAR")
+    val distinct1 = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val corpus = Seq((10L, base), (20L, nearDup), (30L, distinct1))
+    val batchPairs = graft.operators.DedupOp
+      .minhashLsh(corpus.toDF("doc_id", "text"), 0.5)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(batchPairs.contains((10L, 20L))) // the fixture has a near-dup
+    val mem = MemoryStream[(Long, String, Long)] // (doc_id, text, ts_sec)
+    val docs = mem.toDF().toDF("doc_id", "text", "ts_sec")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val hits = StreamOps.streamingNearDup(docs, 0.5)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      // split across micro-batches: 10 lands first, 20/30 arrive later
+      mem.addData((10L, base, 10L))
+      q.processAllAvailable()
+      mem.addData((20L, nearDup, 12L), (30L, distinct1, 13L))
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_out")
+        .select($"da", $"db").as[(Long, Long)].collect().toSet
+      assert(streamed === batchPairs) // same pairs, set-wise (bands repeat)
+    } finally q.stop()
+  }
+
+  test("streamingNearDup evicts bucket state past the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val unrelated = "uno dos tres cuatro cinco seis siete ocho nueve diez " +
+      "once doce trece catorce quince dieciseis diecisiete dieciocho diecinueve veinte"
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts_sec")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    // tight horizon: state lives 60 s past a bucket's latest event
+    val hits = StreamOps.streamingNearDup(docs, 0.5,
+      watermark = "10 seconds", horizonMs = 60000L)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_evict").start()
+    try {
+      mem.addData((1L, base, 10L))
+      q.processAllAvailable()
+      // unrelated far-future doc advances the watermark way past
+      // 10 s + horizon -> doc 1's buckets time out and are removed
+      mem.addData((2L, unrelated, 500L))
+      q.processAllAvailable()
+      // an exact copy of doc 1 after eviction: no pair may emerge
+      mem.addData((3L, base, 510L))
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_evict")
+        .select($"da", $"db").as[(Long, Long)].collect().toSet
+      assert(streamed.isEmpty,
+        s"expected no pairs after horizon eviction, got $streamed")
+    } finally q.stop()
+  }
+
   test("JSON decode silently drops undecodable records (reference S3/P7)") {
     val good =
       """{"bearerId":"b-1","subscriber":{"id":1,"imsi":"i","msisdn":"m",
