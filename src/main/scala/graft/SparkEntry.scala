@@ -293,6 +293,13 @@ object SparkEntry {
     // rows-only oracle (q32 standing); error bound asserted in spec.
     "q57_approx_distinct" -> ((s, d) =>
       TextOps.approxDistinctTokens(Tables.documents(s, d))),
+
+    // Partition-pruned layout: documents written partitioned by
+    // source; a source-subset filter becomes pure directory pruning
+    // (PartitionFilters, zero data filters — plan asserted in spec).
+    "q58_partition_pruned" -> ((s, d) =>
+      BucketedOps.prunedSourceStats(Tables.documents(s, d),
+        "/tmp/graft_warehouse")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -685,5 +692,7 @@ object SparkEntry {
 
     // q57_approx_distinct: rows-only by design — HLL sketches are
     // engine-specific (same standing as q32).
+
+    "q58_partition_pruned" -> BucketedOps.prunedSourceStatsOracle(),
   )
 }

@@ -93,4 +93,54 @@ object BucketedOps {
        |  ${DetAgg.sumDiscounted2Sql("l_extendedprice", "l_discount")} AS revenue
        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Write `df` hive-partitioned by `partCol` (one directory per
+    * value) — the layout that turns a filter on the partition column
+    * into DIRECTORY pruning: files of non-matching partitions are
+    * never opened, listed cost aside. The 100 TB complement of
+    * bucketing: bucketing co-locates a JOIN key, partitioning prunes a
+    * FILTER key.
+    */
+  def writePartitioned(df: DataFrame, table: String, partCol: String,
+                       warehouse: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.format("parquet")
+      .partitionBy(partCol)
+      .option("path", s"$warehouse/$table")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** End-to-end partition-pruning demo: documents written partitioned
+    * by `source`, then per-source stats over a source subset. The
+    * filter must land ENTIRELY in the scan's PartitionFilters (no
+    * per-row data filter survives — asserted in BucketedOpsSpec), so
+    * only the named sources' directories are read. Results are
+    * layout-invariant; the oracle runs the plain-parquet equivalent.
+    */
+  def prunedSourceStats(docs: DataFrame, warehouse: String,
+                        sources: Seq[String] = Seq("src1", "src3", "src5"))
+      : DataFrame = {
+    val spark = docs.sparkSession
+    writePartitioned(docs.select(col("doc_id"), col("n_chars"), col("source")),
+      "g_docs_parted", "source", warehouse)
+    prunedScan(spark, "g_docs_parted", sources)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
+  /** The pruned scan itself (exposed for the plan assertion). */
+  def prunedScan(spark: SparkSession, table: String,
+                 sources: Seq[String]): DataFrame =
+    spark.table(table).where(col("source").isin(sources: _*))
+
+  /** Oracle SQL twin of [[prunedSourceStats]]. */
+  def prunedSourceStatsOracle(sources: Seq[String] = Seq("src1", "src3", "src5"))
+      : String =
+    s"""SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+       |FROM documents
+       |WHERE source IN (${sources.map(s => s"'$s'").mkString(", ")})
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

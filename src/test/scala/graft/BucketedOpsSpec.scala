@@ -58,6 +58,28 @@ class BucketedOpsSpec extends SparkSuite {
     }
   }
 
+  test("partitioned layout: source filter becomes pure directory pruning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = Seq(
+      (1L, 10L, "srcA"), (2L, 20L, "srcA"),
+      (3L, 30L, "srcB"), (4L, 40L, "srcC")
+    ).toDF("doc_id", "n_chars", "source")
+    BucketedOps.writePartitioned(docs, "t_docs_parted", "source", wh)
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val pruned = BucketedOps.prunedScan(spark, "t_docs_parted", Seq("srcA", "srcC"))
+      val scans = pruned.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      // the IN filter must live in PartitionFilters — and leave NO
+      // per-row data filter behind (it is satisfied by pruning alone)
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        s"filter did not reach PartitionFilters:\n${pruned.queryExecution}")
+      assert(scans.forall(_.dataFilters.isEmpty),
+        s"source filter leaked into per-row dataFilters:\n${pruned.queryExecution}")
+      assert(pruned.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 4L))
+    }
+  }
+
   test("bucketing changes the plan, not the result") {
     val out = BucketedOps.bucketedOrderRevenue(orders, lineitem, wh, 8)
       .collect().toSeq
