@@ -45,14 +45,23 @@ object DedupOp {
     */
   val MaxShingleDf = 64
 
-  /** (doc_id, shingle) distinct pairs. The dedup is ROW-LOCAL
-    * (`array_distinct` inside each document) — a global `.distinct()`
-    * would shuffle the whole exploded shingle stream for a set
-    * semantics that per-document dedup already provides.
+  /** (doc_id, shingle-hash) distinct pairs. Two row-local moves before
+    * anything shuffles: the per-doc dedup is `array_distinct` inside
+    * each document (a global `.distinct()` would shuffle the whole
+    * exploded stream for set semantics per-doc dedup already
+    * provides), and the shingle is reduced to its PORTABLE HASH before
+    * the explode — every downstream shuffle (blocking groupBy, df-cap,
+    * pair join) then moves 8-byte longs instead of ~25-byte w-gram
+    * strings. Jaccard is computed over the hashed shingle space; the
+    * oracle applies the identical hash, so a (rare, ~n²/2e9) collision
+    * merges the same two shingles in BOTH engines. The distinct runs
+    * on the hashes so a within-doc collision cannot emit a duplicate
+    * (doc, hx) row (which would inflate sizes and create self-pairs).
     */
   private def docShingles(docs: DataFrame, w: Int = 3): DataFrame =
     docs.select(col("doc_id"),
-      explode(array_distinct(shingles(tokens(col("text")), w))).as("sh"))
+      explode(array_distinct(transform(shingles(tokens(col("text")), w),
+        s => portableHash(s)))).as("hx"))
 
   /** MinHash signatures in long format (doc_id, i, minv). The portable
     * hash is computed once per (doc, shingle); the 16 permutation minima
@@ -226,14 +235,15 @@ object DedupOp {
     * blocking group can go quadratic (Jaccard is computed over the
     * capped shingle space, mirrored exactly by the oracle).
     *
-    * Plan shape: one groupBy(sh) builds the blocking groups; sizes and
+    * Plan shape: one groupBy(hx) builds the blocking groups; sizes and
     * intersections both derive from that persisted (and df-capped)
-    * grouped frame — the raw shingle stream is shuffled once.
+    * grouped frame — the raw shingle stream is shuffled once, as
+    * 8-byte hash keys (see [[docShingles]]).
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.5,
                    maxDf: Int = MaxShingleDf): DataFrame = {
     val byShingle = docShingles(docs)
-      .groupBy(col("sh"))
+      .groupBy(col("hx"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) <= maxDf)
       .persist()
@@ -375,13 +385,11 @@ object DedupOp {
     */
   private def shingleCte(w: Int = 3, from: String = "documents"): String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
-       |sh AS (
+       |shx AS (
        |  SELECT DISTINCT doc_id,
-       |    ${shingleConcatSql(w)} AS sh
+       |    ${portableHashSql(s"(${shingleConcatSql(w)})")} AS hx
        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${w - 1})) AS i
        |        FROM toks WHERE len(tk) >= $w) t
-       |), shx AS (
-       |  SELECT doc_id, ${portableHashSql("sh")} AS hx FROM sh
        |)""".stripMargin
 
   /** df-capped shingles (mirror of [[ngramJaccard]]'s `maxDf` blocking
@@ -389,9 +397,9 @@ object DedupOp {
     * `maxDf` documents. Appended after [[shingleCte]].
     */
   private def cappedShingleCte(maxDf: Int): String =
-    s"""shdf AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+    s"""shdf AS (SELECT hx, count(*) AS df FROM shx GROUP BY 1),
        |shc AS (
-       |  SELECT s.doc_id, s.sh FROM sh s JOIN shdf f ON s.sh = f.sh
+       |  SELECT s.doc_id, s.hx FROM shx s JOIN shdf f ON s.hx = f.hx
        |  WHERE f.df <= $maxDf
        |)""".stripMargin
 
@@ -467,7 +475,7 @@ object DedupOp {
        |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.hx = b.hx AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |), p AS (
        |  SELECT da, db FROM (
@@ -502,7 +510,7 @@ object DedupOp {
        |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.hx = b.hx AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT da, db, jaccard FROM (
