@@ -300,6 +300,12 @@ object SparkEntry {
     "q58_partition_pruned" -> ((s, d) =>
       BucketedOps.prunedSourceStats(Tables.documents(s, d),
         "/tmp/graft_warehouse")),
+
+    // Bucketized range join: events-in-session-interval through a
+    // time-bucket equi-join + exact residual predicate (the inequality
+    // join Spark lacks natively; DuckDB verifies with its IEJoin).
+    "q59_range_join" -> ((s, d) =>
+      TemporalOps.sessionOverlap(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -694,5 +700,7 @@ object SparkEntry {
     // engine-specific (same standing as q32).
 
     "q58_partition_pruned" -> BucketedOps.prunedSourceStatsOracle(),
+
+    "q59_range_join" -> TemporalOps.sessionOverlapOracle(),
   )
 }

@@ -64,6 +64,79 @@ object TemporalOps {
         payload.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
+  /** Bucketized range join — point-in-interval, the inequality join
+    * Spark has no native operator for, composed from equi-join
+    * machinery: intervals explode to the time buckets they cover,
+    * points key by their bucket, the bucket equi-join prunes the
+    * candidate space, and the exact `start ≤ pt < end` predicate
+    * filters in-task. A naive inequality join plans as a broadcast
+    * nested loop (O(|points|·|intervals|) comparisons); here the
+    * comparison count is Σ_bucket |points_b|·|intervals_b| — linear in
+    * the data for any bucket width near the typical interval length.
+    *
+    * Scale notes: pick `bucketMs` ≈ median interval length (an
+    * interval explodes to len/bucket+1 rows; a too-small bucket
+    * multiplies the interval side, a too-large one stops pruning). A
+    * hot bucket (many concurrent intervals) is ordinary join skew —
+    * [[ScaleOps.saltedJoin]] composes on top of the bucket key.
+    * Empty/negative intervals are dropped (sequence() would run
+    * BACKWARDS for end < start, fabricating buckets).
+    */
+  def rangeJoin(points: DataFrame, ptCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                bucketMs: Long): DataFrame = {
+    require(bucketMs >= 1L, s"bucketMs must be >= 1, got $bucketMs")
+    val ivals = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__b", explode(sequence(
+        expr(s"$startCol DIV $bucketMs"),
+        expr(s"($endCol - 1) DIV $bucketMs"))))
+    val pts = points.withColumn("__b", expr(s"$ptCol DIV $bucketMs"))
+    pts.join(ivals, Seq("__b"))
+      .where(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__b")
+  }
+
+  /** Range-join demo query: how many events (ANY user's) fall inside
+    * each user session's time interval — cross-user concurrency per
+    * session. Sessions come from [[sessionWindowAgg]]; the overlap
+    * count is ≥ the session's own n_events by construction.
+    */
+  def sessionOverlap(events: DataFrame, gap: String = "30 minutes",
+                     bucketMs: Long = 1800000L): DataFrame = {
+    val sessions = sessionWindowAgg(events, gap, sorted = false)
+      .select(col("user_id"), col("start_ms"), col("end_ms"))
+    val pts = events.select(unix_millis(col("ts")).as("ms"))
+    rangeJoin(pts, "ms", sessions, "start_ms", "end_ms", bucketMs)
+      .groupBy(col("user_id"), col("start_ms"), col("end_ms"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("user_id", "start_ms")
+  }
+
+  /** Oracle SQL twin of [[sessionOverlap]] — the same sessions CTE as
+    * q45, then a plain inequality join (DuckDB's IEJoin does the
+    * pruning the bucketized plan does by hand).
+    */
+  def sessionOverlapOracle(gapMs: Long = 1800000L): String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id)) > $gapMs
+       |      THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |), y AS (
+       |  SELECT user_id, ms,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM x
+       |), s AS (
+       |  SELECT user_id, min(ms) AS start_ms, max(ms) + $gapMs AS end_ms
+       |  FROM y GROUP BY user_id, sid
+       |), e AS (SELECT epoch_ms(ts) AS ms FROM events)
+       |SELECT s.user_id, s.start_ms, s.end_ms, count(*) AS n_overlap
+       |FROM s JOIN e ON e.ms >= s.start_ms AND e.ms < s.end_ms
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+
   /** Event-time gap sessions via the built-in `session_window` — the
     * operator form of q14's manual lag+cumsum sessionization, and the
     * one that runs unchanged under Structured Streaming (watermark +

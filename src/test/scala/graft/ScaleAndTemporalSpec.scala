@@ -81,6 +81,38 @@ class ScaleAndTemporalSpec extends SparkSuite {
     assert(out(1).getLong(2) === 2 * gapMs + 1L + gapMs)
   }
 
+  test("rangeJoin: half-open boundaries, bucket-crossing intervals, degenerate intervals dropped") {
+    val pts = Seq(5L, 10L, 19L, 20L, 25L, 100L).toDF("p")
+    val ivals = Seq(
+      (1L, 10L, 20L),   // [10,20): catches 10, 19; NOT 20
+      (2L, 5L, 26L),    // crosses 3 buckets at bucketMs=10: 5,10,19,20,25
+      (3L, 30L, 30L),   // empty — dropped
+      (4L, 40L, 35L))   // negative — dropped (sequence would run backwards)
+      .toDF("iid", "s", "e")
+    val out = TemporalOps.rangeJoin(pts, "p", ivals, "s", "e", bucketMs = 10L)
+      .select("iid", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 10L), (1L, 19L),
+      (2L, 5L), (2L, 10L), (2L, 19L), (2L, 20L), (2L, 25L)))
+  }
+
+  test("rangeJoin agrees with a brute-force inequality scan on pseudo-random data") {
+    val rng = new scala.util.Random(13)
+    val points = (1 to 500).map(_ => rng.nextInt(10000).toLong)
+    val intervals = (1 to 120).map { i =>
+      val s = rng.nextInt(10000).toLong
+      (i.toLong, s, s + rng.nextInt(400).toLong)
+    }
+    val expected = (for {
+      p <- points; (iid, s, e) <- intervals if p >= s && p < e
+    } yield (iid, p)).sorted
+    // bucket width deliberately NOT a divisor of anything interesting
+    val got = TemporalOps.rangeJoin(
+        points.toDF("p"), "p", intervals.toDF("iid", "s", "e"), "s", "e", 137L)
+      .select("iid", "p").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(got === expected)
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     val rng = new scala.util.Random(7)
     val li = (1 to 5000).map { _ =>
