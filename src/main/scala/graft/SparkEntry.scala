@@ -306,6 +306,40 @@ object SparkEntry {
     // join Spark lacks natively; DuckDB verifies with its IEJoin).
     "q59_range_join" -> ((s, d) =>
       TemporalOps.sessionOverlap(Tables.events(s, d))),
+
+    // Entity resolution: blocked Levenshtein fuzzy matching over
+    // distinct part names (typo-dedup / record linkage).
+    "q60_fuzzy_match" -> ((s, d) =>
+      EntityOps.fuzzyNamePairs(Tables.part(s, d))),
+
+    // Windowed token co-occurrence (word2vec/PMI skip-gram counts):
+    // linear per-doc pair generation, one aggregate shuffle.
+    "q61_token_cooccur" -> ((s, d) =>
+      TextOps.tokenCooccurrence(Tables.documents(s, d))),
+
+    // Symmetric int8 embedding quantization audit: per-vector scale,
+    // saturation count, RMSE, max error — all row-local.
+    "q62_int8_quant" -> ((s, d) =>
+      SimilarityOp.int8QuantStats(Tables.embeddings(s, d))),
+
+    // Robust MAD outliers (50% breakdown vs IQR's 25%): exact
+    // index-based medians, bit-deterministic — no rounding anywhere.
+    "q63_mad_outliers" -> ((s, d) =>
+      OutlierOp.madOutliers(Tables.events(s, d), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")),
+
+    // Fixed-quota stratified sampling: smallest-k portable hashes per
+    // source — deterministic per-domain caps for eval sets.
+    "q64_quota_sample" -> ((s, d) =>
+      ScaleOps.quotaSample(Tables.documents(s, d))),
+
+    // Rank-family analytic windows: ntile / percent_rank / cume_dist
+    // in one window pass, fully tie-broken.
+    "q65_price_ranks" -> ((s, d) => RelationalOps.segmentPriceRanks(s, d)),
+
+    // Full CUBE lattice with grouping() disambiguation flags.
+    "q66_cube_revenue" -> ((s, d) => RelationalOps.cubeRevenue(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -702,5 +736,57 @@ object SparkEntry {
     "q58_partition_pruned" -> BucketedOps.prunedSourceStatsOracle(),
 
     "q59_range_join" -> TemporalOps.sessionOverlapOracle(),
+
+    "q60_fuzzy_match" -> EntityOps.fuzzyNamePairsOracle(),
+
+    "q61_token_cooccur" -> TextOps.tokenCooccurrenceOracle(),
+
+    "q62_int8_quant" -> SimilarityOp.int8QuantStatsOracle(),
+
+    // Same exact-index lower-median pattern as the IQR oracles; every
+    // comparison is an identical float expression tree on both sides.
+    "q63_mad_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, list_sort(list(value)) AS vs, count(*) AS n
+        |  FROM events GROUP BY 1
+        |), m AS (
+        |  SELECT event_type, n, vs[(n+1)//2] AS med FROM s
+        |), d AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    abs(e.value - m.med) AS dev, m.n
+        |  FROM events e JOIN m USING (event_type)
+        |), ds AS (
+        |  SELECT event_type, list_sort(list(dev)) AS dvs, count(*) AS nn
+        |  FROM d GROUP BY 1
+        |), md AS (
+        |  SELECT event_type, dvs[(nn+1)//2] AS mad FROM ds
+        |)
+        |SELECT d.event_id, d.event_type, d.value
+        |FROM d JOIN md USING (event_type)
+        |WHERE d.n > 4 AND md.mad > 0 AND d.dev > md.mad * 3.0
+        |ORDER BY d.event_id""".stripMargin,
+
+    "q64_quota_sample" -> ScaleOps.quotaSampleOracle(),
+
+    "q65_price_ranks" ->
+      """SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WINDOW w AS (PARTITION BY c.c_mktsegment
+        |  ORDER BY o.o_totalprice, o.o_orderkey)
+        |ORDER BY c.c_mktsegment, o.o_totalprice, o.o_orderkey""".stripMargin,
+
+    "q66_cube_revenue" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(c_mktsegment, 'ALL') AS segment,
+        |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+        |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY CUBE(n_name, c_mktsegment) ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -59,6 +59,36 @@ object OutlierOp {
         (col(valCol) < col("lo") || col(valCol) > col("hi")))
   }
 
+  /** Median-absolute-deviation outliers — the robust-statistics sibling
+    * of the IQR band (MAD has a 50% breakdown point vs 25%; standard in
+    * data-quality gates where a heavy-tailed metric would drag the
+    * quartiles). Per group: med = lower median (exact 1-indexed
+    * `(n+1) DIV 2` — NOT percentile_approx), MAD = median of
+    * |v − med|, outlier ⇔ |v − med| > k·MAD, MAD > 0, n > 4.
+    *
+    * Everything is exact index picks and identical float expression
+    * trees on both engines — bit-deterministic with NO rounding.
+    * Plan shape: two small aggregate→broadcast rounds (one per median);
+    * the fact side never shuffles.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col(valCol))).as("vs"),
+           count(lit(1)).as("n"))
+      .select(col(keyCol), col("n"),
+        element_at(col("vs"), expr("(n + 1) DIV 2").cast("int")).as("med"))
+    val dev = df.join(broadcast(med), keyCol)
+      .withColumn("__dev", abs(col(valCol) - col("med")))
+    val mad = dev.groupBy(col(keyCol).as("__k"))
+      .agg(sort_array(collect_list(col("__dev"))).as("ds"),
+           count(lit(1)).as("nn"))
+      .select(col("__k"),
+        element_at(col("ds"), expr("(nn + 1) DIV 2").cast("int")).as("mad"))
+    dev.join(broadcast(mad), col(keyCol) === col("__k"))
+      .where(col("n") > 4 && col("mad") > 0.0 && col("__dev") > col("mad") * k)
+  }
+
   /** The reference's J3 variant (`_analyse`,
     * `ClusterAnalyser.scala:101-120`): thresholds computed INSIDE each
     * group — collect, band, explode back — no join at all. Same result

@@ -134,6 +134,51 @@ object RelationalOps {
         col("revenue"), col("n_orders"))
       .orderBy("nation", "segment")
 
+  /** CUBE over (nation, segment) with explicit grouping flags — the
+    * full grouping-sets lattice ([[rollupRevenue]] covers the
+    * hierarchy prefix form; CUBE adds the segment-only marginals).
+    * `g_nation`/`g_segment` are the grouping() indicators, so an 'ALL'
+    * label can never be confused with a real value named "ALL". One
+    * expand + one partial-aggregated shuffle — Catalyst's Expand
+    * multiplies rows AFTER the partial aggregate at each grouping set.
+    */
+  def cubeRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        grouping(col("n_name")).cast("long").as("g_nation"),
+        grouping(col("c_mktsegment")).cast("long").as("g_segment"),
+        col("revenue"), col("n_orders"))
+      .orderBy("nation", "segment")
+
+  /** Rank-family analytic windows in one pass: ntile quartile,
+    * percent_rank, cume_dist of each order's price within its market
+    * segment. The window ORDER BY carries the orderkey tiebreak, so
+    * every rank (and therefore every output value) is deterministic.
+    * percent_rank/cume_dist are exact integer-ratio doubles — identical
+    * in both engines with NO rounding. One shuffle on the segment key.
+    */
+  def segmentPriceRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_mktsegment", "o_totalprice", "o_orderkey")
+  }
+
   /** Histogram: fixed-width bucketing — pure arithmetic, no custom
     * operator, one partial-aggregated shuffle.
     */

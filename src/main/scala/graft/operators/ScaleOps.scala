@@ -74,4 +74,39 @@ object ScaleOps {
     s"""SELECT doc_id, source, n_chars, $h % 100 AS bucket
        |FROM documents WHERE $h % 100 < $pct ORDER BY doc_id""".stripMargin
   }
+
+  /** Fixed-quota stratified sample: exactly min(quota, |stratum|) docs
+    * per source, picked as the stratum's smallest portable-hash values —
+    * the deterministic, engine-reproducible replacement for per-group
+    * reservoir sampling ([[sampleDocs]] keeps a RATE per stratum; this
+    * keeps a COUNT — the eval-set / per-domain-cap building block).
+    *
+    * Scale shape: rank-within-stratum is one shuffle keyed by source.
+    * A hot stratum serializes through one task here; at 100 TB swap the
+    * row_number for a per-partition top-`quota` heap (mapPartitions)
+    * merged by a second top-`quota` pass — same result, no full sort.
+    */
+  def quotaSample(docs: DataFrame, quota: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextFunctions.portableHash(
+      concat(col("doc_id").cast("string"), lit("|"), col("source")))
+    docs.select(col("doc_id"), col("source"), h.as("hk"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id")))
+        .cast("long"))
+      .where(col("rk") <= quota)
+      .orderBy("source", "rk")
+  }
+
+  /** Oracle SQL twin of [[quotaSample]]. */
+  def quotaSampleOracle(quota: Int = 10): String = {
+    val h = TextFunctions.portableHashSql(
+      "concat(CAST(doc_id AS VARCHAR), '|', source)")
+    s"""SELECT doc_id, source, hk, rk FROM (
+       |  SELECT doc_id, source, $h AS hk,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY $h, doc_id) AS rk
+       |  FROM documents) t
+       |WHERE rk <= $quota ORDER BY source, rk""".stripMargin
+  }
 }

@@ -188,6 +188,57 @@ object SimilarityOp {
   def nearDupBlocked(embeddings: DataFrame, minCos: Double = 0.2): DataFrame =
     refine(embeddings, candidatePairs(embeddings, alsoLabel = true), minCos)
 
+  /** Symmetric int8 quantization audit — the embedding-compression
+    * step every vector-serving layout runs (4× smaller than float32,
+    * SIMD-friendly dot products), plus the error stats that decide
+    * whether the compression is acceptable. Per vector:
+    * scale = max|x|/127, q_i = floor(x_i/scale + 0.5) (half-up, no
+    * clamp needed: |x_i/scale| ≤ 127 by construction), error =
+    * |x_i − q_i·scale|. Emits the scale, saturated-lane count, RMSE,
+    * and max error per vector.
+    *
+    * Scale shape: entirely row-local array arithmetic off the scan —
+    * zero shuffle before the presentation sort. `scale` and
+    * `max_abs_err` are identical float expression trees on both
+    * engines (bit-deterministic, unrounded); only RMSE crosses a
+    * summation whose order differs, so only RMSE is rounded.
+    */
+  def int8QuantStats(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    embeddings
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0)
+      .where(col("scale") > 0.0)
+      .withColumn("q", transform(col("v"), x => floor(x / col("scale") + 0.5)))
+      .withColumn("err", zip_with(col("v"), col("q"),
+        (x, qq) => abs(x - qq * col("scale"))))
+      .select(col("vec_id"), col("scale"),
+        size(filter(col("q"), qq => abs(qq) === 127.0)).cast("long").as("n_sat"),
+        round(sqrt(aggregate(col("err"), lit(0.0), (s, e) => s + e * e)
+          / dims), 6).as("rmse"),
+        aggregate(col("err"), lit(0.0), (m, e) => greatest(m, e)).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle SQL twin of [[int8QuantStats]] — same half-up floor
+    * arithmetic per element via a range() explode.
+    */
+  def int8QuantStatsOracle(dims: Int = 64): String =
+    s"""WITH x AS (
+       |  SELECT vec_id, embedding[i.i+1]::DOUBLE AS v
+       |  FROM embeddings, range($dims) i(i)
+       |), s AS (
+       |  SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM x GROUP BY 1
+       |), q AS (
+       |  SELECT x.vec_id, s.scale, x.v, floor(x.v / s.scale + 0.5) AS qv
+       |  FROM x JOIN s USING (vec_id) WHERE s.scale > 0
+       |)
+       |SELECT vec_id, max(scale) AS scale,
+       |  CAST(sum(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+       |  round(sqrt(sum((v - qv*scale)*(v - qv*scale)) / $dims), 6) AS rmse,
+       |  max(abs(v - qv*scale)) AS max_abs_err
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- DuckDB oracle generators (same constants, same arithmetic) ----
 
   /** CTE computing (vec_id, label, band, bval) — mirror of

@@ -98,6 +98,59 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Windowed token co-occurrence counts (the word2vec/PMI skip-gram
+    * statistic): every unordered token pair within `w` positions of
+    * each other, counted corpus-wide, thresholded at `minCount`.
+    *
+    * Scale design: pair generation is WINDOWED, not per-document
+    * all-pairs — a doc of n tokens emits ≤ n·w pairs (linear), where
+    * the naive distinct-tokens² expansion is quadratic and explodes on
+    * long documents. Generation is row-local (nested transform off the
+    * scan, one narrow Generate), so the only shuffle is the final
+    * pair-count aggregate — map-side partials collapse it to the pair
+    * vocabulary size. The `minCount` threshold is the standard PMI
+    * noise floor.
+    */
+  def tokenCooccurrence(docs: DataFrame, w: Int = 3,
+                        minCount: Long = 10L): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val withToks = docs.select(tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+    // 1-indexed positions i in [1, n-1]; partners i+k, k in [1, min(w, n-i)]
+    val pairs = flatten(transform(
+      sequence(lit(1), size(col("tk")) - 1), i =>
+        transform(sequence(lit(1),
+          least(lit(w), size(col("tk")) - i)), k =>
+            struct(
+              least(element_at(col("tk"), i),
+                    element_at(col("tk"), i + k)).as("a"),
+              greatest(element_at(col("tk"), i),
+                       element_at(col("tk"), i + k)).as("b")))))
+    withToks.select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .where(col("n_cooc") >= minCount)
+      .orderBy("tok_a", "tok_b")
+  }
+
+  /** Oracle SQL twin of [[tokenCooccurrence]] — same 1-indexed window
+    * arithmetic via unnest(generate_series).
+    */
+  def tokenCooccurrenceOracle(w: Int = 3, minCount: Long = 10L): String =
+    s"""WITH t AS (
+       |  SELECT string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |), i AS (
+       |  SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM t
+       |), p AS (
+       |  SELECT tk, i, unnest(generate_series(1, least($w, len(tk) - i))) AS k
+       |  FROM i
+       |)
+       |SELECT least(tk[i], tk[i+k]) AS tok_a,
+       |  greatest(tk[i], tk[i+k]) AS tok_b, count(*) AS n_cooc
+       |FROM p GROUP BY 1, 2 HAVING count(*) >= $minCount
+       |ORDER BY 1, 2""".stripMargin
+
   /** Winnowing (MOSS) rolling-hash fingerprints: hash every w-shingle
     * at its POSITION, take the window minimum over each run of `win`
     * consecutive shingle hashes, and fingerprint the document as the
