@@ -139,7 +139,7 @@ object BucketedOps {
   /** Oracle SQL twin of [[prunedSourceStats]]. */
   def prunedSourceStatsOracle(sources: Seq[String] = Seq("src1", "src3", "src5"))
       : String =
-    s"""SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    s"""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM documents
        |WHERE source IN (${sources.map(s => s"'$s'").mkString(", ")})
        |GROUP BY 1 ORDER BY 1""".stripMargin

@@ -149,13 +149,17 @@ object RelationalOps {
       .join(broadcast(Tables.nation(s, dir)),
         col("c_nationkey") === col("n_nationkey"))
       .cube(col("n_name"), col("c_mktsegment"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+      // grouping() is only legal inside the aggregate list of a
+      // cube/rollup — referencing it in a later select throws
+      // UNSUPPORTED_GROUPING_EXPRESSION.
+      .agg(grouping(col("n_name")).cast("long").as("g_nation"),
+           grouping(col("c_mktsegment")).cast("long").as("g_segment"),
+           round(sum(col("o_totalprice")), 2).as("revenue"),
            count(lit(1)).as("n_orders"))
       .select(
         coalesce(col("n_name"), lit("ALL")).as("nation"),
         coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
-        grouping(col("n_name")).cast("long").as("g_nation"),
-        grouping(col("c_mktsegment")).cast("long").as("g_segment"),
+        col("g_nation"), col("g_segment"),
         col("revenue"), col("n_orders"))
       .orderBy("nation", "segment")
 
