@@ -274,7 +274,7 @@ object SparkEntry {
     // fix for a repeated fact⋈fact shuffle at 100 TB.
     "q54_bucketed_join" -> ((s, d) =>
       BucketedOps.bucketedOrderRevenue(Tables.orders(s, d),
-        Tables.lineitem(s, d), "/tmp/graft_warehouse")),
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", inputTag = Some(d))),
 
     // Training-data prep: fixed-size token chunks with stride (partial
     // tail kept), one row per chunk with an engine-reproducible
@@ -299,7 +299,7 @@ object SparkEntry {
     // (PartitionFilters, zero data filters — plan asserted in spec).
     "q58_partition_pruned" -> ((s, d) =>
       BucketedOps.prunedSourceStats(Tables.documents(s, d),
-        "/tmp/graft_warehouse")),
+        "/tmp/graft_warehouse", inputTag = Some(d))),
 
     // Bucketized range join: events-in-session-interval through a
     // time-bucket equi-join + exact residual predicate (the inequality

@@ -38,4 +38,24 @@ class QueriesSpec extends SparkSuite {
   test("flagship entry returns rows on the smoke scale") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q58 as wired: source filter lives ONLY in PartitionFilters") {
+    // the real q58 pipeline (not the synthetic layout in
+    // BucketedOpsSpec) — a future cast/expression wrapped around
+    // `source` would silently demote directory pruning to a per-row
+    // data filter; that must fail tests, not just read slow in a bench.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q58_partition_pruned")(spark, sfDir)
+      val scans = df.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, s"no file scan found:\n${df.queryExecution}")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        s"source filter did not reach PartitionFilters:\n${df.queryExecution}")
+      assert(scans.forall(_.dataFilters.isEmpty),
+        s"source filter leaked into per-row dataFilters:\n${df.queryExecution}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
 }
