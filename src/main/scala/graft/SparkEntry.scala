@@ -340,6 +340,29 @@ object SparkEntry {
 
     // Full CUBE lattice with grouping() disambiguation flags.
     "q66_cube_revenue" -> ((s, d) => RelationalOps.cubeRevenue(s, d)),
+
+    // Benchmark decontamination: training docs sharing any 5-gram with
+    // the eval slice, via a broadcast of the eval shingle-hash set.
+    "q67_decontaminate" -> ((s, d) =>
+      DedupOp.decontaminate(Tables.documents(s, d))),
+
+    // Gopher-style repetition metrics: duplicate-bigram and
+    // top-bigram fractions per doc, fully row-local.
+    "q68_repetition" -> ((s, d) =>
+      TextOps.repetitionMetrics(Tables.documents(s, d))),
+
+    // Normalization pass: stopword strip with before/after counts and
+    // an md5 receipt of the normalized bytes.
+    "q69_stopword_strip" -> ((s, d) =>
+      TextOps.stripStopwords(Tables.documents(s, d))),
+
+    // Deterministic stratified 90/5/5 train/val/test split summary.
+    "q70_split_assign" -> ((s, d) =>
+      ScaleOps.splitAssign(Tables.documents(s, d))),
+
+    // Token-budget domain mixing: greedy hash-ordered fill per source.
+    "q71_token_budget" -> ((s, d) =>
+      ScaleOps.tokenBudgetMix(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -788,5 +811,15 @@ object SparkEntry {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY CUBE(n_name, c_mktsegment) ORDER BY 1, 2""".stripMargin,
+
+    "q67_decontaminate" -> DedupOp.decontaminateOracle(),
+
+    "q68_repetition" -> TextOps.repetitionMetricsOracle,
+
+    "q69_stopword_strip" -> TextOps.stripStopwordsOracle,
+
+    "q70_split_assign" -> ScaleOps.splitAssignOracle(),
+
+    "q71_token_budget" -> ScaleOps.tokenBudgetMixOracle(),
   )
 }

@@ -392,6 +392,61 @@ object DedupOp {
        |        FROM toks WHERE len(tk) >= $w) t
        |)""".stripMargin
 
+  /** Benchmark decontamination — flag training documents that share any
+    * w-gram with an evaluation slice of the corpus (the GPT-3/PaLM
+    * n-gram-overlap rule: eval text leaking into the training set
+    * inflates benchmark scores, so overlapping docs are dropped before
+    * training). Eval set = the `evalSource` slice; `n_hits` counts the
+    * DISTINCT contaminated shingle hashes per training doc.
+    *
+    * Scale shape: an eval set is benchmark-sized (thousands of docs,
+    * not billions), so its distinct shingle-hash set broadcasts — the
+    * training side stays a narrow scan → explode → broadcast-hash-join
+    * pipeline with NO shuffle of the corpus; the only shuffles carry
+    * the per-doc hit counts and the tiny flagged-doc join-back.
+    */
+  def decontaminate(docs: DataFrame, evalSource: String = "src0",
+                    w: Int = 5): DataFrame = {
+    // EXACT shingle strings, not [[docShingles]]'s portable hashes: a
+    // contamination filter deletes training data on a hit, so the
+    // prefix-hash's collisions (acceptable when they merely merge two
+    // shingles consistently in a Jaccard estimate) would be false
+    // positives here. The eval side is the only side ever
+    // materialized, and it is benchmark-sized — exactness costs one
+    // broadcast of strings.
+    def docGrams(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), w))).as("sh"))
+    val evalSh = docGrams(docs.where(col("source") === evalSource))
+      .select(col("sh")).distinct()
+    val hits = docGrams(docs.where(col("source") =!= evalSource))
+      .join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(hits), Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[decontaminate]]. */
+  def decontaminateOracle(evalSource: String = "src0", w: Int = 5): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |shs AS (
+       |  SELECT DISTINCT doc_id, (${shingleConcatSql(w)}) AS sh
+       |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${w - 1})) AS i
+       |        FROM toks WHERE len(tk) >= $w) t),
+       |ev AS (SELECT DISTINCT sh FROM shs JOIN documents USING (doc_id)
+       |       WHERE source = '$evalSource'),
+       |hits AS (
+       |  SELECT s.doc_id, count(*) AS n_hits
+       |  FROM shs s
+       |  JOIN documents d USING (doc_id)
+       |  JOIN ev USING (sh)
+       |  WHERE d.source <> '$evalSource'
+       |  GROUP BY 1)
+       |SELECT d.doc_id, d.source, h.n_hits
+       |FROM hits h JOIN documents d USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** df-capped shingles (mirror of [[ngramJaccard]]'s `maxDf` blocking
     * cap): `shc` = (doc_id, sh) restricted to shingles shared by at most
     * `maxDf` documents. Appended after [[shingleCte]].

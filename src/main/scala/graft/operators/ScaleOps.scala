@@ -98,6 +98,84 @@ object ScaleOps {
       .orderBy("source", "rk")
   }
 
+  /** Deterministic stratified train/val/test split, summarized per
+    * (source, split): each doc's split comes from its content-hash
+    * bucket (90/5/5 by default), so the assignment is reproducible
+    * across engines, runs, and cluster sizes — and because the hash is
+    * per-doc, every source is split at the same RATE (a doc-count
+    * threshold split would starve small sources of val/test rows). The
+    * assignment itself is a scan-speed codegen'd map; the summary is
+    * one partial-aggregated shuffle on (source, split).
+    */
+  def splitAssign(docs: DataFrame, trainPct: Int = 90,
+                  valPct: Int = 5): DataFrame = {
+    val bucket = pmod(TextFunctions.portableHash(
+      concat(col("doc_id").cast("string"), lit("|"), col("source"))),
+      lit(100L))
+    val split = when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+    docs.select(col("source"), split.as("split"), col("n_chars"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source", "split")
+  }
+
+  /** Oracle SQL twin of [[splitAssign]]. */
+  def splitAssignOracle(trainPct: Int = 90, valPct: Int = 5): String = {
+    val h = TextFunctions.portableHashSql(
+      "concat(CAST(doc_id AS VARCHAR), '|', source)")
+    s"""SELECT source,
+       |  CASE WHEN $h % 100 < $trainPct THEN 'train'
+       |       WHEN $h % 100 < ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Token-budget domain mixing: admit each source's documents in
+    * deterministic content-hash order until the source's token budget
+    * fills — the "N tokens per domain" corpus-composition step of
+    * training-data prep, reproducible because admission order is a
+    * hash, not `rand()`. One shuffle keyed by source; the running sum
+    * is a window over the (hash, doc_id) order, so reruns at any
+    * parallelism admit the identical doc set. A hot source serializes
+    * through one window task here; at 100 TB the same greedy fill runs
+    * as a per-partition partial fill + one merge pass (the
+    * [[quotaSample]] scale note, in token units).
+    */
+  def tokenBudgetMix(docs: DataFrame, budget: Long = 500L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextFunctions.portableHash(
+      concat(col("doc_id").cast("string"), lit("|"), col("source")))
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+        h.as("hk"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Oracle SQL twin of [[tokenBudgetMix]]. */
+  def tokenBudgetMixOracle(budget: Long = 500L): String = {
+    val h = TextFunctions.portableHashSql(
+      "concat(CAST(doc_id AS VARCHAR), '|', source)")
+    s"""SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+       |FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY hk, doc_id) AS cum
+       |  FROM (SELECT doc_id, source,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |          $h AS hk
+       |        FROM documents) b) t
+       |WHERE cum <= $budget ORDER BY source, doc_id""".stripMargin
+  }
+
   /** Oracle SQL twin of [[quotaSample]]. */
   def quotaSampleOracle(quota: Int = 10): String = {
     val h = TextFunctions.portableHashSql(

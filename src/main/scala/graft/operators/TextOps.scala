@@ -88,6 +88,92 @@ object TextOps {
       |  d.n_chars
       |FROM documents d ORDER BY d.doc_id""".stripMargin
 
+  /** Gopher-style repetition metrics per document: duplicate-bigram
+    * fraction and most-frequent-bigram fraction — the standard
+    * boilerplate/loop detectors for corpus filtering (Rae et al. 2021,
+    * Gopher §A1.1, filter on duplicate n-gram fractions exactly like
+    * these). Entirely row-local higher-order array ops — zero shuffle,
+    * no per-doc token state ever crosses the wire. The top frequency
+    * is the longest equal-run in the SORTED bigram array (one
+    * O(n log n) sort + one O(n) fold per row) — the naive
+    * per-distinct-element count is O(distinct·n) per row, which at
+    * interpreted-HOF speed dominated the whole bench suite.
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.ratio
+    val bg = shingles(tokens(col("text")), 2)
+    val n = size(bg).cast("long")
+    val nd = size(array_distinct(bg)).cast("long")
+    // fold state: (previous element, current run length, best run);
+    // bigrams are never "" so the seed can't extend a run
+    val top = aggregate(sort_array(bg),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (a, x) => {
+        val run = when(x === a.getField("prev"), a.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best")).cast("long")
+    docs.select(col("doc_id"), n.as("n_bigrams"),
+        ratio(n - nd, n).as("dup_ratio"),
+        ratio(top, n).as("top_ratio"))
+      .where(col("n_bigrams") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[repetitionMetrics]]. */
+  def repetitionMetricsOracle: String = {
+    import graft.functions.DetAgg.ratioSql
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+       |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+       |             FROM toks WHERE len(tk) >= 2) t),
+       |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+       |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |       count(*) AS nd, CAST(max(c) AS BIGINT) AS topc
+       |       FROM cnt GROUP BY 1)
+       |SELECT doc_id, n AS n_bigrams,
+       |  ${ratioSql("n - nd", "n")} AS dup_ratio,
+       |  ${ratioSql("topc", "n")} AS top_ratio
+       |FROM ag ORDER BY doc_id""".stripMargin
+  }
+
+  /** Normalization/cleanup pass: strip stopwords, emit before/after
+    * token counts and an md5 fingerprint of the normalized text — the
+    * reproducibility receipt a preprocessing stage hands downstream
+    * (two pipeline runs, or two engines, agree on EXACTLY the bytes
+    * entering tokenization iff the fingerprints agree). Row-local,
+    * zero shuffle, scan speed.
+    */
+  def stripStopwords(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val kept = filter(toks, t => !t.isin(EnStop: _*))
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        md5(array_join(kept, " ")).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[stripStopwords]] — avoids list lambdas (kept
+    * conservative for older DuckDB): positions are exploded, filtered,
+    * and re-joined in position order.
+    */
+  def stripStopwordsOracle: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |tu AS (SELECT doc_id, i, tk[i] AS tok
+       |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+       |             FROM toks) t),
+       |k AS (SELECT doc_id, count(*) AS n_kept,
+       |      string_agg(tok, ' ' ORDER BY i) AS norm
+       |      FROM tu WHERE tok NOT IN ${inList(EnStop)} GROUP BY 1),
+       |n AS (SELECT doc_id, count(*) AS n_tokens FROM tu GROUP BY 1)
+       |SELECT n.doc_id, n.n_tokens,
+       |  coalesce(k.n_kept, 0) AS n_kept,
+       |  md5(coalesce(k.norm, '')) AS norm_md5
+       |FROM n LEFT JOIN k USING (doc_id) ORDER BY n.doc_id""".stripMargin
+
   /** Global token frequency top-k: explode → partial-aggregated count →
     * TakeOrdered. The explode is narrow; only (token, count) pairs
     * shuffle.

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{DedupOp, ScaleOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Semantic edge cases for the corpus-preparation tier (q67–q71):
+  * decontamination exactness, repetition metrics, stopword strip,
+  * split assignment, token-budget mixing. Oracle parity is covered by
+  * QueriesSpec + the driver; these pin the SEMANTICS on planted data.
+  */
+class CorpusPrepSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("decontaminate flags exactly the docs sharing a w-gram with the eval slice") {
+    // doc 1 copies eval doc 0's 5-gram verbatim; doc 2 shares only
+    // 4-gram prefixes (same first words — a prefix-hash would false-
+    // positive here, exact strings must not); doc 3 is disjoint.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "eval"),
+      (1L, "x alpha beta gamma delta epsilon y", "train"),
+      (2L, "alpha beta gamma delta OTHER tail here", "train"),
+      (3L, "one two three four five six seven", "train")
+    ).toDF("doc_id", "text", "source")
+    val out = DedupOp.decontaminate(docs, evalSource = "eval", w = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // exactly one shared 5-gram: "alpha beta gamma delta epsilon"
+    assert(out === Map(1L -> 1L))
+  }
+
+  test("repetition metrics: looped text scores high, distinct text scores zero") {
+    val docs = Seq(
+      (0L, "spam ham spam ham spam ham spam ham"), // one bigram pair looped
+      (1L, "a b c d e f g h")                      // all bigrams unique
+    ).toDF("doc_id", "text")
+    val m = TextOps.repetitionMetrics(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // doc 0: 7 bigrams, 2 distinct ("spam ham"×4, "ham spam"×3);
+    // DetAgg.ratio rounds HALF_UP at 4 decimals: 5/7→0.7143, 4/7→0.5714
+    assert(m(0L)._1 === 7L)
+    assert(m(0L)._2 === 0.7143)
+    assert(m(0L)._3 === 0.5714)
+    assert(m(1L)._2 === 0.0)
+  }
+
+  test("stopword strip: counts and fingerprint reflect the kept tokens only") {
+    val docs = Seq((0L, "the quick fox is in a box")).toDF("doc_id", "text")
+    val r = TextOps.stripStopwords(docs).collect().head
+    assert(r.getLong(1) === 7L) // n_tokens
+    assert(r.getLong(2) === 3L) // quick fox box
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("quick fox box".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getString(3) === expected)
+  }
+
+  test("split assign partitions every doc exactly once, stratified by source") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = ScaleOps.splitAssign(docs).collect()
+    assert(out.map(_.getLong(2)).sum === docs.count())
+    // every source present, and no (source, split) cell counted twice
+    val cells = out.map(r => (r.getString(0), r.getString(1)))
+    assert(cells.distinct.length === cells.length)
+    assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("token budget mix: per-source cumulative tokens never exceed the budget, " +
+       "and the admitted set is a prefix of the hash order") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = ScaleOps.tokenBudgetMix(docs, budget = 300L)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) <= 300L))
+    // prefix property: for each source, admitted count == number of docs
+    // whose hash-ordered running sum fits — re-derive independently
+    val byDoc = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        graft.functions.TextFunctions.portableHash(
+          concat(col("doc_id").cast("string"), lit("|"), col("source"))).as("hk"))
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(0), r.getLong(2)))
+    val expected = byDoc.groupBy(_._1).view.mapValues { ds =>
+      var cum = 0L
+      ds.sortBy(d => (d._2, d._3)).takeWhile { d =>
+        cum += d._4; cum <= 300L
+      }.map(_._3).toSet
+    }.toMap
+    val got = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(got === expected.filter(_._2.nonEmpty))
+  }
+}
