@@ -363,6 +363,15 @@ object SparkEntry {
     // Token-budget domain mixing: greedy hash-ordered fill per source.
     "q71_token_budget" -> ((s, d) =>
       ScaleOps.tokenBudgetMix(Tables.documents(s, d))),
+
+    // Corpus-frequency quality score: avg/min token commonness against
+    // a broadcastable top-K vocabulary (LM-perplexity filter proxy).
+    "q72_token_commonness" -> ((s, d) =>
+      TextOps.tokenCommonness(Tables.documents(s, d))),
+
+    // Duplicate-cluster size histogram off the near-dup pair graph.
+    "q73_dup_cluster_sizes" -> ((s, d) =>
+      DedupOp.dupClusterSizes(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -821,5 +830,9 @@ object SparkEntry {
     "q70_split_assign" -> ScaleOps.splitAssignOracle(),
 
     "q71_token_budget" -> ScaleOps.tokenBudgetMixOracle(),
+
+    "q72_token_commonness" -> TextOps.tokenCommonnessOracle(),
+
+    "q73_dup_cluster_sizes" -> DedupOp.dupClusterSizesOracle(),
   )
 }

@@ -558,6 +558,31 @@ object DedupOp {
        |${pairGraphRootsCtes(minJaccard, maxDf)}
        |SELECT id, root FROM roots ORDER BY 1""".stripMargin
 
+  /** Duplicate-cluster size distribution — the survivor-selection
+    * diagnostic a dedup run is judged by (how much of the corpus sits
+    * in 2-doc clusters vs one giant near-dup blob; a heavy tail means
+    * the similarity threshold or blocking is wrong). Cluster = connected
+    * component of the near-dup pair graph ([[keepSet]]); singleton docs
+    * are not clusters. Everything after the pair graph is two tiny
+    * aggregates — the component id map is |dup docs|, the histogram is
+    * |distinct sizes|.
+    */
+  def dupClusterSizes(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    keepSet(ngramJaccard(docs, minJaccard))
+      .groupBy(col("root")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
+  /** Oracle SQL twin of [[dupClusterSizes]]. */
+  def dupClusterSizesOracle(minJaccard: Double = 0.5,
+                            maxDf: Int = MaxShingleDf): String =
+    s"""WITH RECURSIVE ${shingleCte()},
+       |${pairGraphRootsCtes(minJaccard, maxDf)},
+       |cs AS (SELECT root, count(*) AS sz FROM roots GROUP BY 1)
+       |SELECT sz AS cluster_size, count(*) AS n_clusters
+       |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin
+
   def ngramJaccardOracle(minJaccard: Double = 0.5,
                          maxDf: Int = MaxShingleDf): String =
     s"""WITH ${shingleCte()},

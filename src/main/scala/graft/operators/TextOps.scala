@@ -174,6 +174,48 @@ object TextOps {
        |  md5(coalesce(k.norm, '')) AS norm_md5
        |FROM n LEFT JOIN k USING (doc_id) ORDER BY n.doc_id""".stripMargin
 
+  /** Corpus-frequency quality score per document — the deterministic
+    * stand-in for an LM-perplexity filter (CCNet scores docs with a
+    * KenLM model; the integer-exact proxy here is "how common are this
+    * doc's tokens in the corpus"): avg and min corpus count over the
+    * doc's tokens. Junk/noise docs score a low min (they contain
+    * corpus-rare garbage tokens); boilerplate scores a high avg.
+    *
+    * Scale shape: the vocabulary is counted once ((token, count) pairs
+    * with map-side partials — the explode itself never shuffles) and
+    * capped at `topK` by count so the scoring side is a BROADCAST
+    * join no matter how big the corpus (64k tokens ≈ 1 MB; tokens
+    * outside the cap count 0, the OOV convention). Per-doc sums then
+    * partial-aggregate back to |docs| rows. Two small shuffles total,
+    * both independent of corpus width.
+    */
+  def tokenCommonness(docs: DataFrame, topK: Int = 64000): DataFrame = {
+    import graft.functions.DetAgg.ratio
+    val tu = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tu.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(topK)
+    tu.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(coalesce(col("c"), lit(0L))).as("min_tf"),
+        ratio(sum(coalesce(col("c"), lit(0L))), count(lit(1))).as("avg_tf"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[tokenCommonness]]. */
+  def tokenCommonnessOracle(topK: Int = 64000): String = {
+    import graft.functions.DetAgg.ratioSql
+    s"""WITH tu AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |            FROM documents),
+       |vc AS (SELECT tok, count(*) AS c FROM tu GROUP BY 1
+       |       ORDER BY c DESC, tok LIMIT $topK)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |  CAST(min(coalesce(v.c, 0)) AS BIGINT) AS min_tf,
+       |  ${ratioSql("sum(coalesce(v.c, 0))", "count(*)")} AS avg_tf
+       |FROM tu t LEFT JOIN vc v USING (tok)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Global token frequency top-k: explode → partial-aggregated count →
     * TakeOrdered. The explode is narrow; only (token, count) pairs
     * shuffle.

@@ -64,6 +64,32 @@ class CorpusPrepSpec extends SparkSuite {
     assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("token commonness: rare tokens pull min_tf down, common ones lift avg_tf") {
+    val docs = Seq(
+      (0L, "common common common common"),
+      (1L, "common common common rareword")
+    ).toDF("doc_id", "text")
+    val m = TextOps.tokenCommonness(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // "common" appears 7 times corpus-wide, "rareword" once
+    assert(m(0L) === ((4L, 7L, 7.0)))
+    assert(m(1L)._2 === 1L)         // min_tf exposes the rare token
+    assert(m(1L)._3 === 5.5)        // (7*3 + 1) / 4
+  }
+
+  test("dup cluster sizes: a triple and a pair of identical docs histogram as 3 and 2") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "one two three four five"), (4L, "one two three four five"),
+      (5L, "totally unrelated text here")
+    ).toDF("doc_id", "text")
+    val h = DedupOp.dupClusterSizes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h === Map(2L -> 1L, 3L -> 1L))
+  }
+
   test("token budget mix: per-source cumulative tokens never exceed the budget, " +
        "and the admitted set is a prefix of the hash order") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
