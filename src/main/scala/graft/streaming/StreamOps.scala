@@ -99,6 +99,27 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming decontamination — the streaming form of
+    * [[graft.operators.DedupOp.decontaminate]] for ingest-time
+    * filtering: the eval set is a STATIC frame (benchmarks change at
+    * release cadence, not stream cadence), its distinct w-grams are
+    * broadcast, and each arriving doc's grams probe it in a
+    * stream-static inner join — STATELESS, the cheapest legal shape
+    * (a per-doc hit COUNT would be a streaming aggregate burning a
+    * stateful-operator slot; like [[streamingNearDup]]'s pair stream,
+    * the hit stream is treated as a set by its sink). Emits one
+    * (doc_id, sh) row per contaminated gram occurrence.
+    */
+  def streamingDecontaminate(stream: DataFrame, evalDocs: DataFrame,
+                             w: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), w))).as("sh"))
+    val evalSh = grams(evalDocs).select(col("sh")).distinct()
+    grams(stream).join(broadcast(evalSh), Seq("sh"))
+      .select(col("doc_id"), col("sh"))
+  }
+
   /** Streaming ingest-side corpus cleaning — the STREAMING PREFIX of
     * [[graft.operators.DedupOp.cleanCorpus]]: content-hash exact dedup
     * with watermark-bounded state, then the same pure-integer quality

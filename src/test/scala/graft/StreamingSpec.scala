@@ -70,6 +70,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingDecontaminate emits hits equal to the batch operator's flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val hits = StreamOps.streamingDecontaminate(stream, evalDocs, w = 5)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("decon_out").start()
+    try {
+      mem.addData(
+        (1L, "x alpha beta gamma delta epsilon y"), // 1 shared 5-gram
+        (2L, "alpha beta gamma delta OTHER tail"),  // prefix only — clean
+        (3L, "one two three four five six"))        // disjoint
+      q.processAllAvailable()
+      // batch 2: another contaminated arrival, stateless across batches
+      mem.addData((4L, "beta gamma delta epsilon zeta end"))
+      q.processAllAvailable()
+      val flagged = spark.table("decon_out").select($"doc_id").as[Long]
+        .collect().toSet
+      assert(flagged === Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeated content hashes across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)] // (doc_id, text, ts_sec)
