@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
-import graft.functions.{PointInPolygonExpr, PortableHashExpr}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
+import graft.functions.{PointInPolygonExpr, PortableHashExpr, ShinglesExpr, SignSketchExpr}
 
 /** SQL surface for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT st_contains(lat, lng, lats, lngs) ...")` works.
@@ -28,11 +28,30 @@ object GraftFunctions {
       Cast(args(0), DoubleType), Cast(args(1), DoubleType),
       Cast(args(2), ArrayType(DoubleType)), Cast(args(3), ArrayType(DoubleType)))
 
+  // the size parameters must be foldable ints — they shape the codegen
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def shinglesBuilder(args: Seq[Expression]): Expression =
+    ShinglesExpr(Cast(args.head, ArrayType(StringType)),
+      if (args.length > 1) litInt(args(1), "shingle width") else 3)
+
+  private def signSketchBuilder(args: Seq[Expression]): Expression =
+    SignSketchExpr(Cast(args.head, ArrayType(DoubleType)),
+      litInt(args(1), "numBands"), litInt(args(2), "bandBits"))
+
   val functions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("portable_hash", hashBuilder _,
       "portable_hash(str) - engine-portable polynomial hash (base 131, mod 1e9+7)"),
     ("st_contains", containsBuilder _,
-      "st_contains(lat, lng, lats, lngs) - PNPOLY point-in-polygon test"))
+      "st_contains(lat, lng, lats, lngs) - PNPOLY point-in-polygon test"),
+    ("shingles", shinglesBuilder _,
+      "shingles(tokens[, w]) - w-gram shingles of a token array (default w=3)"),
+    ("sign_sketch", signSketchBuilder _,
+      "sign_sketch(vec, numBands, bandBits) - per-band hyperplane sign sketches"))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

@@ -159,6 +159,26 @@ class DedupAndTextSpec extends SparkSuite {
         |  array(0.0, 1.0, 1.0, 0.0), array(0.0, 0.0, 1.0, 1.0)) AS c"""
         .stripMargin).as[Boolean].head()
     assert(inside)
+    val sh = spark.sql(
+      "SELECT shingles(array('a','b','c','d'), 2) AS s")
+      .as[Seq[String]].head()
+    assert(sh === Seq("a b", "b c", "c d"))
+    // default width is 3
+    val sh3 = spark.sql("SELECT shingles(array('a','b','c','d')) AS s")
+      .as[Seq[String]].head()
+    assert(sh3 === Seq("a b c", "b c d"))
+    // sign_sketch: SQL form equals the Column form on the same vector
+    val viaSql = spark.sql(
+      "SELECT sign_sketch(array(0.1D, -0.2D, 0.3D, 0.4D), 4, 16) AS s")
+      .as[Seq[Long]].head()
+    val viaCol = Seq(Tuple1(Seq(0.1, -0.2, 0.3, 0.4))).toDF("v")
+      .select(graft.functions.SignSketchExpr.column($"v", 4, 16).as("s"))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaCol)
+    // non-literal size parameters must be rejected, not silently mis-shaped
+    intercept[Exception] {
+      spark.sql("SELECT shingles(array('a','b'), 1 + 1)").collect()
+    }
   }
 
   test("text quality metrics on a known document") {
