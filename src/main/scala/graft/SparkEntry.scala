@@ -372,6 +372,11 @@ object SparkEntry {
     // Duplicate-cluster size histogram off the near-dup pair graph.
     "q73_dup_cluster_sizes" -> ((s, d) =>
       DedupOp.dupClusterSizes(Tables.documents(s, d))),
+
+    // Sequence packing: each doc's (bin, offset) in the fixed-length
+    // training-example layout, integer-exact, one window shuffle.
+    "q74_sequence_pack" -> ((s, d) =>
+      ScaleOps.sequencePack(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -834,5 +839,7 @@ object SparkEntry {
     "q72_token_commonness" -> TextOps.tokenCommonnessOracle(),
 
     "q73_dup_cluster_sizes" -> DedupOp.dupClusterSizesOracle(),
+
+    "q74_sequence_pack" -> ScaleOps.sequencePackOracle(),
   )
 }

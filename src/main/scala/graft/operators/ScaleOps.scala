@@ -176,6 +176,59 @@ object ScaleOps {
        |WHERE cum <= $budget ORDER BY source, doc_id""".stripMargin
   }
 
+  /** Sequence-packing assignment — the pretraining step that turns a
+    * doc stream into fixed-length training examples: concatenate each
+    * source's documents in deterministic hash order and cut the token
+    * stream every `seqLen` tokens. Emits each doc's coordinates in
+    * that layout — bin (sequence index), offset within the bin, and a
+    * flag for docs spanning a cut — so the downstream tokenizer writes
+    * examples without ever materializing the concatenation. All
+    * arithmetic is integer-exact on the running token count; the only
+    * shuffle is the per-source window (same scale stance as
+    * [[tokenBudgetMix]]: at 100 TB the cumsum becomes a per-partition
+    * partial + one merge of partition subtotals).
+    */
+  def sequencePack(docs: DataFrame, seqLen: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val h = TextFunctions.portableHash(
+      concat(col("doc_id").cast("string"), lit("|"), col("source")))
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+        h.as("hk"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("endt", col("start") + col("n_tokens") - 1L)
+      // DIV: integer division on longs (`/` detours through double)
+      .withColumn("bin", expr(s"start DIV $seqLen"))
+      .withColumn("offset", pmod(col("start"), lit(seqLen)))
+      .withColumn("spans_cut",
+        (expr(s"endt DIV $seqLen") =!= col("bin")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("bin"), col("offset"), col("spans_cut"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Oracle SQL twin of [[sequencePack]]. */
+  def sequencePackOracle(seqLen: Long = 512L): String = {
+    val h = TextFunctions.portableHashSql(
+      "concat(CAST(doc_id AS VARCHAR), '|', source)")
+    s"""SELECT doc_id, source, n_tokens,
+       |  strt // $seqLen AS bin,
+       |  strt % $seqLen AS "offset",
+       |  CAST((strt + n_tokens - 1) // $seqLen <> strt // $seqLen AS BIGINT)
+       |    AS spans_cut
+       |FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY hk, doc_id) - n_tokens AS BIGINT) AS strt
+       |  FROM (SELECT doc_id, source,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |          $h AS hk
+       |        FROM documents) b) t
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
   /** Oracle SQL twin of [[quotaSample]]. */
   def quotaSampleOracle(quota: Int = 10): String = {
     val h = TextFunctions.portableHashSql(

@@ -90,6 +90,25 @@ class CorpusPrepSpec extends SparkSuite {
     assert(h === Map(2L -> 1L, 3L -> 1L))
   }
 
+  test("sequence pack: bins tile the concatenated token stream exactly") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = ScaleOps.sequencePack(docs, seqLen = 100L).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(out.length === docs.count())
+    for ((source, rows) <- out.groupBy(_._1)) {
+      // reconstruct: starts = bin*L + offset must be the running cumsum
+      val sorted = rows.sortBy(r => r._3 * 100L + r._4)
+      var cum = 0L
+      for ((_, n, bin, off, spans) <- sorted) {
+        assert(bin * 100L + off === cum, s"gap/overlap in $source at $cum")
+        // spans_cut iff the doc crosses a 100-token boundary
+        assert(spans === (if ((cum % 100) + n > 100) 1L else 0L))
+        cum += n
+      }
+    }
+  }
+
   test("token budget mix: per-source cumulative tokens never exceed the budget, " +
        "and the admitted set is a prefix of the hash order") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
