@@ -27,8 +27,11 @@ object RelationalOps {
 
   /** Enrichment join (reference J1: celltowerStream ⋈ attach store ON
     * bearerId, inner — unmatched events dropped,
-    * `TrafficStreamProcessor.scala:52-56`). Dimension side is small ⇒
-    * broadcast hash join, no shuffle of the fact side.
+    * `TrafficStreamProcessor.scala:52-56`). CALLER CONTRACT: the
+    * dimension side must be broadcast-sized (the reference's attach
+    * store is bounded by live bearers); the hint keeps the fact side
+    * unshuffled per micro-batch. For an unbounded dimension use a
+    * plain join and let the planner shuffle.
     */
   def enrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer),
@@ -63,21 +66,24 @@ object RelationalOps {
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
            count(lit(1)).as("n_orders"))
-      .join(broadcast(Tables.customer(s, dir)),
+      .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(k)
 
   /** Multi-way star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
-    * → revenue per nation. Dims broadcast; the single big shuffle is the
-    * lineitem⋈orders equi-join (both sides large), which AQE can convert
-    * or coalesce at runtime.
+    * → revenue per nation. Only the CONSTANT-size dims (nation=25,
+    * region=5 rows at every SF) carry a broadcast hint; customer and
+    * orders SCALE with the data, so their join strategy is left to the
+    * size threshold + AQE — broadcast at bench SFs, sort-merge at
+    * 100 TB. A forced broadcast(customer) would be a scale bug: the
+    * hint overrides the planner at ANY size.
     */
   def revenueByNation(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val o  = Tables.orders(s, dir)
-    val c  = broadcast(Tables.customer(s, dir))
+    val c  = Tables.customer(s, dir)
     val n  = broadcast(Tables.nation(s, dir))
     val r  = broadcast(Tables.region(s, dir))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -121,7 +127,7 @@ object RelationalOps {
   /** ROLLUP hierarchy aggregate (grouping-sets coverage, §2.4-absent row). */
   def rollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)),
+      .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)),
         col("c_nationkey") === col("n_nationkey"))
@@ -144,7 +150,7 @@ object RelationalOps {
     */
   def cubeRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)),
+      .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)),
         col("c_nationkey") === col("n_nationkey"))
@@ -174,7 +180,7 @@ object RelationalOps {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)),
+      .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
         ntile(4).over(w).cast("long").as("quartile"),
@@ -225,14 +231,15 @@ object RelationalOps {
   }
 
   /** Brand profile across the full star: lineitem ⋈ part ⋈ supplier —
-    * completes table coverage (both dims broadcast; one fact shuffle for
-    * the final aggregate).
+    * completes table coverage. part/supplier scale with SF, so no
+    * broadcast hint (planner/AQE picks broadcast at bench SFs,
+    * sort-merge at scale); one fact shuffle for the final aggregate.
     */
   def brandProfile(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)),
+      .join(Tables.part(s, dir),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"),
