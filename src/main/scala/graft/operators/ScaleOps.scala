@@ -135,11 +135,14 @@ object ScaleOps {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
-  /** Token-budget domain mixing: admit each source's documents in
-    * deterministic content-hash order until the source's token budget
-    * fills — the "N tokens per domain" corpus-composition step of
-    * training-data prep, reproducible because admission order is a
-    * hash, not `rand()`. One shuffle keyed by source; the running sum
+  /** Token-budget domain mixing: admit the LONGEST PREFIX of each
+    * source's documents, in deterministic content-hash order, whose
+    * token total fits the budget — the "N tokens per domain"
+    * corpus-composition step of training-data prep, reproducible
+    * because admission order is a hash, not `rand()`. (Prefix
+    * semantics, not skip-and-continue knapsack: the first doc that
+    * overflows the budget ends the source's admission — simpler, and
+    * identical in SQL on both engines.) One shuffle keyed by source; the running sum
     * is a window over the (hash, doc_id) order, so reruns at any
     * parallelism admit the identical doc set. A hot source serializes
     * through one window task here; at 100 TB the same greedy fill runs
