@@ -18,15 +18,25 @@ import graft.functions.{PointInPolygonExpr, PortableHashExpr, ShinglesExpr, Sign
   */
 object GraftFunctions {
 
+  // a wrong arg count must read as a usage error, not an internal
+  // IndexOutOfBounds from the builder
+  private def arity(args: Seq[Expression], ok: Range, usage: String): Unit =
+    if (!ok.contains(args.length)) throw new IllegalArgumentException(
+      s"$usage — got ${args.length} argument(s)")
+
   // SQL literals arrive as decimal/int — coerce explicitly (the
   // ImplicitCastInputTypes trait's AbstractDataType is private[sql]).
-  private def hashBuilder(args: Seq[Expression]): Expression =
+  private def hashBuilder(args: Seq[Expression]): Expression = {
+    arity(args, 1 to 1, "portable_hash(str)")
     PortableHashExpr(Cast(args.head, StringType))
+  }
 
-  private def containsBuilder(args: Seq[Expression]): Expression =
+  private def containsBuilder(args: Seq[Expression]): Expression = {
+    arity(args, 4 to 4, "st_contains(lat, lng, lats, lngs)")
     PointInPolygonExpr(
       Cast(args(0), DoubleType), Cast(args(1), DoubleType),
       Cast(args(2), ArrayType(DoubleType)), Cast(args(3), ArrayType(DoubleType)))
+  }
 
   // the size parameters must be foldable ints — they shape the codegen
   private def litInt(e: Expression, what: String): Int = e match {
@@ -35,13 +45,17 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
-  private def shinglesBuilder(args: Seq[Expression]): Expression =
+  private def shinglesBuilder(args: Seq[Expression]): Expression = {
+    arity(args, 1 to 2, "shingles(tokens[, w])")
     ShinglesExpr(Cast(args.head, ArrayType(StringType)),
       if (args.length > 1) litInt(args(1), "shingle width") else 3)
+  }
 
-  private def signSketchBuilder(args: Seq[Expression]): Expression =
+  private def signSketchBuilder(args: Seq[Expression]): Expression = {
+    arity(args, 3 to 3, "sign_sketch(vec, numBands, bandBits)")
     SignSketchExpr(Cast(args.head, ArrayType(DoubleType)),
       litInt(args(1), "numBands"), litInt(args(2), "bandBits"))
+  }
 
   val functions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("portable_hash", hashBuilder _,

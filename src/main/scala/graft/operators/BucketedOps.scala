@@ -65,14 +65,18 @@ object BucketedOps {
     * session repeated runs over the same input — the bench's warm +
     * min-of-3 passes — reuse the layout and time what the layout is
     * FOR: the exchange-free read. Keyed by table name, which embeds
-    * the input tag, so runs over different sf dirs never share tables.
-    * The catalog is session-scoped (in-memory), so a table's existence
-    * proves THIS session wrote it; stale files from a dead JVM are
-    * overwritten, never trusted.
+    * the input tag AND the layout parameters (bucket count), so runs
+    * over different sf dirs or layouts never share tables. CALLER
+    * CONTRACT: the tag must uniquely identify the input DATA
+    * (SparkEntry passes the sf dir). With NO tag the guard is off and
+    * every call rewrites — the safe default for ad-hoc callers with
+    * arbitrary frames. The catalog is session-scoped (in-memory), so a
+    * table's existence proves THIS session wrote it; stale files from
+    * a dead JVM are overwritten, never trusted.
     */
-  private def ensureTable(spark: SparkSession, table: String)
-                         (write: => Unit): Unit =
-    if (!spark.catalog.tableExists(table)) write
+  private def writeOnce(spark: SparkSession, table: String,
+                        tagged: Boolean)(write: => Unit): Unit =
+    if (!tagged || !spark.catalog.tableExists(table)) write
 
   private def tagOf(inputTag: Option[String]): String =
     inputTag.map(t => "_" + t.replaceAll("[^A-Za-z0-9]", "_")).getOrElse("")
@@ -90,13 +94,13 @@ object BucketedOps {
                            buckets: Int = 16,
                            inputTag: Option[String] = None): DataFrame = {
     val spark = orders.sparkSession
-    val (oT, lT) = (s"g_orders_bucketed${tagOf(inputTag)}",
-      s"g_lineitem_bucketed${tagOf(inputTag)}")
-    ensureTable(spark, oT) {
+    val (oT, lT) = (s"g_orders_bucketed_b$buckets${tagOf(inputTag)}",
+      s"g_lineitem_bucketed_b$buckets${tagOf(inputTag)}")
+    writeOnce(spark, oT, inputTag.isDefined) {
       writeBucketed(orders.select(col("o_orderkey"), col("o_orderpriority")),
         oT, "o_orderkey", warehouse, buckets)
     }
-    ensureTable(spark, lT) {
+    writeOnce(spark, lT, inputTag.isDefined) {
       writeBucketed(lineitem.select(col("l_orderkey"), col("l_extendedprice"),
           col("l_discount")),
         lT, "l_orderkey", warehouse, buckets)
@@ -152,7 +156,7 @@ object BucketedOps {
       : DataFrame = {
     val spark = docs.sparkSession
     val table = s"g_docs_parted${tagOf(inputTag)}"
-    ensureTable(spark, table) {
+    writeOnce(spark, table, inputTag.isDefined) {
       writePartitioned(docs.select(col("doc_id"), col("n_chars"), col("source")),
         table, "source", warehouse)
     }

@@ -405,25 +405,35 @@ object DedupOp {
     * pipeline with NO shuffle of the corpus; the only shuffles carry
     * the per-doc hit counts and the tiny flagged-doc join-back.
     */
+  /** Per-doc distinct w-gram strings (doc_id, `keep`..., sh) — the
+    * shared gram pipeline of the batch AND streaming decontamination
+    * paths ([[decontaminate]],
+    * [[graft.streaming.StreamOps.streamingDecontaminate]]). EXACT
+    * strings, not [[docShingles]]'s portable hashes: a contamination
+    * filter deletes training data on a hit, so the prefix-hash's
+    * collisions (acceptable when they merely merge two shingles
+    * consistently in a Jaccard estimate) would be false positives —
+    * one decision, one definition, both callers.
+    */
+  private[graft] def docGrams(d: DataFrame, w: Int,
+                              keep: Column*): DataFrame =
+    d.select((col("doc_id") +: keep :+
+      explode(array_distinct(shingles(tokens(col("text")), w))).as("sh")): _*)
+
+  /** The eval slice's distinct gram set — the broadcast side. */
+  private[graft] def evalGramSet(evalDocs: DataFrame, w: Int): DataFrame =
+    docGrams(evalDocs, w).select(col("sh")).distinct()
+
   def decontaminate(docs: DataFrame, evalSource: String = "src0",
                     w: Int = 5): DataFrame = {
-    // EXACT shingle strings, not [[docShingles]]'s portable hashes: a
-    // contamination filter deletes training data on a hit, so the
-    // prefix-hash's collisions (acceptable when they merely merge two
-    // shingles consistently in a Jaccard estimate) would be false
-    // positives here. The eval side is the only side ever
-    // materialized, and it is benchmark-sized — exactness costs one
-    // broadcast of strings.
-    def docGrams(d: DataFrame): DataFrame = d.select(col("doc_id"),
-      explode(array_distinct(shingles(tokens(col("text")), w))).as("sh"))
-    val evalSh = docGrams(docs.where(col("source") === evalSource))
-      .select(col("sh")).distinct()
-    val hits = docGrams(docs.where(col("source") =!= evalSource))
+    // the eval side is benchmark-sized, so ONLY it materializes and
+    // broadcasts; `source` rides through the training-side explode so
+    // no join-back (whose hit set nothing bounds) is ever needed
+    val evalSh = evalGramSet(docs.where(col("source") === evalSource), w)
+    docGrams(docs.where(col("source") =!= evalSource), w, col("source"))
       .join(broadcast(evalSh), Seq("sh"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_hits"))
-    docs.select(col("doc_id"), col("source"))
-      .join(broadcast(hits), Seq("doc_id"))
       .orderBy("doc_id")
   }
 
@@ -435,17 +445,14 @@ object DedupOp {
        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${w - 1})) AS i
        |        FROM toks WHERE len(tk) >= $w) t),
        |ev AS (SELECT DISTINCT sh FROM shs JOIN documents USING (doc_id)
-       |       WHERE source = '$evalSource'),
-       |hits AS (
-       |  SELECT s.doc_id, count(*) AS n_hits
-       |  FROM shs s
-       |  JOIN documents d USING (doc_id)
-       |  JOIN ev USING (sh)
-       |  WHERE d.source <> '$evalSource'
-       |  GROUP BY 1)
-       |SELECT d.doc_id, d.source, h.n_hits
-       |FROM hits h JOIN documents d USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
+       |       WHERE source = '$evalSource')
+       |SELECT s.doc_id, d.source, count(*) AS n_hits
+       |FROM shs s
+       |JOIN documents d USING (doc_id)
+       |JOIN ev USING (sh)
+       |WHERE d.source <> '$evalSource'
+       |GROUP BY 1, 2
+       |ORDER BY s.doc_id""".stripMargin
 
   /** df-capped shingles (mirror of [[ngramJaccard]]'s `maxDf` blocking
     * cap): `shc` = (doc_id, sh) restricted to shingles shared by at most

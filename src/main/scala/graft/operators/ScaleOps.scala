@@ -15,6 +15,26 @@ import graft.functions.TextFunctions
   */
 object ScaleOps {
 
+  /** THE per-document identity hash for every sampling / splitting /
+    * ordering operator here, with its SQL twin below — one definition,
+    * mirrored once, so the Spark and DuckDB sides can never drift
+    * independently. The doc_id renders REVERSED before hashing:
+    * [[graft.functions.PortableHashExpr]] folds only the first 8
+    * chars + length, so un-reversed consecutive ids (one crawl chunk —
+    * same prefix, same length at 9+ digits) would collide wholesale
+    * and co-assign whole id-blocks to one split/sample, exactly the
+    * correlated leakage a content-hash split exists to prevent.
+    * Reversing puts the fastest-varying digits first.
+    */
+  private[operators] def docHash: Column =
+    TextFunctions.portableHash(concat(
+      reverse(col("doc_id").cast("string")), lit("|"), col("source")))
+
+  /** SQL twin of [[docHash]]. */
+  private[operators] def docHashSql: String =
+    TextFunctions.portableHashSql(
+      "concat(reverse(CAST(doc_id AS VARCHAR)), '|', source)")
+
   /** Two-phase (salted) aggregation for low-cardinality or skewed group
     * keys: phase 1 pre-aggregates on (key, salt) so each hot key spreads
     * over `salts` reducers; phase 2 merges the partials. Result is
@@ -61,16 +81,13 @@ object ScaleOps {
     */
   def sampleDocs(docs: DataFrame, pct: Int = 10): DataFrame =
     docs.select(col("doc_id"), col("source"), col("n_chars"),
-        pmod(TextFunctions.portableHash(
-          concat(col("doc_id").cast("string"), lit("|"), col("source"))),
-          lit(100L)).as("bucket"))
+        pmod(docHash, lit(100L)).as("bucket"))
       .where(col("bucket") < pct)
       .orderBy("doc_id")
 
   /** Oracle SQL twin of [[sampleDocs]]. */
   def sampleDocsOracle(pct: Int = 10): String = {
-    val h = TextFunctions.portableHashSql(
-      "concat(CAST(doc_id AS VARCHAR), '|', source)")
+    val h = docHashSql
     s"""SELECT doc_id, source, n_chars, $h % 100 AS bucket
        |FROM documents WHERE $h % 100 < $pct ORDER BY doc_id""".stripMargin
   }
@@ -88,8 +105,7 @@ object ScaleOps {
     */
   def quotaSample(docs: DataFrame, quota: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = TextFunctions.portableHash(
-      concat(col("doc_id").cast("string"), lit("|"), col("source")))
+    val h = docHash
     docs.select(col("doc_id"), col("source"), h.as("hk"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id")))
@@ -109,8 +125,7 @@ object ScaleOps {
     */
   def splitAssign(docs: DataFrame, trainPct: Int = 90,
                   valPct: Int = 5): DataFrame = {
-    val bucket = pmod(TextFunctions.portableHash(
-      concat(col("doc_id").cast("string"), lit("|"), col("source"))),
+    val bucket = pmod(docHash,
       lit(100L))
     val split = when(bucket < trainPct, lit("train"))
       .when(bucket < trainPct + valPct, lit("val"))
@@ -123,8 +138,7 @@ object ScaleOps {
 
   /** Oracle SQL twin of [[splitAssign]]. */
   def splitAssignOracle(trainPct: Int = 90, valPct: Int = 5): String = {
-    val h = TextFunctions.portableHashSql(
-      "concat(CAST(doc_id AS VARCHAR), '|', source)")
+    val h = docHashSql
     s"""SELECT source,
        |  CASE WHEN $h % 100 < $trainPct THEN 'train'
        |       WHEN $h % 100 < ${trainPct + valPct} THEN 'val'
@@ -151,8 +165,7 @@ object ScaleOps {
     */
   def tokenBudgetMix(docs: DataFrame, budget: Long = 500L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = TextFunctions.portableHash(
-      concat(col("doc_id").cast("string"), lit("|"), col("source")))
+    val h = docHash
     val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
     docs.select(col("doc_id"), col("source"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
@@ -165,8 +178,7 @@ object ScaleOps {
 
   /** Oracle SQL twin of [[tokenBudgetMix]]. */
   def tokenBudgetMixOracle(budget: Long = 500L): String = {
-    val h = TextFunctions.portableHashSql(
-      "concat(CAST(doc_id AS VARCHAR), '|', source)")
+    val h = docHashSql
     s"""SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
        |FROM (
        |  SELECT doc_id, source, n_tokens,
@@ -194,8 +206,7 @@ object ScaleOps {
   def sequencePack(docs: DataFrame, seqLen: Long = 512L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    val h = TextFunctions.portableHash(
-      concat(col("doc_id").cast("string"), lit("|"), col("source")))
+    val h = docHash
     val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
     docs.select(col("doc_id"), col("source"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
@@ -214,8 +225,7 @@ object ScaleOps {
 
   /** Oracle SQL twin of [[sequencePack]]. */
   def sequencePackOracle(seqLen: Long = 512L): String = {
-    val h = TextFunctions.portableHashSql(
-      "concat(CAST(doc_id AS VARCHAR), '|', source)")
+    val h = docHashSql
     s"""SELECT doc_id, source, n_tokens,
        |  strt // $seqLen AS bin,
        |  strt % $seqLen AS "offset",
@@ -234,8 +244,7 @@ object ScaleOps {
 
   /** Oracle SQL twin of [[quotaSample]]. */
   def quotaSampleOracle(quota: Int = 10): String = {
-    val h = TextFunctions.portableHashSql(
-      "concat(CAST(doc_id AS VARCHAR), '|', source)")
+    val h = docHashSql
     s"""SELECT doc_id, source, hk, rk FROM (
        |  SELECT doc_id, source, $h AS hk,
        |    row_number() OVER (PARTITION BY source

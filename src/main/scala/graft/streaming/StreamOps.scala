@@ -112,11 +112,12 @@ object StreamOps {
     */
   def streamingDecontaminate(stream: DataFrame, evalDocs: DataFrame,
                              w: Int = 5): DataFrame = {
-    import graft.functions.TextFunctions.{shingles, tokens}
-    def grams(d: DataFrame) = d.select(col("doc_id"),
-      explode(array_distinct(shingles(tokens(col("text")), w))).as("sh"))
-    val evalSh = grams(evalDocs).select(col("sh")).distinct()
-    grams(stream).join(broadcast(evalSh), Seq("sh"))
+    import graft.operators.DedupOp
+    // same gram pipeline as the batch operator — ONE definition of the
+    // exact-strings decision (DedupOp.docGrams), asserted equal in
+    // StreamingSpec
+    val evalSh = DedupOp.evalGramSet(evalDocs, w)
+    DedupOp.docGrams(stream, w).join(broadcast(evalSh), Seq("sh"))
       .select(col("doc_id"), col("sh"))
   }
 

@@ -121,7 +121,8 @@ class CorpusPrepSpec extends SparkSuite {
     val byDoc = docs.select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n"),
         graft.functions.TextFunctions.portableHash(
-          concat(col("doc_id").cast("string"), lit("|"), col("source"))).as("hk"))
+          concat(reverse(col("doc_id").cast("string")), lit("|"),
+            col("source"))).as("hk"))
       .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(0), r.getLong(2)))
     val expected = byDoc.groupBy(_._1).view.mapValues { ds =>
       var cum = 0L

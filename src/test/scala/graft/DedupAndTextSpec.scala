@@ -179,6 +179,13 @@ class DedupAndTextSpec extends SparkSuite {
     intercept[Exception] {
       spark.sql("SELECT shingles(array('a','b'), 1 + 1)").collect()
     }
+    // wrong arity must be a usage error, not an IndexOutOfBounds
+    intercept[Exception] {
+      spark.sql("SELECT sign_sketch(array(0.1D))").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT portable_hash('a', 'b')").collect()
+    }
   }
 
   test("text quality metrics on a known document") {
