@@ -377,6 +377,11 @@ object SparkEntry {
     // training-example layout, integer-exact, one window shuffle.
     "q74_sequence_pack" -> ((s, d) =>
       ScaleOps.sequencePack(Tables.documents(s, d))),
+
+    // Cross-source duplication matrix: near-dup pairs rolled up to
+    // unordered (source, source) cells — the dump-overlap diagnostic.
+    "q75_source_overlap" -> ((s, d) =>
+      DedupOp.sourceOverlap(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -841,5 +846,7 @@ object SparkEntry {
     "q73_dup_cluster_sizes" -> DedupOp.dupClusterSizesOracle(),
 
     "q74_sequence_pack" -> ScaleOps.sequencePackOracle(),
+
+    "q75_source_overlap" -> DedupOp.sourceOverlapOracle(),
   )
 }

@@ -454,6 +454,41 @@ object DedupOp {
        |GROUP BY 1, 2
        |ORDER BY s.doc_id""".stripMargin
 
+  /** Cross-source duplication matrix — which sources near-duplicate
+    * which: [[ngramJaccard]] pairs rolled up to unordered
+    * (source, source) cells. The dump-overlap diagnostic (successive
+    * crawl snapshots share most of their content) that decides which
+    * sources are worth ingesting at all. The pair list is orders of
+    * magnitude smaller than the corpus; its two source lookups are
+    * narrow (id, source) joins sized by the planner — no forced
+    * broadcast, since nothing bounds the pair count.
+    */
+  def sourceOverlap(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val ids = docs.select(col("doc_id"), col("source"))
+    ngramJaccard(docs, minJaccard)
+      .join(ids.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
+      .join(ids.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
+  /** Oracle SQL twin of [[sourceOverlap]]. */
+  def sourceOverlapOracle(minJaccard: Double = 0.5,
+                          maxDf: Int = MaxShingleDf): String =
+    s"""WITH RECURSIVE ${shingleCte()},
+       |${pairGraphRootsCtes(minJaccard, maxDf)},
+       |sp AS (
+       |  SELECT least(a.source, b.source) AS src_lo,
+       |         greatest(a.source, b.source) AS src_hi
+       |  FROM p
+       |  JOIN documents a ON a.doc_id = p.da
+       |  JOIN documents b ON b.doc_id = p.db)
+       |SELECT src_lo, src_hi, count(*) AS n_pairs
+       |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** df-capped shingles (mirror of [[ngramJaccard]]'s `maxDf` blocking
     * cap): `shc` = (doc_id, sh) restricted to shingles shared by at most
     * `maxDf` documents. Appended after [[shingleCte]].

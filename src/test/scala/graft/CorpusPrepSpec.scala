@@ -90,6 +90,19 @@ class CorpusPrepSpec extends SparkSuite {
     assert(h === Map(2L -> 1L, 3L -> 1L))
   }
 
+  test("source overlap: cross-source dup pair lands in the right matrix cell") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon", "srcA"),
+      (1L, "alpha beta gamma delta epsilon", "srcB"), // dup across sources
+      (2L, "alpha beta gamma delta epsilon", "srcB"), // dup within srcB
+      (3L, "one two three four five six", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val m = DedupOp.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs: (0,1) A-B, (0,2) A-B, (1,2) B-B
+    assert(m === Map(("srcA", "srcB") -> 2L, ("srcB", "srcB") -> 1L))
+  }
+
   test("sequence pack: bins tile the concatenated token stream exactly") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = ScaleOps.sequencePack(docs, seqLen = 100L).collect()
