@@ -382,6 +382,21 @@ object SparkEntry {
     // unordered (source, source) cells — the dump-overlap diagnostic.
     "q75_source_overlap" -> ((s, d) =>
       DedupOp.sourceOverlap(Tables.documents(s, d))),
+
+    // Containment dedup: shorter doc is an exact prefix of a longer
+    // one (crawl truncation), prefix-blocked, never all-pairs.
+    "q76_prefix_dups" -> ((s, d) =>
+      DedupOp.prefixDups(Tables.documents(s, d))),
+
+    // Vocabulary application: out-of-vocab tokens masked to <unk>,
+    // with counts and an md5 receipt of the masked bytes.
+    "q77_unk_mask" -> ((s, d) =>
+      TextOps.unkMask(Tables.documents(s, d))),
+
+    // Decontamination scale path: Bloom pre-filter of the training
+    // gram stream, exact-verified — same answer as q67.
+    "q78_bloom_decontaminate" -> ((s, d) =>
+      DedupOp.bloomDecontaminate(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -848,5 +863,13 @@ object SparkEntry {
     "q74_sequence_pack" -> ScaleOps.sequencePackOracle(),
 
     "q75_source_overlap" -> DedupOp.sourceOverlapOracle(),
+
+    "q76_prefix_dups" -> DedupOp.prefixDupsOracle(),
+
+    "q77_unk_mask" -> TextOps.unkMaskOracle(),
+
+    // Bloom pre-filter + exact verify ≡ exact decontamination: the
+    // Bloom stage only prunes, so the exact oracle is the right twin.
+    "q78_bloom_decontaminate" -> DedupOp.decontaminateOracle(),
   )
 }

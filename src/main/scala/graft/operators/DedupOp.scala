@@ -746,4 +746,89 @@ object DedupOp {
        |LEFT JOIN nq USING (source)
        |LEFT JOIN nk USING (source)
        |ORDER BY t.source""".stripMargin
+
+  /** Containment (prefix-truncation) duplicates: pairs where the
+    * SHORTER document's full text is an exact prefix of the longer —
+    * the crawl-truncation dup class [[exact]] misses (the byte strings
+    * differ) and shingle-Jaccard under-scores (a 10%-length prefix
+    * shares only ~10% of the union's shingles, far below any near-dup
+    * threshold).
+    *
+    * Scale shape: candidates are blocked on the first `blockChars`
+    * characters — any prefix pair whose short side is ≥ blockChars
+    * (shorter docs are below the corpus quality floor anyway) shares
+    * that key, so the pair join is a hash join on the block key, never
+    * all-pairs. Boilerplate openers that would make one block
+    * quadratic are df-capped at `maxBlock` (the [[MaxShingleDf]]
+    * stop-phrase rule applied to prefixes). The containment verify is
+    * a row-local substring compare after the join; a candidate pair
+    * ships both texts, a population the block cap bounds.
+    */
+  def prefixDups(docs: DataFrame, blockChars: Int = 32,
+                 maxBlock: Int = 256): DataFrame = {
+    val d = docs.where(col("n_chars") >= blockChars)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        substring(col("text"), 1, blockChars).as("pk"))
+    val smallBlocks = d.groupBy(col("pk"))
+      .agg(count(lit(1)).as("bs"))
+      .where(col("bs") <= maxBlock)
+      .select(col("pk"))
+    val blocked = d.join(smallBlocks, Seq("pk"))
+    val a = blocked.select(col("pk"), col("doc_id").as("da"),
+      col("text").as("ta"), col("n_chars").as("len_a"))
+    val b = blocked.select(col("pk"), col("doc_id").as("db"),
+      col("text").as("tb"), col("n_chars").as("len_b"))
+    a.join(b, Seq("pk"))
+      .where(col("len_a") < col("len_b") &&
+        col("tb").substr(lit(1), col("len_a").cast("int")) === col("ta"))
+      .select(col("da"), col("db"), col("len_a"), col("len_b"))
+      .orderBy("da", "db")
+  }
+
+  /** Oracle SQL twin of [[prefixDups]]. */
+  def prefixDupsOracle(blockChars: Int = 32, maxBlock: Int = 256): String =
+    s"""WITH d AS (SELECT doc_id, text, n_chars, substr(text, 1, $blockChars) AS pk
+       |           FROM documents WHERE n_chars >= $blockChars),
+       |ok AS (SELECT pk FROM d GROUP BY 1 HAVING count(*) <= $maxBlock),
+       |bd AS (SELECT d.* FROM d JOIN ok USING (pk))
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |  a.n_chars AS len_a, b.n_chars AS len_b
+       |FROM bd a JOIN bd b ON a.pk = b.pk
+       |WHERE a.n_chars < b.n_chars
+       |  AND substr(b.text, 1, a.n_chars) = a.text
+       |ORDER BY da, db""".stripMargin
+
+  /** [[decontaminate]]'s scale path for LARGE eval suites: when the
+    * distinct eval-gram set is too big to broadcast-hash-join against
+    * comfortably, probe a Bloom filter of it (bits, not strings —
+    * ~1.2 MB per million grams at 1% fpp) on the training side first,
+    * then exact-verify only the survivors with a regular shuffled
+    * join. A false positive costs a second look, never a wrong answer:
+    * the output is IDENTICAL to [[decontaminate]] (same oracle), and
+    * the verify join's probe side is the tiny contaminated slice
+    * instead of the full exploded corpus.
+    *
+    * The Bloom probe is this codebase's one deliberate Scala UDF: the
+    * public API exposes no Bloom Column function (the codegen'd
+    * `BloomFilterMightContain` is `private[spark]`, reserved for
+    * runtime filters), and the UDF sits OUTSIDE the correctness path —
+    * remove it and the result is unchanged, only the verify join's
+    * input grows back to the full gram stream.
+    */
+  def bloomDecontaminate(docs: DataFrame, evalSource: String = "src0",
+                         w: Int = 5, fpp: Double = 0.01): DataFrame = {
+    val evalSh = evalGramSet(docs.where(col("source") === evalSource), w)
+      .persist()
+    try {
+      val bf = evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), fpp)
+      val mightContain = udf((s: String) => s != null && bf.mightContain(s))
+      val out = docGrams(docs.where(col("source") =!= evalSource), w, col("source"))
+        .where(mightContain(col("sh")))
+        .join(evalSh, Seq("sh"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+      out.localCheckpoint()
+    } finally evalSh.unpersist()
+  }
 }

@@ -216,6 +216,53 @@ object TextOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Vocabulary application — the step AFTER [[tokenCommonness]] has
+    * scored and a vocab size is fixed: every token outside the
+    * top-`topK` corpus vocabulary becomes `<unk>`; emits per-doc
+    * token/unk counts and an md5 receipt of the masked text (the same
+    * reproducibility contract as [[stripStopwords]]'s receipt).
+    *
+    * Scale shape: the vocabulary is ONE count-aggregate + TakeOrdered
+    * (map-side partials; only (token, count) pairs shuffle), collected
+    * as a k-sized literal list — masking is then entirely row-local at
+    * scan speed, no per-token join back. The final sort is
+    * presentation-only.
+    */
+  def unkMask(docs: DataFrame, topK: Int = 16): DataFrame = {
+    val vocab = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(topK)
+      .collect().map(_.getString(0)).toSeq
+    val toks = tokens(col("text"))
+    val masked = transform(toks,
+      t => when(t.isin(vocab: _*), t).otherwise(lit("<unk>")))
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => !t.isin(vocab: _*))).cast("long").as("n_unk"),
+        md5(array_join(masked, " ")).as("masked_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[unkMask]] — position-exploded with the
+    * masked text re-joined in position order (same lambda-free shape
+    * as [[stripStopwordsOracle]]).
+    */
+  def unkMaskOracle(topK: Int = 16): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |tu AS (SELECT doc_id, i, tk[i] AS tok
+       |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+       |             FROM toks) t),
+       |vc AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tu GROUP BY 1
+       |       ORDER BY c DESC, tok LIMIT $topK) v),
+       |m AS (SELECT t.doc_id, t.i,
+       |        CASE WHEN v.tok IS NULL THEN '<unk>' ELSE t.tok END AS mtok,
+       |        v.tok AS vt
+       |      FROM tu t LEFT JOIN vc v ON t.tok = v.tok)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       |  md5(string_agg(mtok, ' ' ORDER BY i)) AS masked_md5
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Global token frequency top-k: explode → partial-aggregated count →
     * TakeOrdered. The explode is narrow; only (token, count) pairs
     * shuffle.

@@ -324,4 +324,58 @@ class DedupAndTextSpec extends SparkSuite {
         s"source $src: approx $a vs exact $n")
     }
   }
+
+  test("prefix dups: finds strict containment, excludes equal-length exact dups") {
+    val short = base.substring(0, 80) // exact prefix of base, ≥ blockChars
+    val pdocs = Seq(
+      (0L, base, "en", "srcA", base.length.toLong),
+      (1L, base, "en", "srcA", base.length.toLong),   // exact dup: NOT a prefix pair
+      (2L, short, "en", "srcB", short.length.toLong), // prefix of 0 and 1
+      (3L, distinct1, "en", "srcB", distinct1.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = DedupOp.prefixDups(pdocs).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    assert(pairs.toSet === Set((2L, 0L), (2L, 1L)))
+    val row = DedupOp.prefixDups(pdocs).where($"db" === 0L).head()
+    assert(row.getAs[Long]("len_a") === 80L)
+    assert(row.getAs[Long]("len_b") === base.length.toLong)
+  }
+
+  test("unk mask: OOV tokens become <unk>, receipt matches the masked bytes") {
+    val udocs = Seq(
+      (0L, "a a a b b c", "en", "srcA", 11L),
+      (1L, "a b c d", "en", "srcA", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // corpus counts: a=4 b=3 c=2 d=1 → top-2 vocab = {a, b}
+    val out = TextOps.unkMask(udocs, topK = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_tokens") === 6L)
+    assert(out(0L).getAs[Long]("n_unk") === 1L)
+    assert(out(1L).getAs[Long]("n_unk") === 2L)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(0L).getAs[String]("masked_md5") === md5hex("a a a b b <unk>"))
+    assert(out(1L).getAs[String]("masked_md5") === md5hex("a b <unk> <unk>"))
+  }
+
+  test("bloom decontaminate returns exactly the exact-join decontamination") {
+    // crafted corpus with a GUARANTEED contaminated doc: doc 1 shares
+    // base's opening 5-grams with the eval slice (src0)
+    val leak = base.split(" ").take(10).mkString(" ") + " " + distinct1
+    val cdocs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),      // eval slice
+      (1L, leak, "en", "srcB", leak.length.toLong),      // contaminated
+      (2L, distinct1, "en", "srcB", distinct1.length.toLong) // clean
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val viaBloom = DedupOp.bloomDecontaminate(cdocs).collect()
+    val viaExact = DedupOp.decontaminate(cdocs).collect()
+    assert(viaBloom.map(_.toString).toSeq === viaExact.map(_.toString).toSeq)
+    assert(viaBloom.map(r => r.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    assert(viaBloom.head.getAs[Long]("n_hits") === 6L) // 10 tokens → 6 5-grams
+    // and on the real corpus the two paths still agree byte-for-byte
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(DedupOp.bloomDecontaminate(corpus).collect().map(_.toString).toSeq
+      === DedupOp.decontaminate(corpus).collect().map(_.toString).toSeq)
+  }
 }
