@@ -397,6 +397,11 @@ object SparkEntry {
     // gram stream, exact-verified — same answer as q67.
     "q78_bloom_decontaminate" -> ((s, d) =>
       DedupOp.bloomDecontaminate(Tables.documents(s, d))),
+
+    // Cross-doc repeated substrings: winnowing fingerprints present in
+    // >= 2 documents — the boilerplate signal pair-Jaccard can't see.
+    "q79_shared_fingerprints" -> ((s, d) =>
+      TextOps.sharedFingerprints(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -871,5 +876,7 @@ object SparkEntry {
     // Bloom pre-filter + exact verify ≡ exact decontamination: the
     // Bloom stage only prunes, so the exact oracle is the right twin.
     "q78_bloom_decontaminate" -> DedupOp.decontaminateOracle(),
+
+    "q79_shared_fingerprints" -> TextOps.sharedFingerprintsOracle(),
   )
 }

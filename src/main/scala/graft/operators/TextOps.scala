@@ -341,7 +341,20 @@ object TextOps {
     * shingle stream.
     */
   def winnowingFingerprints(docs: DataFrame, w: Int = 3,
-                            win: Int = 4): DataFrame = {
+                            win: Int = 4): DataFrame =
+    winnowStream(docs, w, win)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("mh")).as("n_fp"),
+        min(col("mh")).as("min_fp"), max(col("mh")).as("max_fp"))
+      .orderBy("doc_id")
+
+  /** The winnowing fingerprint stream (doc_id, pos, mh), full windows
+    * only — the shared prefix of [[winnowingFingerprints]] (per-doc
+    * rollup) and [[sharedFingerprints]] (cross-doc grouping). One
+    * per-doc window shuffle; everything upstream is a narrow Generate
+    * off the scan.
+    */
+  private def winnowStream(docs: DataFrame, w: Int, win: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shingled = docs.select(col("doc_id"),
       posexplode(shingles(tokens(col("text")), w)).as(Seq("pos", "sh")))
@@ -351,14 +364,40 @@ object TextOps {
     shingled
       .select(col("doc_id"), col("pos"), rollMin.as("mh"))
       .where(col("pos") >= win - 1) // full windows only
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("mh")).as("n_fp"),
-        min(col("mh")).as("min_fp"), max(col("mh")).as("max_fp"))
-      .orderBy("doc_id")
   }
 
-  def winnowingOracle(w: Int = 3, win: Int = 4): String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** Cross-document repeated-substring detection — the substring-level
+    * dup signal (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better") that document-level Jaccard cannot see:
+    * a boilerplate paragraph pasted into thousands of otherwise-unique
+    * pages never crosses a pair threshold, but its winnowing
+    * fingerprints recur corpus-wide. Reports every fingerprint present
+    * in at least `minDf` documents with its document frequency and id
+    * range (the lookup key for a subsequent span-removal pass).
+    *
+    * Scale shape: the per-doc distinct comes FIRST (each doc
+    * contributes a fingerprint once no matter how often it repeats
+    * internally), then one groupBy over 8-byte hashes with map-side
+    * partials. A corpus-wide boilerplate fingerprint is just a large
+    * COUNT — there is no pair expansion anywhere, so a df-cap is not
+    * needed (contrast [[graft.operators.DedupOp.MaxShingleDf]], which
+    * guards a pair JOIN).
+    */
+  def sharedFingerprints(docs: DataFrame, w: Int = 3, win: Int = 4,
+                         minDf: Long = 2L): DataFrame =
+    winnowStream(docs, w, win)
+      .select(col("doc_id"), col("mh")).distinct()
+      .groupBy(col("mh"))
+      .agg(count(lit(1)).as("df"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .where(col("df") >= minDf)
+      .orderBy(col("df").desc, col("mh"))
+
+  /** Shared CTE chain of [[winnowingOracle]] / [[sharedFingerprintsOracle]]
+    * — mirrors [[winnowStream]] through the rolling-min `m` relation.
+    */
+  private def winnowCtes(w: Int, win: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |s AS (
        |  SELECT doc_id, i AS pos,
        |    ${DedupOp.shingleConcatSql(w)} AS sh
@@ -371,10 +410,23 @@ object TextOps {
        |    min(hx) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN ${win - 1} PRECEDING AND CURRENT ROW) AS mh
        |  FROM h
-       |)
+       |)""".stripMargin
+
+  def winnowingOracle(w: Int = 3, win: Int = 4): String =
+    s"""WITH ${winnowCtes(w, win)}
        |SELECT doc_id, count(DISTINCT mh) AS n_fp,
        |  min(mh) AS min_fp, max(mh) AS max_fp
        |FROM m WHERE pos >= $win GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Oracle SQL twin of [[sharedFingerprints]]. */
+  def sharedFingerprintsOracle(w: Int = 3, win: Int = 4,
+                               minDf: Long = 2L): String =
+    s"""WITH ${winnowCtes(w, win)},
+       |fp AS (SELECT DISTINCT doc_id, mh FROM m WHERE pos >= $win)
+       |SELECT mh, count(*) AS df,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM fp GROUP BY 1 HAVING count(*) >= $minDf
+       |ORDER BY df DESC, mh""".stripMargin
 
   /** Fixed-size token chunking with stride — the training-data prep
     * step that turns documents into model-sized sequences. Chunk i

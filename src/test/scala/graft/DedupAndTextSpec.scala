@@ -359,6 +359,29 @@ class DedupAndTextSpec extends SparkSuite {
     assert(out(1L).getAs[String]("masked_md5") === md5hex("a b <unk> <unk>"))
   }
 
+  test("shared fingerprints: boilerplate recurs across docs, unique text does not") {
+    // docs 0 and 2 share the `base` boilerplate; doc 1 is unique text
+    val bdocs = Seq(
+      (0L, base + " " + distinct1, "en", "srcA", 0L),
+      (1L, distinct1.toUpperCase, "en", "srcA", 0L),
+      (2L, base, "en", "srcB", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fps = TextOps.sharedFingerprints(bdocs).collect()
+    assert(fps.nonEmpty)
+    // every reported fingerprint must span docs 0 and 2 — doc 1 shares
+    // no substring with anyone
+    fps.foreach { r =>
+      assert(r.getAs[Long]("df") === 2L)
+      assert(r.getAs[Long]("min_doc") === 0L)
+      assert(r.getAs[Long]("max_doc") === 2L)
+    }
+    // and the per-doc rollup agrees with the cross-doc view: doc 2's
+    // fingerprint set is a subset of doc 0's (its text is a substring)
+    val n2 = TextOps.winnowingFingerprints(bdocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_fp")).toMap
+    assert(fps.length <= n2(2L).toInt)
+  }
+
   test("bloom decontaminate returns exactly the exact-join decontamination") {
     // crafted corpus with a GUARANTEED contaminated doc: doc 1 shares
     // base's opening 5-grams with the eval slice (src0)
