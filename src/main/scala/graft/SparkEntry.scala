@@ -402,6 +402,11 @@ object SparkEntry {
     // >= 2 documents — the boilerplate signal pair-Jaccard can't see.
     "q79_shared_fingerprints" -> ((s, d) =>
       TextOps.sharedFingerprints(Tables.documents(s, d))),
+
+    // Peak concurrent sessions per hour: sweep-line +1/-1 as a
+    // distributed two-phase prefix sum — interval agg with NO pair join.
+    "q80_peak_concurrency" -> ((s, d) =>
+      EventOps.peakConcurrency(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -878,5 +883,7 @@ object SparkEntry {
     "q78_bloom_decontaminate" -> DedupOp.decontaminateOracle(),
 
     "q79_shared_fingerprints" -> TextOps.sharedFingerprintsOracle(),
+
+    "q80_peak_concurrency" -> EventOps.peakConcurrencyOracle(),
   )
 }

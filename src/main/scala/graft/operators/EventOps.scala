@@ -80,4 +80,93 @@ object EventOps {
            round(sum(col("value")), 4).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** Peak concurrent sessions per hour — interval AGGREGATION without
+    * an interval JOIN: the sweep-line +1/−1 trick, distributed as a
+    * two-phase prefix sum. An interval self-join ("which sessions
+    * overlap") is quadratic when everything overlaps; the load-profile
+    * question ("how many overlap AT ONCE") needs only a running sum
+    * over session boundaries.
+    *
+    * Scale shape, phase by phase: boundary deltas are a narrow
+    * projection of [[sessionize]]'s output; (1) per-hour partials are
+    * one map-side-combined groupBy to |hours| rows; (2) the carry-in
+    * cumsum runs in a SINGLE-PARTITION window on purpose — the
+    * per-hour frame is bounded by the time span (10 years ≈ 87,600
+    * rows), never by |events|, which is what makes the global-order
+    * window safe here and nowhere else; (3) the within-hour running
+    * sum is partitioned by hour (parallel), with the tiny offset frame
+    * broadcast back. Ties order starts before ends (d DESC) — touching
+    * sessions count as concurrent at the boundary instant — and the
+    * peer-inclusive RANGE frame (the ORDER-BY default in Spark and
+    * DuckDB alike) gives identical running values in both engines.
+    * Output covers hours with boundary activity; `peak` is
+    * greatest(max running level, carry) because in an hour whose only
+    * boundaries are session ENDS every running value is already
+    * decremented — the hour's true peak is its entry level, the carry.
+    */
+  def peakConcurrency(events: DataFrame,
+                      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val hourMs = 3600000L
+    val sessions = sessionize(events, gapMs)
+      .select(col("start_ms"), col("end_ms"))
+    val deltas = sessions.select(col("start_ms").as("t"), lit(1L).as("d"))
+      .unionAll(sessions.select(col("end_ms").as("t"), lit(-1L).as("d")))
+      .withColumn("hr", expr(s"CAST(t DIV $hourMs AS BIGINT)"))
+    val partials = deltas.groupBy(col("hr")).agg(sum(col("d")).as("p"))
+    val wCarry = Window.orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials.select(col("hr"),
+      coalesce(sum(col("p")).over(wCarry), lit(0L)).as("carry"))
+    val wInHour = Window.partitionBy(col("hr"))
+      .orderBy(col("t"), col("d").desc)
+    deltas.join(broadcast(offsets), Seq("hr"))
+      .withColumn("run", col("carry") + sum(col("d")).over(wInHour))
+      .groupBy(col("hr"))
+      .agg(greatest(max(col("run")), max(col("carry"))).as("peak"),
+        count(lit(1)).as("n_boundaries"))
+      .select((col("hr") * hourMs).as("hr_ms"), col("peak"),
+        col("n_boundaries"))
+      .orderBy("hr_ms")
+  }
+
+  /** Oracle SQL twin of [[peakConcurrency]] — mirrors the same
+    * two-phase structure (per-hour partials, carry offsets, within-hour
+    * peer-inclusive RANGE window with (t, d DESC) tie order) so both
+    * engines run the identical math.
+    */
+  def peakConcurrencyOracle(gapMs: Long = 30 * 60 * 1000L): String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id)) > $gapMs
+       |      THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |), y AS (
+       |  SELECT user_id, ms,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM x
+       |), s AS (
+       |  SELECT min(ms) AS start_ms, max(ms) AS end_ms
+       |  FROM y GROUP BY user_id, sid
+       |), d AS (
+       |  SELECT start_ms AS t, 1 AS d FROM s
+       |  UNION ALL SELECT end_ms, -1 FROM s
+       |), p AS (
+       |  SELECT t // 3600000 AS hr, sum(d) AS p FROM d GROUP BY 1
+       |), o AS (
+       |  SELECT hr, coalesce(sum(p) OVER (ORDER BY hr
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+       |  FROM p
+       |), ri AS (
+       |  SELECT d.t // 3600000 AS hr, o.carry,
+       |    o.carry + sum(d.d) OVER (PARTITION BY d.t // 3600000
+       |      ORDER BY d.t, d.d DESC) AS run
+       |  FROM d JOIN o ON d.t // 3600000 = o.hr
+       |)
+       |SELECT hr * 3600000 AS hr_ms,
+       |  CAST(greatest(max(run), max(carry)) AS BIGINT) AS peak,
+       |  count(*) AS n_boundaries
+       |FROM ri GROUP BY hr ORDER BY hr_ms""".stripMargin
 }

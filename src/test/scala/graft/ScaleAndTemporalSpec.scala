@@ -175,4 +175,26 @@ class ScaleAndTemporalSpec extends SparkSuite {
     // ~10% within loose bounds (hash is not a real RNG; just sanity)
     assert(s1.size > 40 && s1.size < 250, s"rate off: ${s1.size}/1000")
   }
+
+  test("peak concurrency: ties, touching sessions, and carry into an end-only hour") {
+    import graft.operators.EventOps
+    import org.apache.spark.sql.functions.timestamp_millis
+    val min = 60000L
+    // user 1: one session [10min, 20min]; user 2: instant session at
+    // 15min (start=end, ties with u1 active → peak 2 in hour 0);
+    // user 3: events at 50min and 70min (20min gap < 30min → ONE
+    // session spanning the hour edge). Hour 1 contains only u3's END
+    // boundary: its peak must be the carry level 1, not 1-1=0.
+    val events = Seq(
+      (1L, 10 * min, 1L), (2L, 20 * min, 1L),
+      (3L, 15 * min, 2L),
+      (4L, 50 * min, 3L), (5L, 70 * min, 3L)
+    ).toDF("event_id", "ms", "user_id")
+      .select($"event_id", timestamp_millis($"ms").as("ts"), $"user_id",
+        lit("view").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+    val out = EventOps.peakConcurrency(events).collect()
+      .map(r => r.getAs[Long]("hr_ms") -> r.getAs[Long]("peak")).toMap
+    assert(out === Map(0L -> 2L, 3600000L -> 1L))
+  }
 }
