@@ -518,23 +518,12 @@ object SparkEntry {
          |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q14_sessionize" ->
-      """WITH x AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
-        |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
-        |      THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |), y AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
-        |  FROM x
-        |)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-        |  count(*) AS n_events,
-        |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
-        |  round(sum(value),4) AS sum_value
-        |FROM y GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      s"""WITH ${EventOps.sessionCtesSql()}
+         |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         |  count(*) AS n_events,
+         |  min(ms) AS start_ms, max(ms) AS end_ms,
+         |  round(sum(value),4) AS sum_value
+         |FROM y GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q15_geofence" -> GeofenceOp.oracleSql,
 
@@ -755,21 +744,10 @@ object SparkEntry {
     // session needs strictly more than the gap, hence `>`; session end
     // = last event + gap.
     "q45_session_window" ->
-      """WITH x AS (
-        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
-        |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
-        |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
-        |      THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |), y AS (
-        |  SELECT user_id, ms, value,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM x
-        |)
-        |SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM y GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+      s"""WITH ${EventOps.sessionCtesSql()}
+         |SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms,
+         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+         |FROM y GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
 
     "q46_salted_summary" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,

@@ -81,6 +81,31 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Shared sessionization CTE chain (`x`/`y`) for EVERY oracle that
+    * mirrors [[sessionize]] (q14/q45/q59/q80) — one definition so the
+    * tie rules cannot drift between copies. Both windows order by
+    * FULL-PRECISION (ts, event_id): ordering the cumulative sum by
+    * truncated epoch-millis while the `new_s` lag ran on raw ts could
+    * attach a sub-millisecond-reordered event to the wrong session
+    * (latent in the shipped data — no same-user same-ms collisions
+    * exist at any sf — but a real divergence from [[sessionize]] on
+    * denser data). `y` carries (user_id, event_id, ts, ms, value,
+    * sid); consumers project what they need.
+    */
+  def sessionCtesSql(gapMs: Long = 30 * 60 * 1000L): String =
+    s"""x AS (
+       |  SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ms,
+       |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id)) > $gapMs
+       |      THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |), y AS (
+       |  SELECT user_id, event_id, ts, ms, value,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM x
+       |)""".stripMargin
+
   /** Peak concurrent sessions per hour — interval AGGREGATION without
     * an interval JOIN: the sweep-line +1/−1 trick, distributed as a
     * two-phase prefix sum. An interval self-join ("which sessions
@@ -100,10 +125,15 @@ object EventOps {
     * sessions count as concurrent at the boundary instant — and the
     * peer-inclusive RANGE frame (the ORDER-BY default in Spark and
     * DuckDB alike) gives identical running values in both engines.
-    * Output covers hours with boundary activity; `peak` is
-    * greatest(max running level, carry) because in an hour whose only
-    * boundaries are session ENDS every running value is already
-    * decremented — the hour's true peak is its entry level, the carry.
+    * `peak` is greatest(max running level, carry) because in an hour
+    * whose only boundaries are session ENDS every running value is
+    * already decremented — the hour's true peak is its entry level,
+    * the carry. Hours with NO boundaries but an open session spanning
+    * them (constant level = the next boundary hour's carry) are
+    * densified from the tiny offsets frame with n_boundaries = 0, so
+    * the output is a complete hourly load profile over every hour with
+    * either boundary activity or open sessions; only truly idle hours
+    * are absent.
     */
   def peakConcurrency(events: DataFrame,
                       gapMs: Long = 30 * 60 * 1000L): DataFrame = {
@@ -128,34 +158,35 @@ object EventOps {
       coalesce(sum(col("p")).over(wCarry), lit(0L)).as("carry"))
     val wInHour = Window.partitionBy(col("hr"))
       .orderBy(col("t"), col("d").desc)
-    deltas.join(broadcast(offsets), Seq("hr"))
+    val boundaryHours = deltas.join(broadcast(offsets), Seq("hr"))
       .withColumn("run", col("carry") + sum(col("d")).over(wInHour))
       .groupBy(col("hr"))
       .agg(greatest(max(col("run")), max(col("carry"))).as("peak"),
         count(lit(1)).as("n_boundaries"))
+    // densify: an hour strictly between consecutive boundary hours has
+    // no deltas but a constant level — the NEXT boundary hour's carry.
+    // Runs on the offsets frame (time-span bounded, like wCarry).
+    val wLead = Window.orderBy(col("hr"))
+    val gapHours = offsets
+      .withColumn("next_hr", lead(col("hr"), 1).over(wLead))
+      .withColumn("next_carry", lead(col("carry"), 1).over(wLead))
+      .where(col("next_carry") > 0 && col("next_hr") > col("hr") + 1)
+      .select(explode(sequence(col("hr") + 1, col("next_hr") - 1)).as("hr"),
+        col("next_carry").as("peak"), lit(0L).as("n_boundaries"))
+    boundaryHours.unionByName(gapHours)
       .select((col("hr") * hourMs).as("hr_ms"), col("peak"),
         col("n_boundaries"))
       .orderBy("hr_ms")
   }
 
-  /** Oracle SQL twin of [[peakConcurrency]] — mirrors the same
-    * two-phase structure (per-hour partials, carry offsets, within-hour
-    * peer-inclusive RANGE window with (t, d DESC) tie order) so both
-    * engines run the identical math.
+  /** Oracle SQL twin of [[peakConcurrency]] — shares [[sessionCtesSql]]
+    * and mirrors the same two-phase structure (per-hour partials, carry
+    * offsets, within-hour peer-inclusive RANGE window with (t, d DESC)
+    * tie order, gap-hour densification) so both engines run the
+    * identical math.
     */
   def peakConcurrencyOracle(gapMs: Long = 30 * 60 * 1000L): String =
-    s"""WITH x AS (
-       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
-       |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
-       |      (PARTITION BY user_id ORDER BY ts, event_id)) > $gapMs
-       |      THEN 1 ELSE 0 END AS new_s
-       |  FROM events
-       |), y AS (
-       |  SELECT user_id, ms,
-       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
-       |      ROWS UNBOUNDED PRECEDING) AS sid
-       |  FROM x
-       |), s AS (
+    s"""WITH ${sessionCtesSql(gapMs)}, s AS (
        |  SELECT min(ms) AS start_ms, max(ms) AS end_ms
        |  FROM y GROUP BY user_id, sid
        |), d AS (
@@ -172,9 +203,20 @@ object EventOps {
        |    o.carry + sum(d.d) OVER (PARTITION BY d.t // 3600000
        |      ORDER BY d.t, d.d DESC) AS run
        |  FROM d JOIN o ON d.t // 3600000 = o.hr
+       |), bh AS (
+       |  SELECT hr, greatest(max(run), max(carry)) AS peak,
+       |    count(*) AS n_boundaries
+       |  FROM ri GROUP BY hr
+       |), gh AS (
+       |  SELECT unnest(generate_series(hr + 1, next_hr - 1)) AS hr,
+       |    next_carry AS peak, 0 AS n_boundaries
+       |  FROM (SELECT hr, lead(hr) OVER (ORDER BY hr) AS next_hr,
+       |               lead(carry) OVER (ORDER BY hr) AS next_carry
+       |        FROM o) t
+       |  WHERE next_carry > 0 AND next_hr > hr + 1
        |)
-       |SELECT hr * 3600000 AS hr_ms,
-       |  CAST(greatest(max(run), max(carry)) AS BIGINT) AS peak,
-       |  count(*) AS n_boundaries
-       |FROM ri GROUP BY hr ORDER BY hr_ms""".stripMargin
+       |SELECT hr * 3600000 AS hr_ms, CAST(peak AS BIGINT) AS peak,
+       |  CAST(n_boundaries AS BIGINT) AS n_boundaries
+       |FROM (SELECT * FROM bh UNION ALL SELECT * FROM gh) u
+       |ORDER BY hr_ms""".stripMargin
 }

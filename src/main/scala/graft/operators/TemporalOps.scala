@@ -113,23 +113,13 @@ object TemporalOps {
       .orderBy("user_id", "start_ms")
   }
 
-  /** Oracle SQL twin of [[sessionOverlap]] — the same sessions CTE as
-    * q45, then a plain inequality join (DuckDB's IEJoin does the
-    * pruning the bucketized plan does by hand).
+  /** Oracle SQL twin of [[sessionOverlap]] — the shared sessionize CTEs
+    * ([[graft.operators.EventOps.sessionCtesSql]]), then a plain
+    * inequality join (DuckDB's IEJoin does the pruning the bucketized
+    * plan does by hand).
     */
   def sessionOverlapOracle(gapMs: Long = 1800000L): String =
-    s"""WITH x AS (
-       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
-       |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
-       |      (PARTITION BY user_id ORDER BY ts, event_id)) > $gapMs
-       |      THEN 1 ELSE 0 END AS new_s
-       |  FROM events
-       |), y AS (
-       |  SELECT user_id, ms,
-       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
-       |      ROWS UNBOUNDED PRECEDING) AS sid
-       |  FROM x
-       |), s AS (
+    s"""WITH ${EventOps.sessionCtesSql(gapMs)}, s AS (
        |  SELECT user_id, min(ms) AS start_ms, max(ms) + $gapMs AS end_ms
        |  FROM y GROUP BY user_id, sid
        |), e AS (SELECT epoch_ms(ts) AS ms FROM events)

@@ -229,10 +229,9 @@ object TextOps {
     * presentation-only.
     */
   def unkMask(docs: DataFrame, topK: Int = 16): DataFrame = {
-    val vocab = docs.select(explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("tok")).limit(topK)
-      .collect().map(_.getString(0)).toSeq
+    // the vocab is [[tokenTopK]] — one definition of the (count DESC,
+    // token ASC) tie-break that the oracle must mirror, not a copy
+    val vocab = tokenTopK(docs, topK).collect().map(_.getString(0)).toSeq
     val toks = tokens(col("text"))
     val masked = transform(toks,
       t => when(t.isin(vocab: _*), t).otherwise(lit("<unk>")))

@@ -197,4 +197,26 @@ class ScaleAndTemporalSpec extends SparkSuite {
       .map(r => r.getAs[Long]("hr_ms") -> r.getAs[Long]("peak")).toMap
     assert(out === Map(0L -> 2L, 3600000L -> 1L))
   }
+
+  test("peak concurrency densifies hours an open session spans without boundaries") {
+    import graft.operators.EventOps
+    import org.apache.spark.sql.functions.timestamp_millis
+    val min = 60000L
+    // one user, events every <=25min from 0:50 to 2:25 → ONE session
+    // [50min, 145min] whose boundaries land in hours 0 and 2; hour 1
+    // has no boundary rows but concurrency 1 throughout
+    val events = Seq(50L, 75L, 100L, 125L, 145L).zipWithIndex.map {
+      case (m, i) => (i.toLong, m * min, 1L)
+    }.toDF("event_id", "ms", "user_id")
+      .select($"event_id", timestamp_millis($"ms").as("ts"), $"user_id",
+        lit("view").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+    val rows = EventOps.peakConcurrency(events).collect()
+      .map(r => r.getAs[Long]("hr_ms") ->
+        (r.getAs[Long]("peak"), r.getAs[Long]("n_boundaries"))).toMap
+    assert(rows === Map(
+      0L -> (1L, 1L),          // start boundary
+      3600000L -> (1L, 0L),    // densified gap hour: open session, no deltas
+      7200000L -> (1L, 1L)))   // end boundary: peak is the carry, not run=0
+  }
 }
