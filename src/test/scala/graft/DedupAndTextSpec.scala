@@ -341,6 +341,34 @@ class DedupAndTextSpec extends SparkSuite {
     assert(row.getAs[Long]("len_b") === base.length.toLong)
   }
 
+  test("prefixDups agrees with brute force on a pseudo-random truncation corpus") {
+    // seeded corpus: base strings + random truncations of them, so real
+    // prefix pairs exist at many lengths; small alphabet forces shared
+    // 8-char blocks between unrelated docs (exercises the verify step)
+    val rnd = new scala.util.Random(42)
+    val bases = (0 until 12).map(_ =>
+      (0 until (20 + rnd.nextInt(60))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString)
+    val texts = bases ++ (0 until 30).map { _ =>
+      val b = bases(rnd.nextInt(bases.length))
+      b.substring(0, 8 + rnd.nextInt(b.length - 8))
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "srcA", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.DedupOp
+      .prefixDups(docs, blockChars = 8, maxBlock = 10000)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val rows = texts.zipWithIndex
+    val want = (for {
+      (ta, ia) <- rows if ta.length >= 8
+      (tb, ib) <- rows
+      if ta.length < tb.length && tb.startsWith(ta)
+    } yield (ia.toLong, ib.toLong)).toSet
+    assert(want.nonEmpty) // the generator must actually produce pairs
+    assert(got === want)
+  }
+
   test("unk mask: OOV tokens become <unk>, receipt matches the masked bytes") {
     val udocs = Seq(
       (0L, "a a a b b c", "en", "srcA", 11L),
