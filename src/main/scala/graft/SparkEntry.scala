@@ -407,6 +407,13 @@ object SparkEntry {
     // distributed two-phase prefix sum — interval agg with NO pair join.
     "q80_peak_concurrency" -> ((s, d) =>
       EventOps.peakConcurrency(Tables.events(s, d))),
+
+    // Semantic dedup keep-set: embedding near-dup pairs (LSH-banded)
+    // resolved to connected-component survivors — SimHash-style dedup
+    // in embedding space instead of token space.
+    "q81_semantic_keepset" -> ((s, d) =>
+      DedupOp.keepSet(SimilarityOp.nearDupLsh(Tables.embeddings(s, d))
+        .select(col("ida").as("da"), col("idb").as("db")))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -863,5 +870,7 @@ object SparkEntry {
     "q79_shared_fingerprints" -> TextOps.sharedFingerprintsOracle(),
 
     "q80_peak_concurrency" -> EventOps.peakConcurrencyOracle(),
+
+    "q81_semantic_keepset" -> SimilarityOp.semanticKeepSetOracle(),
   )
 }

@@ -582,7 +582,16 @@ object DedupOp {
        |    JOIN sizes sa ON sa.doc_id = i.da
        |    JOIN sizes sb ON sb.doc_id = i.db) t
        |  WHERE jaccard >= $minJaccard
-       |), edges AS (
+       |), $rootsFromPairsCtes""".stripMargin
+
+  /** Generic connected-components CTE block (edges/nodes/reach/roots)
+    * over ANY preceding pair relation `p(da, db)` — shared by the
+    * shingle-graph oracles here and the embedding-graph oracle
+    * ([[graft.operators.SimilarityOp.semanticKeepSetOracle]]). The
+    * enclosing WITH must be RECURSIVE (for `reach`).
+    */
+  private[operators] def rootsFromPairsCtes: String =
+    s"""edges AS (
        |  SELECT da AS s, db AS d FROM p UNION ALL SELECT db, da FROM p
        |), nodes AS (SELECT DISTINCT s AS id FROM edges),
        |reach(id, r) AS (

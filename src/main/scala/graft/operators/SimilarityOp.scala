@@ -259,8 +259,12 @@ object SimilarityOp {
        |  GROUP BY 1, 2, 3
        |)""".stripMargin
 
-  private def pairSql(joinCond: String, minCos: Double, dims: Int = 64): String =
-    s"""WITH ${bandCte(dims)},
+  /** CTE chain ending in the thresholded pair relation `p(da, db,
+    * cos_sim)` — composable into both the plain pair oracles and the
+    * recursive connected-components oracle.
+    */
+  private def pairCtes(joinCond: String, minCos: Double, dims: Int = 64): String =
+    s"""${bandCte(dims)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
        |  FROM bands a JOIN bands b
@@ -275,10 +279,26 @@ object SimilarityOp {
        |  JOIN embeddings ea ON ea.vec_id = c.ida
        |  JOIN embeddings eb ON eb.vec_id = c.idb, range($dims) i(i)
        |  GROUP BY 1, 2
-       |)
-       |SELECT ida, idb, cos_sim FROM (
-       |  SELECT ida, idb, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM pc) t
-       |WHERE cos_sim >= $minCos ORDER BY ida, idb""".stripMargin
+       |), p AS (
+       |  SELECT da, db, cos_sim FROM (
+       |    SELECT ida AS da, idb AS db,
+       |      round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM pc) t
+       |  WHERE cos_sim >= $minCos
+       |)""".stripMargin
+
+  private def pairSql(joinCond: String, minCos: Double, dims: Int = 64): String =
+    s"""WITH ${pairCtes(joinCond, minCos, dims)}
+       |SELECT da AS ida, db AS idb, cos_sim FROM p
+       |ORDER BY ida, idb""".stripMargin
+
+  /** Oracle SQL twin of the q81 composition ([[nearDupLsh]] pairs →
+    * [[graft.operators.DedupOp.keepSet]]): the embedding pair CTEs
+    * feed the shared recursive connected-components block.
+    */
+  def semanticKeepSetOracle(minCos: Double = 0.2): String =
+    s"""WITH RECURSIVE ${pairCtes("TRUE", minCos)},
+       |${DedupOp.rootsFromPairsCtes}
+       |SELECT id, root FROM roots ORDER BY 1""".stripMargin
 
   def nearDupLshOracle(minCos: Double = 0.2): String =
     pairSql("TRUE", minCos)
