@@ -414,6 +414,12 @@ object SparkEntry {
     "q81_semantic_keepset" -> ((s, d) =>
       DedupOp.keepSet(SimilarityOp.nearDupLsh(Tables.embeddings(s, d))
         .select(col("ida").as("da"), col("idb").as("db")))),
+
+    // LOCF gap-fill resample: per-user hourly grid carrying the last
+    // observed value forward — time-series densification, no IGNORE
+    // NULLS needed (running-count groups + whole-group max).
+    "q82_locf_resample" -> ((s, d) =>
+      EventOps.locfResample(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -872,5 +878,7 @@ object SparkEntry {
     "q80_peak_concurrency" -> EventOps.peakConcurrencyOracle(),
 
     "q81_semantic_keepset" -> SimilarityOp.semanticKeepSetOracle(),
+
+    "q82_locf_resample" -> EventOps.locfResampleOracle(),
   )
 }

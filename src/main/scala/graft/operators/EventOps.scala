@@ -81,6 +81,84 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** LOCF gap-fill resample — the time-series densification step
+    * (downsample to a fixed grid, carry the last observation forward)
+    * that Spark has no native operator for: each user's event stream
+    * becomes one row per `stepMs` slot between their first and last
+    * event, holding the most recent observed `value` and an is_obs
+    * flag. The "most recent in slot" pick is row_number over
+    * FULL-PRECISION (ts DESC, event_id DESC) — the same tie discipline
+    * as [[sessionCtesSql]].
+    *
+    * The carry itself avoids IGNORE NULLS (not portably available in
+    * every engine's window frame): a running COUNT of non-null
+    * observations partitions each user's grid into groups holding
+    * exactly one observation at their head, and a whole-group max
+    * broadcasts it — pure standard-SQL windows, identical semantics in
+    * Spark and DuckDB.
+    *
+    * Scale shape: the grid is |users| × (span/step) rows, DECLARED up
+    * front by the sequence explode (no data-dependent blowup; a user's
+    * span is bounded by the retention window). Every window partitions
+    * by user (or user+slot), so the heaviest shuffle carries grid-sized
+    * rows of 3 columns; nothing is global.
+    */
+  def locfResample(events: DataFrame, stepMs: Long = 3600000L): DataFrame = {
+    val withHr = events.withColumn("hr",
+      expr(s"CAST(unix_millis(ts) DIV $stepMs AS BIGINT)"))
+    // last-in-slot via row_number over (ts DESC, event_id DESC). An
+    // argmax-aggregate alternative (max of a (ts, event_id, value)
+    // struct — partial-aggregable) A/B'd WITHIN box noise of this form
+    // at sf0.1 (both 2.5-3.0 s across windows); keeping the window
+    // form because it mirrors the oracle structurally. At much higher
+    // slot occupancy the aggregate's map-side partials should win —
+    // re-measure before taking that on faith.
+    val wLast = Window.partitionBy(col("user_id"), col("hr"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val obs = withHr.withColumn("rn", row_number().over(wLast))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("hr"), col("value").as("v"))
+    val spans = obs.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = spans.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val g = grid.join(obs, Seq("user_id", "hr"), "left")
+      .withColumn("grp", count(col("v")).over(wRun))
+    val wGrp = Window.partitionBy(col("user_id"), col("grp"))
+    g.select(col("user_id"), (col("hr") * stepMs).as("hr_ms"),
+        max(col("v")).over(wGrp).as("locf_value"),
+        when(col("v").isNotNull, 1L).otherwise(0L).as("is_obs"))
+      .orderBy("user_id", "hr_ms")
+  }
+
+  /** Oracle SQL twin of [[locfResample]] — the identical grid /
+    * running-count-group / group-max construction.
+    */
+  def locfResampleOracle(stepMs: Long = 3600000L): String =
+    s"""WITH ob AS (
+       |  SELECT user_id, epoch_ms(ts) // $stepMs AS hr, value AS v,
+       |    row_number() OVER (PARTITION BY user_id, epoch_ms(ts) // $stepMs
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events
+       |), obs AS (SELECT user_id, hr, v FROM ob WHERE rn = 1),
+       |sp AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+       |       FROM obs GROUP BY 1),
+       |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr
+       |         FROM sp),
+       |g AS (
+       |  SELECT gr.user_id, gr.hr, o.v,
+       |    count(o.v) OVER (PARTITION BY gr.user_id ORDER BY gr.hr
+       |      ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM grid gr
+       |  LEFT JOIN obs o ON gr.user_id = o.user_id AND gr.hr = o.hr
+       |)
+       |SELECT user_id, hr * $stepMs AS hr_ms,
+       |  max(v) OVER (PARTITION BY user_id, grp) AS locf_value,
+       |  CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_obs
+       |FROM g ORDER BY user_id, hr_ms""".stripMargin
+
   /** Shared sessionization CTE chain (`x`/`y`) for EVERY oracle that
     * mirrors [[sessionize]] (q14/q45/q59/q80) — one definition so the
     * tie rules cannot drift between copies. Both windows order by

@@ -219,4 +219,30 @@ class ScaleAndTemporalSpec extends SparkSuite {
       3600000L -> (1L, 0L),    // densified gap hour: open session, no deltas
       7200000L -> (1L, 1L)))   // end boundary: peak is the carry, not run=0
   }
+
+  test("LOCF resample: last-in-slot wins, gaps carry forward, span is per user") {
+    import graft.operators.EventOps
+    import org.apache.spark.sql.functions.timestamp_millis
+    val hr = 3600000L
+    // user 1: hour 0 has TWO events (later one v=1.0 must win), then
+    // nothing until hour 3 (v=2.0) → hours 1-2 carry 1.0.
+    // user 2: single event → single-row grid, no gaps.
+    val events = Seq(
+      (1L, 10 * 60000L, 1L, 5.0),
+      (2L, 50 * 60000L, 1L, 1.0),
+      (3L, 3 * hr + 60000L, 1L, 2.0),
+      (4L, 7 * hr, 2L, 9.0)
+    ).toDF("event_id", "ms", "user_id", "value")
+      .select($"event_id", timestamp_millis($"ms").as("ts"), $"user_id",
+        lit("view").as("event_type"), $"value", lit("{}").as("props"))
+    val out = EventOps.locfResample(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("hr_ms")) ->
+        (r.getAs[Double]("locf_value"), r.getAs[Long]("is_obs"))).toMap
+    assert(out === Map(
+      (1L, 0L) -> (1.0, 1L),
+      (1L, hr) -> (1.0, 0L),
+      (1L, 2 * hr) -> (1.0, 0L),
+      (1L, 3 * hr) -> (2.0, 1L),
+      (2L, 7 * hr) -> (9.0, 1L)))
+  }
 }
