@@ -90,12 +90,13 @@ object EventOps {
     * FULL-PRECISION (ts DESC, event_id DESC) — the same tie discipline
     * as [[sessionCtesSql]].
     *
-    * The carry itself avoids IGNORE NULLS (not portably available in
-    * every engine's window frame): a running COUNT of non-null
-    * observations partitions each user's grid into groups holding
-    * exactly one observation at their head, and a whole-group max
-    * broadcasts it — pure standard-SQL windows, identical semantics in
-    * Spark and DuckDB.
+    * The Spark carry is one `last(v, ignoreNulls)` running window; the
+    * ORACLE avoids IGNORE NULLS (not trusted portable on DuckDB 1.0
+    * window frames) with the equivalent standard-SQL construction — a
+    * running COUNT of non-null observations partitions each user's
+    * grid into groups holding exactly one observation at their head,
+    * and a whole-group max broadcasts it. Same semantics, proven by
+    * the hash-parity gate.
     *
     * Scale shape: the grid is |users| × (span/step) rows, DECLARED up
     * front by the sequence explode (no data-dependent blowup; a user's
@@ -124,11 +125,9 @@ object EventOps {
       explode(sequence(col("h0"), col("h1"))).as("hr"))
     val wRun = Window.partitionBy(col("user_id")).orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val g = grid.join(obs, Seq("user_id", "hr"), "left")
-      .withColumn("grp", count(col("v")).over(wRun))
-    val wGrp = Window.partitionBy(col("user_id"), col("grp"))
-    g.select(col("user_id"), (col("hr") * stepMs).as("hr_ms"),
-        max(col("v")).over(wGrp).as("locf_value"),
+    grid.join(obs, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), (col("hr") * stepMs).as("hr_ms"),
+        last(col("v"), ignoreNulls = true).over(wRun).as("locf_value"),
         when(col("v").isNotNull, 1L).otherwise(0L).as("is_obs"))
       .orderBy("user_id", "hr_ms")
   }
