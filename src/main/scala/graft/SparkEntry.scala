@@ -420,6 +420,11 @@ object SparkEntry {
     // NULLS needed (running-count groups + whole-group max).
     "q82_locf_resample" -> ((s, d) =>
       EventOps.locfResample(Tables.events(s, d))),
+
+    // Recall@k audit: both ANN paths (LSH q48, IVF q50) measured
+    // against the exact top-k ground truth (q18).
+    "q83_ann_recall" -> ((s, d) =>
+      SimilarityOp.annRecall(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -583,19 +588,7 @@ object SparkEntry {
         |WHERE th.n > 4 AND (a.dist < th.lo OR a.dist > th.hi)
         |ORDER BY a.vec_id""".stripMargin,
 
-    "q18_knn_topk" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |d AS (
-        |  SELECT e.vec_id,
-        |    sum(e.embedding[i.i+1]::DOUBLE * q.qv[i.i+1]::DOUBLE) AS dot,
-        |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
-        |    sum(q.qv[i.i+1]::DOUBLE * q.qv[i.i+1]::DOUBLE) AS nb
-        |  FROM embeddings e, q, range(64) i(i)
-        |  WHERE e.vec_id <> 0
-        |  GROUP BY 1
-        |)
-        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
-        |FROM d ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q18_knn_topk" -> SimilarityOp.topKOracle(0L, 10),
 
     "q19_near_dup_blocked" -> SimilarityOp.nearDupBlockedOracle(0.2),
 
@@ -880,5 +873,7 @@ object SparkEntry {
     "q81_semantic_keepset" -> SimilarityOp.semanticKeepSetOracle(),
 
     "q82_locf_resample" -> EventOps.locfResampleOracle(),
+
+    "q83_ann_recall" -> SimilarityOp.annRecallOracle(),
   )
 }

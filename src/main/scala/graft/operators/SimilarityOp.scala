@@ -360,4 +360,70 @@ object SimilarityOp {
        |)
        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
        |FROM pc ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+
+  /** Oracle SQL twin of the exact [[topK]] (q18) — also the ground
+    * truth inside [[annRecallOracle]].
+    */
+  def topKOracle(queryId: Long = 0L, k: Int = 10, dims: Int = 64): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |d AS (
+       |  SELECT e.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * q.qv[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(q.qv[i.i+1]::DOUBLE * q.qv[i.i+1]::DOUBLE) AS nb
+       |  FROM embeddings e, q, range($dims) i(i)
+       |  WHERE e.vec_id <> $queryId
+       |  GROUP BY 1
+       |)
+       |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |FROM d ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+
+  /** Recall@k audit of BOTH approximate paths against the brute-force
+    * ground truth — the accuracy dial an ANN deployment is tuned by
+    * (band count for LSH, nProbe for IVF); shipping an ANN index
+    * without a recall measurement is flying blind. One row per method:
+    * hits inside the exact top-k and the recall fraction.
+    *
+    * Scale shape: each arm is the already-scale-shaped operator it
+    * audits ([[topK]] scores all N once — here it's the ground truth,
+    * run deliberately; [[annTopK]]/[[ivfTopK]] stay candidate-pruned);
+    * the intersections join three k-row frames. In production the
+    * exact arm runs on a SAMPLE of queries, not the corpus — this is
+    * the per-query primitive.
+    */
+  def annRecall(embeddings: DataFrame, queryId: Long = 0L,
+                centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val exact = topK(embeddings, queryId, k).select(col("vec_id"))
+    def arm(name: String, approx: DataFrame): DataFrame =
+      exact.join(approx.select(col("vec_id")), Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), col("n_hits"),
+          round(col("n_hits").cast("double") / k, 4).as("recall"))
+    arm("ivf", ivfTopK(embeddings, queryId, centerIds, nProbe, k))
+      .unionByName(arm("lsh", annTopK(embeddings, queryId, k)))
+      .orderBy("method")
+  }
+
+  /** Oracle SQL twin of [[annRecall]] — the three per-method oracles
+    * composed as derived tables (one definition each; the arms cannot
+    * drift from q18/q48/q50).
+    */
+  def annRecallOracle(queryId: Long = 0L,
+                      centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                      nProbe: Int = 2, k: Int = 10,
+                      dims: Int = 64): String =
+    s"""WITH ex AS (SELECT vec_id FROM (${topKOracle(queryId, k, dims)}) t),
+       |ivfa AS (SELECT vec_id FROM (
+       |${ivfTopKOracle(queryId, centerIds, nProbe, k, dims)}) t),
+       |lsha AS (SELECT vec_id FROM (
+       |${annTopKOracle(queryId, k, dims)}) t),
+       |ri AS (SELECT 'ivf' AS method, count(*) AS n_hits
+       |       FROM ex JOIN ivfa USING (vec_id)),
+       |rl AS (SELECT 'lsh' AS method, count(*) AS n_hits
+       |       FROM ex JOIN lsha USING (vec_id))
+       |SELECT method, n_hits,
+       |  round(CAST(n_hits AS DOUBLE) / $k, 4) AS recall
+       |FROM (SELECT * FROM ri UNION ALL SELECT * FROM rl) u
+       |ORDER BY method""".stripMargin
 }
