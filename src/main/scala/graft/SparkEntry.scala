@@ -425,6 +425,19 @@ object SparkEntry {
     // against the exact top-k ground truth (q18).
     "q83_ann_recall" -> ((s, d) =>
       SimilarityOp.annRecall(Tables.embeddings(s, d))),
+
+    // Mean recall@k over a 72-query deterministic sample — the stable
+    // estimate the LSH band/probe dials are tuned on (q83 is one
+    // Bernoulli sample per neighbour), with mean candidate-set size as
+    // the cost evidence.
+    "q84_ann_recall_multi" -> ((s, d) =>
+      SimilarityOp.annRecallMulti(Tables.embeddings(s, d))),
+
+    // The recall/cost FRONTIER: legacy + 3 new LSH configs and IVF at
+    // nProbe 1..3, one summary row each — the table an ANN deployment
+    // picks its operating point from.
+    "q85_recall_sweep" -> ((s, d) =>
+      SimilarityOp.annRecallSweep(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -875,5 +888,9 @@ object SparkEntry {
     "q82_locf_resample" -> EventOps.locfResampleOracle(),
 
     "q83_ann_recall" -> SimilarityOp.annRecallOracle(),
+
+    "q84_ann_recall_multi" -> SimilarityOp.annRecallMultiOracle(),
+
+    "q85_recall_sweep" -> SimilarityOp.annRecallSweepOracle(),
   )
 }

@@ -30,20 +30,22 @@ object VectorFunctions {
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
   /** Sign-sketch for cosine LSH: `bits` hyperplanes with deterministic
-    * integer weights w(j,d) = ((j*37 + d*101) % 13) - 6; local bit k set
-    * iff dot(v, w_{offset+k}) > 0. `offset` selects an independent band
-    * of hyperplanes (band b of width `bits` passes offset = b*bits), so
-    * multi-band LSH reuses one global hyperplane family. Engine-portable
-    * pure arithmetic (no RNG), so the DuckDB oracle computes the
-    * identical sketch.
+    * integer weights w(j,d) = ((j*mulJ + d*mulD) % mod) - mod/2; local
+    * bit k set iff dot(v, w_{offset+k}) > 0. `offset` selects an
+    * independent band of hyperplanes (band b of width `bits` passes
+    * offset = b*bits), so multi-band LSH reuses one global hyperplane
+    * family. Engine-portable pure arithmetic (no RNG), so the DuckDB
+    * oracle computes the identical sketch. Weight-family choice (and why
+    * the default modulus is too narrow for ANN): [[SignSketchExpr]].
     */
   def signSketch(v: Column, bits: Int = 8, dims: Int = 64,
-                 offset: Int = 0): Column =
+                 offset: Int = 0, mulJ: Int = 37, mulD: Int = 101,
+                 mod: Int = 13): Column =
     (0 until bits).map { k =>
       val j = offset + k
       val d = aggregate(
         zip_with(v, sequence(lit(0), lit(dims - 1)),
-          (x, i) => x * ((lit(j) * 37 + i * 101) % 13 - 6).cast("double")),
+          (x, i) => x * ((lit(j) * mulJ + i * mulD) % mod - mod / 2).cast("double")),
         lit(0.0), (s, x) => s + x)
       when(d > 0.0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _).as("sketch")

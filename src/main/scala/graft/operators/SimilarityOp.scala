@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -50,30 +51,82 @@ object SimilarityOp {
   val NumBands = 4
   val BandBits = 16
 
-  /** Approximate top-k via banded-LSH candidate retrieval: the query
-    * vector's band values are computed driver-side (same arithmetic as
+  /** ANN retrieval banding (q48/q83/q84/q85) — separate from the
+    * near-dup banding above, for two measured reasons (tools/
+    * ann_sweep.py, sf0.01, 72 audited queries):
+    *  1. The near-dup weight family (37, 101, 13) is periodic in j with
+    *     period 13 — only 13 DISTINCT hyperplanes exist, so a 64-bit
+    *     sketch carries ≤13 bits of information. Near-identical vectors
+    *     don't care; moderate-similarity top-k retrieval starves
+    *     (measured recall@10 = 0.01 mean / 0.1 on q83's query). The ANN
+    *     family (1009, 31, 211) yields 192 distinct hyperplanes for the
+    *     24×8 sketch.
+    *  2. All-16-bits band agreement is too strict for the similarity
+    *     range of true top-k neighbours (~0.3–0.5 cosine on this
+    *     corpus): 24 narrower bands probed at Hamming radius ≤ 2
+    *     measure mean recall@10 = 0.83 (q83's query: 0.9) at a 61 %
+    *     mean candidate fraction — above IVF-nProbe2's 0.8 recall at a
+    *     LOWER cost than its 67 % scan fraction (q85 publishes the
+    *     whole frontier). 8-bit bands keep 256 bucket values per band,
+    *     so bucket occupancy still shrinks with corpus growth.
+    */
+  val AnnBands = 24
+  val AnnBandBits = 8
+  val AnnRadius = 2
+  val AnnMulJ = 1009
+  val AnnMulD = 31
+  val AnnMod = 211
+
+  /** One LSH retrieval configuration of the q85 recall/cost sweep. */
+  final case class LshConf(name: String, bands: Int, bits: Int, radius: Int,
+                           mulJ: Int, mulD: Int, mod: Int)
+
+  /** The serving default, as an [[LshConf]]. */
+  val AnnDefault: LshConf =
+    LshConf("lsh_24x8_r2", AnnBands, AnnBandBits, AnnRadius,
+      AnnMulJ, AnnMulD, AnnMod)
+
+  /** The q85 sweep grid: the legacy starved config (kept as the
+    * baseline the fix is measured against), three widenings of the new
+    * family, and IVF at nProbe 1..3.
+    */
+  val SweepLsh: Seq[LshConf] = Seq(
+    LshConf("lsh_legacy_4x16_r0", 4, 16, 0, 37, 101, 13),
+    LshConf("lsh_8x8_r1", 8, 8, 1, AnnMulJ, AnnMulD, AnnMod),
+    LshConf("lsh_16x8_r2", 16, 8, 2, AnnMulJ, AnnMulD, AnnMod),
+    AnnDefault)
+  val SweepNProbes: Seq[Int] = Seq(1, 2, 3)
+
+  /** Approximate top-k via banded-LSH candidate retrieval with
+    * multi-probe: the query vector's band values are computed
+    * driver-side (same arithmetic as
     * [[graft.functions.SignSketchExpr]]) and compiled into the filter,
     * so the whole search is ONE scan — sketch each row inside codegen,
-    * keep rows agreeing with the query on ≥1 band, exact-cosine rank the
-    * survivors, TakeOrdered(k). No join, no shuffle of the scan: the
-    * partition-local candidate-search pattern a 100 TB ANN serving path
-    * uses after this same bucketing (vs [[topK]], which scores ALL N
-    * rows — the recall/cost dial is the band count).
+    * keep rows within Hamming distance `radius` of the query on ≥1
+    * band, exact-cosine rank the survivors, TakeOrdered(k). No join, no
+    * shuffle of the scan: the partition-local candidate-search pattern
+    * a 100 TB ANN serving path uses after this same bucketing (vs
+    * [[topK]], which scores ALL N rows). Recall/cost dials: band count,
+    * band width, probe radius — measured frontier in q85; the defaults
+    * measure recall@10 ≥ 0.8 (q83/q84).
     */
-  def annTopK(embeddings: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
+  def annTopK(embeddings: DataFrame, queryId: Long, k: Int = 10,
+              conf: LshConf = AnnDefault): DataFrame = {
     val qv: Seq[Double] = embeddings
       .filter(col("vec_id") === queryId)
       .select(toDoubleArray(col("embedding")))
       .collect().head.getSeq[Double](0)
     val qBands = graft.functions.SignSketchExpr.sketchOf(
-      qv.toArray, NumBands, BandBits)
+      qv.toArray, conf.bands, conf.bits, conf.mulJ, conf.mulD, conf.mod)
     val qlit = array(qv.map(lit): _*)
-    val bandMatch = (0 until NumBands).map(b =>
-      element_at(col("__sk"), b + 1) === lit(qBands(b))).reduce(_ || _)
+    val bandMatch = (0 until conf.bands).map(b =>
+      bit_count(element_at(col("__sk"), b + 1).bitwiseXOR(lit(qBands(b))))
+        <= conf.radius).reduce(_ || _)
     embeddings
       .where(col("vec_id") =!= queryId)
       .withColumn("__sk", graft.functions.SignSketchExpr.column(
-        toDoubleArray(col("embedding")), NumBands, BandBits))
+        toDoubleArray(col("embedding")), conf.bands, conf.bits,
+        conf.mulJ, conf.mulD, conf.mod))
       .where(bandMatch)
       .select(col("vec_id"),
         round(cosine(toDoubleArray(col("embedding")), qlit), 6).as("sim"))
@@ -242,20 +295,24 @@ object SimilarityOp {
   // ---- DuckDB oracle generators (same constants, same arithmetic) ----
 
   /** CTE computing (vec_id, label, band, bval) — mirror of
-    * [[bandedSketches]]: hyperplane j belongs to band j // BandBits with
-    * local bit j % BandBits.
+    * [[bandedSketches]]: hyperplane j belongs to band j // bandBits with
+    * local bit j % bandBits. CTE names take a `suffix` so several
+    * configurations can coexist in one statement (the q85 sweep); the
+    * final CTE is `bands$suffix`.
     */
-  def bandCte(dims: Int = 64): String =
-    s"""dots AS (
+  def bandCte(dims: Int = 64, numBands: Int = NumBands,
+              bandBits: Int = BandBits, mulJ: Int = 37, mulD: Int = 101,
+              mod: Int = 13, suffix: String = ""): String =
+    s"""dots$suffix AS (
        |  SELECT e.vec_id, j.j,
-       |    sum(e.embedding[d.d + 1]::DOUBLE * (((j.j*37 + d.d*101) % 13) - 6)) AS dot
-       |  FROM embeddings e, range(${NumBands * BandBits}) j(j), range($dims) d(d)
+       |    sum(e.embedding[d.d + 1]::DOUBLE * (((j.j*$mulJ + d.d*$mulD) % $mod) - ${mod / 2})) AS dot
+       |  FROM embeddings e, range(${numBands * bandBits}) j(j), range($dims) d(d)
        |  GROUP BY 1, 2
-       |), bands AS (
-       |  SELECT d2.vec_id, e2.label, d2.j // $BandBits AS band,
+       |), bands$suffix AS (
+       |  SELECT d2.vec_id, e2.label, d2.j // $bandBits AS band,
        |    CAST(sum(CASE WHEN d2.dot > 0
-       |      THEN (1::BIGINT << (d2.j % $BandBits)) ELSE 0 END) AS BIGINT) AS bval
-       |  FROM dots d2 JOIN embeddings e2 ON d2.vec_id = e2.vec_id
+       |      THEN (1::BIGINT << (d2.j % $bandBits)) ELSE 0 END) AS BIGINT) AS bval
+       |  FROM dots$suffix d2 JOIN embeddings e2 ON d2.vec_id = e2.vec_id
        |  GROUP BY 1, 2, 3
        |)""".stripMargin
 
@@ -341,12 +398,14 @@ object SimilarityOp {
        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
        |FROM pc ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
 
-  def annTopKOracle(queryId: Long, k: Int = 10, dims: Int = 64): String =
-    s"""WITH ${bandCte(dims)},
+  def annTopKOracle(queryId: Long, k: Int = 10, dims: Int = 64,
+                    conf: LshConf = AnnDefault): String =
+    s"""WITH ${bandCte(dims, conf.bands, conf.bits, conf.mulJ, conf.mulD, conf.mod)},
        |qb AS (SELECT band, bval FROM bands WHERE vec_id = $queryId),
        |cand AS (
        |  SELECT DISTINCT b.vec_id
-       |  FROM bands b JOIN qb ON b.band = qb.band AND b.bval = qb.bval
+       |  FROM bands b JOIN qb ON b.band = qb.band
+       |    AND bit_count(xor(b.bval, qb.bval)) <= ${conf.radius}
        |  WHERE b.vec_id <> $queryId
        |), pc AS (
        |  SELECT c.vec_id,
@@ -426,4 +485,295 @@ object SimilarityOp {
        |  round(CAST(n_hits AS DOUBLE) / $k, 4) AS recall
        |FROM (SELECT * FROM ri UNION ALL SELECT * FROM rl) u
        |ORDER BY method""".stripMargin
+
+  // ---- multi-query recall audit (q84) + recall/cost sweep (q85) ----
+
+  /** The deterministic audit query SAMPLE: every `qmod`-th id. An exact
+    * ground truth over the whole corpus is O(|Q|·|N|) — affordable
+    * precisely because Q is a sample; this is how a production ANN
+    * deployment audits recall (the corpus-sized arm is the thing being
+    * audited, never the thing run per query).
+    */
+  private def queryFrame(embeddings: DataFrame, qmod: Int): DataFrame =
+    embeddings.where(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"), toDoubleArray(col("embedding")).as("qv"))
+
+  private def corpusVecs(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+
+  /** Exact per-query top-k ground truth: the k-sized query sample is
+    * broadcast against one corpus scan; each pair is scored by the
+    * codegen'd [[graft.functions.CosineExpr]] kernel (the interpreted
+    * HOF form is minutes, not seconds, at |Q|·|N| pairs), then ranked
+    * per query. One shuffle, keyed by qid, carrying (qid, vec_id, sim).
+    */
+  private def exactTopKMulti(embeddings: DataFrame, qmod: Int,
+                             k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpusVecs(embeddings)
+      .join(broadcast(queryFrame(embeddings, qmod)),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** Multi-probe LSH candidates for the whole query sample, as the
+    * EQUI-JOIN shape a 100 TB index uses (vs [[annTopK]]'s single-query
+    * scan filter): each query band value expands to its
+    * Hamming-≤radius probe set (a literal mask list — 37 masks for
+    * 8-bit bands at radius 2), and the probe rows equi-join the corpus
+    * (band, bval) bucket rows. Only (band, bval, id) rows ride the
+    * join; SimilaritySpec asserts this retrieval is identical to the
+    * scan-filter form.
+    */
+  private def lshCandidatesMulti(embeddings: DataFrame, qmod: Int,
+                                 conf: LshConf): DataFrame = {
+    val sk = embeddings.select(col("vec_id"),
+      posexplode(graft.functions.SignSketchExpr.column(
+        toDoubleArray(col("embedding")), conf.bands, conf.bits,
+        conf.mulJ, conf.mulD, conf.mod)).as(Seq("band", "bval")))
+    val qsk = queryFrame(embeddings, qmod).select(col("qid"),
+      posexplode(graft.functions.SignSketchExpr.column(
+        col("qv"), conf.bands, conf.bits,
+        conf.mulJ, conf.mulD, conf.mod)).as(Seq("band", "qbval")))
+    val masks = (0 until (1 << conf.bits))
+      .filter(m => Integer.bitCount(m) <= conf.radius).map(_.toLong)
+    val probes = qsk.select(col("qid"), col("band"),
+      explode(array(masks.map(m => col("qbval").bitwiseXOR(lit(m))): _*))
+        .as("bval"))
+    sk.join(broadcast(probes), Seq("band", "bval"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+  }
+
+  private def centerVecs(embeddings: DataFrame,
+                         centerIds: Seq[Long]): Seq[(Long, Seq[Double])] =
+    embeddings.filter(col("vec_id").isin(centerIds: _*))
+      .select(col("vec_id"), toDoubleArray(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+
+  /** Corpus cell assignment for literal centers — the same rounded
+    * distance and (dist, cid) tie order as [[ivfTopK]] and the oracle.
+    */
+  private def cellAssign(embeddings: DataFrame,
+                         centers: Seq[(Long, Seq[Double])]): DataFrame = {
+    val v = toDoubleArray(col("embedding"))
+    val dists = centers.map { case (cid, cv) =>
+      cid -> round(l2(v, array(cv.map(lit): _*)), 6)
+    }
+    val withD = embeddings.select(col("vec_id") +:
+      dists.zipWithIndex.map { case ((_, c), i) => c.as(s"d$i") }: _*)
+    val minD = least(dists.indices.map(i => col(s"d$i")): _*)
+    val cell = dists.zipWithIndex.foldRight(lit(centers.last._1)) {
+      case (((cid, _), i), elseCol) =>
+        when(col(s"d$i") === minD, lit(cid)).otherwise(elseCol)
+    }
+    withD.select(col("vec_id"), cell.as("cell"))
+  }
+
+  /** IVF candidates for the whole query sample: each query probes its
+    * `nProbe` nearest cells; candidates are the probed cells' members.
+    */
+  private def ivfCandidatesMulti(embeddings: DataFrame, qmod: Int,
+                                 centers: Seq[(Long, Seq[Double])],
+                                 nProbe: Int): DataFrame = {
+    val entries = centers.map { case (cid, cv) =>
+      struct(round(l2(col("qv"), array(cv.map(lit): _*)), 6).as("dist"),
+        lit(cid).as("cid"))
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+    val qCells = queryFrame(embeddings, qmod)
+      .select(col("qid"), explode(array(entries: _*)).as("e"))
+      .select(col("qid"), col("e.dist").as("dist"), col("e.cid").as("cid"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    cellAssign(embeddings, centers)
+      .join(broadcast(qCells), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** One summary row for one retrieval configuration: candidates ranked
+    * per query by exact cosine (the codegen kernel again), intersected
+    * with the ground truth. mean_cand is the evidence the candidate set
+    * stays bounded; mean_recall = total hits / (k·|Q|), so a query with
+    * an empty candidate set correctly drags the mean down.
+    */
+  private def recallArm(name: String, embeddings: DataFrame,
+                        qframe: DataFrame, exact: DataFrame,
+                        cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val topk = cand.join(corpusVecs(embeddings), Seq("vec_id"))
+      .join(broadcast(qframe), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val nq = qframe.agg(count(lit(1)).as("n_queries"))
+    val nc = cand.agg(count(lit(1)).as("__cand"))
+    val nh = topk.join(exact, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("__hits"))
+    nq.crossJoin(nc).crossJoin(nh)
+      .select(lit(name).as("config"), col("n_queries"),
+        round(col("__cand").cast("double") / col("n_queries"), 4)
+          .as("mean_cand"),
+        round(col("__hits").cast("double") / (col("n_queries") * k), 4)
+          .as("mean_recall"))
+  }
+
+  /** q84: mean recall@k of the two serving paths over a deterministic
+    * query sample (72 queries at sf0.01) — the stable estimate the
+    * band/probe dials are tuned on; q83 is the per-query primitive and
+    * a single query is one Bernoulli sample per neighbour.
+    */
+  def annRecallMulti(embeddings: DataFrame, qmod: Int = 7, k: Int = 10,
+                     centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                     nProbe: Int = 2,
+                     conf: LshConf = AnnDefault): DataFrame = {
+    val qframe = queryFrame(embeddings, qmod)
+    val exact = exactTopKMulti(embeddings, qmod, k)
+    val centers = centerVecs(embeddings, centerIds)
+    recallArm("ivf", embeddings, qframe, exact,
+      ivfCandidatesMulti(embeddings, qmod, centers, nProbe), k)
+      .unionByName(recallArm("lsh", embeddings, qframe, exact,
+        lshCandidatesMulti(embeddings, qmod, conf), k))
+      .orderBy("config")
+  }
+
+  /** q85: the recall/cost FRONTIER — every [[SweepLsh]] configuration
+    * (including the legacy starved one, kept as the measured baseline)
+    * and IVF at nProbe 1..3, each as one (config, n_queries, mean_cand,
+    * mean_recall) row. This is the table an ANN deployment picks its
+    * operating point from; on this mostly-unstructured corpus it shows
+    * recall ≥ 0.8 costs ~60 % candidate fraction for LSH vs ~67 % for
+    * IVF-p2 — there is no free lunch without data structure, and the
+    * sweep is what PROVES that instead of guessing.
+    */
+  def annRecallSweep(embeddings: DataFrame, qmod: Int = 29, k: Int = 10,
+                     centerIds: Seq[Long] = Seq(7L, 42L, 123L)): DataFrame = {
+    val qframe = queryFrame(embeddings, qmod)
+    val exact = exactTopKMulti(embeddings, qmod, k)
+    val centers = centerVecs(embeddings, centerIds)
+    val ivfArms = SweepNProbes.map(p =>
+      recallArm(s"ivf_p$p", embeddings, qframe, exact,
+        ivfCandidatesMulti(embeddings, qmod, centers, p), k))
+    val lshArms = SweepLsh.map(c =>
+      recallArm(c.name, embeddings, qframe, exact,
+        lshCandidatesMulti(embeddings, qmod, c), k))
+    (ivfArms ++ lshArms).reduce(_.unionByName(_)).orderBy("config")
+  }
+
+  /** Oracle SQL for [[annRecallMulti]] / [[annRecallSweep]]: the shared
+    * query-sample, all-pairs-cosine, and ground-truth CTEs, then one
+    * candidate + rollup CTE pair per configuration (band CTEs are
+    * suffix-namespaced). Candidate scoring reuses the all-pairs `sims`
+    * CTE — same arithmetic as the Spark arms' per-candidate kernel.
+    */
+  private def recallAuditOracle(qmod: Int, k: Int, centerIds: Seq[Long],
+                                ivfArms: Seq[(String, Int)],
+                                lshArms: Seq[(String, LshConf)],
+                                dims: Int): String = {
+    val shared =
+      s"""q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % $qmod = 0),
+         |pc0 AS (
+         |  SELECT qq.qid, e.vec_id,
+         |    sum(e.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS dot,
+         |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+         |    sum(qe.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS nb
+         |  FROM q qq
+         |  JOIN embeddings qe ON qe.vec_id = qq.qid
+         |  JOIN embeddings e ON e.vec_id <> qq.qid, range($dims) i(i)
+         |  GROUP BY 1, 2
+         |), sims AS (
+         |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+         |  FROM pc0
+         |), ex AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS rn
+         |    FROM sims) t WHERE rn <= $k
+         |), nq AS (SELECT count(*) AS n FROM q)""".stripMargin
+    val ivfShared = if (ivfArms.isEmpty) "" else
+      s""",
+         |cc AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id IN (${centerIds.sorted.mkString(", ")})),
+         |cd AS (
+         |  SELECT e.vec_id, c.cid,
+         |    round(sqrt(sum((e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE)
+         |               * (e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE))), 6) AS dist
+         |  FROM embeddings e, cc c, range($dims) i(i)
+         |  GROUP BY 1, 2
+         |), cell AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM cd) t WHERE rn = 1
+         |)""".stripMargin
+    def rollup(name: String, candCte: String): String =
+      s"""agg_$name AS (
+         |  SELECT '$name' AS config,
+         |    (SELECT CAST(n AS BIGINT) FROM nq) AS n_queries,
+         |    round(CAST((SELECT count(*) FROM $candCte) AS DOUBLE)
+         |      / (SELECT n FROM nq), 4) AS mean_cand,
+         |    round(CAST((SELECT count(*) FROM (
+         |        SELECT qid, vec_id FROM (
+         |          SELECT c.qid, c.vec_id, row_number() OVER (PARTITION BY c.qid
+         |            ORDER BY s.sim DESC, c.vec_id) AS rn
+         |          FROM $candCte c
+         |          JOIN sims s ON s.qid = c.qid AND s.vec_id = c.vec_id) t
+         |        WHERE rn <= $k) tk
+         |      JOIN ex ON ex.qid = tk.qid AND ex.vec_id = tk.vec_id) AS DOUBLE)
+         |      / ($k * (SELECT n FROM nq)), 4) AS mean_recall
+         |)""".stripMargin
+    val ivfCtes = ivfArms.map { case (name, p) =>
+      s"""qc_$name AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qq.qid, cd.cid AS cell, row_number() OVER (
+         |      PARTITION BY qq.qid ORDER BY cd.dist, cd.cid) AS rn
+         |    FROM q qq JOIN cd ON cd.vec_id = qq.qid) t WHERE rn <= $p
+         |),
+         |cand_$name AS (
+         |  SELECT qp.qid, ce.vec_id
+         |  FROM qc_$name qp JOIN cell ce USING (cell)
+         |  WHERE ce.vec_id <> qp.qid
+         |),
+         |${rollup(name, s"cand_$name")}""".stripMargin
+    }
+    val lshCtes = lshArms.map { case (name, c) =>
+      s"""${bandCte(dims, c.bands, c.bits, c.mulJ, c.mulD, c.mod, s"_$name")},
+         |cand_$name AS (
+         |  SELECT DISTINCT qb.vec_id AS qid, b.vec_id
+         |  FROM q qq
+         |  JOIN bands_$name qb ON qb.vec_id = qq.qid
+         |  JOIN bands_$name b ON b.band = qb.band
+         |    AND bit_count(xor(b.bval, qb.bval)) <= ${c.radius}
+         |  WHERE b.vec_id <> qq.qid
+         |),
+         |${rollup(name, s"cand_$name")}""".stripMargin
+    }
+    val allNames = ivfArms.map(_._1) ++ lshArms.map(_._1)
+    s"""WITH $shared$ivfShared,
+       |${(ivfCtes ++ lshCtes).mkString(",\n")}
+       |SELECT config, n_queries, mean_cand, mean_recall
+       |FROM (${allNames.map(n => s"SELECT * FROM agg_$n").mkString("\n      UNION ALL ")}) u
+       |ORDER BY config""".stripMargin
+  }
+
+  def annRecallMultiOracle(qmod: Int = 7, k: Int = 10,
+                           centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                           nProbe: Int = 2, dims: Int = 64): String =
+    recallAuditOracle(qmod, k, centerIds, Seq("ivf" -> nProbe),
+      Seq("lsh" -> AnnDefault), dims)
+
+  def annRecallSweepOracle(qmod: Int = 29, k: Int = 10,
+                           centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                           dims: Int = 64): String =
+    recallAuditOracle(qmod, k, centerIds,
+      SweepNProbes.map(p => s"ivf_p$p" -> p),
+      SweepLsh.map(c => c.name -> c), dims)
 }

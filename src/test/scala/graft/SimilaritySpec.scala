@@ -69,6 +69,47 @@ class SimilaritySpec extends SparkSuite {
     assert(both.count() === 200)
   }
 
+  test("SignSketchExpr is bit-equal to the built-ins for the ANN weight family") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    val v = VectorFunctions.toDoubleArray(col("embedding"))
+    val c = SimilarityOp.AnnDefault
+    val both = emb.select(
+      graft.functions.SignSketchExpr.column(
+        v, c.bands, c.bits, c.mulJ, c.mulD, c.mod).as("fast"),
+      array((0 until c.bands).map(b =>
+        VectorFunctions.signSketch(v, c.bits, 64, b * c.bits,
+          c.mulJ, c.mulD, c.mod)): _*).as("slow"))
+    assert(both.where(col("fast") =!= col("slow")).count() === 0)
+    assert(both.count() === 200)
+  }
+
+  test("the ANN weight family is not j-periodic (the legacy one is)") {
+    // the defect q83 measured: ((j*37 + d*101) % 13) is periodic in j
+    // with period 13, so a 64-bit legacy sketch holds <= 13 distinct
+    // hyperplanes; the ANN family must not collapse like that.
+    def planes(mulJ: Int, mulD: Int, mod: Int, n: Int): Int =
+      (0 until n).map(j => (0 until 64).map(d =>
+        ((j * mulJ + d * mulD) % mod) - mod / 2)).distinct.size
+    assert(planes(37, 101, 13, 64) === 13)
+    val c = SimilarityOp.AnnDefault
+    assert(planes(c.mulJ, c.mulD, c.mod, c.bands * c.bits) === c.bands * c.bits)
+  }
+
+  test("CosineExpr is bit-equal to the composed-built-ins cosine") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{CosineExpr, VectorFunctions}
+    val emb = Tables.embeddings(spark, sfDir)
+    val v = VectorFunctions.toDoubleArray(col("embedding"))
+    val qlit = array(vecs(0L).toSeq.map(lit): _*)
+    val both = emb.select(
+      CosineExpr.column(v, qlit).as("fast"),
+      VectorFunctions.cosine(v, qlit).as("slow"))
+    assert(both.where(col("fast") =!= col("slow")).count() === 0)
+    assert(both.count() === 500)
+  }
+
   test("annTopK returns correctly-scored, correctly-ordered band-mates") {
     val got = SimilarityOp.annTopK(Tables.embeddings(spark, sfDir), 0L, 10)
       .as[(Long, Double)].collect().toSeq
@@ -101,6 +142,59 @@ class SimilaritySpec extends SparkSuite {
       .map { case (cid, cv) => (cid, math.rint(l2(q, cv) * 1e6) / 1e6) }
       .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1).toSet
     got.foreach { case (id, _) => assert(probes.contains(cellOf(vecs(id)))) }
+  }
+
+  test("annRecallMulti equals a full driver-side brute force of both arms") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = 10
+    val qids = vecs.keys.filter(_ % 7 == 0).toSeq.sorted
+    def rankTopK(q: Long, cand: Seq[Long]): Seq[Long] =
+      cand.map(id => (id, r6(cos(vecs(q), vecs(id)))))
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    val exact = qids.map(q => q -> rankTopK(q, vecs.keys.filter(_ != q).toSeq)).toMap
+    // LSH arm: same sketch family + Hamming-radius multi-probe predicate
+    val c = SimilarityOp.AnnDefault
+    val sk = vecs.map { case (id, v) =>
+      id -> graft.functions.SignSketchExpr.sketchOf(
+        v, c.bands, c.bits, c.mulJ, c.mulD, c.mod)
+    }
+    def lshCand(q: Long): Seq[Long] = vecs.keys.filter(id => id != q &&
+      (0 until c.bands).exists(b =>
+        java.lang.Long.bitCount(sk(id)(b) ^ sk(q)(b)) <= c.radius)).toSeq
+    // IVF arm: nearest cell by rounded l2, (dist, cid) tie order
+    val centerIds = Seq(7L, 42L, 123L)
+    val centers = centerIds.sorted.map(id => id -> vecs(id))
+    def cellOf(v: Array[Double]): Long = centers
+      .map { case (cid, cv) => (cid, r6(l2(v, cv))) }
+      .minBy { case (cid, d) => (d, cid) }._1
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }
+    def ivfCand(q: Long): Seq[Long] = {
+      val probes = centers.map { case (cid, cv) => (cid, r6(l2(vecs(q), cv))) }
+        .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1).toSet
+      vecs.keys.filter(id => id != q && probes.contains(cells(id))).toSeq
+    }
+    def arm(cand: Long => Seq[Long]): (Double, Double) = {
+      val all = qids.map(q => cand(q))
+      val hits = qids.zip(all).map { case (q, cs) =>
+        rankTopK(q, cs).toSet.intersect(exact(q).toSet).size
+      }.sum
+      (r4(all.map(_.size).sum.toDouble / qids.size),
+        r4(hits.toDouble / (k * qids.size)))
+    }
+    val byName = SimilarityOp.annRecallMulti(Tables.embeddings(spark, sfDir))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (ivfCandMean, ivfRecall) = arm(ivfCand)
+    val (lshCandMean, lshRecall) = arm(lshCand)
+    assert(byName("ivf") === ((qids.size.toLong, ivfCandMean, ivfRecall)))
+    assert(byName("lsh") === ((qids.size.toLong, lshCandMean, lshRecall)))
+    // anti-starvation guard (the legacy config measured 0.01 here):
+    // the sf0.001 fixture measures 0.7986; the round-7 acceptance bar
+    // (mean >= 0.8) is measured at sf0.01 by q84 = 0.8306
+    assert(lshRecall >= 0.75)
   }
 
   test("labelCentroids equals the exact fixed-point mean per (label, dim)") {
