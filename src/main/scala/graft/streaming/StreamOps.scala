@@ -225,6 +225,191 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(matcher)
   }
 
+  /** One closed gap-session, as emitted by [[streamingSessionize]] —
+    * the same shape (and 0-based per-user numbering) as
+    * [[graft.operators.EventOps.sessionize]] rows.
+    */
+  case class SessionRow(userId: Long, sessionId: Long, nEvents: Long,
+                        startMs: Long, endMs: Long, sumValue: Double)
+
+  case class SessEvent(userId: Long, eventId: Long,
+                               ts: java.sql.Timestamp, value: Double) {
+    def tsMs: Long = ts.getTime
+  }
+
+  case class SessState(sid: Long, startMs: Long, endMs: Long,
+                               n: Long, sum: Double)
+
+  /** Streaming gap-based sessionization — the streaming form of
+    * [[graft.operators.EventOps.sessionize]] (q14): one open session
+    * per user held in Spark-managed state, CLOSED (emitted) either when
+    * an event arrives more than `gapMs` past the session end or when
+    * the watermark passes end + gap (event-time timeout) — the exact
+    * point after which no in-watermark arrival could extend it, so a
+    * session is emitted once, finally. State is one tiny row per
+    * ACTIVE user (bounded by concurrent-user cardinality, not corpus),
+    * and the emitted stream feeds
+    * [[graft.operators.EventOps.peakFromSessions]] for the streaming
+    * peak-concurrency profile (q80's batch rollup, run over landed
+    * sessions per sink batch — StreamingSpec proves the composition
+    * equals the batch operator on a replay).
+    *
+    * Ordering stance: arrivals are sorted (ts, event_id) within each
+    * micro-batch; cross-batch disorder within the watermark merges
+    * correctly when the straggler still falls inside the gap (endMs
+    * never moves backward). A straggler older than the open session's
+    * start would START a new session in arrival order — the batch
+    * operator, which sees a total order, is the authority on replayed
+    * history; this is the standard streaming-sessionization tradeoff.
+    * After an idle-timeout close the user's state is REMOVED (bounded
+    * by active users); a user reappearing later restarts numbering at
+    * sessionId 0 — stable cross-idle session identity belongs to the
+    * batch operator.
+    */
+  def streamingSessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+                          tsCol: String = "ts",
+                          watermark: String = "10 minutes"): Dataset[SessionRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // .as[...] keeps the watermarked event-time column in the schema —
+    // the same requirement streamingNearDup documents
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col(tsCol).as("ts"), col("value").as("value"))
+      .as[SessEvent]
+    def close(userId: Long, s: SessState): SessionRow =
+      SessionRow(userId, s.sid, s.n, s.startMs, s.endMs, s.sum)
+    val fn = (userId: Long, arrivals: Iterator[SessEvent],
+              state: GroupState[SessState]) =>
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(close(userId, s))
+      } else {
+        val inc = arrivals.toSeq.sortBy(e => (e.tsMs, e.eventId))
+        var cur = state.getOption
+        val out = Seq.newBuilder[SessionRow]
+        inc.foreach { e =>
+          cur match {
+            case Some(s) if e.tsMs - s.endMs <= gapMs =>
+              cur = Some(s.copy(endMs = math.max(s.endMs, e.tsMs),
+                n = s.n + 1, sum = s.sum + e.value))
+            case Some(s) =>
+              out += close(userId, s)
+              cur = Some(SessState(s.sid + 1, e.tsMs, e.tsMs, 1L, e.value))
+            case None =>
+              cur = Some(SessState(0L, e.tsMs, e.tsMs, 1L, e.value))
+          }
+        }
+        state.update(cur.get)
+        state.setTimeoutTimestamp(math.max(
+          state.getCurrentWatermarkMs() + 1L, cur.get.endMs + gapMs))
+        out.result().iterator
+      }
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** One finalized grid slot, as emitted by [[streamingLocfResample]] —
+    * the same row shape as [[graft.operators.EventOps.locfResample]].
+    */
+  case class LocfRow(userId: Long, hrMs: Long, locfValue: Double,
+                     isObs: Long)
+
+  case class LocfEvent(userId: Long, eventId: Long,
+                               ts: java.sql.Timestamp, value: Double) {
+    def tsMs: Long = ts.getTime
+  }
+
+  /** Carry state for one user's grid: the next slot to emit, the
+    * last-observed value (the carry), the highest observed slot (the
+    * grid's moving upper bound), and the per-slot best observation for
+    * slots the watermark has not yet finalized — at most
+    * (lateness horizon / step) + 1 entries, so state per user is tiny
+    * and bounded by the horizon, never by history.
+    */
+  case class LocfState(nextHr: Long, carry: Double, maxHr: Long,
+                               pending: Map[Long, (Long, Long, Double)])
+
+  /** Streaming LOCF gap-fill resample — the streaming form of
+    * [[graft.operators.EventOps.locfResample]] (q82): per user, one row
+    * per `stepMs` slot between their first and latest event, carrying
+    * the last observation forward. A slot is emitted exactly once, when
+    * the WATERMARK passes its end (no in-watermark arrival can change
+    * its last-in-slot pick anymore) — gap slots between observations
+    * emit the carry with is_obs = 0, exactly the batch grid. Slots past
+    * a user's latest observation are NOT emitted (the batch grid ends
+    * at h1 = max observed slot; a later event extends the grid and the
+    * already-emitted prefix stays valid). Each watermark advance wakes
+    * every user's state via event-time timeout to flush newly-final
+    * slots; state persists per user (like [[latestAttachStateful]] —
+    * bounded by user cardinality) so a reappearing user gap-fills from
+    * their carry.
+    *
+    * In-slot pick is max (tsMs, event_id) — millisecond resolution,
+    * vs the batch operator's full-precision (ts, event_id) DESC; they
+    * diverge only on same-user same-millisecond collisions, which the
+    * shipped data never has (the q45/q59 tie-rule note in NOTES.md).
+    */
+  def streamingLocfResample(events: DataFrame, stepMs: Long = 3600000L,
+                            tsCol: String = "ts",
+                            watermark: String = "10 minutes"): Dataset[LocfRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col(tsCol).as("ts"), col("value").as("value"))
+      .as[LocfEvent]
+    val fn = (userId: Long, arrivals: Iterator[LocfEvent],
+              state: GroupState[LocfState]) => {
+      // merge arrivals into the per-slot best (max (tsMs, eventId))
+      var st = state.getOption.getOrElse(
+        LocfState(Long.MinValue, 0.0, Long.MinValue, Map.empty))
+      arrivals.foreach { e =>
+        val hr = Math.floorDiv(e.tsMs, stepMs)
+        val better = st.pending.get(hr) match {
+          case Some((ts0, id0, _)) =>
+            e.tsMs > ts0 || (e.tsMs == ts0 && e.eventId > id0)
+          case None => true
+        }
+        if (better)
+          st = st.copy(pending =
+            st.pending.updated(hr, (e.tsMs, e.eventId, e.value)))
+        if (hr > st.maxHr) st = st.copy(maxHr = hr)
+        if (st.nextHr == Long.MinValue || hr < st.nextHr)
+          st = st.copy(nextHr = hr)
+      }
+      // flush every slot the watermark has finalized, up to the grid's
+      // current upper bound
+      val wmHr = Math.floorDiv(state.getCurrentWatermarkMs(), stepMs)
+      val out = Seq.newBuilder[LocfRow]
+      while (st.nextHr != Long.MinValue && st.nextHr <= st.maxHr &&
+             st.nextHr < wmHr) {
+        val hr = st.nextHr
+        st.pending.get(hr) match {
+          case Some((_, _, v)) =>
+            out += LocfRow(userId, hr * stepMs, v, 1L)
+            st = st.copy(carry = v, pending = st.pending - hr)
+          case None =>
+            out += LocfRow(userId, hr * stepMs, st.carry, 0L)
+        }
+        st = st.copy(nextHr = hr + 1)
+      }
+      state.update(st)
+      // wake on the next watermark advance to flush newly-final slots
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+      out.result().iterator
+    }
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState[LocfState, LocfRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   def streamingCleanDocs(docs: DataFrame, minTokens: Int = 30,
                          tsCol: String = "ts",
                          watermark: String = "10 minutes"): DataFrame = {

@@ -292,6 +292,102 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingSessionize + peakFromSessions equals batch peakConcurrency on a replay") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    // three users, interleaved sessions across hours: u1 has two
+    // sessions (45 min gap), u2 one long session spanning hours, u3 one.
+    // Offset from epoch 0: a row whose event time equals the INITIAL
+    // watermark (0) is dropped as late before reaching the operator.
+    def t(min: Long) = (1000L + min) * 60L // seconds
+    val history = Seq(
+      (1L, 1L, t(0), 1.0), (2L, 1L, t(10), 2.0), (3L, 1L, t(55), 3.0),
+      (4L, 1L, t(70), 1.5),
+      (5L, 2L, t(5), 4.0), (6L, 2L, t(30), 5.0), (7L, 2L, t(50), 6.0),
+      (8L, 2L, t(75), 7.0), (9L, 2L, t(95), 8.0),
+      (10L, 3L, t(130), 9.0))
+    val batchDf = history.toDF("event_id", "user_id", "ts_sec", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val expectedSessions = EventOps.sessionize(batchDf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val expectedPeaks = EventOps.peakConcurrency(batchDf)
+      .as[(Long, Long, Long)].collect().toSeq
+
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "user_id", "ts_sec", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val q = graft.streaming.StreamOps.streamingSessionize(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream").start()
+    try {
+      // replay split across micro-batches, in event-time order
+      val (b1, b2) = history.partition(_._3 < t(60))
+      mem.addData(b1.map(e => (e._1, e._2, e._3, e._4)): _*)
+      q.processAllAvailable()
+      mem.addData(b2.map(e => (e._1, e._2, e._3, e._4)): _*)
+      q.processAllAvailable()
+      // far-future sentinel (user 99) advances the watermark past every
+      // session end + gap, closing the open ones via event-time timeout
+      mem.addData((999L, 99L, t(10000), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_stream")
+        .where($"userId" =!= 99L)
+      val streamedSessions = streamed
+        .select($"userId", $"sessionId", $"nEvents",
+          $"startMs", $"endMs", round($"sumValue", 4).as("sumValue"))
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      // batch sessionize rows are (user, sid, n, start, end, sum)
+      assert(streamedSessions ===
+        expectedSessions.map(s => (s._1, s._2, s._3, s._4, s._5, s._6)))
+      // the streaming peak profile: the batch sweep-line rollup applied
+      // to the landed session stream
+      val streamedPeaks = EventOps.peakFromSessions(
+        streamed.select($"startMs".as("start_ms"), $"endMs".as("end_ms")))
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(streamedPeaks === expectedPeaks)
+    } finally q.stop()
+  }
+
+  test("streamingLocfResample equals batch locfResample on a replay") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = min * 60L
+    // u1: obs in hours 0, 3 (two-hour gap to fill), another in hour 3
+    // (last-in-slot pick), u2: single observation
+    val history = Seq(
+      (1L, 1L, t(10), 1.0), (2L, 1L, t(190), 2.0), (3L, 1L, t(200), 3.0),
+      (4L, 2L, t(70), 4.0))
+    val batchDf = history.toDF("event_id", "user_id", "ts_sec", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val expected = EventOps.locfResample(batchDf)
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "user_id", "ts_sec", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val q = graft.streaming.StreamOps.streamingLocfResample(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("locf_stream").start()
+    try {
+      val (b1, b2) = history.partition(_._3 < t(100))
+      mem.addData(b1.map(e => (e._1, e._2, e._3, e._4)): _*)
+      q.processAllAvailable()
+      mem.addData(b2.map(e => (e._1, e._2, e._3, e._4)): _*)
+      q.processAllAvailable()
+      // sentinel advances the watermark past every slot end, flushing
+      // the full grid; its own slot stays open and is never emitted
+      mem.addData((999L, 99L, t(10000), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("locf_stream")
+        .where($"userId" =!= 99L)
+        .select($"userId", $"hrMs", $"locfValue", $"isObs")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
+
   test("built-in session_window agrees with the manual gap sessionization") {
     import graft.operators.EventOps
     // user 1: two sessions (gap 45 min); user 2: one session
