@@ -438,6 +438,13 @@ object SparkEntry {
     // picks its operating point from.
     "q85_recall_sweep" -> ((s, d) =>
       SimilarityOp.annRecallSweep(Tables.embeddings(s, d))),
+
+    // The no-silent-caps audit for q76's block cap: blocks/docs kept vs
+    // dropped. Wired at maxBlock=2 (this corpus' largest opener block
+    // is 3) so BOTH statuses are exercised under the hash gate; the
+    // operator default (256) drops nothing here.
+    "q86_prefix_block_stats" -> ((s, d) =>
+      DedupOp.prefixBlockStats(Tables.documents(s, d), maxBlock = 2)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -892,5 +899,7 @@ object SparkEntry {
     "q84_ann_recall_multi" -> SimilarityOp.annRecallMultiOracle(),
 
     "q85_recall_sweep" -> SimilarityOp.annRecallSweepOracle(),
+
+    "q86_prefix_block_stats" -> DedupOp.prefixBlockStatsOracle(maxBlock = 2),
   )
 }

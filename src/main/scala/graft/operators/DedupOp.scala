@@ -769,30 +769,95 @@ object DedupOp {
     * that key, so the pair join is a hash join on the block key, never
     * all-pairs. Boilerplate openers that would make one block
     * quadratic are df-capped at `maxBlock` (the [[MaxShingleDf]]
-    * stop-phrase rule applied to prefixes). The containment verify is
-    * a row-local substring compare after the join; a candidate pair
-    * ships both texts, a population the block cap bounds.
+    * stop-phrase rule applied to prefixes; [[prefixBlockStats]] is the
+    * audit making that cap observable). Full `text` NEVER rides the
+    * block join: [[prefixCandidates]] compares fixed-size prefix-hash
+    * CHUNKS (xxhash64 of `chunkChars`-char slices — 8 bytes per chunk,
+    * a ~`chunkChars`/8× shuffle reduction on MB-sized docs), and only
+    * the surviving candidate pairs fetch text — by high-cardinality
+    * doc id, once per side, the same fetch-after-candidates shape as
+    * the LSH refine — for the exact containment verify. A chunk-hash
+    * collision can only ADMIT a false candidate (removed by the
+    * verify), never lose a true pair, so the output is byte-identical
+    * to the direct substring form (q76's oracle is unchanged).
     */
   def prefixDups(docs: DataFrame, blockChars: Int = 32,
-                 maxBlock: Int = 256): DataFrame = {
+                 maxBlock: Int = 256, chunkChars: Int = 64): DataFrame = {
+    val cand = prefixCandidates(docs, blockChars, maxBlock, chunkChars)
+    val txt = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(txt.select(col("doc_id").as("da"), col("text").as("ta")), Seq("da"))
+      .join(txt.select(col("doc_id").as("db"), col("text").as("tb")), Seq("db"))
+      .where(col("tb").substr(lit(1), col("len_a").cast("int")) === col("ta"))
+      .select(col("da"), col("db"), col("len_a"), col("len_b"))
+      .orderBy("da", "db")
+  }
+
+  /** Phase 1 of [[prefixDups]]: the block-keyed candidate join,
+    * carrying ONLY (pk, doc_id, length, chunk-hash array) — no text
+    * column exists anywhere in this plan past the scan projection
+    * (asserted over every Exchange in DedupAndTextSpec). A pair
+    * survives iff the shorter doc's FULL chunks all hash-match the
+    * longer doc's aligned chunks (`slice` + array equality — the
+    * partial tail chunk is left to the exact verify).
+    */
+  private[graft] def prefixCandidates(docs: DataFrame, blockChars: Int,
+                                      maxBlock: Int,
+                                      chunkChars: Int): DataFrame = {
+    val nFull = expr(s"CAST(n_chars DIV $chunkChars AS INT)")
+    val chunks = when(nFull >= 1,
+      transform(sequence(lit(1), nFull), i =>
+        xxhash64(col("text").substr(
+          (i - lit(1)) * chunkChars + lit(1), lit(chunkChars)))))
+      .otherwise(expr("CAST(array() AS array<bigint>)"))
     val d = docs.where(col("n_chars") >= blockChars)
-      .select(col("doc_id"), col("text"), col("n_chars"),
-        substring(col("text"), 1, blockChars).as("pk"))
+      .select(col("doc_id"), col("n_chars"),
+        substring(col("text"), 1, blockChars).as("pk"), chunks.as("ch"))
     val smallBlocks = d.groupBy(col("pk"))
       .agg(count(lit(1)).as("bs"))
       .where(col("bs") <= maxBlock)
       .select(col("pk"))
     val blocked = d.join(smallBlocks, Seq("pk"))
     val a = blocked.select(col("pk"), col("doc_id").as("da"),
-      col("text").as("ta"), col("n_chars").as("len_a"))
+      col("n_chars").as("len_a"), col("ch").as("cha"))
     val b = blocked.select(col("pk"), col("doc_id").as("db"),
-      col("text").as("tb"), col("n_chars").as("len_b"))
+      col("n_chars").as("len_b"), col("ch").as("chb"))
     a.join(b, Seq("pk"))
       .where(col("len_a") < col("len_b") &&
-        col("tb").substr(lit(1), col("len_a").cast("int")) === col("ta"))
+        slice(col("chb"), lit(1), size(col("cha"))) === col("cha"))
       .select(col("da"), col("db"), col("len_a"), col("len_b"))
-      .orderBy("da", "db")
   }
+
+  /** The no-silent-caps audit for [[prefixDups]]: per block status
+    * (kept vs dropped-by-`maxBlock`), how many blocks and docs — the
+    * count the cap would otherwise silently discard, since
+    * mass-duplicated openers are exactly where truncation dup families
+    * concentrate. Run it next to [[prefixDups]] with the same
+    * parameters; a non-zero `dropped` row is the signal to lengthen
+    * the block key for those openers (longer pk splits the block)
+    * rather than raise the quadratic cap.
+    */
+  def prefixBlockStats(docs: DataFrame, blockChars: Int = 32,
+                       maxBlock: Int = 256): DataFrame =
+    docs.where(col("n_chars") >= blockChars)
+      .groupBy(substring(col("text"), 1, blockChars).as("pk"))
+      .agg(count(lit(1)).as("bs"))
+      .select(when(col("bs") > maxBlock, lit("dropped"))
+        .otherwise(lit("kept")).as("status"), col("bs"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("bs")).as("n_docs"))
+      .orderBy("status")
+
+  /** Oracle SQL twin of [[prefixBlockStats]]. */
+  def prefixBlockStatsOracle(blockChars: Int = 32,
+                             maxBlock: Int = 256): String =
+    s"""WITH b AS (
+       |  SELECT substr(text, 1, $blockChars) AS pk, count(*) AS bs
+       |  FROM documents WHERE n_chars >= $blockChars GROUP BY 1
+       |)
+       |SELECT CASE WHEN bs > $maxBlock THEN 'dropped' ELSE 'kept' END AS status,
+       |  count(*) AS n_blocks, CAST(sum(bs) AS BIGINT) AS n_docs
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Oracle SQL twin of [[prefixDups]]. */
   def prefixDupsOracle(blockChars: Int = 32, maxBlock: Int = 256): String =
@@ -830,7 +895,13 @@ object DedupOp {
       .persist()
     try {
       val bf = evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), fpp)
-      val mightContain = udf((s: String) => s != null && bf.mightContain(s))
+      // explicit broadcast: closure-captured, the filter would be
+      // re-serialized into every stage's task binary — MBs per million
+      // grams, for exactly the eval-suite sizes this path exists for.
+      // Broadcast ships it once per executor.
+      val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+      val mightContain =
+        udf((s: String) => s != null && bfB.value.mightContain(s))
       val out = docGrams(docs.where(col("source") =!= evalSource), w, col("source"))
         .where(mightContain(col("sh")))
         .join(evalSh, Seq("sh"))

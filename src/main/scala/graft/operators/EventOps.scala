@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** Floor-division bucket assignment for epoch-millis columns. Spark's
+    * `DIV` truncates toward zero while DuckDB's `//` (the oracles'
+    * operator) floors, so a raw `ms DIV step` mis-buckets PRE-1970
+    * (negative-epoch) timestamps by one slot — masked by the shipped
+    * data's all-positive clocks, but a real cross-engine divergence.
+    * `pmod` is non-negative in both engines, so subtracting it makes
+    * the dividend an exact multiple and `DIV` exact (= floor) for any
+    * sign, in pure integer arithmetic.
+    */
+  private def floorDivMs(msExpr: String, step: Long): org.apache.spark.sql.Column =
+    expr(s"CAST((($msExpr) - pmod($msExpr, ${step}L)) DIV ${step}L AS BIGINT)")
+
   /** Parse the JSON `props` payload and aggregate an extracted field.
     * `get_json_object` runs inside codegen; invalid JSON yields null and
     * is dropped — the same silent-drop semantics as the reference's
@@ -35,7 +47,7 @@ object EventOps {
   def dailyTypePivot(events: DataFrame): DataFrame =
     events
       .withColumn("__ms", unix_millis(col("ts")))
-      .groupBy((expr("__ms DIV 86400000") * 86400000L).as("day_ms"))
+      .groupBy((floorDivMs("__ms", 86400000L) * 86400000L).as("day_ms"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(graft.functions.DetAgg.avgCents2(col("value")))
       .orderBy("day_ms")
@@ -104,9 +116,10 @@ object EventOps {
     * by user (or user+slot), so the heaviest shuffle carries grid-sized
     * rows of 3 columns; nothing is global.
     */
-  def locfResample(events: DataFrame, stepMs: Long = 3600000L): DataFrame = {
+  def locfResample(events: DataFrame, stepMs: Long = 3600000L,
+                   maxSlots: Long = 200000L): DataFrame = {
     val withHr = events.withColumn("hr",
-      expr(s"CAST(unix_millis(ts) DIV $stepMs AS BIGINT)"))
+      floorDivMs("unix_millis(ts)", stepMs))
     // last-in-slot via row_number over (ts DESC, event_id DESC). An
     // argmax-aggregate alternative (max of a (ts, event_id, value)
     // struct — partial-aggregable) A/B'd WITHIN box noise of this form
@@ -121,8 +134,20 @@ object EventOps {
       .select(col("user_id"), col("hr"), col("value").as("v"))
     val spans = obs.groupBy(col("user_id"))
       .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    // LOUD span guard: one corrupt timestamp (epoch 0, far future) would
+    // otherwise turn a user's grid into millions of slots — the
+    // docstring's bounded-retention assumption, now enforced. Failing
+    // beats silently clamping (the no-silent-caps rule): a span past
+    // `maxSlots` means the input needs a retention filter, not a bigger
+    // grid. The guard rides the tiny per-user spans frame.
+    val h1Checked = when(col("h1") - col("h0") >= maxSlots,
+      raise_error(format_string(
+        s"locfResample: user %s spans %s slots (limit $maxSlots) — " +
+          "corrupt timestamp or unfiltered retention window",
+        col("user_id"), col("h1") - col("h0") + 1)).cast("long"))
+      .otherwise(col("h1"))
     val grid = spans.select(col("user_id"),
-      explode(sequence(col("h0"), col("h1"))).as("hr"))
+      explode(sequence(col("h0"), h1Checked)).as("hr"))
     val wRun = Window.partitionBy(col("user_id")).orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, 0)
     grid.join(obs, Seq("user_id", "hr"), "left")
@@ -238,7 +263,7 @@ object EventOps {
         struct(col("start_ms").as("t"), lit(1L).as("d")),
         struct(col("end_ms").as("t"), lit(-1L).as("d")))).as("b"))
       .select(col("b.t").as("t"), col("b.d").as("d"))
-      .withColumn("hr", expr(s"CAST(t DIV $hourMs AS BIGINT)"))
+      .withColumn("hr", floorDivMs("t", hourMs))
     val partials = deltas.groupBy(col("hr")).agg(sum(col("d")).as("p"))
     val wCarry = Window.orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -369,6 +369,56 @@ class DedupAndTextSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("prefixCandidates ships chunk hashes, never text, through any exchange") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.StringType
+    val rnd = new scala.util.Random(7)
+    val bases = (0 until 10).map(_ =>
+      (0 until 100).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val texts = bases ++ (0 until 15).map { _ =>
+      val b = bases(rnd.nextInt(bases.length))
+      b.substring(0, 8 + rnd.nextInt(b.length - 8))
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "srcA", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // broadcast off so the block join can't dodge the question; AQE off
+    // so executedPlan is the bare physical plan (the BucketedOpsSpec
+    // pattern)
+    val saved = (Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k)))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val cand = graft.operators.DedupOp
+        .prefixCandidates(docs, blockChars = 8, maxBlock = 256, chunkChars = 16)
+      // every exchange in the candidate join's plan carries (pk, id,
+      // length, chunk-hash array); the only string column is the
+      // blockChars-sized pk, so full text never rides a shuffle here
+      val exchanges = cand.queryExecution.executedPlan
+        .collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val strCols = e.output.filter(_.dataType == StringType).map(_.name)
+        assert(strCols.forall(_ == "pk"),
+          s"exchange carries string columns $strCols — text must not shuffle")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // the hardened two-phase form returns the same pairs as brute force
+    val got = graft.operators.DedupOp
+      .prefixDups(docs, blockChars = 8, maxBlock = 256, chunkChars = 16)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val want = (for {
+      (ta, ia) <- texts.zipWithIndex
+      (tb, ib) <- texts.zipWithIndex
+      if ta.length < tb.length && tb.startsWith(ta)
+    } yield (ia.toLong, ib.toLong)).toSet
+    assert(got === want)
+  }
+
   test("unk mask: OOV tokens become <unk>, receipt matches the masked bytes") {
     val udocs = Seq(
       (0L, "a a a b b c", "en", "srcA", 11L),

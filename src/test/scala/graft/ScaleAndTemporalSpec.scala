@@ -245,4 +245,30 @@ class ScaleAndTemporalSpec extends SparkSuite {
       (1L, 3 * hr) -> (2.0, 1L),
       (2L, 7 * hr) -> (9.0, 1L)))
   }
+
+  test("LOCF resample fails loudly on a span past maxSlots (corrupt timestamp)") {
+    import graft.operators.EventOps
+    import org.apache.spark.sql.functions.timestamp_millis
+    val hr = 3600000L
+    // user 1's clock glitches to epoch 0 next to a sane 2023-era event:
+    // the naive grid would be ~470k hourly slots
+    val events = Seq(
+      (1L, 0L, 1L, 1.0),
+      (2L, 1700000000000L, 1L, 2.0)
+    ).toDF("event_id", "ms", "user_id", "value")
+      .select($"event_id", timestamp_millis($"ms").as("ts"), $"user_id",
+        lit("view").as("event_type"), $"value", lit("{}").as("props"))
+    val ex = intercept[Exception] {
+      EventOps.locfResample(events).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("locfResample: user 1 spans")),
+      s"expected the span-guard error, got: ${messages(ex).mkString(" | ")}")
+    // the same data passes once the corrupt row is range-filtered out
+    val ok = EventOps.locfResample(
+      events.where($"ts" >= timestamp_millis(lit(1600000000000L)))).collect()
+    assert(ok.length === 1)
+  }
 }
