@@ -445,6 +445,13 @@ object SparkEntry {
     // operator default (256) drops nothing here.
     "q86_prefix_block_stats" -> ((s, d) =>
       DedupOp.prefixBlockStats(Tables.documents(s, d), maxBlock = 2)),
+
+    // Integer-exact pps (weighted) Poisson sample: inclusion probability
+    // proportional to token count, admission decided by a pure-integer
+    // floored threshold on the portable hash bucket — no float pow, so
+    // the admitted set is bit-reproducible across engines.
+    "q87_pps_sample" -> ((s, d) =>
+      ScaleOps.ppsWeightedSample(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -901,5 +908,7 @@ object SparkEntry {
     "q85_recall_sweep" -> SimilarityOp.annRecallSweepOracle(),
 
     "q86_prefix_block_stats" -> DedupOp.prefixBlockStatsOracle(maxBlock = 2),
+
+    "q87_pps_sample" -> ScaleOps.ppsWeightedSampleOracle(),
   )
 }

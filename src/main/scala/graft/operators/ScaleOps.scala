@@ -114,6 +114,57 @@ object ScaleOps {
       .orderBy("source", "rk")
   }
 
+  /** Probability-proportional-to-size (pps) Poisson sample: each doc's
+    * inclusion probability is min(1, targetDocs · w / W) where w = its
+    * token count and W = the corpus token total — the importance-
+    * weighted sampling step of training-data prep (long documents are
+    * information-dense; a uniform doc sample under-represents them),
+    * with E[sample size] = targetDocs. The float formulation
+    * (admit iff u < n·w/W, or the Efraimidis–Spirakis u^(1/w) key)
+    * breaks cross-engine hash parity on `pow`/division rounding;
+    * here the admission is INTEGER-EXACT: admit iff
+    * hb < (w · S · targetDocs) DIV W, where hb = portable-hash bucket
+    * in [0, S). Both engines floor identically on positive integers, so
+    * the admitted set is bit-reproducible across engines, runs, and
+    * partitionings. The threshold quantizes probability to 1/S
+    * (S = 2^20) — the bucket side never multiplies W, so the largest
+    * intermediate is w·S·targetDocs (overflow-safe until w·targetDocs
+    * reaches 2^43; at that scale drop S or widen to DECIMAL(38,0),
+    * noting DuckDB raises on BIGINT overflow while non-ANSI Spark
+    * wraps).
+    *
+    * Scale shape: the token total is one scalar partial-agg broadcast
+    * back; admission is then a scan-speed codegen'd predicate — no
+    * shuffle of the corpus, same as [[sampleDocs]].
+    */
+  def ppsWeightedSample(docs: DataFrame, targetDocs: Long = 50L): DataFrame = {
+    val S = 1048576L // 2^20 probability buckets
+    val d = docs.select(col("doc_id"), col("source"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+      pmod(docHash, lit(S)).as("hb"))
+    val tot = d.agg(sum(col("n_tokens")).as("__w_total"))
+    d.crossJoin(broadcast(tot))
+      .where(expr(s"hb < (n_tokens * ${S}L * ${targetDocs}L) DIV __w_total"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[ppsWeightedSample]]. */
+  def ppsWeightedSampleOracle(targetDocs: Long = 50L): String = {
+    val h = docHashSql
+    val s = 1048576L
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    $h % $s AS hb
+       |  FROM documents
+       |), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS w_total FROM d)
+       |SELECT doc_id, source, n_tokens
+       |FROM d, tot
+       |WHERE hb < (n_tokens * $s * $targetDocs) // w_total
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic stratified train/val/test split, summarized per
     * (source, split): each doc's split comes from its content-hash
     * bucket (90/5/5 by default), so the assignment is reproducible

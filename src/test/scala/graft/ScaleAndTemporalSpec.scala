@@ -176,6 +176,43 @@ class ScaleAndTemporalSpec extends SparkSuite {
     assert(s1.size > 40 && s1.size < 250, s"rate off: ${s1.size}/1000")
   }
 
+  test("ppsWeightedSample admits exactly the integer-threshold set, pps-biased") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod, reverse, size => asize}
+    val rnd = new scala.util.Random(11)
+    // short docs (5 tokens) and long docs (80 tokens), interleaved
+    val docs = (0 until 400).map { i =>
+      val n = if (i % 2 == 0) 5 else 80
+      (i.toLong, (0 until n).map(_ => s"t${rnd.nextInt(50)}").mkString(" "),
+        "en", s"src${i % 4}", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val target = 50L
+    val got = ScaleOps.ppsWeightedSample(docs, target).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    // independent recompute of the admission set: the engine only
+    // supplies (hb, n_tokens); the threshold math is plain Scala
+    val S = 1048576L
+    val hb = pmod(TextFunctions.portableHash(concat(
+      reverse(col("doc_id").cast("string")), lit("|"), col("source"))), lit(S))
+    val rows = docs.select(col("doc_id"), hb.as("hb"),
+      asize(TextFunctions.tokens(col("text"))).cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wTotal = rows.map(_._3).sum
+    val want = rows.filter { case (_, h, w) => h < w * S * target / wTotal }
+      .map(_._1).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // pps bias: a long doc is 16x more likely in — the sampled token
+    // share of long docs must dominate their count share
+    val longIn = got.count(_ % 2 == 1)
+    val shortIn = got.size - longIn
+    assert(longIn > shortIn, s"pps bias missing: $longIn long vs $shortIn short")
+    // determinism
+    val again = ScaleOps.ppsWeightedSample(docs, target).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(again === got)
+  }
+
   test("peak concurrency: ties, touching sessions, and carry into an end-only hour") {
     import graft.operators.EventOps
     import org.apache.spark.sql.functions.timestamp_millis
