@@ -452,6 +452,12 @@ object SparkEntry {
     // the admitted set is bit-reproducible across engines.
     "q87_pps_sample" -> ((s, d) =>
       ScaleOps.ppsWeightedSample(Tables.documents(s, d))),
+
+    // W6/M1 under the hash gate: the streaming k-means decay update
+    // replayed over 3 deterministic mini-batches; the oracle unrolls
+    // the same updates as chained CTEs.
+    "q88_incremental_kmeans" -> ((s, d) =>
+      graft.streaming.IncrementalKMeans.replay(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -910,5 +916,7 @@ object SparkEntry {
     "q86_prefix_block_stats" -> DedupOp.prefixBlockStatsOracle(maxBlock = 2),
 
     "q87_pps_sample" -> ScaleOps.ppsWeightedSampleOracle(),
+
+    "q88_incremental_kmeans" -> graft.streaming.IncrementalKMeans.replayOracle(),
   )
 }

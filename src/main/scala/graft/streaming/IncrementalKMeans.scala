@@ -39,9 +39,15 @@ class IncrementalKMeans(val k: Int, val dims: Int,
     aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
       lit(0.0), (s, x) => s + x)
 
-  /** Nearest-center id for a vector column, against the CURRENT centers. */
+  /** Nearest-center id for a vector column, against the CURRENT
+    * centers. The squared distance is rounded to 6 decimals BEFORE the
+    * argmin (the [[graft.operators.KMeansOp.assign]] discipline): the
+    * assignment then depends only on the rounded values, so a replay in
+    * another engine whose float sum order differs by ulps (the q88
+    * DuckDB oracle) still assigns identically.
+    */
   def predictCol(v: Column): Column = {
-    val dcols = centers.map(c => l2sq(v, c))
+    val dcols = centers.map(c => round(l2sq(v, c), 6))
     val minD = least(dcols: _*)
     dcols.zipWithIndex.foldRight(lit(k - 1)) { case ((d, i), other) =>
       when(d === minD, lit(i)).otherwise(other)
@@ -67,7 +73,16 @@ class IncrementalKMeans(val k: Int, val dims: Int,
         val denom = n + m
         var j = 0
         while (j < dims) {
-          centers(p)(j) = (centers(p)(j) * n + row.getDouble(2 + j)) / denom
+          // HALF_UP 6-decimal quantization after every update: the
+          // batch sums arrive in nondeterministic partial-agg order, so
+          // raw centers differ by ulps between runs/engines and the
+          // drift would COMPOUND through later divisions; quantizing
+          // re-synchronizes both engines at every batch boundary (the
+          // q88 oracle mirrors with round(x, 6)). 1e-6 precision is
+          // far below any meaningful center movement.
+          centers(p)(j) = BigDecimal(
+            (centers(p)(j) * n + row.getDouble(2 + j)) / denom)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           j += 1
         }
         counts(p) = denom
@@ -84,5 +99,94 @@ class IncrementalKMeans(val k: Int, val dims: Int,
     val dcols = centers.map(c => sqrt(l2sq(v, c)))
     val minD = least(dcols: _*)
     df.withColumn("prediction", predictCol(v)).withColumn("dist", minD)
+  }
+}
+
+object IncrementalKMeans {
+
+  /** q88: the W6/M1 decay update under the hash gate — replay
+    * `batches` deterministic mini-batches (batch b = vectors with
+    * vec_id % batches == b) through a fresh model and emit the final
+    * state as one row per (cluster, dimension): (p, d, c, n). Every
+    * update IS the operator's distributed aggregate; only the final
+    * k×dims literals are materialized driver-side.
+    */
+  def replay(embeddings: DataFrame, k: Int = 3, dims: Int = 64,
+             batches: Int = 3, decay: Double = 0.9,
+             seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(col("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+    val km = new IncrementalKMeans(k, dims, decay, seed)
+    (0 until batches).foreach { b =>
+      km.update(vecs.where(pmod(col("vec_id"), lit(batches.toLong)) === b), "v")
+    }
+    val cs = km.currentCenters
+    val ns = km.currentCounts.map(n => BigDecimal(n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val rows = for { p <- 0 until k; j <- 0 until dims }
+      yield (p.toLong, j.toLong, cs(p)(j), ns(p))
+    rows.toDF("p", "d", "c", "n").orderBy("p", "d")
+  }
+
+  /** Oracle SQL twin of [[replay]]: the batch loop UNROLLED as chained
+    * CTEs — init centers from the same integer hash formula (exact in
+    * both engines), per batch the same rounded-distance argmin with
+    * (dsq, p) tie order, the same update expression tree
+    * (c·(n·α) + Σx) / (n·α + m) rounded HALF_UP to 6, counts decayed
+    * exactly as the driver does. Center quantization at every batch
+    * boundary is what makes the chain parity-stable (see update()).
+    */
+  def replayOracle(k: Int = 3, dims: Int = 64, batches: Int = 3,
+                   decay: Double = 0.9, seed: Long = 42L): String = {
+    val perBatch = (0 until batches).map { b =>
+      val i = b + 1
+      s"""db$i AS (
+         |  SELECT v.vec_id, c.p, round(sum((v.x - c.c)*(v.x - c.c)), 6) AS dsq
+         |  FROM vx v JOIN c${i - 1} c ON c.d = v.d
+         |  WHERE v.vec_id % $batches = $b
+         |  GROUP BY 1, 2
+         |), ab$i AS (
+         |  SELECT vec_id, p FROM (
+         |    SELECT vec_id, p,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dsq, p) AS rn
+         |    FROM db$i) t WHERE rn = 1
+         |), sb$i AS (
+         |  SELECT a.p, v.d, sum(v.x) AS s, CAST(count(*) AS DOUBLE) AS m
+         |  FROM ab$i a JOIN vx v ON v.vec_id = a.vec_id
+         |  GROUP BY 1, 2
+         |), c$i AS (
+         |  SELECT c.p, c.d,
+         |    CASE WHEN s.m IS NULL THEN c.c
+         |         ELSE round((c.c * (n.n * $decay) + s.s)
+         |                    / (n.n * $decay + s.m), 6) END AS c
+         |  FROM c${i - 1} c
+         |  JOIN n${i - 1} n ON n.p = c.p
+         |  LEFT JOIN sb$i s ON s.p = c.p AND s.d = c.d
+         |), n$i AS (
+         |  SELECT n.p,
+         |    n.n * $decay + coalesce(m.m, 0.0) AS n
+         |  FROM n${i - 1} n
+         |  LEFT JOIN (SELECT p, CAST(count(*) AS DOUBLE) AS m
+         |             FROM ab$i GROUP BY 1) m ON m.p = n.p
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vx AS (
+       |  SELECT vec_id, i.i AS d, embedding[i.i+1]::DOUBLE AS x
+       |  FROM embeddings, range($dims) i(i)
+       |),
+       |c0 AS (
+       |  SELECT p.p, d.d,
+       |    (CAST(($seed + p.p*2654435761 + d.d*40503) % 1000003 AS DOUBLE)
+       |      / 1000003.0) * 2.0 - 1.0 AS c
+       |  FROM range($k) p(p), range($dims) d(d)
+       |),
+       |n0 AS (SELECT p.p, 0.0 AS n FROM range($k) p(p)),
+       |$perBatch
+       |SELECT c.p, c.d, c.c, round(n.n, 6) AS n
+       |FROM c$batches c JOIN n$batches n ON n.p = c.p
+       |ORDER BY c.p, c.d""".stripMargin
   }
 }
