@@ -458,6 +458,17 @@ object SparkEntry {
     // the same updates as chained CTEs.
     "q88_incremental_kmeans" -> ((s, d) =>
       graft.streaming.IncrementalKMeans.replay(Tables.embeddings(s, d))),
+
+    // Quality-based survivor selection: keep the LONGEST doc per
+    // near-dup cluster (truncations lose to their fullest copy),
+    // tie-broken by doc_id; root stays the cluster identity.
+    "q89_best_of_cluster" -> ((s, d) =>
+      DedupOp.bestOfCluster(Tables.documents(s, d))),
+
+    // Sub-document span dedup audit: non-overlapping 32-token windows,
+    // global first occurrence survives, per-doc duplicated-span ratio.
+    "q90_span_dedup" -> ((s, d) =>
+      TextOps.spanDedupStats(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -918,5 +929,9 @@ object SparkEntry {
     "q87_pps_sample" -> ScaleOps.ppsWeightedSampleOracle(),
 
     "q88_incremental_kmeans" -> graft.streaming.IncrementalKMeans.replayOracle(),
+
+    "q89_best_of_cluster" -> DedupOp.bestOfClusterOracle(),
+
+    "q90_span_dedup" -> TextOps.spanDedupStatsOracle(),
   )
 }

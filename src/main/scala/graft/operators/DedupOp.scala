@@ -609,6 +609,55 @@ object DedupOp {
        |${pairGraphRootsCtes(minJaccard, maxDf)}
        |SELECT id, root FROM roots ORDER BY 1""".stripMargin
 
+  /** Quality-based cluster representative selection — the survivor
+    * rule a production dedup actually wants: within each near-dup
+    * cluster keep the LONGEST document (truncations, clipped rehosts,
+    * and partial mirrors lose to their fullest copy), tie-broken by
+    * doc_id. [[keepSet]]'s min-id root stays the cluster's stable
+    * IDENTITY; this picks its representative. One row per cluster:
+    * (root, kept_doc, n_members, kept_chars).
+    *
+    * Scale shape: everything past the pair graph joins the |dup docs|
+    * id map to doc lengths by high-cardinality doc_id, then one window
+    * keyed by root — frames bounded by dup-cluster membership, never
+    * the corpus.
+    */
+  def bestOfCluster(docs: DataFrame, minJaccard: Double = 0.5,
+                    maxDf: Int = MaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val roots = keepSet(
+      ngramJaccard(docs, minJaccard, maxDf).select(col("da"), col("db")))
+    val wPick = Window.partitionBy(col("root"))
+      .orderBy(col("n_chars").desc, col("id"))
+    roots
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      .withColumn("rn", row_number().over(wPick))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("root"))))
+      .where(col("rn") === 1)
+      .select(col("root"), col("id").as("kept_doc"), col("n_members"),
+        col("n_chars").as("kept_chars"))
+      .orderBy("root")
+  }
+
+  /** Oracle SQL twin of [[bestOfCluster]] — the shared recursive-CC
+    * block, then the identical (n_chars DESC, id) pick per root.
+    */
+  def bestOfClusterOracle(minJaccard: Double = 0.5,
+                          maxDf: Int = MaxShingleDf): String =
+    s"""WITH RECURSIVE ${shingleCte()},
+       |${pairGraphRootsCtes(minJaccard, maxDf)},
+       |m AS (
+       |  SELECT r.root, r.id, d.n_chars,
+       |    row_number() OVER (PARTITION BY r.root
+       |      ORDER BY d.n_chars DESC, r.id) AS rn,
+       |    count(*) OVER (PARTITION BY r.root) AS n_members
+       |  FROM roots r JOIN documents d ON d.doc_id = r.id
+       |)
+       |SELECT root, id AS kept_doc, CAST(n_members AS BIGINT) AS n_members,
+       |  n_chars AS kept_chars
+       |FROM m WHERE rn = 1 ORDER BY root""".stripMargin
+
   /** Duplicate-cluster size distribution — the survivor-selection
     * diagnostic a dedup run is judged by (how much of the corpus sits
     * in 2-doc clusters vs one giant near-dup blob; a heavy tail means

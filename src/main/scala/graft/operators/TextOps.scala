@@ -442,7 +442,15 @@ object TextOps {
     * declared up front, no data-dependent blowup.
     */
   def chunkDocs(docs: DataFrame, chunk: Int = 64,
-                stride: Int = 32): DataFrame = {
+                stride: Int = 32): DataFrame =
+    chunkFrames(docs, chunk, stride).orderBy("doc_id", "chunk_idx")
+
+  /** [[chunkDocs]] without the presentation sort — the composable form
+    * ([[spanDedupStats]] re-aggregates it, so sorting first would be
+    * wasted work).
+    */
+  private def chunkFrames(docs: DataFrame, chunk: Int,
+                          stride: Int): DataFrame = {
     require(chunk >= 1 && stride >= 1,
       s"chunk and stride must be >= 1, got chunk=$chunk stride=$stride")
     docs.select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -456,8 +464,70 @@ object TextOps {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("ctk")).cast("long").as("n_tokens"),
         portableHash(array_join(col("ctk"), " ")).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
   }
+
+  /** Sub-document (span-level) dedup audit — the C4/RefinedWeb practice
+    * of deduplicating REPEATED SPANS across documents, not just whole
+    * docs: boilerplate headers, license blocks, and templated passages
+    * recur inside otherwise-distinct pages, and whole-doc dedup (q21)
+    * never sees them. Documents are cut into NON-overlapping
+    * `span`-token windows (stride = span — overlapping windows would
+    * double-count every duplicated region); the global first occurrence
+    * of each span content-hash, in (doc_id, span_idx) order, is the
+    * survivor, and every later occurrence marks its doc. Output per
+    * doc: span count, duplicated-span count, and the dup ratio (the
+    * quality signal a span-dedup pass would filter or rewrite on).
+    *
+    * Scale shape: span hashing is the row-local [[chunkDocs]] Generate;
+    * first-occurrence ranking is ONE window shuffle keyed by the
+    * 8-byte span hash (high cardinality — no hot key), and the per-doc
+    * rollup partial-aggregates before its shuffle. Nothing is
+    * quadratic; span text never rides a shuffle (hashes only).
+    */
+  def spanDedupStats(docs: DataFrame, span: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunkFrames(docs, span, span)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        graft.functions.DetAgg.ratio(col("n_dup_spans"), col("n_spans"))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[spanDedupStats]] — the [[chunkDocsOracle]]
+    * CTE chain with stride = span, then the identical first-occurrence
+    * window and per-doc rollup.
+    */
+  def spanDedupStatsOracle(span: Int = 32): String =
+    s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |st AS (
+       |  SELECT doc_id, tk,
+       |    unnest(generate_series(0, (len(tk) - 1) // $span)) AS chunk_idx
+       |  FROM dt
+       |), ck AS (
+       |  SELECT doc_id, chunk_idx,
+       |    list_slice(tk, chunk_idx * $span + 1,
+       |               chunk_idx * $span + $span) AS ctk
+       |  FROM st
+       |), h AS (
+       |  SELECT doc_id, chunk_idx,
+       |    ${portableHashSql("array_to_string(ctk, ' ')")} AS ch
+       |  FROM ck
+       |), f AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY ch ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM h
+       |)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  ${graft.functions.DetAgg.ratioSql(
+            "sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)", "count(*)")} AS dup_ratio
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
   def chunkDocsOracle(chunk: Int = 64, stride: Int = 32): String =
     s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

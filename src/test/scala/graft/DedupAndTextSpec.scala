@@ -419,6 +419,40 @@ class DedupAndTextSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("bestOfCluster keeps the longest doc per cluster, root stays min id") {
+    // 20 is a near-dup of 10 (3 appended tokens, jaccard ~0.84) and
+    // LONGER — the quality rule must keep 20 while the root stays 10
+    val longer = base + " aa bb cc"
+    val cdocs = Seq(
+      (10L, base, "en", "srcA", base.length.toLong),
+      (20L, longer, "en", "srcA", longer.length.toLong),
+      (30L, distinct1, "en", "srcB", distinct1.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.operators.DedupOp.bestOfCluster(cdocs).collect()
+      .map(r => (r.getAs[Long]("root"), r.getAs[Long]("kept_doc"),
+        r.getAs[Long]("n_members"), r.getAs[Long]("kept_chars")))
+    assert(rows.toSeq === Seq((10L, 20L, 2L, longer.length.toLong)))
+  }
+
+  test("spanDedupStats flags later occurrences of repeated spans, cross- and within-doc") {
+    val blkA = "a1 a2 a3 a4"
+    val blkB = "b1 b2 b3 b4"
+    val blkC = "c1 c2 c3 c4"
+    val sdocs = Seq(
+      (0L, s"$blkA $blkB", "en", "srcA", 0L),  // first occurrences of A, B
+      (1L, s"$blkA $blkC", "en", "srcA", 0L),  // A repeats -> 1 of 2 dup
+      (2L, s"$blkB $blkB", "en", "srcA", 0L)   // both spans repeat B
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextOps.spanDedupStats(sdocs, span = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Double]("dup_ratio")))).toMap
+    assert(out === Map(
+      0L -> ((2L, 0L, 0.0)),
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 2L, 1.0))))
+  }
+
   test("unk mask: OOV tokens become <unk>, receipt matches the masked bytes") {
     val udocs = Seq(
       (0L, "a a a b b c", "en", "srcA", 11L),
