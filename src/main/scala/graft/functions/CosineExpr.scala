@@ -41,11 +41,16 @@ object CosineExpr {
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val av = a.toDoubleArray()
     val bv = b.toDoubleArray()
+    // guard against a malformed row: score the common prefix instead of
+    // throwing AIOOBE in an executor (embeddings are fixed-width, so the
+    // path is defensive; the spec's bit-equality claim is for
+    // equal-width input)
+    val n = math.min(av.length, bv.length)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
-    while (i < av.length) {
+    while (i < n) {
       dot += av(i) * bv(i)
       na += av(i) * av(i)
       nb += bv(i) * bv(i)
@@ -53,6 +58,9 @@ object CosineExpr {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+  // (n < max length leaves the trailing elements out of all three
+  // sums — the same common-prefix semantics for both norms, so the
+  // result is still a valid cosine of the truncated vectors)
 
   /** Column form: both sides must be `array<double>`. */
   def column(a: Column, b: Column): Column =

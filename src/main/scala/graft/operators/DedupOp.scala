@@ -947,17 +947,21 @@ object DedupOp {
       // explicit broadcast: closure-captured, the filter would be
       // re-serialized into every stage's task binary — MBs per million
       // grams, for exactly the eval-suite sizes this path exists for.
-      // Broadcast ships it once per executor.
+      // Broadcast ships it once per executor, and is destroyed once
+      // the localCheckpoint has materialized the result (repeated
+      // invocations must not pin MB-scale blocks for the session).
       val bfB = docs.sparkSession.sparkContext.broadcast(bf)
-      val mightContain =
-        udf((s: String) => s != null && bfB.value.mightContain(s))
-      val out = docGrams(docs.where(col("source") =!= evalSource), w, col("source"))
-        .where(mightContain(col("sh")))
-        .join(evalSh, Seq("sh"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_hits"))
-        .orderBy("doc_id")
-      out.localCheckpoint()
+      try {
+        val mightContain =
+          udf((s: String) => s != null && bfB.value.mightContain(s))
+        val out = docGrams(docs.where(col("source") =!= evalSource), w, col("source"))
+          .where(mightContain(col("sh")))
+          .join(evalSh, Seq("sh"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_hits"))
+          .orderBy("doc_id")
+        out.localCheckpoint()
+      } finally bfB.destroy()
     } finally evalSh.unpersist()
   }
 }

@@ -619,11 +619,13 @@ object SimilarityOp {
     val nc = cand.agg(count(lit(1)).as("__cand"))
     val nh = topk.join(exact, Seq("qid", "vec_id"))
       .agg(count(lit(1)).as("__hits"))
+    // integer ratios through DetAgg (the oracle-parity rule: Spark and
+    // DuckDB round() can disagree on identical doubles at boundaries)
     nq.crossJoin(nc).crossJoin(nh)
       .select(lit(name).as("config"), col("n_queries"),
-        round(col("__cand").cast("double") / col("n_queries"), 4)
+        graft.functions.DetAgg.ratio(col("__cand"), col("n_queries"))
           .as("mean_cand"),
-        round(col("__hits").cast("double") / (col("n_queries") * k), 4)
+        graft.functions.DetAgg.ratio(col("__hits"), col("n_queries") * k)
           .as("mean_recall"))
   }
 
@@ -714,22 +716,27 @@ object SimilarityOp {
          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY dist, cid) AS rn FROM cd) t WHERE rn = 1
          |)""".stripMargin
-    def rollup(name: String, candCte: String): String =
+    def rollup(name: String, candCte: String): String = {
+      val candRatio = graft.functions.DetAgg.ratioSql(
+        s"(SELECT count(*) FROM $candCte)", "(SELECT n FROM nq)")
+      val hitsCount =
+        s"""(SELECT count(*) FROM (
+           |        SELECT qid, vec_id FROM (
+           |          SELECT c.qid, c.vec_id, row_number() OVER (PARTITION BY c.qid
+           |            ORDER BY s.sim DESC, c.vec_id) AS rn
+           |          FROM $candCte c
+           |          JOIN sims s ON s.qid = c.qid AND s.vec_id = c.vec_id) t
+           |        WHERE rn <= $k) tk
+           |      JOIN ex ON ex.qid = tk.qid AND ex.vec_id = tk.vec_id)""".stripMargin
+      val recallRatio = graft.functions.DetAgg.ratioSql(
+        hitsCount, s"($k * (SELECT n FROM nq))")
       s"""agg_$name AS (
          |  SELECT '$name' AS config,
          |    (SELECT CAST(n AS BIGINT) FROM nq) AS n_queries,
-         |    round(CAST((SELECT count(*) FROM $candCte) AS DOUBLE)
-         |      / (SELECT n FROM nq), 4) AS mean_cand,
-         |    round(CAST((SELECT count(*) FROM (
-         |        SELECT qid, vec_id FROM (
-         |          SELECT c.qid, c.vec_id, row_number() OVER (PARTITION BY c.qid
-         |            ORDER BY s.sim DESC, c.vec_id) AS rn
-         |          FROM $candCte c
-         |          JOIN sims s ON s.qid = c.qid AND s.vec_id = c.vec_id) t
-         |        WHERE rn <= $k) tk
-         |      JOIN ex ON ex.qid = tk.qid AND ex.vec_id = tk.vec_id) AS DOUBLE)
-         |      / ($k * (SELECT n FROM nq)), 4) AS mean_recall
+         |    $candRatio AS mean_cand,
+         |    $recallRatio AS mean_recall
          |)""".stripMargin
+    }
     val ivfCtes = ivfArms.map { case (name, p) =>
       s"""qc_$name AS (
          |  SELECT qid, cell FROM (

@@ -255,12 +255,14 @@ object StreamOps {
     * equals the batch operator on a replay).
     *
     * Ordering stance: arrivals are sorted (ts, event_id) within each
-    * micro-batch; cross-batch disorder within the watermark merges
-    * correctly when the straggler still falls inside the gap (endMs
-    * never moves backward). A straggler older than the open session's
-    * start would START a new session in arrival order — the batch
-    * operator, which sees a total order, is the authority on replayed
-    * history; this is the standard streaming-sessionization tradeoff.
+    * micro-batch; a cross-batch straggler still inside the gap MERGES
+    * into the open session, extending it backward (startMs = min) or
+    * forward (endMs = max) exactly as the batch operator's total order
+    * would have. A straggler more than a gap OLDER than the open
+    * session starts a new session in arrival order, where the batch
+    * operator would have renumbered history — the batch operator,
+    * which sees a total order, is the authority on replayed history;
+    * this is the standard streaming-sessionization tradeoff.
     * After an idle-timeout close the user's state is REMOVED (bounded
     * by active users); a user reappearing later restarts numbering at
     * sessionId 0 — stable cross-idle session identity belongs to the
@@ -294,7 +296,12 @@ object StreamOps {
         inc.foreach { e =>
           cur match {
             case Some(s) if e.tsMs - s.endMs <= gapMs =>
-              cur = Some(s.copy(endMs = math.max(s.endMs, e.tsMs),
+              // a cross-batch straggler inside the gap MERGES, and can
+              // extend the session backward (min) as well as forward
+              // (max) — matching what batch sessionize's total order
+              // would have absorbed
+              cur = Some(s.copy(startMs = math.min(s.startMs, e.tsMs),
+                endMs = math.max(s.endMs, e.tsMs),
                 n = s.n + 1, sum = s.sum + e.value))
             case Some(s) =>
               out += close(userId, s)

@@ -349,6 +349,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingSessionize merges an in-gap cross-batch straggler backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "user_id", "ts_sec", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val q = graft.streaming.StreamOps.streamingSessionize(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_straggler").start()
+    try {
+      mem.addData((1L, 1L, 1030 * 60L, 1.0))
+      q.processAllAvailable() // watermark -> 1020 min
+      // straggler at 1025 min: above the watermark, within the gap of
+      // the open [1030, 1030] session -> must merge and extend START
+      // backward (what batch sessionize's total order would absorb)
+      mem.addData((2L, 1L, 1025 * 60L, 2.0))
+      q.processAllAvailable()
+      mem.addData((999L, 99L, 100000 * 60L, 0.0)) // flush via timeout
+      q.processAllAvailable()
+      val rows = spark.table("sess_straggler").where($"userId" === 1L)
+        .select($"sessionId", $"nEvents", $"startMs", $"endMs", $"sumValue")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      assert(rows === Seq((0L, 2L, 1025 * 60000L, 1030 * 60000L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streamingLocfResample equals batch locfResample on a replay") {
     import graft.operators.EventOps
     implicit val sqlCtx = spark.sqlContext
