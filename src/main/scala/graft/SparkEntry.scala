@@ -469,6 +469,15 @@ object SparkEntry {
     // global first occurrence survives, per-doc duplicated-span ratio.
     "q90_span_dedup" -> ((s, d) =>
       TextOps.spanDedupStats(Tables.documents(s, d))),
+
+    // Domain-mixture sampling to a declared target mix: src0 gets an
+    // over-budget share (rate caps at 1 — admit all), src1..src3 are
+    // downsampled, every other source is dropped (weight 0) — all
+    // three regimes under the hash gate, integer-exact admission.
+    "q91_domain_mix" -> ((s, d) =>
+      ScaleOps.domainMixSample(Tables.documents(s, d),
+        Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 1L, "src3" -> 1L),
+        budgetTokens = 4000L)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -933,5 +942,9 @@ object SparkEntry {
     "q89_best_of_cluster" -> DedupOp.bestOfClusterOracle(),
 
     "q90_span_dedup" -> TextOps.spanDedupStatsOracle(),
+
+    "q91_domain_mix" -> ScaleOps.domainMixSampleOracle(
+      Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 1L, "src3" -> 1L),
+      budgetTokens = 4000L),
   )
 }

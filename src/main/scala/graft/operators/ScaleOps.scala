@@ -165,6 +165,83 @@ object ScaleOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Domain-mixture sampling to a DECLARED target mix — the corpus
+    * rebalancing step of training-data prep (web-heavy crawls get
+    * downsampled, rare domains kept whole): given integer target
+    * weights per source and a total token budget, each source admits
+    * docs at the rate that hits its budget share in expectation,
+    * r_i = min(1, B·w_i/Σw / tok_i). Admission is the [[ppsWeightedSample]]
+    * integer-exact cross-multiplied hash threshold — admit iff
+    * hb · tok_i · Σw < S · B · w_i, every operand an exact integer, so
+    * the admitted set is bit-reproducible across engines (uniform
+    * doc-level admission within a source preserves token mass in
+    * expectation). Sources missing from `targets` get weight 0 — they
+    * are dropped, loudly visible in the summary (n_admitted = 0), not
+    * silently. Output per source: docs, admitted docs, admitted
+    * tokens, and the integer target (B·w_i) DIV Σw the rate aimed at.
+    *
+    * Scale shape: per-source token totals are one tiny aggregate
+    * broadcast back; admission is then a scan-speed predicate; the
+    * summary partial-aggregates before its shuffle. Overflow bound:
+    * hb·tok_i·Σw < 2^20 · corpus tokens · Σw must stay under 2^63 —
+    * at larger scales drop S or widen to DECIMAL(38,0) (the q87 note).
+    */
+  def domainMixSample(docs: DataFrame, targets: Seq[(String, Long)],
+                      budgetTokens: Long = 20000L): DataFrame = {
+    val S = 1048576L // 2^20 probability buckets, as ppsWeightedSample
+    val sumW = targets.map(_._2).sum
+    val wCol = targets.foldRight(lit(0L)) { case ((src, w), other) =>
+      when(col("source") === src, lit(w)).otherwise(other)
+    }
+    val d = docs.select(col("doc_id"), col("source"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+      pmod(docHash, lit(S)).as("hb"), wCol.as("w"))
+    val perSrc = d.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    d.join(broadcast(perSrc), Seq("source"))
+      .withColumn("admit",
+        (col("hb") * col("src_tokens") * lit(sumW)) <
+          (lit(S) * lit(budgetTokens) * col("w")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admit"), col("n_tokens")).otherwise(0L))
+          .as("admitted_tokens"),
+        expr(s"CAST((max(w) * ${budgetTokens}L) DIV ${sumW}L AS BIGINT)")
+          .as("target_tokens"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[domainMixSample]]. */
+  def domainMixSampleOracle(targets: Seq[(String, Long)],
+                            budgetTokens: Long = 20000L): String = {
+    val h = docHashSql
+    val s = 1048576L
+    val sumW = targets.map(_._2).sum
+    val wCase = targets.map { case (src, w) =>
+      s"WHEN source = '$src' THEN ${w}" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    $h % $s AS hb,
+       |    CAST(CASE $wCase ELSE 0 END AS BIGINT) AS w
+       |  FROM documents
+       |), t AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN d.hb * t.src_tokens * $sumW
+       |                     < d.w * $s * $budgetTokens
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |  CAST(sum(CASE WHEN d.hb * t.src_tokens * $sumW
+       |                     < d.w * $s * $budgetTokens
+       |                THEN d.n_tokens ELSE 0 END) AS BIGINT) AS admitted_tokens,
+       |  (max(d.w) * $budgetTokens) // $sumW AS target_tokens
+       |FROM d JOIN t ON t.source = d.source
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Deterministic stratified train/val/test split, summarized per
     * (source, split): each doc's split comes from its content-hash
     * bucket (90/5/5 by default), so the assignment is reproducible

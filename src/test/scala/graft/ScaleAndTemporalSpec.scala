@@ -213,6 +213,49 @@ class ScaleAndTemporalSpec extends SparkSuite {
     assert(again === got)
   }
 
+  test("domainMixSample hits the declared mix: cap, downsample, drop regimes") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod, reverse, size => asize}
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 300).map { i =>
+      val n = 20 + rnd.nextInt(30)
+      (i.toLong, (0 until n).map(_ => s"t${rnd.nextInt(40)}").mkString(" "),
+        "en", s"src${i % 3}", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // src0 target far over its size (cap -> admit all), src1
+    // downsampled, src2 omitted (drop)
+    val targets = Seq("src0" -> 8L, "src1" -> 2L)
+    val budget = 5000L // src0 target 4000 > its ~3450 tokens -> capped
+    val out = ScaleOps.domainMixSample(docs, targets, budget).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_admitted"),
+          r.getAs[Long]("admitted_tokens"), r.getAs[Long]("target_tokens"))))
+      .toMap
+    // independent recompute from (hb, n_tokens, source)
+    val S = 1048576L
+    val hb = pmod(TextFunctions.portableHash(concat(
+      reverse(col("doc_id").cast("string")), lit("|"), col("source"))), lit(S))
+    val rows = docs.select(col("source"), hb.as("hb"),
+      asize(TextFunctions.tokens(col("text"))).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sumW = targets.map(_._2).sum
+    val wOf = targets.toMap.withDefaultValue(0L)
+    val srcTok = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val want = rows.groupBy(_._1).map { case (src, rs) =>
+      val admitted = rs.filter { case (_, h, _) =>
+        h * srcTok(src) * sumW < S * budget * wOf(src) }
+      src -> ((rs.size.toLong, admitted.size.toLong,
+        admitted.map(_._3).sum, wOf(src) * budget / sumW))
+    }
+    assert(out === want)
+    // regimes: src0 rate capped at 1 (target > source tokens)
+    assert(out("src0")._2 === out("src0")._1)
+    // src2 dropped entirely, but VISIBLY present in the summary
+    assert(out("src2")._2 === 0L && out("src2")._1 > 0L)
+    // src1 genuinely downsampled
+    assert(out("src1")._2 > 0L && out("src1")._2 < out("src1")._1)
+  }
+
   test("peak concurrency: ties, touching sessions, and carry into an end-only hour") {
     import graft.operators.EventOps
     import org.apache.spark.sql.functions.timestamp_millis
