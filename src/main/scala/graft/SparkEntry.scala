@@ -478,6 +478,14 @@ object SparkEntry {
       ScaleOps.domainMixSample(Tables.documents(s, d),
         Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 1L, "src3" -> 1L),
         budgetTokens = 4000L)),
+
+    // ivfTopK's 100 TB layout made real: corpus written partitioned by
+    // IVF cell (write-once), serving reads ONLY the probed cells'
+    // directories (PartitionFilters asserted in spec). Layout-invariant
+    // -> shares q50's oracle.
+    "q92_ivf_pruned" -> ((s, d) =>
+      SimilarityOp.ivfPartitionedTopK(Tables.embeddings(s, d),
+        "/tmp/graft_warehouse", inputTag = Some(d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -946,5 +954,9 @@ object SparkEntry {
     "q91_domain_mix" -> ScaleOps.domainMixSampleOracle(
       Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 1L, "src3" -> 1L),
       budgetTokens = 4000L),
+
+    // layout-invariant: the partitioned serve path must return exactly
+    // the plain ivfTopK answer (q50's oracle)
+    "q92_ivf_pruned" -> SimilarityOp.ivfTopKOracle(0L, Seq(7L, 42L, 123L), 2, 10),
   )
 }

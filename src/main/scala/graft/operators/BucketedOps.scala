@@ -74,11 +74,11 @@ object BucketedOps {
     * table's existence proves THIS session wrote it; stale files from
     * a dead JVM are overwritten, never trusted.
     */
-  private def writeOnce(spark: SparkSession, table: String,
-                        tagged: Boolean)(write: => Unit): Unit =
+  private[operators] def writeOnce(spark: SparkSession, table: String,
+                                   tagged: Boolean)(write: => Unit): Unit =
     if (!tagged || !spark.catalog.tableExists(table)) write
 
-  private def tagOf(inputTag: Option[String]): String =
+  private[operators] def tagOf(inputTag: Option[String]): String =
     inputTag.map(t => "_" + t.replaceAll("[^A-Za-z0-9]", "_")).getOrElse("")
 
   /** End-to-end demo query: bucket-write orders + lineitem by order

@@ -153,19 +153,7 @@ object SimilarityOp {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val qv = rows(queryId)
     val centers = centerIds.sorted.map(id => id -> rows(id))
-    // driver-side probe selection: same rounded distance + (dist, cid)
-    // tie order as the per-row assignment and the SQL oracle. HALF_UP,
-    // not math.rint (half-even): Spark round() and DuckDB round() both
-    // round .5 away from zero, and a center-distance tie landing
-    // exactly on .5 at the 6th decimal must pick the same probe set.
-    def l2r(a: Seq[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      BigDecimal(math.sqrt(s))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    val probes = centers.map { case (cid, cv) => (cid, l2r(qv, cv)) }
-      .sortBy { case (cid, dd) => (dd, cid) }.take(nProbe).map(_._1)
+    val probes = probeCells(qv, centers, nProbe)
     val v = toDoubleArray(col("embedding"))
     val dists = centers.map { case (cid, cv) =>
       cid -> round(l2(v, array(cv.map(lit): _*)), 6)
@@ -185,6 +173,27 @@ object SimilarityOp {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Driver-side rounded L2 — same HALF_UP discipline (not math.rint's
+    * half-even) as the per-row assignment expressions and the SQL
+    * oracles: Spark round() and DuckDB round() both round .5 away from
+    * zero, and a center-distance tie landing exactly on .5 at the 6th
+    * decimal must pick the same probe set everywhere.
+    */
+  private def l2r(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    BigDecimal(math.sqrt(s))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** The query's `nProbe` nearest cells by rounded distance, (dist,
+    * cid) tie order — shared by [[ivfTopK]] and [[ivfPartitionedTopK]].
+    */
+  private def probeCells(qv: Seq[Double], centers: Seq[(Long, Seq[Double])],
+                         nProbe: Int): Seq[Long] =
+    centers.map { case (cid, cv) => (cid, l2r(qv, cv)) }
+      .sortBy { case (cid, dd) => (dd, cid) }.take(nProbe).map(_._1)
 
   /** One row per (vector, band): (vec_id, label, band, bval) where
     * `bval` is the band's BandBits-bit sign sketch. Band b uses
@@ -558,22 +567,68 @@ object SimilarityOp {
 
   /** Corpus cell assignment for literal centers — the same rounded
     * distance and (dist, cid) tie order as [[ivfTopK]] and the oracle.
+    * `keep` selects which input columns ride along with `cell`.
     */
-  private def cellAssign(embeddings: DataFrame,
-                         centers: Seq[(Long, Seq[Double])]): DataFrame = {
+  private def withCell(embeddings: DataFrame,
+                       centers: Seq[(Long, Seq[Double])],
+                       keep: Seq[String]): DataFrame = {
     val v = toDoubleArray(col("embedding"))
     val dists = centers.map { case (cid, cv) =>
       cid -> round(l2(v, array(cv.map(lit): _*)), 6)
     }
-    val withD = embeddings.select(col("vec_id") +:
+    val withD = embeddings.select(keep.map(col) ++
       dists.zipWithIndex.map { case ((_, c), i) => c.as(s"d$i") }: _*)
     val minD = least(dists.indices.map(i => col(s"d$i")): _*)
     val cell = dists.zipWithIndex.foldRight(lit(centers.last._1)) {
       case (((cid, _), i), elseCol) =>
         when(col(s"d$i") === minD, lit(cid)).otherwise(elseCol)
     }
-    withD.select(col("vec_id"), cell.as("cell"))
+    withD.select(keep.map(col) :+ cell.as("cell"): _*)
   }
+
+  private def cellAssign(embeddings: DataFrame,
+                         centers: Seq[(Long, Seq[Double])]): DataFrame =
+    withCell(embeddings, centers, Seq("vec_id"))
+
+  /** q92: [[ivfTopK]]'s 100 TB claim made real — the corpus is WRITTEN
+    * hive-partitioned by its IVF cell (a write-once ingest layout, the
+    * [[BucketedOps]] guard), and serving reads ONLY the probed cells'
+    * directories: the probe filter lands entirely in the scan's
+    * PartitionFilters (no per-row cell filter survives — asserted in
+    * SimilaritySpec), so at any scale a query opens nProbe/k-th of the
+    * corpus files instead of scanning everything and filtering. The
+    * result is layout-invariant — byte-identical to [[ivfTopK]], so
+    * q92 shares q50's oracle.
+    */
+  def ivfPartitionedTopK(embeddings: DataFrame, warehouse: String,
+                         queryId: Long = 0L,
+                         centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                         nProbe: Int = 2, k: Int = 10,
+                         inputTag: Option[String] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centers = centerVecs(embeddings, centerIds)
+    val table = s"g_emb_ivf${BucketedOps.tagOf(inputTag)}"
+    BucketedOps.writeOnce(spark, table, inputTag.isDefined) {
+      BucketedOps.writePartitioned(
+        withCell(embeddings, centers, Seq("vec_id", "embedding")),
+        table, "cell", warehouse)
+    }
+    val qv: Seq[Double] = embeddings.filter(col("vec_id") === queryId)
+      .select(toDoubleArray(col("embedding"))).collect().head.getSeq[Double](0)
+    val probes = probeCells(qv, centers, nProbe)
+    val qlit = array(qv.map(lit): _*)
+    prunedCellScan(spark, table, probes)
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(cosine(toDoubleArray(col("embedding")), qlit), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The pruned cell scan (exposed for the plan assertion). */
+  def prunedCellScan(spark: org.apache.spark.sql.SparkSession, table: String,
+                     probes: Seq[Long]): DataFrame =
+    spark.table(table).where(col("cell").isin(probes: _*))
 
   /** IVF candidates for the whole query sample: each query probes its
     * `nProbe` nearest cells; candidates are the probed cells' members.

@@ -197,6 +197,37 @@ class SimilaritySpec extends SparkSuite {
     assert(lshRecall >= 0.75)
   }
 
+  test("ivfPartitionedTopK equals ivfTopK and reads only probed cell partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = java.nio.file.Files.createTempDirectory("ivf_wh").toString
+    val direct = SimilarityOp.ivfTopK(emb, 0L, Seq(7L, 42L, 123L), 2, 10)
+      .as[(Long, Double)].collect().toSeq
+    val pruned = SimilarityOp.ivfPartitionedTopK(emb, wh)
+      .as[(Long, Double)].collect().toSeq
+    assert(pruned === direct) // layout-invariant, byte-identical
+    // the serve scan: probe filter entirely in PartitionFilters
+    val saved = Seq("spark.sql.adaptive.enabled").map(k =>
+      k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val scan = SimilarityOp.prunedCellScan(spark,
+        spark.catalog.listTables().collect()
+          .map(_.name).filter(_.startsWith("g_emb_ivf")).head,
+        Seq(7L, 42L))
+      val scans = scan.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        s"probe filter did not reach PartitionFilters:\n${scan.queryExecution}")
+      assert(scans.forall(_.dataFilters.isEmpty),
+        s"cell filter leaked into per-row dataFilters:\n${scan.queryExecution}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("labelCentroids equals the exact fixed-point mean per (label, dim)") {
     val rows = Tables.embeddings(spark, sfDir)
       .select($"label", $"embedding").as[(Int, Array[Float])].collect()
