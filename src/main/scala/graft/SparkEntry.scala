@@ -486,6 +486,18 @@ object SparkEntry {
     "q92_ivf_pruned" -> ((s, d) =>
       SimilarityOp.ivfPartitionedTopK(Tables.embeddings(s, d),
         "/tmp/graft_warehouse", inputTag = Some(d))),
+
+    // Split-leakage audit: near-dup pairs labeled with each side's
+    // hash-derived split (q70's exact bucket rule) — off-diagonal
+    // mass is eval contamination. The "did the split leak?" check
+    // every train/eval split needs.
+    "q93_split_leakage" -> ((s, d) =>
+      DedupOp.splitLeakage(Tables.documents(s, d))),
+
+    // Vocab size for declared coverage thresholds via count-of-counts
+    // classes — exact, with no per-type global rank window.
+    "q94_vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -958,5 +970,9 @@ object SparkEntry {
     // layout-invariant: the partitioned serve path must return exactly
     // the plain ivfTopK answer (q50's oracle)
     "q92_ivf_pruned" -> SimilarityOp.ivfTopKOracle(0L, Seq(7L, 42L, 123L), 2, 10),
+
+    "q93_split_leakage" -> DedupOp.splitLeakageOracle(),
+
+    "q94_vocab_coverage" -> TextOps.vocabCoverageOracle(),
   )
 }

@@ -475,6 +475,71 @@ object DedupOp {
       .orderBy("src_lo", "src_hi")
   }
 
+  /** Train/val/test split-LEAKAGE audit — the integrity check a split
+    * is worthless without: [[ngramJaccard]]'s verified near-dup pairs,
+    * each side labeled with its hash-derived split (the IDENTICAL
+    * bucket rule as [[ScaleOps.splitAssign]], one shared definition),
+    * rolled up per unordered split pair. Every pair off the diagonal
+    * is contamination: an eval document whose near-duplicate sits in
+    * train inflates the eval score without the model generalizing.
+    * A random split leaks near-dups at the dup rate by construction —
+    * this measures exactly how much; the fix is dedup-then-split
+    * ([[keepSet]] first), and re-running this audit on the survivors
+    * proves the fix. Cost shape: the pair graph is already blocked and
+    * verified, so this adds two narrow (id → split) joins sized by the
+    * planner and one tiny rollup.
+    */
+  def splitLeakage(docs: DataFrame, minJaccard: Double = 0.5,
+                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val bucket = pmod(ScaleOps.docHash, lit(100L))
+    val split = when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+    val ids = docs.select(col("doc_id"), split.as("split"))
+    ngramJaccard(docs, minJaccard)
+      .join(ids.select(col("doc_id").as("da"), col("split").as("sa")), Seq("da"))
+      .join(ids.select(col("doc_id").as("db"), col("split").as("sb")), Seq("db"))
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_lo", "split_hi")
+  }
+
+  /** Oracle SQL twin of [[splitLeakage]]. */
+  def splitLeakageOracle(minJaccard: Double = 0.5,
+                         maxDf: Int = MaxShingleDf,
+                         trainPct: Int = 90, valPct: Int = 5): String = {
+    val h = ScaleOps.docHashSql
+    s"""WITH ${shingleCte()},
+       |${cappedShingleCte(maxDf)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM shc a JOIN shc b ON a.hx = b.hx AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), p AS (
+       |  SELECT da, db FROM (
+       |    SELECT i.da, i.db,
+       |      ${graft.functions.DetAgg.ratioSql("i.inter", "sa.n + sb.n - i.inter")} AS jaccard
+       |    FROM inter i
+       |    JOIN sizes sa ON sa.doc_id = i.da
+       |    JOIN sizes sb ON sb.doc_id = i.db) t
+       |  WHERE jaccard >= $minJaccard
+       |), sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $h % 100 < $trainPct THEN 'train'
+       |         WHEN $h % 100 < ${trainPct + valPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |)
+       |SELECT least(a.split, b.split) AS split_lo,
+       |       greatest(a.split, b.split) AS split_hi,
+       |       count(*) AS n_pairs
+       |FROM p JOIN sp a ON a.doc_id = p.da JOIN sp b ON b.doc_id = p.db
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Oracle SQL twin of [[sourceOverlap]]. */
   def sourceOverlapOracle(minJaccard: Double = 0.5,
                           maxDf: Int = MaxShingleDf): String =

@@ -116,22 +116,35 @@ object SimilarityOp {
       .filter(col("vec_id") === queryId)
       .select(toDoubleArray(col("embedding")))
       .collect().head.getSeq[Double](0)
+    annCandidates(embeddings.where(col("vec_id") =!= queryId), qv, conf)
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The stateless candidate-filter + exact-score stage of [[annTopK]],
+    * factored out because it is the part a STREAM reuses unchanged:
+    * per-row sketch + band match + cosine score are row-local, so ANN
+    * scoring against a fixed query runs per micro-batch with no state —
+    * only the global top-k rank downstream needs any (StreamingSpec
+    * proves a MemoryStream replay reproduces batch [[annTopK]]).
+    * Input needs (vec_id, embedding); emits (vec_id, sim) for rows
+    * within Hamming `radius` of the query on ≥1 band.
+    */
+  def annCandidates(vecs: DataFrame, qv: Seq[Double],
+                    conf: LshConf = AnnDefault): DataFrame = {
     val qBands = graft.functions.SignSketchExpr.sketchOf(
       qv.toArray, conf.bands, conf.bits, conf.mulJ, conf.mulD, conf.mod)
     val qlit = array(qv.map(lit): _*)
     val bandMatch = (0 until conf.bands).map(b =>
       bit_count(element_at(col("__sk"), b + 1).bitwiseXOR(lit(qBands(b))))
         <= conf.radius).reduce(_ || _)
-    embeddings
-      .where(col("vec_id") =!= queryId)
+    vecs
       .withColumn("__sk", graft.functions.SignSketchExpr.column(
         toDoubleArray(col("embedding")), conf.bands, conf.bits,
         conf.mulJ, conf.mulD, conf.mod))
       .where(bandMatch)
       .select(col("vec_id"),
         round(cosine(toDoubleArray(col("embedding")), qlit), 6).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(k)
   }
 
   /** True IVF approximate top-k: a k-means coarse quantizer (literal

@@ -687,4 +687,81 @@ object TextOps {
     """SELECT source, count(*) AS n_docs,
       |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Minimum vocabulary size for declared token-coverage thresholds —
+    * the tokenizer-sizing question ("how many types cover 95 % of all
+    * occurrences?") answered EXACTLY without ranking the vocabulary:
+    * tokens are rolled up into count-of-counts classes (every type
+    * with the same frequency is interchangeable for coverage), so the
+    * only ordered frame is |distinct frequencies| — a few thousand
+    * rows even at 100 TB, where a per-type rank window would serialize
+    * hundreds of millions of types through one task. The boundary
+    * class's minimal prefix is a ceiling division; all arithmetic is
+    * integer (need = ceil(pct·total/100)), so the answer is
+    * engine-exact. Output: one row per threshold with the vocab size,
+    * the occurrences that vocab covers, and the corpus total.
+    */
+  def vocabCoverage(docs: DataFrame,
+                    thresholds: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100),
+      s"thresholds must be percents in [1,100], got $thresholds")
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val classes = counts.groupBy(col("c"))
+      .agg(count(lit(1)).as("ntok"))
+      .select(col("c"), col("ntok"), (col("c") * col("ntok")).as("toks"))
+    // |classes| is tiny (distinct frequency values), so the global
+    // window and the scalar cross join are both cheap by construction.
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = classes.agg(sum(col("toks")).as("total_tokens"))
+    classes
+      .withColumn("cum_toks", sum(col("toks")).over(w))
+      .withColumn("cum_ntok", sum(col("ntok")).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("pct",
+        explode(array(thresholds.map(t => lit(t.toLong)): _*)))
+      .withColumn("need", expr("(total_tokens * pct + 99L) DIV 100L"))
+      .where(col("cum_toks") >= col("need") &&
+        col("cum_toks") - col("toks") < col("need"))
+      .select(col("pct"),
+        (col("cum_ntok") - col("ntok") +
+          expr("(need - (cum_toks - toks) + c - 1L) DIV c")).as("vocab_size"),
+        (col("cum_toks") - col("toks") +
+          expr("((need - (cum_toks - toks) + c - 1L) DIV c) * c"))
+          .as("covered_tokens"),
+        col("total_tokens"))
+      .orderBy("pct")
+  }
+
+  /** Oracle SQL twin of [[vocabCoverage]] (products BIGINT-first). */
+  def vocabCoverageOracle(thresholds: Seq[Int] = Seq(50, 90, 95, 99)): String = {
+    val vals = thresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH tc AS (
+       |  SELECT token, count(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+       |  GROUP BY 1
+       |), cc AS (
+       |  SELECT c, count(*) AS ntok, CAST(c * count(*) AS BIGINT) AS toks
+       |  FROM tc GROUP BY 1
+       |), cum AS (
+       |  SELECT c, ntok, toks,
+       |    CAST(sum(toks) OVER (ORDER BY c DESC) AS BIGINT) AS cum_toks,
+       |    CAST(sum(ntok) OVER (ORDER BY c DESC) AS BIGINT) AS cum_ntok
+       |  FROM cc
+       |), tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total_tokens FROM cc),
+       |th(pct) AS (VALUES $vals)
+       |SELECT CAST(pct AS BIGINT) AS pct,
+       |  cum_ntok - ntok + (need - (cum_toks - toks) + c - 1) // c AS vocab_size,
+       |  cum_toks - toks + ((need - (cum_toks - toks) + c - 1) // c) * c
+       |    AS covered_tokens,
+       |  total_tokens
+       |FROM (
+       |  SELECT cum.*, total_tokens,
+       |    (total_tokens * CAST(pct AS BIGINT) + 99) // 100 AS need, pct
+       |  FROM cum, tot, th) b
+       |WHERE cum_toks >= need AND cum_toks - toks < need
+       |ORDER BY pct""".stripMargin
+  }
 }

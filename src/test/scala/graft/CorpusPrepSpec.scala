@@ -147,4 +147,30 @@ class CorpusPrepSpec extends SparkSuite {
       .view.mapValues(_.map(_.getLong(0)).toSet).toMap
     assert(got === expected.filter(_._2.nonEmpty))
   }
+
+  test("split leakage accounts for every near-dup pair exactly once") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = DedupOp.splitLeakage(docs).collect()
+    // the matrix is a partition of the verified pair set
+    assert(out.map(_.getLong(2)).sum === DedupOp.ngramJaccard(docs).count())
+    val cells = out.map(r => (r.getString(0), r.getString(1)))
+    assert(cells.distinct.length === cells.length)
+    // unordered cells: lo <= hi lexicographically, labels are the splits
+    assert(cells.forall { case (lo, hi) => lo <= hi })
+    assert(cells.flatMap(c => Seq(c._1, c._2)).toSet
+      .subsetOf(Set("train", "val", "test")))
+  }
+
+  test("vocab coverage picks the minimal prefix, splitting tie classes exactly") {
+    // counts: a=4, b=2, c=2, d=1 → total 9; classes (4→1, 2→2, 1→1)
+    val docs = Seq((0L, "a a a a b b c c d")).toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(docs, thresholds = Seq(50, 90, 100))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // need(50) = ceil(4.5) = 5 → a + ONE of the two count-2 types: 2 types cover 6
+    assert(out(50L) === ((2L, 6L, 9L)))
+    // need(90) = ceil(8.1) = 9 → a + both count-2 types + d: all 4 types
+    assert(out(90L) === ((4L, 9L, 9L)))
+    assert(out(100L) === ((4L, 9L, 9L)))
+  }
 }

@@ -462,4 +462,35 @@ class StreamingSpec extends SparkSuite {
     assert(preds.forall(_.getAs[Double]("dist") < 1.0))
     assert(preds(0).getInt(0) !== preds(1).getInt(0))
   }
+
+  test("annCandidates per micro-batch reproduces batch annTopK on a replay") {
+    import graft.operators.SimilarityOp
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qv: Seq[Double] = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    val expected = SimilarityOp.annTopK(emb, queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // replay the corpus (minus the query vector) in two micro-batches;
+    // candidate filter + score are row-local, so nothing carries over
+    val rows = emb.where($"vec_id" =!= 0L)
+      .select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = SimilarityOp.annCandidates(stream, qv)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ann_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("ann_out")
+        .orderBy($"sim".desc, $"vec_id").limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === expected)
+    } finally q.stop()
+  }
 }
