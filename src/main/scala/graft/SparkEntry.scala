@@ -498,6 +498,18 @@ object SparkEntry {
     // classes — exact, with no per-type global rank window.
     "q94_vocab_coverage" -> ((s, d) =>
       TextOps.vocabCoverage(Tables.documents(s, d))),
+
+    // Referential-integrity audit across the warehouse: rows / NULL
+    // keys / orphans per declared child->parent relation. Healthy
+    // corpus = zero orphans, and the audit PROVES it.
+    "q95_fk_integrity" -> ((s, d) =>
+      AuditOps.fkIntegrity(AuditOps.defaultRels(s, d))),
+
+    // Per-column ingest profile of documents: rows, NULLs, exact
+    // distincts — the "did the load change shape?" drop check.
+    "q96_column_profile" -> ((s, d) =>
+      AuditOps.columnProfile(Tables.documents(s, d),
+        Seq("doc_id", "lang", "n_chars", "source", "text"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -974,5 +986,10 @@ object SparkEntry {
     "q93_split_leakage" -> DedupOp.splitLeakageOracle(),
 
     "q94_vocab_coverage" -> TextOps.vocabCoverageOracle(),
+
+    "q95_fk_integrity" -> AuditOps.fkIntegrityOracle,
+
+    "q96_column_profile" -> AuditOps.columnProfileOracle("documents",
+      Seq("doc_id", "lang", "n_chars", "source", "text")),
   )
 }

@@ -26,7 +26,7 @@ object ScaleOps {
     * correlated leakage a content-hash split exists to prevent.
     * Reversing puts the fastest-varying digits first.
     */
-  private[operators] def docHash: Column =
+  private[graft] def docHash: Column =
     TextFunctions.portableHash(concat(
       reverse(col("doc_id").cast("string")), lit("|"), col("source")))
 

@@ -430,4 +430,52 @@ object StreamOps {
       .where(col("n_tokens") >= minTokens &&
         col("n_uniq") * 2L >= col("n_tokens"))
   }
+
+  /** One arriving doc of [[streamingTokenBudget]] (public: janino). */
+  case class BudgetDoc(docId: Long, source: String, nTokens: Long, hk: Long)
+  /** Per-source admission state: the running token total. */
+  case class BudgetState(cum: Long)
+  /** One admitted doc with its running total at admission. */
+  case class AdmittedDoc(docId: Long, source: String, nTokens: Long,
+                         cumTokens: Long)
+
+  /** Streaming admission control to a per-source token budget — the
+    * ingest-time form of [[graft.operators.ScaleOps.tokenBudgetMix]]:
+    * each source's running token total lives in keyed state; a doc is
+    * admitted while the total stays within budget (the batch
+    * operator's prefix semantics — totals keep accumulating, so once
+    * over budget a source never re-opens). Arrival order IS the
+    * admission order: the batch form's hash order is a replay-
+    * determinism choice, not a semantic one, so StreamingSpec proves
+    * batch equality on a hash-ordered replay (within a batch, groups
+    * re-sort by the same (hash, id) key to stay deterministic under
+    * shuffle). State per source is ONE long — bounded by |sources|,
+    * no timeout needed.
+    */
+  def streamingTokenBudget(docs: DataFrame,
+                           budget: Long = 500L): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val typed = docs.select(
+        col("doc_id").as("docId"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("nTokens"),
+        graft.operators.ScaleOps.docHash.as("hk"))
+      .as[BudgetDoc]
+    val fn = (source: String, it: Iterator[BudgetDoc],
+              state: GroupState[BudgetState]) => {
+      var cum = state.getOption.map(_.cum).getOrElse(0L)
+      val out = Seq.newBuilder[AdmittedDoc]
+      it.toSeq.sortBy(d => (d.hk, d.docId)).foreach { d =>
+        cum += d.nTokens
+        if (cum <= budget)
+          out += AdmittedDoc(d.docId, source, d.nTokens, cum)
+      }
+      state.update(BudgetState(cum))
+      out.result().iterator
+    }
+    typed.groupByKey(_.source)
+      .flatMapGroupsWithState[BudgetState, AdmittedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
 }

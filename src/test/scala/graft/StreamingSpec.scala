@@ -463,6 +463,39 @@ class StreamingSpec extends SparkSuite {
     assert(preds(0).getInt(0) !== preds(1).getInt(0))
   }
 
+  test("streamingTokenBudget equals batch tokenBudgetMix on a hash-ordered replay") {
+    import graft.operators.ScaleOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val expected = ScaleOps.tokenBudgetMix(docs, budget = 300L).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet // (doc_id, cum_tokens)
+
+    // replay in per-source hash order (the batch operator's admission
+    // order), split into two micro-batches at the global midpoint —
+    // each source's cross-batch arrival order stays its hash order
+    val rows = docs.select(col("doc_id"), col("source"), col("text"),
+        ScaleOps.docHash.as("hk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._4, t._1))
+      .map(t => (t._1, t._2, t._3))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "source", "text")
+    val q = StreamOps.streamingTokenBudget(stream, budget = 300L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("budget_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("budget_out")
+        .select($"docId", $"cumTokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("annCandidates per micro-batch reproduces batch annTopK on a replay") {
     import graft.operators.SimilarityOp
     implicit val sqlCtx = spark.sqlContext
