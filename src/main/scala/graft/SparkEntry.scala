@@ -510,6 +510,14 @@ object SparkEntry {
     "q96_column_profile" -> ((s, d) =>
       AuditOps.columnProfile(Tables.documents(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
+
+    // Snapshot diff vs a deterministic v2: per (source, status) counts
+    // of added/removed/changed/unchanged docs, content compared by
+    // hash — the corpus-release versioning audit.
+    "q97_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      AuditOps.snapshotDiff(docs, AuditOps.demoV2(docs))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -991,5 +999,7 @@ object SparkEntry {
 
     "q96_column_profile" -> AuditOps.columnProfileOracle("documents",
       Seq("doc_id", "lang", "n_chars", "source", "text")),
+
+    "q97_snapshot_diff" -> AuditOps.snapshotDiffOracle,
   )
 }

@@ -125,6 +125,62 @@ object AuditOps {
       .orderBy("col_name")
   }
 
+  /** Corpus snapshot diff — the dataset-versioning audit run between
+    * two releases of the same corpus: per (source, status) counts of
+    * added / removed / changed / unchanged documents, keyed by doc_id
+    * with content compared BY HASH. Only (id, source, 32-byte md5)
+    * rides the full-outer shuffle — never the text — so the diff costs
+    * two key-partitioned scans regardless of document size. This is
+    * the "what actually changed between v1 and v2?" gate a training
+    * run checks before re-ingesting a refreshed crawl.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), col("source").as("src1"),
+      md5(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), col("source").as("src2"),
+      md5(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src1"), col("src2")).as("source"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
+  /** The deterministic "v2" used by q97 so the diff is oracle-checkable
+    * from one input table: drop doc_id % 17 == 0 (removals), append
+    * " v2" to text for doc_id % 13 == 0 (changes), and re-add
+    * doc_id % 19 == 0 under shifted ids (additions).
+    */
+  def demoV2(docs: DataFrame): DataFrame =
+    docs.where(pmod(col("doc_id"), lit(17L)) =!= 0L)
+      .withColumn("text", when(pmod(col("doc_id"), lit(13L)) === 0L,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(19L)) === 0L)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+
+  /** Oracle SQL twin of [[snapshotDiff]] over [[demoV2]]. */
+  def snapshotDiffOracle: String =
+    """WITH v2 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, source, text FROM documents
+      |  WHERE doc_id % 19 = 0
+      |), a AS (SELECT doc_id, source AS src1, md5(text) AS h1 FROM documents),
+      |b AS (SELECT doc_id, source AS src2, md5(text) AS h2 FROM v2)
+      |SELECT coalesce(src1, src2) AS source,
+      |  CASE WHEN h1 IS NULL THEN 'added'
+      |       WHEN h2 IS NULL THEN 'removed'
+      |       WHEN h1 <> h2 THEN 'changed' ELSE 'unchanged' END AS status,
+      |  count(*) AS n_docs
+      |FROM a FULL OUTER JOIN b USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Oracle SQL twin of [[columnProfile]] for `table`'s `cols`. */
   def columnProfileOracle(table: String, cols: Seq[String]): String = {
     val aggs = cols.map(c =>

@@ -166,12 +166,29 @@ object SimilarityOp {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val qv = rows(queryId)
     val centers = centerIds.sorted.map(id => id -> rows(id))
+    ivfCandidates(embeddings.where(col("vec_id") =!= queryId),
+        qv, centers, nProbe)
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The stateless cell-assign + probe-filter + exact-score stage of
+    * [[ivfTopK]], factored out for the same reason as
+    * [[annCandidates]]: per-row quantization against literal centers
+    * is row-local, so IVF scoring against a fixed query runs per
+    * micro-batch with no state (StreamingSpec proves the replay
+    * equivalence). Input needs (vec_id, embedding); emits
+    * (vec_id, sim) for rows whose nearest center is a probed cell.
+    */
+  def ivfCandidates(vecs: DataFrame, qv: Seq[Double],
+                    centers: Seq[(Long, Seq[Double])],
+                    nProbe: Int): DataFrame = {
     val probes = probeCells(qv, centers, nProbe)
     val v = toDoubleArray(col("embedding"))
     val dists = centers.map { case (cid, cv) =>
       cid -> round(l2(v, array(cv.map(lit): _*)), 6)
     }
-    val withD = embeddings.where(col("vec_id") =!= queryId)
+    val withD = vecs
       .select(col("vec_id") +: col("embedding") +:
         dists.zipWithIndex.map { case ((_, c), i) => c.as(s"d$i") }: _*)
     val minD = least(dists.indices.map(i => col(s"d$i")): _*)
@@ -183,8 +200,6 @@ object SimilarityOp {
     withD.where(cell.isin(probes: _*))
       .select(col("vec_id"),
         round(cosine(toDoubleArray(col("embedding")), qlit), 6).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(k)
   }
 
   /** Driver-side rounded L2 — same HALF_UP discipline (not math.rint's

@@ -37,6 +37,25 @@ class AuditSpec extends SparkSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 0L, 1L)))
   }
 
+  test("snapshotDiff classifies added, removed, changed, unchanged per source") {
+    val v1 = Seq(
+      (1L, "srcA", "one"), (2L, "srcA", "two"),
+      (3L, "srcB", "three"), (4L, "srcB", "four")
+    ).toDF("doc_id", "source", "text")
+    val v2 = Seq(
+      (1L, "srcA", "one"),          // unchanged
+      (2L, "srcA", "two EDITED"),   // changed
+      (3L, "srcB", "three"),        // unchanged (4 removed)
+      (9L, "srcB", "brand new")     // added
+    ).toDF("doc_id", "source", "text")
+    val out = AuditOps.snapshotDiff(v1, v2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("srcA", "changed") -> 1L, ("srcA", "unchanged") -> 1L,
+      ("srcB", "added") -> 1L, ("srcB", "removed") -> 1L,
+      ("srcB", "unchanged") -> 1L))
+  }
+
   test("columnProfile reports rows, NULLs, and exact distincts per column") {
     val df = Seq(
       (Some("a"), Some(1L)), (Some("a"), Some(2L)),

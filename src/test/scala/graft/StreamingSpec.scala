@@ -526,4 +526,36 @@ class StreamingSpec extends SparkSuite {
       assert(got === expected)
     } finally q.stop()
   }
+
+  test("ivfCandidates per micro-batch reproduces batch ivfTopK on a replay") {
+    import graft.operators.SimilarityOp
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centerIds = Seq(7L, 42L, 123L)
+    val expected = SimilarityOp.ivfTopK(emb, queryId = 0L, centerIds, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pinned = emb.filter($"vec_id".isin(0L +: centerIds: _*))
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val qv = pinned(0L)
+    val centers = centerIds.sorted.map(id => id -> pinned(id))
+
+    val rows = emb.where($"vec_id" =!= 0L)
+      .select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = SimilarityOp.ivfCandidates(stream, qv, centers, nProbe = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivf_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("ivf_out")
+        .orderBy($"sim".desc, $"vec_id").limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === expected)
+    } finally q.stop()
+  }
 }
