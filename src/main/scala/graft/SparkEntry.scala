@@ -518,6 +518,12 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       AuditOps.snapshotDiff(docs, AuditOps.demoV2(docs))
     }),
+
+    // Ranked boolean retrieval (search serving): AND of query terms,
+    // ranked by integer-scaled linear tf-idf summed per doc.
+    "q98_ranked_retrieval" -> ((s, d) =>
+      TextOps.rankedRetrieval(Tables.documents(s, d),
+        Seq("spark", "merge"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1001,5 +1007,8 @@ object SparkEntry {
       Seq("doc_id", "lang", "n_chars", "source", "text")),
 
     "q97_snapshot_diff" -> AuditOps.snapshotDiffOracle,
+
+    "q98_ranked_retrieval" -> TextOps.rankedRetrievalOracle(
+      Seq("spark", "merge")),
   )
 }

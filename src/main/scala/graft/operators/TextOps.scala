@@ -688,6 +688,69 @@ object TextOps {
       |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Ranked boolean retrieval — the search-serving baseline a corpus
+    * engine owes its users: documents containing ALL query terms (AND
+    * semantics), ranked by summed linear tf-idf. The per-term score is
+    * `tf·N·10⁴ DIV df` — [[salientTerms]]'s ln-free linear idf, here
+    * floor-scaled to integer 1e-4 units so the SUM across query terms
+    * stays pure BIGINT arithmetic (a sum of per-term rounded DOUBLES
+    * would depend on partial-agg fold order; integers cannot).
+    *
+    * Scale shape: the term filter lands right after the token Generate,
+    * so only query-term postings (a |terms|-bounded sliver of the token
+    * stream) ever aggregate or shuffle; df and N are broadcast one-row/
+    * |terms|-row frames. This form re-scans the corpus per query — the
+    * serving layout at 100 TB is the same tf frame PREBUILT and
+    * bucketed by term (the inverted index), which this query's plan
+    * reads unchanged.
+    */
+  def rankedRetrieval(docs: DataFrame, terms: Seq[String],
+                      k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val qTerms = terms.distinct
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .where(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), expr("tf * n_docs * 10000L DIV df").as("sc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum(col("sc")).as("score"))
+      .where(col("n_matched") === qTerms.size.toLong)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_matched"), col("score"))
+  }
+
+  /** Oracle SQL twin of [[rankedRetrieval]]. */
+  def rankedRetrievalOracle(terms: Seq[String], k: Int = 10): String = {
+    val qTerms = terms.distinct
+    val inList = qTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN $inList GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT doc_id, (tf * n_docs * 10000) // df AS sc
+       |  FROM tf JOIN dfreq USING (term), n
+       |), g AS (
+       |  SELECT doc_id, count(*) AS n_matched,
+       |    CAST(sum(sc) AS BIGINT) AS score
+       |  FROM sc GROUP BY 1
+       |)
+       |SELECT doc_id, n_matched, score FROM g
+       |WHERE n_matched = ${qTerms.size}
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Minimum vocabulary size for declared token-coverage thresholds —
     * the tokenizer-sizing question ("how many types cover 95 % of all
     * occurrences?") answered EXACTLY without ranking the vocabulary:

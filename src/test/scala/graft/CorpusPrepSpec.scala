@@ -161,6 +161,20 @@ class CorpusPrepSpec extends SparkSuite {
       .subsetOf(Set("train", "val", "test")))
   }
 
+  test("ranked retrieval: AND semantics, integer tf-idf scoring, stable order") {
+    val docs = Seq(
+      (0L, "spark merge spark"),    // tf: spark 2, merge 1
+      (1L, "spark only here"),      // missing 'merge' -> excluded
+      (2L, "merge spark"),          // tf: 1, 1
+      (3L, "nothing relevant")      // excluded
+    ).toDF("doc_id", "text")
+    val out = TextOps.rankedRetrieval(docs, Seq("spark", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // N=4, df(spark)=3, df(merge)=2; per-term score = tf*N*10000 DIV df
+    // doc0 = 2*4*10000/3 + 1*4*10000/2 = 26666 + 20000; doc2 = 13333 + 20000
+    assert(out.toSeq === Seq((0L, 2L, 46666L), (2L, 2L, 33333L)))
+  }
+
   test("vocab coverage picks the minimal prefix, splitting tie classes exactly") {
     // counts: a=4, b=2, c=2, d=1 → total 9; classes (4→1, 2→2, 1→1)
     val docs = Seq((0L, "a a a a b b c c d")).toDF("doc_id", "text")
