@@ -524,6 +524,17 @@ object SparkEntry {
     "q98_ranked_retrieval" -> ((s, d) =>
       TextOps.rankedRetrieval(Tables.documents(s, d),
         Seq("spark", "merge"))),
+
+    // Ordered funnel: users completing each prefix of
+    // signup→view→click→purchase in strict timestamp order — one
+    // sorted per-user fold, no per-stage join cascade.
+    "q99_funnel" -> ((s, d) =>
+      EventOps.funnel(Tables.events(s, d))),
+
+    // Daily cohort retention matrix (first-active-day cohorts ×
+    // day offset, with retention vs cohort size).
+    "q100_cohort_retention" -> ((s, d) =>
+      EventOps.cohortRetention(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1010,5 +1021,9 @@ object SparkEntry {
 
     "q98_ranked_retrieval" -> TextOps.rankedRetrievalOracle(
       Seq("spark", "merge")),
+
+    "q99_funnel" -> EventOps.funnelOracle(),
+
+    "q100_cohort_retention" -> EventOps.cohortRetentionOracle,
   )
 }

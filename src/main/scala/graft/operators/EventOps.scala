@@ -298,6 +298,145 @@ object EventOps {
     * tie order, gap-hour densification) so both engines run the
     * identical math.
     */
+  /** Ordered funnel analysis — how many users complete each PREFIX of a
+    * declared stage sequence, in timestamp order (the product-analytics
+    * staple Spark has no native operator for). A user reaches stage k
+    * iff there exist events of stages 1..k at STRICTLY increasing
+    * millisecond timestamps; the canonical witness is the chained
+    * minimum (t1 = earliest stage-1 event, t2 = earliest stage-2 event
+    * after t1, …), and the greedy earliest-match is provably maximal
+    * for subsequence matching, so one sorted per-user fold computes the
+    * furthest stage exactly — no per-stage join cascade (k stages = k
+    * shuffles) and no quadratic self-join.
+    *
+    * Scale shape: ONE shuffle (groupBy user over funnel-stage events
+    * only), per-user arrays bounded by the retention window like
+    * [[sessionize]]'s partitions; the stage rollup then works on an
+    * (n_stages+1)-row frame. The fold runs interpreted (~13 µs/element,
+    * see TextOps notes) but over |funnel events per user|, not corpus
+    * size. The stage-prefix counts come from a reached-histogram
+    * suffix sum, so the per-user frame is aggregated once, not once
+    * per stage.
+    */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("signup", "view", "click", "purchase"))
+      : DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "funnel stages must be non-empty and distinct")
+    val sidx = stages.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, i)) => when(col("event_type") === s, lit(i + 1)).otherwise(acc)
+    }
+    val ev = events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), sidx.as("sidx"))
+      .where(col("sidx").isNotNull)
+    // greedy fold state: (furthest stage k, ms of the event that
+    // reached it). Strict `>` mirrors the oracle's chained `ms > m`.
+    val reached = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ms"), col("event_id"), col("sidx")))).as("evs"))
+      .select(aggregate(col("evs"),
+        struct(lit(0).as("k"), lit(Long.MinValue).as("t")),
+        (a, e) => when(
+          e.getField("sidx") === a.getField("k") + 1 &&
+            e.getField("ms") > a.getField("t"),
+          struct((a.getField("k") + 1).as("k"), e.getField("ms").as("t")))
+          .otherwise(a),
+        a => a.getField("k")).as("reached"))
+    val hist = reached.groupBy(col("reached")).agg(count(lit(1)).as("c"))
+    val stageFrame = reached.sparkSession.range(1, stages.size + 1)
+      .select(col("id").cast("int").as("stage_idx"))
+    val stageName = stages.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (s, i)) => when(col("stage_idx") === i + 1, lit(s)).otherwise(acc)
+    }
+    val users = stageFrame
+      .join(broadcast(hist), col("reached") >= col("stage_idx"), "left")
+      .groupBy(col("stage_idx"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("users"))
+    val w1 = Window.orderBy(col("stage_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    users
+      .select(col("stage_idx"), stageName.as("stage"), col("users"),
+        graft.functions.DetAgg.ratio(col("users"),
+          first(col("users")).over(w1)).as("conv"))
+      .orderBy("stage_idx")
+  }
+
+  /** Oracle SQL twin of [[funnel]] — the chained-minimum construction
+    * (each stage's earliest event strictly after the previous stage's
+    * witness), which the Spark fold's greedy scan provably equals.
+    */
+  def funnelOracle(stages: Seq[String]
+                     = Seq("signup", "view", "click", "purchase")): String = {
+    val stageCtes = stages.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(ms) AS m FROM ev WHERE event_type = '$s' GROUP BY 1)"
+      else
+        s"s${i + 1} AS (SELECT e.user_id, min(e.ms) AS m FROM ev e " +
+          s"JOIN s$i USING (user_id) WHERE e.event_type = '$s' AND e.ms > s$i.m GROUP BY 1)"
+    }.mkString(",\n")
+    val unions = stages.zipWithIndex.map { case (s, i) =>
+      s"SELECT ${i + 1} AS stage_idx, '$s' AS stage, (SELECT count(*) FROM s${i + 1}) AS users"
+    }.mkString(" UNION ALL ")
+    s"""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+       |$stageCtes,
+       |u AS ($unions)
+       |SELECT u.stage_idx, u.stage, CAST(u.users AS BIGINT) AS users,
+       |  ${graft.functions.DetAgg.ratioSql("u.users", "b.u1")} AS conv
+       |FROM u, (SELECT count(*) AS u1 FROM s1) b
+       |ORDER BY stage_idx""".stripMargin
+  }
+
+  /** Daily cohort retention — the (cohort day × day offset) activity
+    * matrix: users grouped by their first-ever active day, counted on
+    * each subsequent day they return, with retention as a fraction of
+    * cohort size. The engagement-analytics companion to [[funnel]].
+    *
+    * Scale shape: first-day frame is one groupBy user; the join back is
+    * key-co-partitioned on user_id (both sides shuffle once on the same
+    * key); `distinct` collapses to |user × active-day| before the final
+    * rollup, whose output is bounded by |days|² — tiny — so the
+    * cohort-size self-join broadcasts.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val ed = events.select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstD = ed.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    val act = ed.join(firstD, Seq("user_id"))
+      .select(col("user_id"), col("cohort_d"),
+        datediff(col("d"), col("cohort_d")).as("day_offset"))
+      .distinct()
+    val cnt = act.groupBy(col("cohort_d"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cnt.where(col("day_offset") === 0)
+      .select(col("cohort_d"), col("n_users").as("cohort_size"))
+    cnt.join(broadcast(sizes), Seq("cohort_d"))
+      .select(col("cohort_d").cast("string").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"), col("n_users"),
+        graft.functions.DetAgg.ratio(col("n_users"), col("cohort_size"))
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Oracle SQL twin of [[cohortRetention]]. Dates are compared as
+    * DATEs in both engines (session TZ is UTC on the Spark side, naive
+    * timestamps in DuckDB — identical instants, see Tables.events).
+    */
+  def cohortRetentionOracle: String =
+    s"""WITH ed AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+       |f AS (SELECT user_id, min(d) AS cohort_d FROM ed GROUP BY 1),
+       |a AS (SELECT DISTINCT e.user_id, f.cohort_d,
+       |        date_diff('day', f.cohort_d, e.d) AS day_offset
+       |      FROM ed e JOIN f USING (user_id)),
+       |c AS (SELECT cohort_d, day_offset, count(*) AS n_users
+       |      FROM a GROUP BY 1, 2),
+       |s AS (SELECT cohort_d, n_users AS cohort_size FROM c
+       |      WHERE day_offset = 0)
+       |SELECT CAST(c.cohort_d AS VARCHAR) AS cohort_day,
+       |  CAST(c.day_offset AS BIGINT) AS day_offset, c.n_users,
+       |  ${graft.functions.DetAgg.ratioSql("c.n_users", "s.cohort_size")} AS retention
+       |FROM c JOIN s USING (cohort_d)
+       |ORDER BY cohort_day, day_offset""".stripMargin
+
   def peakConcurrencyOracle(gapMs: Long = 30 * 60 * 1000L): String =
     s"""WITH ${sessionCtesSql(gapMs)}, s AS (
        |  SELECT min(ms) AS start_ms, max(ms) AS end_ms

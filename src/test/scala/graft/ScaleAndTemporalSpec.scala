@@ -256,6 +256,67 @@ class ScaleAndTemporalSpec extends SparkSuite {
     assert(out("src1")._2 > 0L && out("src1")._2 < out("src1")._1)
   }
 
+  private def mkEvents(rows: Seq[(Long, Long, Long, String)]) = {
+    import org.apache.spark.sql.functions.timestamp_millis
+    rows.toDF("event_id", "ms", "user_id", "event_type")
+      .select($"event_id", timestamp_millis($"ms").as("ts"), $"user_id",
+        $"event_type", lit(1.0).as("value"), lit("{}").as("props"))
+  }
+
+  test("funnel: strict ordering, greedy maximal match, non-starters excluded") {
+    import graft.operators.EventOps
+    // u1 completes all 4 in order; u2 has view BEFORE signup (only the
+    // post-signup view at t=30 counts, then stalls at click missing);
+    // u3's click shares signup's EXACT ms → strictly-after fails, stalls
+    // after view; u4 never signs up → contributes to no stage.
+    val events = mkEvents(Seq(
+      (1L, 10L, 1L, "signup"), (2L, 20L, 1L, "view"),
+      (3L, 30L, 1L, "click"), (4L, 40L, 1L, "purchase"),
+      (5L, 5L, 2L, "view"), (6L, 10L, 2L, "signup"),
+      (7L, 30L, 2L, "view"), (8L, 40L, 2L, "purchase"),
+      (9L, 10L, 3L, "signup"), (10L, 20L, 3L, "view"),
+      (11L, 20L, 3L, "click"),
+      (12L, 10L, 4L, "view"), (13L, 20L, 4L, "purchase")))
+    val out = EventOps.funnel(events).collect()
+      .map(r => r.getAs[Int]("stage_idx") ->
+        (r.getAs[String]("stage"), r.getAs[Long]("users"))).toMap
+    assert(out === Map(
+      1 -> ("signup", 3L), 2 -> ("view", 3L),
+      3 -> ("click", 1L), 4 -> ("purchase", 1L)))
+  }
+
+  test("funnel: greedy earliest match is maximal across interleaved stages") {
+    import graft.operators.EventOps
+    // signup@10, view@20, signup@30, click@25: greedy takes view@20
+    // then click@25 — a later signup must not reset progress.
+    val events = mkEvents(Seq(
+      (1L, 10L, 1L, "signup"), (2L, 20L, 1L, "view"),
+      (3L, 30L, 1L, "signup"), (4L, 25L, 1L, "click")))
+    val out = EventOps.funnel(events).collect()
+      .map(r => r.getAs[Int]("stage_idx") -> r.getAs[Long]("users")).toMap
+    assert(out === Map(1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 0L))
+  }
+
+  test("cohortRetention: cohorts by first active day, distinct users per offset") {
+    import graft.operators.EventOps
+    val day = 86400000L
+    // u1 first on day0, returns day1 (twice — counted once) and day3;
+    // u2 first on day0, never returns; u3 first on day1.
+    val events = mkEvents(Seq(
+      (1L, 10L, 1L, "view"), (2L, day + 10L, 1L, "view"),
+      (3L, day + 20L, 1L, "click"), (4L, 3 * day + 5L, 1L, "view"),
+      (5L, 100L, 2L, "view"),
+      (6L, day + 50L, 3L, "view")))
+    val out = EventOps.cohortRetention(events).collect()
+      .map(r => (r.getAs[String]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("retention"))).toMap
+    assert(out === Map(
+      ("1970-01-01", 0L) -> (2L, 1.0),
+      ("1970-01-01", 1L) -> (1L, 0.5),
+      ("1970-01-01", 3L) -> (1L, 0.5),
+      ("1970-01-02", 0L) -> (1L, 1.0)))
+  }
+
   test("peak concurrency: ties, touching sessions, and carry into an end-only hour") {
     import graft.operators.EventOps
     import org.apache.spark.sql.functions.timestamp_millis
