@@ -535,6 +535,17 @@ object SparkEntry {
     // day offset, with retention vs cohort size).
     "q100_cohort_retention" -> ((s, d) =>
       EventOps.cohortRetention(Tables.events(s, d))),
+
+    // Top collocations by PMI in exact integer score (phrase mining /
+    // tokenizer merge candidates).
+    "q101_pmi_collocations" -> ((s, d) =>
+      TextOps.pmiTopK(Tables.documents(s, d))),
+
+    // Fixed-iteration integer PageRank over the customer↔supplier
+    // bipartite graph — the join-agg-per-superstep iterative pattern.
+    "q102_pagerank" -> ((s, d) =>
+      GraphOps.pageRank(
+        GraphOps.custSuppEdges(Tables.orders(s, d), Tables.lineitem(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1025,5 +1036,9 @@ object SparkEntry {
     "q99_funnel" -> EventOps.funnelOracle(),
 
     "q100_cohort_retention" -> EventOps.cohortRetentionOracle,
+
+    "q101_pmi_collocations" -> TextOps.pmiTopKOracle(),
+
+    "q102_pagerank" -> GraphOps.pageRankOracle(),
   )
 }

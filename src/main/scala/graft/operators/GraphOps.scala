@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over warehouse-derived edge sets — the
+  * join-agg-per-superstep pattern (Pregel's data-parallel core) expressed
+  * as plain DataFrame iterations, complementing [[DedupOp]]'s connected
+  * components. No GraphX/RDDs: each superstep is one Catalyst plan, so
+  * AQE, partial aggregation, and exchange reuse all apply.
+  */
+object GraphOps {
+
+  private val Scale = 1000000000L // rank unit: parts-per-billion
+
+  /** Customer↔supplier interaction edges (who bought via whom), the
+    * warehouse's natural bipartite graph: distinct (o_custkey,
+    * l_suppkey) pairs from orders⋈lineitem, node-encoded as
+    * `2·custkey` / `2·suppkey + 1` so the two id spaces can share one
+    * integer node column. One co-partitioned join + a distinct — both
+    * on the orderkey/pair keys lineitem already clusters by.
+    */
+  def custSuppEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")), Seq("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+
+  /** Fixed-iteration PageRank in EXACT integer arithmetic — every rank
+    * is a BIGINT in parts-per-billion, every per-step division is a
+    * floor division, so the k-th iterate is bit-identical on any
+    * engine and the DuckDB oracle simply UNROLLS the supersteps as
+    * chained CTEs (the q88 replay-oracle pattern). Damping 0.85 is the
+    * rational 85/100; the update is
+    * `r'(v) = (15·(S div n) + 85·Σ_u r(u) div deg(u)) div 100`.
+    *
+    * The graph is symmetrized (each edge both ways), which (a) models
+    * influence flowing both directions in the bipartite graph and
+    * (b) eliminates dangling nodes — every node has out-degree ≥ 1, so
+    * no dangling-mass redistribution term muddies the integer math.
+    *
+    * Scale shape: degrees ride the edge frame once (`ed`), then each
+    * superstep is one join on `src` + one map-side-combined groupBy on
+    * `dst` — the canonical 2-shuffle PageRank step; nothing is ever
+    * collected. Iterations nest lazily (3 levels is fine; at tens of
+    * iterations you'd checkpoint the rank frame per step and persist
+    * `ed` — on a real cluster, after repartitioning both by node id so
+    * the join is exchange-free).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, k: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 20, "pageRank: iters out of range")
+    val e = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val d = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nF = d.agg(count(lit(1)).as("nn"))
+    val base = call_function("div", lit(Scale), col("nn"))
+    var r: DataFrame = d.select(col("src").as("node"))
+      .crossJoin(broadcast(nF))
+      .select(col("node"), base.as("r"))
+    val ed = e.join(d, Seq("src")) // (src, dst, deg of src)
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r, ed("src") === r("node"))
+        .select(col("dst").as("node"),
+          call_function("div", col("r"), col("deg")).as("x"))
+        .groupBy(col("node")).agg(sum(col("x")).as("contrib"))
+      r = contrib.crossJoin(broadcast(nF))
+        .select(col("node"),
+          call_function("div",
+            lit(15L) * base + lit(85L) * col("contrib"), lit(100L)).as("r"))
+    }
+    r.select(
+        when(pmod(col("node"), lit(2)) === 0, lit("c")).otherwise(lit("s"))
+          .as("node_type"),
+        call_function("div", col("node"), lit(2L)).as("node_id"),
+        col("r").as("rank_ppb"))
+      .orderBy(col("rank_ppb").desc, col("node_type"), col("node_id"))
+      .limit(k)
+  }
+
+  /** Oracle SQL twin of [[pageRank]] over [[custSuppEdges]] — the
+    * supersteps unrolled as chained CTEs in the same exact integer
+    * arithmetic. Products are ordered BIGINT-first and per-step sums
+    * cast back to BIGINT (DuckDB sums BIGINT into HUGEINT).
+    */
+  def pageRankOracle(iters: Int = 3, k: Int = 20): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum($prev.r // d.deg) AS BIGINT) AS contrib
+         |  FROM e JOIN $prev ON e.src = $prev.node JOIN d ON e.src = d.src
+         |  GROUP BY 1
+         |), r$i AS (
+         |  SELECT node,
+         |    (15 * ((1000000000 // nn)) + 85 * contrib) // 100 AS r
+         |  FROM c$i, n
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), e AS (
+       |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+       |), d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+       |r0 AS (SELECT src AS node, (1000000000 // nn) AS r FROM d, n),
+       |$steps
+       |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |  node // 2 AS node_id, CAST(r AS BIGINT) AS rank_ppb
+       |FROM r$iters
+       |ORDER BY rank_ppb DESC, node_type, node_id LIMIT $k""".stripMargin
+  }
+}

@@ -827,4 +827,59 @@ object TextOps {
        |WHERE cum_toks >= need AND cum_toks - toks < need
        |ORDER BY pct""".stripMargin
   }
+
+  /** Top-k collocations by PMI — adjacent token pairs that co-occur far
+    * more than their unigram frequencies predict (the phrase-mining /
+    * tokenizer-merge-candidate primitive). Since the corpus-size terms
+    * of PMI = log(p(xy)/(p(x)p(y))) are constant across pairs, ranking
+    * by c_xy/(c_x·c_y) IS the PMI ranking, computed here as the exact
+    * integer `c_xy·10¹² // (c_x·c_y)` — no floats, no cross-engine log
+    * drift. `minCount` is the standard PMI low-frequency guard (a
+    * hapax pair has spuriously maximal PMI).
+    *
+    * Scale shape: bigram counts via the codegen'd [[shingles]] explode
+    * + one map-side-combined groupBy; the two unigram-count joins are
+    * token-keyed shuffles of (token, count) pairs (the bigram frame is
+    * already collapsed to distinct surviving pairs, so nothing
+    * corpus-sized rides the join); top-k is a TakeOrdered, never a
+    * global sort. Overflow headroom: c_xy ≤ 2^63/10¹² ≈ 9.2M — at
+    * corpus sizes past that, drop the scale to 10⁹ (ranking is
+    * unchanged; three digits of tie-resolution lost).
+    */
+  def pmiTopK(docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val bg = docs.select(explode(shingles(tokens(col("text")), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"), col("c_xy"))
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        call_function("div", col("c_xy") * lit(1000000000000L),
+          col("c_x") * col("c_y")).as("score_ppt"))
+      .orderBy(col("score_ppt").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Oracle SQL twin of [[pmiTopK]] — identical integer score; `//` on
+    * positive operands matches Spark's `div` exactly.
+    */
+  def pmiTopKOracle(minCount: Long = 5L, k: Int = 50): String =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+       |bg AS (
+       |  SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c_xy
+       |  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+       |        FROM toks WHERE len(tk) >= 2) t
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCount
+       |), uni AS (
+       |  SELECT tok AS w, count(*) AS c
+       |  FROM (SELECT unnest(tk) AS tok FROM toks) t GROUP BY 1
+       |)
+       |SELECT bg.w1, bg.w2, CAST(bg.c_xy AS BIGINT) AS c_xy,
+       |  (CAST(bg.c_xy AS BIGINT) * 1000000000000) // (ux.c * uy.c)
+       |    AS score_ppt
+       |FROM bg JOIN uni ux ON bg.w1 = ux.w JOIN uni uy ON bg.w2 = uy.w
+       |ORDER BY score_ppt DESC, w1, w2 LIMIT $k""".stripMargin
 }

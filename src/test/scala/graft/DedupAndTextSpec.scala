@@ -513,4 +513,19 @@ class DedupAndTextSpec extends SparkSuite {
     assert(DedupOp.bloomDecontaminate(corpus).collect().map(_.toString).toSeq
       === DedupOp.decontaminate(corpus).collect().map(_.toString).toSeq)
   }
+
+  test("pmiTopK: exact integer score, PMI ordering, tie-break by pair") {
+    import graft.operators.TextOps
+    // unigrams: x=3, y=2, z=1; bigrams: "x y"=2, "y x"=1, "x z"=1
+    val docs = Seq(
+      (0L, "x y x y", "en", "s", 7L),
+      (1L, "x z", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.pmiTopK(docs, minCount = 1L, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("x", "y", 2L, 2L * 1000000000000L / 6L), // 2·S/(3·2)
+      ("x", "z", 1L, 1000000000000L / 3L),      // ties "x y" on score; w2 breaks
+      ("y", "x", 1L, 1000000000000L / 6L)))
+  }
 }

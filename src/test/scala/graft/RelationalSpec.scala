@@ -50,4 +50,24 @@ class RelationalSpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
     }
   }
+
+  test("pageRank: one exact integer superstep on a hand-computed star") {
+    import graft.operators.GraphOps
+    // encoded star: customers c1 (node 2) and c2 (node 4) both touch
+    // supplier s1 (node 3). Symmetrized degrees: 2→1, 4→1, 3→2; n=3.
+    // base = 1e9 div 3 = 333333333; after one superstep:
+    //   r(s1) = (15·base + 85·(base+base)) div 100 = 616666666
+    //   r(c*) = (15·base + 85·(base div 2)) div 100 = 191666666
+    val edges = Seq((2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val out = GraphOps.pageRank(edges, iters = 1, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("s", 1L, 616666666L),
+      ("c", 1L, 191666666L),
+      ("c", 2L, 191666666L)))
+    // rank mass is conserved up to per-node floor loss: n nodes lose
+    // < 100 ppb each to the two floor divisions
+    val total = out.map(_._3).sum
+    assert(total <= 1000000000L && total > 1000000000L - 3 * 100L)
+  }
 }
