@@ -546,6 +546,12 @@ object SparkEntry {
     "q102_pagerank" -> ((s, d) =>
       GraphOps.pageRank(
         GraphOps.custSuppEdges(Tables.orders(s, d), Tables.lineitem(s, d)))),
+
+    // Exact triangle count on the co-purchase graph via degree-ordered
+    // wedges (the O(m^1.5) orientation); oracle re-derives the count
+    // with the plain id-ordered three-way join.
+    "q103_triangles" -> ((s, d) =>
+      GraphOps.triangleCount(GraphOps.copurchaseEdges(Tables.lineitem(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1040,5 +1046,7 @@ object SparkEntry {
     "q101_pmi_collocations" -> TextOps.pmiTopKOracle(),
 
     "q102_pagerank" -> GraphOps.pageRankOracle(),
+
+    "q103_triangles" -> GraphOps.triangleCountOracle,
   )
 }

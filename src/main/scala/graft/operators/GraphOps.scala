@@ -78,6 +78,84 @@ object GraphOps {
       .limit(k)
   }
 
+  /** Co-purchase edges: unordered part pairs appearing in the same
+    * order, id-ordered (a < b) and distinct — the classic "bought
+    * together" graph. Pair generation is per-order local (C(items,2)
+    * with basket-bounded items), so it scales with orders, not
+    * orders².
+    */
+  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    li.as("l").join(li.as("r"),
+        col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+      .select(col("l.pk").as("a"), col("r.pk").as("b"))
+      .distinct()
+  }
+
+  /** Exact triangle count via DEGREE-ORDERED wedge generation — the
+    * scale-correct orientation: each undirected edge points from its
+    * lower to its higher endpoint in (degree, id) order, so every
+    * vertex's out-degree is O(√m) on any graph and the wedge
+    * (out-neighbor-pair) expansion is bounded by Σ C(outdeg, 2) — the
+    * high-degree hub that makes naive id-ordered wedging quadratic
+    * never fans out. Each triangle is generated exactly once at its
+    * orientation-minimal apex and closed by one join against the
+    * id-ordered edge set. The count is orientation-invariant, so the
+    * DuckDB oracle runs the PLAIN id-ordered formulation — same
+    * number, independently derived, which is exactly what the parity
+    * gate wants.
+    *
+    * Scale shape: two self-joins, both key-partitioned shuffles (on
+    * apex, then on the candidate pair); counts are map-side-combined;
+    * nothing is collected.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a").as("u"))
+      .unionByName(edges.select(col("b").as("u")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val withDeg = edges
+      .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("dg").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    // wedge pairs at the apex, id-ordered so the close join can hit the
+    // id-ordered edge set directly
+    val cand = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.t").as("a"), col("e2.t").as("b"))
+    val nT = cand.join(edges, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    val nN = und.distinct().agg(count(lit(1)).as("n_nodes"))
+    nN.crossJoin(nE).crossJoin(nT)
+  }
+
+  /** Oracle SQL twin of [[triangleCount]] over [[copurchaseEdges]] —
+    * the id-ordered textbook three-way self-join; the count equals the
+    * degree-ordered plan's by orientation invariance.
+    */
+  def triangleCountOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.pk AS x, b.pk AS y
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |)
+       |SELECT
+       |  (SELECT count(*) FROM
+       |    (SELECT DISTINCT pk FROM
+       |      (SELECT x AS pk FROM e UNION ALL SELECT y FROM e) q) n)
+       |    AS n_nodes,
+       |  (SELECT count(*) FROM e) AS n_edges,
+       |  (SELECT count(*)
+       |   FROM e e1 JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+       |     JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y) AS n_triangles""".stripMargin
+
   /** Oracle SQL twin of [[pageRank]] over [[custSuppEdges]] — the
     * supersteps unrolled as chained CTEs in the same exact integer
     * arithmetic. Products are ordered BIGINT-first and per-step sums

@@ -70,4 +70,25 @@ class RelationalSpec extends SparkSuite {
     val total = out.map(_._3).sum
     assert(total <= 1000000000L && total > 1000000000L - 3 * 100L)
   }
+
+  test("triangleCount: degree-ordered wedges count each triangle once") {
+    import graft.operators.GraphOps
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (0 new
+    // triangles) — includes equal-degree ties, which exercise the
+    // (degree, id) orientation tiebreak.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = GraphOps.triangleCount(edges).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) === (5L, 7L, 4L))
+  }
+
+  test("triangleCount: hub star has zero triangles, no wedge blowup") {
+    import graft.operators.GraphOps
+    // star centered on 0: naive id-ordered wedging at the hub would
+    // generate C(50,2) candidate pairs; degree ordering points every
+    // edge INTO the hub so the apex expansion is empty.
+    val edges = (1L to 50L).map(i => (0L, i)).toDF("a", "b")
+    val out = GraphOps.triangleCount(edges).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) === (51L, 50L, 0L))
+  }
 }
