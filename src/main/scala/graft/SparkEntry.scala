@@ -552,6 +552,11 @@ object SparkEntry {
     // with the plain id-ordered three-way join.
     "q103_triangles" -> ((s, d) =>
       GraphOps.triangleCount(GraphOps.copurchaseEdges(Tables.lineitem(s, d)))),
+
+    // BM25 ranked retrieval: doc-length-normalized, tf-saturating
+    // sibling of q98, in pure integer arithmetic (k1=1.2, b=0.75).
+    "q104_bm25" -> ((s, d) =>
+      TextOps.bm25Retrieval(Tables.documents(s, d), Seq("spark", "merge"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1048,5 +1053,7 @@ object SparkEntry {
     "q102_pagerank" -> GraphOps.pageRankOracle(),
 
     "q103_triangles" -> GraphOps.triangleCountOracle,
+
+    "q104_bm25" -> TextOps.bm25RetrievalOracle(Seq("spark", "merge")),
   )
 }

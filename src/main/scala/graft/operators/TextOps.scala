@@ -751,6 +751,103 @@ object TextOps {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones, k1 = 1.2,
+    * b = 0.75) — [[rankedRetrieval]]'s serving-grade sibling with
+    * document-length normalization and tf saturation, re-derived in
+    * PURE INTEGER arithmetic so the per-doc score sum is
+    * fold-order-independent across engines:
+    *
+    *   - `r`      = dl/avgdl in 1e-3 units: `(dl·N·1000) DIV totTok`
+    *     (avgdl's division is deferred — never a float);
+    *   - `denom`  = (tf + k1·(1−b) + k1·b·dl/avgdl) in 1e-3 units:
+    *     `1000·tf + 300 + (9·r) DIV 10` (k1(1−b) = 0.3, k1·b = 0.9);
+    *   - `tpart`  = tf·(k1+1)/denom in 1e-3 units:
+    *     `(2200·tf·1000) DIV denom` — bounded by 2200, so the idf
+    *     product below can never overflow;
+    *   - `idfs`   = the BM25 idf rational `(N−df+½)/(df+½)` with the
+    *     (monotone) log dropped and floor-scaled to 1e-4 units:
+    *     `((2N−2df+1)·10000) DIV (2df+1)` — dropping log changes
+    *     absolute scores, not single-term monotonicity; documented as
+    *     this engine's scoring convention (same stance as q98's
+    *     linear idf).
+    *
+    * score = Σ_t idfs·tpart over the AND-matched query terms. Every
+    * intermediate is a BIGINT with stated bounds: the largest product
+    * is `2200·tf·1000 ≤ 2.2e6·dl`, and `dl·N·1000 ≤ 1000·totTok·N`,
+    * so the formulation survives corpus growth until `N·totTok·1000`
+    * itself approaches 2⁶³ — at which point quantize `r` from a
+    * pre-aggregated avgdl instead.
+    *
+    * Scale shape: identical to [[rankedRetrieval]] — the term filter
+    * runs on the token ARRAY before the explode, so only query-term
+    * postings shuffle, and `dl` rides the same row (no join back to a
+    * doc-length frame); df and the (N, totTok) scalar are broadcast.
+    */
+  def bm25Retrieval(docs: DataFrame, terms: Seq[String],
+                    k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val qTerms = terms.distinct
+    val toks = tokens(col("text"))
+    val tf = docs
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(filter(toks, t => t.isin(qTerms: _*))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("tot_tok"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"),
+        expr("""((2*n_docs - 2*df + 1) * 10000L DIV (2*df + 1)) *
+                |(2200L * tf * 1000 DIV
+                |  (1000*tf + 300 +
+                |   (9 * (dl * n_docs * 1000 DIV tot_tok)) DIV 10))
+                |""".stripMargin.replace("\n", " ")).as("sc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum(col("sc")).as("score"))
+      .where(col("n_matched") === qTerms.size.toLong)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_matched"), col("score"))
+  }
+
+  /** Oracle SQL twin of [[bm25Retrieval]] — same integer formula,
+    * DuckDB `//` floor division (all operands non-negative, so Spark
+    * `DIV` agrees).
+    */
+  def bm25RetrievalOracle(terms: Seq[String], k: Int = 10): String = {
+    val qTerms = terms.distinct
+    val inList = qTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    unnest(string_split(text, ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM tok
+       |  WHERE term IN $inList GROUP BY 1, 2, 3
+       |), dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), corpus AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot_tok
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    ((2*n_docs - 2*df + 1) * 10000 // (2*df + 1)) *
+       |      (2200 * tf * 1000 //
+       |        (1000*tf + 300 +
+       |         (9 * (dl * n_docs * 1000 // tot_tok)) // 10)) AS sc
+       |  FROM tf JOIN dfreq USING (term), corpus
+       |), g AS (
+       |  SELECT doc_id, count(*) AS n_matched,
+       |    CAST(sum(sc) AS BIGINT) AS score
+       |  FROM sc GROUP BY 1
+       |)
+       |SELECT doc_id, n_matched, score FROM g
+       |WHERE n_matched = ${qTerms.size}
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Minimum vocabulary size for declared token-coverage thresholds —
     * the tokenizer-sizing question ("how many types cover 95 % of all
     * occurrences?") answered EXACTLY without ranking the vocabulary:

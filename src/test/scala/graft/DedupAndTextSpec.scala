@@ -528,4 +528,30 @@ class DedupAndTextSpec extends SparkSuite {
       ("x", "z", 1L, 1000000000000L / 3L),      // ties "x y" on score; w2 breaks
       ("y", "x", 1L, 1000000000000L / 6L)))
   }
+
+  test("bm25: matches an independent integer reference; shorter doc wins at equal tf") {
+    import graft.operators.TextOps
+    // doc 0 and doc 1 both contain "q" once; doc 0 is shorter, so BM25's
+    // length normalization must rank it first. doc 2 has no match.
+    val docs = Seq(
+      (0L, "q a", "en", "s", 3L),
+      (1L, "q a b c d e", "en", "s", 11L),
+      (2L, "a b", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // independent reimplementation of the documented integer formula
+    def score(tf: Long, dl: Long, df: Long, n: Long, tot: Long): Long = {
+      val r = dl * n * 1000L / tot
+      val denom = 1000L * tf + 300L + (9L * r) / 10L
+      val tpart = 2200L * tf * 1000L / denom
+      val idfs = (2L * n - 2L * df + 1L) * 10000L / (2L * df + 1L)
+      idfs * tpart
+    }
+    val out = TextOps.bm25Retrieval(docs, Seq("q")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (n, tot) = (3L, 10L)
+    assert(out.toSeq === Seq(
+      (0L, 1L, score(1L, 2L, 2L, n, tot)),
+      (1L, 1L, score(1L, 6L, 2L, n, tot))))
+    assert(out(0)._3 > out(1)._3, "length normalization must rank the shorter doc higher")
+  }
 }
