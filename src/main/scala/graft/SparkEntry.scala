@@ -557,6 +557,11 @@ object SparkEntry {
     // sibling of q98, in pure integer arithmetic (k1=1.2, b=0.75).
     "q104_bm25" -> ((s, d) =>
       TextOps.bm25Retrieval(Tables.documents(s, d), Seq("spark", "merge"))),
+
+    // Generic interval join (chunk-grid decomposition, never a
+    // per-key cross product): events around each type's value spikes.
+    "q105_interval_join" -> ((s, d) =>
+      EventOps.spikeNeighborhood(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1055,5 +1060,7 @@ object SparkEntry {
     "q103_triangles" -> GraphOps.triangleCountOracle,
 
     "q104_bm25" -> TextOps.bm25RetrievalOracle(Seq("spark", "merge")),
+
+    "q105_interval_join" -> EventOps.spikeNeighborhoodOracle(),
   )
 }

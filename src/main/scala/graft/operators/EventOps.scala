@@ -471,4 +471,69 @@ object EventOps {
        |  CAST(n_boundaries AS BIGINT) AS n_boundaries
        |FROM (SELECT * FROM bh UNION ALL SELECT * FROM gh) u
        |ORDER BY hr_ms""".stripMargin
+
+  /** Spike windows: for each event_type, the top-k events by value
+    * (ties by event_id) each open an incident interval
+    * `[ms − halfMs, ms + halfMs + 1)` — half-open so it plugs straight
+    * into [[TemporalOps.rangeJoin]]'s `start ≤ pt < end` convention
+    * while still covering `ms + halfMs` inclusively. Ordering is a
+    * comparison on the stored doubles (no float arithmetic), so it is
+    * engine-stable.
+    */
+  def spikeWindows(events: DataFrame, k: Int = 3,
+                   halfMs: Long = 1800000L): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    events
+      .withColumn("rn", row_number().over(byType))
+      .where(col("rn") <= k)
+      .select(col("event_type").as("ikey"),
+        col("event_id").as("interval_id"),
+        (unix_millis(col("ts")) - halfMs).as("start_ms"),
+        (unix_millis(col("ts")) + halfMs + 1L).as("end_ms"))
+  }
+
+  /** q105: events around the per-type value spikes — the KEYED
+    * interval join: [[spikeWindows]] probed with the full event stream
+    * through [[TemporalOps.rangeJoin]] (equi-keys on event_type
+    * alongside the time bucket, so candidate pruning is
+    * (key, bucket)-selective, never a per-key cross product), rolled
+    * up per incident window.
+    */
+  def spikeNeighborhood(events: DataFrame, k: Int = 3,
+                        halfMs: Long = 1800000L): DataFrame = {
+    val probe = events.select(col("event_type").as("key"),
+      unix_millis(col("ts")).as("ms"), col("value"))
+    TemporalOps.rangeJoin(probe, "ms", spikeWindows(events, k, halfMs),
+        "start_ms", "end_ms", bucketMs = 3600000L,
+        keys = Seq("key" -> "ikey"))
+      .groupBy(col("key").as("event_type"), col("interval_id"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type", "interval_id")
+  }
+
+  /** Oracle SQL twin of [[spikeNeighborhood]] — the PLAIN inequality
+    * join DuckDB can afford at oracle scale (its IEJoin does the
+    * pruning the bucketized plan does by hand); the chunk
+    * decomposition must not change a single match.
+    */
+  def spikeNeighborhoodOracle(k: Int = 3, halfMs: Long = 1800000L): String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, epoch_ms(ts) AS ms, value FROM events
+       |), t AS (
+       |  SELECT event_type, event_id, ms,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value DESC, event_id) AS rn
+       |  FROM e
+       |), iv AS (
+       |  SELECT event_type, event_id AS interval_id,
+       |    ms - $halfMs AS s, ms + $halfMs + 1 AS en
+       |  FROM t WHERE rn <= $k
+       |)
+       |SELECT iv.event_type, iv.interval_id, count(*) AS n_events,
+       |  round(sum(e.value), 4) AS sum_value
+       |FROM iv JOIN e ON e.event_type = iv.event_type
+       |  AND e.ms >= iv.s AND e.ms < iv.en
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

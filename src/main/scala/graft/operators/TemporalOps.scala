@@ -80,19 +80,35 @@ object TemporalOps {
     * hot bucket (many concurrent intervals) is ordinary join skew —
     * [[ScaleOps.saltedJoin]] composes on top of the bucket key.
     * Empty/negative intervals are dropped (sequence() would run
-    * BACKWARDS for end < start, fabricating buckets).
+    * BACKWARDS for end < start, fabricating buckets). Optional `keys`
+    * (probe-col → interval-col pairs) join equi-keys alongside the
+    * bucket — the keyed (per-stream) interval join, where pruning is
+    * (key, bucket)-selective. A loud `maxBuckets` guard rejects
+    * intervals that would fan out absurdly instead of silently
+    * exploding them.
     */
   def rangeJoin(points: DataFrame, ptCol: String,
                 intervals: DataFrame, startCol: String, endCol: String,
-                bucketMs: Long): DataFrame = {
+                bucketMs: Long, keys: Seq[(String, String)] = Nil,
+                maxBuckets: Long = 1000L): DataFrame = {
     require(bucketMs >= 1L, s"bucketMs must be >= 1, got $bucketMs")
+    val b0 = expr(s"$startCol DIV $bucketMs")
+    val b1 = expr(s"($endCol - 1) DIV $bucketMs")
+    // LOUD width guard (same stance as locfResample's span guard): an
+    // interval fanning out past maxBuckets means corrupt bounds or a
+    // mis-sized bucket, not a bigger explode.
+    val b1Checked = when(b1 - b0 >= maxBuckets,
+      raise_error(format_string(
+        s"rangeJoin: interval [%s, %s) spans %s buckets (limit $maxBuckets)",
+        col(startCol), col(endCol), b1 - b0 + 1)).cast("long"))
+      .otherwise(b1)
     val ivals = intervals
       .where(col(endCol) > col(startCol))
-      .withColumn("__b", explode(sequence(
-        expr(s"$startCol DIV $bucketMs"),
-        expr(s"($endCol - 1) DIV $bucketMs"))))
+      .withColumn("__b", explode(sequence(b0, b1Checked)))
     val pts = points.withColumn("__b", expr(s"$ptCol DIV $bucketMs"))
-    pts.join(ivals, Seq("__b"))
+    pts.join(ivals, pts("__b") === ivals("__b") &&
+        keys.map { case (pk, ik) => pts(pk) === ivals(ik) }
+          .foldLeft(lit(true))(_ && _))
       .where(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__b")
   }

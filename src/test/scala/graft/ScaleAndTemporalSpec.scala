@@ -113,6 +113,38 @@ class ScaleAndTemporalSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("rangeJoin keyed: matches only same-key intervals, bucket pruning intact") {
+    val pts = Seq(("a", 10L), ("a", 25L), ("b", 10L), ("b", 50L))
+      .toDF("key", "p")
+    val ivals = Seq(
+      (1L, "a", 5L, 30L),   // catches a@10, a@25 — NOT b@10
+      (2L, "b", 40L, 60L))  // catches b@50
+      .toDF("iid", "ikey", "s", "e")
+    val out = TemporalOps.rangeJoin(pts, "p", ivals, "s", "e", 10L,
+        keys = Seq("key" -> "ikey"))
+      .select("iid", "key", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set((1L, "a", 10L), (1L, "a", 25L), (2L, "b", 50L)))
+  }
+
+  test("rangeJoin fails loudly on an interval wider than maxBuckets") {
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val pts = Seq(5L).toDF("p")
+    val ivals = Seq((1L, 0L, 1000000L)).toDF("iid", "s", "e")
+    val ex = intercept[Throwable] {
+      TemporalOps.rangeJoin(pts, "p", ivals, "s", "e", 10L, maxBuckets = 100L)
+        .collect()
+    }
+    assert(messages(ex).exists(_.contains("rangeJoin: interval")),
+      s"expected the width-guard error, got: ${messages(ex).mkString(" | ")}")
+    // the same call succeeds with an adequate bucket width
+    val ok = TemporalOps.rangeJoin(pts, "p", ivals, "s", "e", 100000L)
+      .select("iid").collect()
+    assert(ok.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     val rng = new scala.util.Random(7)
     val li = (1 to 5000).map { _ =>
