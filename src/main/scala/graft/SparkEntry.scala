@@ -562,6 +562,11 @@ object SparkEntry {
     // per-key cross product): events around each type's value spikes.
     "q105_interval_join" -> ((s, d) =>
       EventOps.spikeNeighborhood(Tables.events(s, d))),
+
+    // SCD2 dimension build: per-user props.k change history with
+    // [valid_from, valid_to) tiling and is_current flags.
+    "q106_scd2" -> ((s, d) =>
+      TemporalOps.userAttrScd2(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1062,5 +1067,7 @@ object SparkEntry {
     "q104_bm25" -> TextOps.bm25RetrievalOracle(Seq("spark", "merge")),
 
     "q105_interval_join" -> EventOps.spikeNeighborhoodOracle(),
+
+    "q106_scd2" -> TemporalOps.userAttrScd2Oracle,
   )
 }

@@ -168,4 +168,78 @@ object TemporalOps {
         col("n_events"), col("sum_value"))
     if (sorted) agg.orderBy("user_id", "start_ms") else agg
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) build — turn an
+    * observation stream `(key, attr, ms, tie)` into the versioned
+    * dimension every warehouse keeps: one row per VALUE CHANGE with
+    * `[valid_from_ms, valid_to_ms)` validity and an `is_current` flag
+    * (open version ⇒ `valid_to_ms` NULL). Consecutive observations of
+    * the SAME value collapse into one version (lag-compare per key);
+    * `valid_to` is the NEXT version's `valid_from` (lead), so validity
+    * intervals tile each key's timeline with no gaps or overlaps —
+    * which is exactly the invariant [[asOfJoin]] against the dimension
+    * relies on. Tie discipline: both windows order by full-precision
+    * `(ms, tie)`, the sessionize rule, so same-ms observations version
+    * deterministically.
+    *
+    * Scale shape: two window passes over the SAME (key)-partitioned
+    * sort — Catalyst plans one Exchange+Sort and reuses it; nothing is
+    * global, state per key is one row of lookback. (The streaming form
+    * is [[graft.streaming.StreamOps]]' keyed-state pattern: keep the
+    * last attr per key, emit a closed version on change.)
+    */
+  def scd2(obs: DataFrame, keyCol: String, attrCol: String,
+           msCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(msCol), col(tieCol))
+    val versions = obs
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .where(col("__prev").isNull || col(attrCol) =!= col("__prev"))
+    versions
+      .select(col(keyCol), col(attrCol),
+        col(msCol).as("valid_from_ms"),
+        lead(col(msCol), 1).over(w).as("valid_to_ms"))
+      .withColumn("is_current",
+        when(col("valid_to_ms").isNull, 1L).otherwise(0L))
+      .orderBy(keyCol, "valid_from_ms", attrCol)
+  }
+
+  /** q106: SCD2 over the per-user `props.k` attribute stream (invalid/
+    * missing JSON observations drop, the q13 semantics).
+    */
+  def userAttrScd2(events: DataFrame): DataFrame = {
+    val obs = events.select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      .where(col("k").isNotNull)
+    scd2(obs, "user_id", "k", "ms", "event_id")
+  }
+
+  /** Oracle SQL twin of [[userAttrScd2]] — same lag/lead construction;
+    * JSON extraction via regexp (the q13 idiom — DuckDB 1.0's json
+    * extension is not assumed).
+    */
+  def userAttrScd2Oracle: String =
+    s"""WITH o AS (
+       |  SELECT user_id,
+       |    CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k,
+       |    epoch_ms(ts) AS ms, event_id
+       |  FROM events
+       |), f AS (SELECT * FROM o WHERE k IS NOT NULL),
+       |c AS (
+       |  SELECT user_id, k, ms, event_id,
+       |    lag(k) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS pk
+       |  FROM f
+       |), v AS (
+       |  SELECT user_id, k, ms, event_id FROM c
+       |  WHERE pk IS NULL OR k <> pk
+       |), z AS (
+       |  SELECT user_id, k, ms AS valid_from_ms,
+       |    lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+       |      AS valid_to_ms
+       |  FROM v
+       |)
+       |SELECT user_id, k, valid_from_ms, valid_to_ms,
+       |  CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_current
+       |FROM z ORDER BY user_id, valid_from_ms, k""".stripMargin
 }

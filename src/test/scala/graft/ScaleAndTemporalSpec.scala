@@ -145,6 +145,37 @@ class ScaleAndTemporalSpec extends SparkSuite {
     assert(ok.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("scd2: collapses repeats, versions tile the timeline, same-ms ties by tie col") {
+    // key 1: 5→5 (collapse) →7 →7 (collapse) →5 : three versions
+    // key 2: two DIFFERENT values at the same ms — tie col orders them
+    val obs = Seq(
+      (1L, 5L, 100L, 1L), (1L, 5L, 200L, 2L), (1L, 7L, 300L, 3L),
+      (1L, 7L, 400L, 4L), (1L, 5L, 500L, 5L),
+      (2L, 9L, 100L, 6L), (2L, 8L, 100L, 7L)
+    ).toDF("k", "a", "ms", "tie")
+    val out = TemporalOps.scd2(obs, "k", "a", "ms", "tie").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    // presentation order is (key, valid_from, attr): key 2's same-ms
+    // versions list attr-ascending even though 9 versioned before 8
+    assert(out.toSeq === Seq(
+      (1L, 5L, 100L, 300L, 0L),
+      (1L, 7L, 300L, 500L, 0L),
+      (1L, 5L, 500L, -1L, 1L),
+      (2L, 8L, 100L, -1L, 1L),
+      (2L, 9L, 100L, 100L, 0L))) // zero-length version, closed at same ms
+    // validity tiles per key in CHRONOLOGICAL order (open version last):
+    // each valid_to equals the next valid_from
+    out.groupBy(_._1).foreach { case (_, vs) =>
+      val chrono = vs.sortBy(v =>
+        (v._3, if (v._4 == -1L) Long.MaxValue else v._4))
+      chrono.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 === b._3)
+        case _ =>
+      }
+    }
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     val rng = new scala.util.Random(7)
     val li = (1 to 5000).map { _ =>
