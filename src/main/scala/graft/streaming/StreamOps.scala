@@ -417,6 +417,72 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  case class Scd2Row(userId: Long, k: Long, validFromMs: Long,
+                     validToMs: Long)
+
+  case class Scd2Obs(userId: Long, k: Long, ts: java.sql.Timestamp,
+                     eventId: Long) {
+    def tsMs: Long = ts.getTime
+  }
+
+  /** Per-key SCD2 state: observations the watermark has not yet
+    * finalized (bounded by rate × lateness horizon, never history) plus
+    * the open version's (attr, valid_from). */
+  case class Scd2State(pending: Seq[(Long, Long, Long)],
+                       openAttr: Long, openFromMs: Long, hasOpen: Boolean)
+
+  /** Streaming SCD2 build — the streaming form of
+    * [[graft.operators.TemporalOps.scd2]] (q106): per key, emit a
+    * CLOSED dimension version `[valid_from, valid_to)` the moment the
+    * observation that closes it is finalized by the watermark.
+    * Observations buffer in state until the watermark passes them (so
+    * out-of-order arrivals inside the lateness horizon sort into the
+    * batch operator's (ms, tie) order), then fold through the same
+    * collapse-repeats rule. The OPEN version per key lives in state,
+    * not in the output — append mode cannot retract, and the batch
+    * row it corresponds to (valid_to NULL, is_current 1) is exactly
+    * the one a later change would have to rewrite. Equality with the
+    * batch operator is therefore on CLOSED versions (StreamingSpec).
+    *
+    * Tie resolution is (tsMs, eventId) at millisecond resolution —
+    * the [[streamingLocfResample]] caveat applies verbatim.
+    */
+  def streamingScd2(events: DataFrame,
+                    watermark: String = "10 minutes"): Dataset[Scd2Row] = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("userId"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("ts"), col("event_id").as("eventId"))
+      .where(col("k").isNotNull)
+      .as[Scd2Obs]
+    val fn = (userId: Long, arrivals: Iterator[Scd2Obs],
+              state: GroupState[Scd2State]) => {
+      var st = state.getOption.getOrElse(Scd2State(Nil, 0L, 0L, false))
+      val newPending = st.pending ++ arrivals.map(o => (o.tsMs, o.eventId, o.k))
+      val wm = state.getCurrentWatermarkMs()
+      val (fin, rest) = newPending.partition(_._1 < wm)
+      val out = Seq.newBuilder[Scd2Row]
+      var (oa, of, open) = (st.openAttr, st.openFromMs, st.hasOpen)
+      fin.sorted.foreach { case (ms, _, attr) =>
+        if (!open) { oa = attr; of = ms; open = true }
+        else if (attr != oa) {
+          out += Scd2Row(userId, oa, of, ms)
+          oa = attr; of = ms
+        }
+      }
+      state.update(Scd2State(rest, oa, of, open))
+      state.setTimeoutTimestamp(wm + 1L)
+      out.result().iterator
+    }
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   def streamingCleanDocs(docs: DataFrame, minTokens: Int = 30,
                          tsCol: String = "ts",
                          watermark: String = "10 minutes"): DataFrame = {

@@ -496,6 +496,87 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingScd2 equals batch scd2 on closed versions over a replay") {
+    import graft.operators.TemporalOps
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = TemporalOps.userAttrScd2(ev)
+      .where($"valid_to_ms".isNotNull)
+      .select($"user_id", $"k", $"valid_from_ms", $"valid_to_ms")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // replay in event-time order split at the time midpoint, so each
+    // micro-batch only carries events at or above the prior watermark
+    val rows = ev
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id", $"props")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._2, t._3))
+    val tSplit = rows(rows.length / 2)._2
+    val (b1, b2) = rows.partition(_._2 < tSplit)
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val stream = mem.toDF().toDF("user_id", "ms", "event_id", "props")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.streamingScd2(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // sentinel advances the watermark past every observation; each
+      // user's open version stays in state, never emitted (batch's
+      // is_current rows are exactly the ones append mode cannot close)
+      mem.addData((999999L, rows.last._2 + 86400000L, 999999L, "{\"k\": 1}"))
+      q.processAllAvailable()
+      val got = spark.table("scd2_out")
+        .where($"userId" =!= 999999L)
+        .select($"userId", $"k", $"validFromMs", $"validToMs")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("rangeJoin matches a streaming probe against static intervals (stream-static)") {
+    import graft.operators.{EventOps, TemporalOps}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val spikes = EventOps.spikeWindows(ev) // static interval side
+    def probeOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_type".as("key"), unix_millis($"ts").as("ms"),
+        $"event_id")
+    val expected = TemporalOps.rangeJoin(probeOf(ev), "ms", spikes,
+        "start_ms", "end_ms", 3600000L, keys = Seq("key" -> "ikey"))
+      .select($"interval_id", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val rows = ev.select($"event_id", $"user_id", $"ts", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    // the join is row-local per probe row (bucket computed in-row,
+    // interval side static) — append mode, no state, no watermark
+    val q = TemporalOps.rangeJoin(probeOf(stream), "ms", spikes,
+        "start_ms", "end_ms", 3600000L, keys = Seq("key" -> "ikey"))
+      .select($"interval_id", $"event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rj_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("rj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("annCandidates per micro-batch reproduces batch annTopK on a replay") {
     import graft.operators.SimilarityOp
     implicit val sqlCtx = spark.sqlContext
