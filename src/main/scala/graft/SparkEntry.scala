@@ -567,6 +567,16 @@ object SparkEntry {
     // [valid_from, valid_to) tiling and is_current flags.
     "q106_scd2" -> ((s, d) =>
       TemporalOps.userAttrScd2(Tables.events(s, d))),
+
+    // Hard-negative mining for contrastive training: per sampled
+    // query, top-3 nearest vectors of a DIFFERENT label.
+    "q107_hard_negatives" -> ((s, d) =>
+      SimilarityOp.hardNegatives(Tables.embeddings(s, d))),
+
+    // Product-quantization codebook audit: per (subspace, code)
+    // assignment counts and total distortion.
+    "q108_pq_stats" -> ((s, d) =>
+      SimilarityOp.pqStats(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1069,5 +1079,9 @@ object SparkEntry {
     "q105_interval_join" -> EventOps.spikeNeighborhoodOracle(),
 
     "q106_scd2" -> TemporalOps.userAttrScd2Oracle,
+
+    "q107_hard_negatives" -> SimilarityOp.hardNegativesOracle(),
+
+    "q108_pq_stats" -> SimilarityOp.pqStatsOracle(),
   )
 }

@@ -329,6 +329,145 @@ object SimilarityOp {
        |  max(abs(v - qv*scale)) AS max_abs_err
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Hard-negative mining — the contrastive-training data step: for
+    * each query in the deterministic audit sample (`vec_id % qmod`),
+    * the top-k most similar vectors with a DIFFERENT label. "Very
+    * close in embedding space, different class" is exactly the
+    * training signal a contrastive/rerank model needs; random
+    * negatives are trivially easy and teach nothing.
+    *
+    * Scale shape: same as the exact recall arm (q84) — the query
+    * sample is broadcast against one corpus scan, scored by the
+    * codegen'd cosine kernel, ranked per query (one shuffle keyed by
+    * qid). Exactness over the full corpus is affordable BECAUSE Q is a
+    * sample; the production path swaps the scan for [[ivfCandidates]]
+    * per query and keeps everything downstream unchanged.
+    */
+  def hardNegatives(embeddings: DataFrame, qmod: Int = 97,
+                    k: Int = 3): DataFrame = {
+    val queries = embeddings.where(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        toDoubleArray(col("embedding")).as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    embeddings
+      .select(col("vec_id"), col("label"),
+        toDoubleArray(col("embedding")).as("v"))
+      .join(broadcast(queries),
+        col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
+          .as("sim"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("neg_id"),
+        col("label").cast("long").as("neg_label"), col("sim"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Oracle SQL twin of [[hardNegatives]]. */
+  def hardNegativesOracle(qmod: Int = 97, k: Int = 3,
+                          dims: Int = 64): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+       |  FROM embeddings WHERE vec_id % $qmod = 0
+       |), d AS (
+       |  SELECT q.qid, e.vec_id, e.label,
+       |    sum(e.embedding[i.i+1]::DOUBLE * q.qv[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(q.qv[i.i+1]::DOUBLE * q.qv[i.i+1]::DOUBLE) AS nb
+       |  FROM embeddings e, q, range($dims) i(i)
+       |  WHERE e.vec_id <> q.qid AND e.label <> q.qlabel
+       |  GROUP BY 1, 2, 3
+       |), s AS (
+       |  SELECT qid, vec_id, label,
+       |    round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |  FROM d
+       |), r AS (
+       |  SELECT qid, vec_id, label, sim,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT qid, vec_id AS neg_id, CAST(label AS BIGINT) AS neg_label,
+       |  sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
+  /** Product-quantization codebook audit — PQ is how a serving-scale
+    * ANN index compresses vectors (each subspace of the embedding maps
+    * to its nearest sub-centroid; a 64-d float vector becomes `nSub`
+    * one-byte codes): per (subspace, code), the assignment count and
+    * total quantization distortion. Codebooks here are the established
+    * literal-center convention (sub-slices of `centerIds`' vectors —
+    * the q16/q50 stance: training is [[graft.streaming.IncrementalKMeans]]'s
+    * job; assignment and audit are the query-side operators). Balanced
+    * counts and per-subspace distortion are the two health metrics a
+    * PQ deployment watches.
+    *
+    * Scale shape: entirely row-local until one |nSub·codebook|-group
+    * aggregate — the codebook is a literal, assignment is a codegen'd
+    * expression chain, and the explode emits `nSub` rows per vector
+    * (bounded fan-out). Tie-break: min distance rounded to 6, then
+    * lowest code id — the [[ivfTopK]] discipline.
+    */
+  def pqStats(embeddings: DataFrame,
+              centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+              nSub: Int = 4, dims: Int = 64): DataFrame = {
+    require(dims % nSub == 0, s"dims=$dims not divisible by nSub=$nSub")
+    val sub = dims / nSub
+    val centers = centerVecs(embeddings, centerIds)
+    val v = toDoubleArray(col("embedding"))
+    val parts = (0 until nSub).map { s =>
+      val vs = slice(v, s * sub + 1, sub)
+      val dists = centers.map { case (cid, cv) =>
+        cid -> round(l2(vs,
+          array(cv.slice(s * sub, (s + 1) * sub).map(lit): _*)), 6)
+      }
+      val minD = least(dists.map(_._2): _*)
+      val code = dists.foldRight(lit(centers.last._1): Column) {
+        case ((cid, d), elseCol) =>
+          when(d === minD, lit(cid)).otherwise(elseCol)
+      }
+      struct(lit(s.toLong).as("subspace"), code.as("code"), minD.as("dd"))
+    }
+    embeddings
+      .select(col("vec_id"), explode(array(parts: _*)).as("a"))
+      .select(col("a.subspace").as("subspace"), col("a.code").as("code"),
+        col("a.dd").as("dd"))
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n_vecs"), round(sum(col("dd")), 4).as("distortion"))
+      .orderBy("subspace", "code")
+  }
+
+  /** Oracle SQL twin of [[pqStats]] — per-element subspace distances
+    * via the range() explode, same rounded-distance argmin.
+    */
+  def pqStatsOracle(centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                    nSub: Int = 4, dims: Int = 64): String = {
+    val sub = dims / nSub
+    val inList = centerIds.mkString("(", ", ", ")")
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id IN $inList
+       |), d AS (
+       |  SELECT e.vec_id, s.s AS subspace, c.cid,
+       |    round(sqrt(sum(
+       |      (e.embedding[s.s*$sub + i.i + 1]::DOUBLE - c.cv[s.s*$sub + i.i + 1]::DOUBLE)
+       |      * (e.embedding[s.s*$sub + i.i + 1]::DOUBLE - c.cv[s.s*$sub + i.i + 1]::DOUBLE)
+       |    )), 6) AS dd
+       |  FROM embeddings e, c, range($nSub) s(s), range($sub) i(i)
+       |  GROUP BY 1, 2, 3
+       |), a AS (
+       |  SELECT vec_id, subspace, cid, dd,
+       |    row_number() OVER (PARTITION BY vec_id, subspace
+       |      ORDER BY dd, cid) AS rn
+       |  FROM d
+       |)
+       |SELECT CAST(subspace AS BIGINT) AS subspace, cid AS code,
+       |  count(*) AS n_vecs, round(sum(dd), 4) AS distortion
+       |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ---- DuckDB oracle generators (same constants, same arithmetic) ----
 
   /** CTE computing (vec_id, label, band, bval) — mirror of
