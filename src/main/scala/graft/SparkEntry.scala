@@ -577,6 +577,21 @@ object SparkEntry {
     // assignment counts and total distortion.
     "q108_pq_stats" -> ((s, d) =>
       SimilarityOp.pqStats(Tables.embeddings(s, d))),
+
+    // Time-weighted average value per user (each observation holds
+    // until the next; duration-weighted, not count-weighted).
+    "q109_time_weighted" -> ((s, d) =>
+      EventOps.timeWeightedValue(Tables.events(s, d))),
+
+    // k-core peeling over the repeat-co-purchase graph: surviving
+    // (nodes, edges) per superstep.
+    "q110_kcore" -> ((s, d) =>
+      GraphOps.kCore(GraphOps.repeatCopurchaseEdges(Tables.lineitem(s, d)))),
+
+    // Z-order vs linear clustering audit: per-dimension total probe
+    // cost of value-range files under each layout, integer-exact.
+    "q111_zorder_audit" -> ((s, d) =>
+      BucketedOps.zorderAudit(Tables.orders(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1083,5 +1098,11 @@ object SparkEntry {
     "q107_hard_negatives" -> SimilarityOp.hardNegativesOracle(),
 
     "q108_pq_stats" -> SimilarityOp.pqStatsOracle(),
+
+    "q109_time_weighted" -> EventOps.timeWeightedValueOracle,
+
+    "q110_kcore" -> GraphOps.kCoreOracle(),
+
+    "q111_zorder_audit" -> BucketedOps.zorderAuditOracle,
   )
 }

@@ -178,4 +178,80 @@ object BucketedOps {
        |FROM documents
        |WHERE source IN (${sources.map(s => s"'$s'").mkString(", ")})
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Morton (Z-order) bit-interleave of two 8-bit bucket values, as a
+    * pure-arithmetic formula both engines evaluate identically: bit i
+    * of x lands at position 2i+1, bit i of y at 2i. `div` is the
+    * integer-division spelling (`DIV` for Spark SQL, `//` for DuckDB).
+    */
+  private[graft] def mortonSql(x: String, y: String,
+                               div: String): String =
+    (0 until 8).map { i =>
+      s"(($x $div ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"(($y $div ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString("(", " + ", ")")
+
+  /** Z-order vs single-column clustering audit — the file-skipping
+    * question behind every multi-dimensional layout choice: chunk the
+    * table into value-range "files" under each layout and measure, per
+    * dimension, the TOTAL min/max span the files expose — exactly the
+    * expected number of files a point probe on that dimension must
+    * open (Σ_files (span+1) = Σ_probe-values files-hit, integer-exact,
+    * no sampling). Linear clustering answers its own dimension with
+    * span 1 per file and the other with the full range; Z-order pays
+    * √ on both — the reason Delta/Iceberg Z-ORDER exists. Layout
+    * assignment is `code DIV chunk` — value-range chunking, entirely
+    * row-local: no global sort or row_number rides the audit (a real
+    * ingest would `repartitionByRange(morton)` and write; the audit
+    * only needs each row's chunk id).
+    *
+    * Dims: customer bucket (o_custkey % 256) × epoch-day bucket
+    * (% 256) over orders. Output: one row per layout with file count
+    * and per-dimension total probe cost.
+    */
+  def zorderAudit(orders: DataFrame): DataFrame = {
+    val base = orders.select(
+      expr("pmod(o_custkey, 256)").cast("long").as("b1"),
+      expr("pmod(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01'), 256)")
+        .cast("long").as("b2"))
+      .withColumn("m", expr(mortonSql("b1", "b2", "DIV")).cast("long"))
+    def stats(fileCol: org.apache.spark.sql.Column, name: String) =
+      base.withColumn("f", fileCol)
+        .groupBy(col("f"))
+        .agg(min(col("b1")).as("lo1"), max(col("b1")).as("hi1"),
+             min(col("b2")).as("lo2"), max(col("b2")).as("hi2"))
+        .agg(count(lit(1)).as("n_files"),
+             sum(col("hi1") - col("lo1") + 1L).as("probe_cost_d1"),
+             sum(col("hi2") - col("lo2") + 1L).as("probe_cost_d2"))
+        .select(lit(name).as("layout"), col("n_files"),
+          col("probe_cost_d1"), col("probe_cost_d2"))
+    stats(expr("m DIV 256"), "zorder")
+      .unionByName(stats(expr("(b1 * 256 + b2) DIV 256"), "linear"))
+      .orderBy("layout")
+  }
+
+  /** Oracle SQL twin of [[zorderAudit]] — same morton formula with
+    * `//` division.
+    */
+  def zorderAuditOracle: String = {
+    val m = mortonSql("b1", "b2", "//")
+    def stats(fileE: String, name: String) =
+      s"""SELECT '$name' AS layout, count(*) AS n_files,
+         |  CAST(sum(hi1 - lo1 + 1) AS BIGINT) AS probe_cost_d1,
+         |  CAST(sum(hi2 - lo2 + 1) AS BIGINT) AS probe_cost_d2
+         |FROM (
+         |  SELECT $fileE AS f, min(b1) AS lo1, max(b1) AS hi1,
+         |    min(b2) AS lo2, max(b2) AS hi2
+         |  FROM base GROUP BY 1) g""".stripMargin
+    s"""WITH b0 AS (
+       |  SELECT o_custkey % 256 AS b1,
+       |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 256 AS b2
+       |  FROM orders
+       |), base AS (SELECT b1, b2, $m AS m FROM b0)
+       |SELECT * FROM (
+       |${stats("m // 256", "zorder")}
+       |UNION ALL
+       |${stats("(b1 * 256 + b2) // 256", "linear")}
+       |) r ORDER BY layout""".stripMargin
+  }
 }

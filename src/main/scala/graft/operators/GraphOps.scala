@@ -135,6 +135,94 @@ object GraphOps {
     nN.crossJoin(nE).crossJoin(nT)
   }
 
+  /** Repeat-co-purchase edges: part pairs bought together in at least
+    * `minW` distinct orders — the weight-thresholded [[copurchaseEdges]]
+    * (the raw basket graph is near-complete on popular parts; the
+    * repeat graph is where cohesion structure lives). Same per-order
+    * local pair generation, one extra count-filter aggregate.
+    */
+  def repeatCopurchaseEdges(lineitem: DataFrame, minW: Long = 2L): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    li.as("l").join(li.as("r"),
+        col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+      .groupBy(col("l.pk").as("a"), col("r.pk").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= minW)
+      .select(col("a"), col("b"))
+  }
+
+  /** k-core decomposition by iterative peeling, `iters` fixed
+    * supersteps: each round drops every node of degree < k (and its
+    * edges), reporting the surviving (nodes, edges) per round — the
+    * standard cohesion screen (a node in the 3-core has ≥3 neighbors
+    * that THEMSELVES survive the same criterion; degree alone
+    * overcounts). Fixed iteration count keeps the result deterministic
+    * and the oracle unrollable — the [[pageRank]] stance; true cores
+    * iterate to fixpoint, and each extra superstep is the same plan
+    * fragment.
+    *
+    * Scale shape per superstep: one map-side-combined degree count and
+    * two LEFT SEMI joins keyed by node id — no edge payload rides any
+    * shuffle twice, nothing collects. T supersteps = T such plans
+    * chained; the (1-row) per-round counts union at the end.
+    */
+  def kCore(edges: DataFrame, k: Long = 3L, iters: Int = 3): DataFrame = {
+    var e = edges
+    val rounds = (1 to iters).map { i =>
+      val und = e.select(col("a").as("u"))
+        .unionByName(e.select(col("b").as("u")))
+      val keep = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= k).select(col("u"))
+      e = e
+        .join(keep.select(col("u").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("u").as("b")), Seq("b"), "left_semi")
+      val nE = e.agg(count(lit(1)).as("n_edges"))
+      val nN = e.select(col("a").as("u"))
+        .unionByName(e.select(col("b").as("u")))
+        .distinct().agg(count(lit(1)).as("n_nodes"))
+      nN.crossJoin(nE)
+        .select(lit(i.toLong).as("iter"), col("n_nodes"), col("n_edges"))
+    }
+    rounds.reduce(_ unionByName _).orderBy("iter")
+  }
+
+  /** Oracle SQL twin of [[kCore]] over [[repeatCopurchaseEdges]] — the
+    * peels unrolled as chained CTEs.
+    */
+  def kCoreOracle(k: Long = 3L, iters: Int = 3, minW: Long = 2L): String = {
+    val peels = (1 to iters).map { i =>
+      s"""d$i AS (
+         |  SELECT u, count(*) AS c FROM (
+         |    SELECT x AS u FROM e${i - 1} UNION ALL SELECT y FROM e${i - 1}) t
+         |  GROUP BY 1
+         |), k$i AS (SELECT u FROM d$i WHERE c >= $k),
+         |e$i AS (
+         |  SELECT p.x, p.y FROM e${i - 1} p
+         |  JOIN k$i ka ON p.x = ka.u JOIN k$i kb ON p.y = kb.u
+         |)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to iters).map { i =>
+      s"""SELECT $i AS iter,
+         |  (SELECT count(*) FROM (SELECT DISTINCT u FROM
+         |    (SELECT x AS u FROM e$i UNION ALL SELECT y FROM e$i) q) z)
+         |    AS n_nodes,
+         |  (SELECT count(*) FROM e$i) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |w AS (
+       |  SELECT a.pk AS x, b.pk AS y, count(*) AS wc
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2
+       |),
+       |e0 AS (SELECT x, y FROM w WHERE wc >= $minW),
+       |$peels
+       |SELECT * FROM (
+       |$rows
+       |) r ORDER BY iter""".stripMargin
+  }
+
   /** Oracle SQL twin of [[triangleCount]] over [[copurchaseEdges]] —
     * the id-ordered textbook three-way self-join; the count equals the
     * degree-ordered plan's by orientation invariance.

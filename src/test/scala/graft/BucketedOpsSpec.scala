@@ -94,4 +94,23 @@ class BucketedOpsSpec extends SparkSuite {
       .collect().toSeq
     assert(out === direct)
   }
+
+  test("morton interleave matches a bit-twiddled Scala reference") {
+    import graft.operators.BucketedOps
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map { i =>
+        (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))
+      }.sum
+    val pairs = Seq((0L, 0L), (255L, 255L), (1L, 0L), (0L, 1L),
+      (170L, 85L), (85L, 170L), (200L, 13L))
+    val df = pairs.toDF("b1", "b2")
+      .selectExpr("b1", "b2",
+        BucketedOps.mortonSql("b1", "b2", "DIV") + " AS m")
+    df.collect().foreach { r =>
+      assert(r.getLong(2) === ref(r.getLong(0), r.getLong(1)),
+        s"morton(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // z-curve locality sanity: interleave of (255,255) is the max code
+    assert(ref(255L, 255L) === 65535L)
+  }
 }

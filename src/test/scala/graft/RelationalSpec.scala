@@ -82,6 +82,18 @@ class RelationalSpec extends SparkSuite {
     assert((out.getLong(0), out.getLong(1), out.getLong(2)) === (5L, 7L, 4L))
   }
 
+  test("kCore: pendant chain peels away round by round, core is stable") {
+    import graft.operators.GraphOps
+    // K4 on {1,2,3,4} (a true 3-core) with a pendant chain 4-5-6:
+    // peel 1 drops 6 (deg 1) and 5 keeps deg... 5 has deg 2 < 3 -> both
+    // 5 and 6 drop in round 1; the K4 survives every round.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val out = GraphOps.kCore(edges, k = 3L, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 4L, 6L), (2L, 4L, 6L), (3L, 4L, 6L)))
+  }
+
   test("triangleCount: hub star has zero triangles, no wedge blowup") {
     import graft.operators.GraphOps
     // star centered on 0: naive id-ordered wedging at the hub would

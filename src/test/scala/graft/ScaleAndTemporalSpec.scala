@@ -176,6 +176,26 @@ class ScaleAndTemporalSpec extends SparkSuite {
     }
   }
 
+  test("timeWeightedValue: duration weighting, last obs dropped, zero-dur zero weight") {
+    import graft.operators.EventOps
+    // user 1: v=2.0 holds 10s, v=4.0 holds 30s, last obs (v=99) drops
+    //   twav = (2*10000 + 4*30000)/40000 = 3.5
+    // user 2: two same-ms obs (zero duration) then 1s: only the
+    //   surviving segments weigh in
+    val df = Seq(
+      (1L, 1L, 1000L, 2.0), (2L, 1L, 11000L, 4.0), (3L, 1L, 41000L, 99.0),
+      (4L, 2L, 5000L, 8.0), (5L, 2L, 5000L, 6.0), (6L, 2L, 6000L, 7.0)
+    ).toDF("event_id", "user_id", "ms", "value")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val out = EventOps.timeWeightedValue(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // user 2 segments: (8.0, dur 0) and (6.0, dur 1000): twav = 6.0
+    assert(out === Seq(
+      (1L, 2L, 40000L, 140000.0, 3.5),
+      (2L, 2L, 1000L, 6000.0, 6.0)))
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     val rng = new scala.util.Random(7)
     val li = (1 to 5000).map { _ =>
