@@ -128,6 +128,12 @@ object GraphOps {
     val cand = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.t").as("a"), col("e2.t").as("b"))
+    // close join left as a shuffle ON PURPOSE: broadcasting the edge
+    // set (1.2M rows at sf0.1) was A/B'd at RunOne x5 and measured
+    // SLOWER (~9 s vs ~6 s steady) — every task pays the 1.2M-entry
+    // hash build while the shuffled join hashes each partition once
+    // and the count is map-side-combined before the exchange either
+    // way; re-measure if the candidate/edge ratio changes materially
     val nT = cand.join(edges, Seq("a", "b"))
       .agg(count(lit(1)).as("n_triangles"))
     val nE = edges.agg(count(lit(1)).as("n_edges"))
@@ -168,7 +174,19 @@ object GraphOps {
     * chained; the (1-row) per-round counts union at the end.
     */
   def kCore(edges: DataFrame, k: Long = 3L, iters: Int = 3): DataFrame = {
-    var e = edges
+    // EAGER persist per level, the iterative-algorithm cache rule: each
+    // peel references its predecessor THREE times (degree count + two
+    // semi joins) and the per-round counts reference it twice more, so
+    // an unpersisted chain re-evaluates a 3^i-copy lineage tree —
+    // measured at sf0.1: 18 s unpersisted, 60+ s with only the INPUT
+    // cached (the un-collapsed tree still blows up), 2-3 s caching
+    // every level. Each `count()` materializes one level before the
+    // next is built (a LAZY persist thrashes: concurrent branch stages
+    // race to fill the same cache). Peeled levels only shrink, so the
+    // total cache is ≤ iters × |edges| — and the input graph is small
+    // by construction (repeat pairs).
+    var e = edges.persist()
+    e.count()
     val rounds = (1 to iters).map { i =>
       val und = e.select(col("a").as("u"))
         .unionByName(e.select(col("b").as("u")))
@@ -177,6 +195,8 @@ object GraphOps {
       e = e
         .join(keep.select(col("u").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("u").as("b")), Seq("b"), "left_semi")
+        .persist()
+      e.count()
       val nE = e.agg(count(lit(1)).as("n_edges"))
       val nN = e.select(col("a").as("u"))
         .unionByName(e.select(col("b").as("u")))
