@@ -592,6 +592,17 @@ object SparkEntry {
     // cost of value-range files under each layout, integer-exact.
     "q111_zorder_audit" -> ((s, d) =>
       BucketedOps.zorderAudit(Tables.orders(s, d))),
+
+    // Per-source Gini of document token counts (corpus skew audit),
+    // exact integer rank formulation.
+    "q112_source_gini" -> ((s, d) =>
+      TextOps.sourceGini(Tables.documents(s, d))),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the q98 lexical
+    // ranking with the q18 dense cosine ranking, integer RRF terms.
+    "q113_rrf_fusion" -> ((s, d) =>
+      SimilarityOp.rrfFusion(Tables.documents(s, d),
+        Tables.embeddings(s, d), Seq("spark", "merge"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1104,5 +1115,9 @@ object SparkEntry {
     "q110_kcore" -> GraphOps.kCoreOracle(),
 
     "q111_zorder_audit" -> BucketedOps.zorderAuditOracle,
+
+    "q112_source_gini" -> TextOps.sourceGiniOracle,
+
+    "q113_rrf_fusion" -> SimilarityOp.rrfFusionOracle(Seq("spark", "merge")),
   )
 }

@@ -468,6 +468,95 @@ object SimilarityOp {
        |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion — the standard way to
+    * combine a lexical ranking (q98's tf-idf AND retrieval) with a
+    * dense ranking ([[topK]] cosine) without comparing their
+    * incommensurable scores: each arm contributes `S div (c + rank)`
+    * (RRF, c = 60), summed over the union of both top-`kEach` lists;
+    * documents absent from an arm contribute 0 from it. Scaled-integer
+    * floor terms make the fused score a pure BIGINT — fold-order-proof.
+    * Doc ids and vec ids share the corpus id space (TESTDATA).
+    *
+    * Scale shape: both arms are their already-scale-shaped operators;
+    * the fusion is a full-outer join of two k-row frames and the only
+    * global windows rank those k-row frames (the q80 bounded-frame
+    * rule). c=60 is the RRF constant from Cormack et al.'s original
+    * formulation.
+    */
+  def rrfFusion(docs: DataFrame, embeddings: DataFrame,
+                terms: Seq[String], queryId: Long = 0L,
+                kEach: Int = 50, k: Int = 10, c: Long = 60L): DataFrame = {
+    val scale = 1000000L
+    val wT = Window.orderBy(col("score").desc, col("doc_id"))
+    val t = TextOps.rankedRetrieval(docs, terms, kEach)
+      .withColumn("text_rank", row_number().over(wT).cast("long"))
+      .select(col("doc_id").as("id"), col("text_rank"))
+    val wV = Window.orderBy(col("sim").desc, col("vec_id"))
+    val v = topK(embeddings, queryId, kEach)
+      .withColumn("vec_rank", row_number().over(wV).cast("long"))
+      .select(col("vec_id").as("id"), col("vec_rank"))
+    t.join(v, Seq("id"), "full_outer")
+      .select(col("id"), col("text_rank"), col("vec_rank"),
+        (coalesce(expr(s"$scale DIV ($c + text_rank)"), lit(0L)) +
+         coalesce(expr(s"$scale DIV ($c + vec_rank)"), lit(0L))).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Oracle SQL twin of [[rrfFusion]] — re-derives both arms (the q98
+    * tf-idf CTEs and the q18 cosine scan) and fuses with the identical
+    * integer RRF terms.
+    */
+  def rrfFusionOracle(terms: Seq[String], queryId: Long = 0L,
+                      kEach: Int = 50, k: Int = 10, c: Long = 60L,
+                      dims: Int = 64): String = {
+    val qTerms = terms.distinct
+    val inList = qTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN $inList GROUP BY 1, 2
+       |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT doc_id, (tf * n_docs * 10000) // df AS sc
+       |  FROM tf JOIN dfreq USING (term), n
+       |), g AS (
+       |  SELECT doc_id, count(*) AS n_matched,
+       |    CAST(sum(sc) AS BIGINT) AS score
+       |  FROM sc GROUP BY 1
+       |), tr AS (
+       |  SELECT doc_id AS id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |      AS text_rank
+       |  FROM (SELECT doc_id, score FROM g
+       |        WHERE n_matched = ${qTerms.size}
+       |        ORDER BY score DESC, doc_id LIMIT $kEach) x
+       |), q AS (SELECT embedding AS qv FROM embeddings
+       |         WHERE vec_id = $queryId),
+       |dv AS (
+       |  SELECT e.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * q.qv[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(q.qv[i.i+1]::DOUBLE * q.qv[i.i+1]::DOUBLE) AS nb
+       |  FROM embeddings e, q, range($dims) i(i)
+       |  WHERE e.vec_id <> $queryId
+       |  GROUP BY 1
+       |), vr AS (
+       |  SELECT vec_id AS id,
+       |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
+       |      AS vec_rank
+       |  FROM (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |        FROM dv ORDER BY sim DESC, vec_id LIMIT $kEach) y
+       |)
+       |SELECT coalesce(tr.id, vr.id) AS id, text_rank, vec_rank,
+       |  coalesce(1000000 // ($c + text_rank), 0)
+       |    + coalesce(1000000 // ($c + vec_rank), 0) AS rrf
+       |FROM tr FULL OUTER JOIN vr ON tr.id = vr.id
+       |ORDER BY rrf DESC, id LIMIT $k""".stripMargin
+  }
+
   // ---- DuckDB oracle generators (same constants, same arithmetic) ----
 
   /** CTE computing (vec_id, label, band, bval) — mirror of

@@ -848,6 +848,66 @@ object TextOps {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Per-source Gini coefficient of document token counts — the
+    * corpus-skew audit ("is source X a few giant documents or many
+    * uniform ones?") that decides chunking and sampling policy. Uses
+    * the rank formulation G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+    * ascending (tokens, doc_id) ranks — every term an exact BIGINT, the
+    * final division one [[graft.functions.DetAgg]] half-up (6 dp), so
+    * the coefficient is engine-exact. Negative is impossible (rank
+    * form is ≥ 0 for non-negative x), so no sign-safety caveats.
+    *
+    * Scale shape: one per-source window for ranks, one per-source
+    * aggregate — no global ordering anywhere; a source's documents
+    * sort within its own partition (the q65 rank discipline).
+    */
+  def sourceGini(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetAgg
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           sum(col("i") * col("n_tokens")).as("ix"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        (DetAgg.halfUpDiv(
+          (lit(2L) * col("ix") - (col("n_docs") + 1L) * col("total_tokens"))
+            * 1000000L,
+          col("n_docs") * col("total_tokens"))
+          .cast("double") / 1000000.0).as("gini"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[sourceGini]]. */
+  def sourceGiniOracle: String = {
+    import graft.functions.DetAgg
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), r AS (
+       |  SELECT source, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY n_tokens, doc_id) AS BIGINT) AS i
+       |  FROM d
+       |), g AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(i * n_tokens) AS BIGINT) AS ix
+       |  FROM r GROUP BY 1
+       |)
+       |SELECT source, n_docs, total_tokens,
+       |  CAST(${DetAgg.halfUpDivSql(
+                  "(2 * ix - (n_docs + 1) * total_tokens) * 1000000",
+                  "n_docs * total_tokens")} AS DOUBLE) / 1000000.0 AS gini
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   /** Minimum vocabulary size for declared token-coverage thresholds —
     * the tokenizer-sizing question ("how many types cover 95 % of all
     * occurrences?") answered EXACTLY without ranking the vocabulary:

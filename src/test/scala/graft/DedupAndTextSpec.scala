@@ -529,6 +529,24 @@ class DedupAndTextSpec extends SparkSuite {
       ("y", "x", 1L, 1000000000000L / 6L)))
   }
 
+  test("sourceGini: uniform source scores 0, concentrated source matches hand calc") {
+    import graft.operators.TextOps
+    // source u: three equal docs -> G = 0
+    // source v: tokens (1, 1, 8): sorted ranks i=1,2,3
+    //   G = (2*(1*1+2*1+3*8) - 4*10) / (3*10) = (54-40)/30 = 0.466667
+    val docs = Seq(
+      (0L, "a a", "en", "u", 3L), (1L, "b b", "en", "u", 3L),
+      (2L, "c c", "en", "u", 3L),
+      (3L, "x", "en", "v", 1L), (4L, "y", "en", "v", 1L),
+      (5L, "z z z z z z z z", "en", "v", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.sourceGini(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("u", 3L, 6L, 0.0),
+      ("v", 3L, 10L, 0.466667)))
+  }
+
   test("bm25: matches an independent integer reference; shorter doc wins at equal tf") {
     import graft.operators.TextOps
     // doc 0 and doc 1 both contain "q" once; doc 0 is shorter, so BM25's

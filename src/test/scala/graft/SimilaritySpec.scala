@@ -308,6 +308,34 @@ class SimilaritySpec extends SparkSuite {
     assert(dropped.toSeq === Seq(best))
   }
 
+  test("rrfFusion: union of arms, absent arm contributes zero, integer RRF") {
+    import graft.operators.SimilarityOp
+    import graft.tables.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = SimilarityOp.rrfFusion(docs, emb, Seq("spark", "merge"),
+        kEach = 20, k = 40).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, tr, vr, rrf) =>
+      val expected = tr.map(r => 1000000L / (60L + r)).getOrElse(0L) +
+        vr.map(r => 1000000L / (60L + r)).getOrElse(0L)
+      assert(rrf === expected)
+      assert(tr.nonEmpty || vr.nonEmpty)
+    }
+    // both-arm docs outrank single-arm docs at comparable ranks
+    val fused = out.filter(o => o._2.nonEmpty && o._3.nonEmpty)
+    if (fused.nonEmpty) {
+      val bestSingle = out.filter(o => o._2.isEmpty || o._3.isEmpty)
+        .map(_._4).maxOption.getOrElse(0L)
+      assert(fused.map(_._4).max > bestSingle ||
+        fused.forall(f => f._2.get + f._3.get > 40))
+    }
+  }
+
   test("LSH near-dup pairs all satisfy the cosine threshold, symmetric blocking") {
     val pairs = SimilarityOp.nearDupLsh(Tables.embeddings(spark, sfDir), 0.2)
       .as[(Long, Long, Double)].collect()
