@@ -603,6 +603,21 @@ object SparkEntry {
     "q113_rrf_fusion" -> ((s, d) =>
       SimilarityOp.rrfFusion(Tables.documents(s, d),
         Tables.embeddings(s, d), Seq("spark", "merge"))),
+
+    // Last-touch attribution: purchases matched to the most recent
+    // click within 7 days (tolerance-bounded as-of join).
+    "q114_attribution" -> ((s, d) =>
+      TemporalOps.lastTouchAttribution(Tables.events(s, d))),
+
+    // Market-basket mining: frequent part triples, a-priori pruned;
+    // oracle counts directly (downward closure ⇒ same answer).
+    "q115_frequent_triples" -> ((s, d) =>
+      GraphOps.frequentTriples(Tables.lineitem(s, d))),
+
+    // SCD2 time travel: the q106 dimension as of 2024-01-16T00:00Z;
+    // oracle derives the same snapshot as latest-observation-at-T.
+    "q116_scd2_snapshot" -> ((s, d) =>
+      TemporalOps.userAttrSnapshot(Tables.events(s, d), 1705363200000L)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1119,5 +1134,11 @@ object SparkEntry {
     "q112_source_gini" -> TextOps.sourceGiniOracle,
 
     "q113_rrf_fusion" -> SimilarityOp.rrfFusionOracle(Seq("spark", "merge")),
+
+    "q114_attribution" -> TemporalOps.lastTouchAttributionOracle(),
+
+    "q115_frequent_triples" -> GraphOps.frequentTriplesOracle(),
+
+    "q116_scd2_snapshot" -> TemporalOps.userAttrSnapshotOracle(1705363200000L),
   )
 }

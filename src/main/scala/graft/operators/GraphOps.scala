@@ -207,6 +207,62 @@ object GraphOps {
     rounds.reduce(_ unionByName _).orderBy("iter")
   }
 
+  /** Frequent part triples (market-basket mining, A-PRIORI pruned):
+    * part triples co-bought in ≥ `minSupport` distinct orders. The
+    * candidate space is pruned by the downward-closure property BEFORE
+    * the support count: an order-pair row survives only if its pair is
+    * frequent, and the third leg joins only if BOTH its closing pairs
+    * are frequent too — so the (a,b,c) count shuffle sees candidates
+    * whose every sub-pair already passed, a vanishing fraction of the
+    * raw per-order C(basket,3) expansion. Pair generation itself is
+    * per-order local with basket-bounded fan-out (the
+    * [[copurchaseEdges]] argument).
+    *
+    * The ORACLE deliberately counts triples DIRECTLY (no pruning) —
+    * downward closure guarantees the same answer, so the hash gate
+    * checks the a-priori machinery against an independent derivation.
+    */
+  def frequentTriples(lineitem: DataFrame,
+                      minSupport: Long = 2L): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    val pairs = li.as("l").join(li.as("r"),
+        col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+      .select(col("l.ok").as("ok"), col("l.pk").as("a"), col("r.pk").as("b"))
+    val freqP = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= minSupport)
+      .select(col("a"), col("b"))
+    val candPairs = pairs.join(freqP, Seq("a", "b"), "left_semi").as("p")
+    val cand = candPairs.join(li.as("c"),
+        col("p.ok") === col("c.ok") && col("c.pk") > col("p.b"))
+      .select(col("p.ok").as("ok"), col("p.a").as("a"), col("p.b").as("b"),
+        col("c.pk").as("cc"))
+      .join(freqP.select(col("a"), col("b").as("cc")),
+        Seq("a", "cc"), "left_semi")
+      .join(freqP.select(col("a").as("b"), col("b").as("cc")),
+        Seq("b", "cc"), "left_semi")
+    cand.groupBy(col("a"), col("b"), col("cc"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("cc").as("part_c"), col("support"))
+      .orderBy("part_a", "part_b", "part_c")
+  }
+
+  /** Oracle SQL twin of [[frequentTriples]] — the direct unpruned
+    * triple count.
+    */
+  def frequentTriplesOracle(minSupport: Long = 2L): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem)
+       |SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c,
+       |  count(*) AS support
+       |FROM li a
+       |JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |JOIN li c ON b.ok = c.ok AND b.pk < c.pk
+       |GROUP BY 1, 2, 3 HAVING count(*) >= $minSupport
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** Oracle SQL twin of [[kCore]] over [[repeatCopurchaseEdges]] — the
     * peels unrolled as chained CTEs.
     */

@@ -143,6 +143,76 @@ object TemporalOps {
        |FROM s JOIN e ON e.ms >= s.start_ms AND e.ms < s.end_ms
        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
 
+  /** Tolerance-bounded as-of join (pandas `merge_asof(tolerance=…)`):
+    * a match older than `tolMs` is no match — staleness bounds are how
+    * every real as-of consumer distinguishes "latest config" from
+    * "config so old it must not apply". Composition over [[asOfJoin]]:
+    * the running-window match stands, then every `asof_*` payload
+    * column nulls TOGETHER when the matched row (identified by its
+    * `rightTs` payload column) is stale — row-local post-processing,
+    * nothing added to the shuffle.
+    */
+  def asOfJoinTolerant(left: DataFrame, right: DataFrame,
+                       keys: Seq[String], tsCol: String,
+                       payload: Seq[String], rightTs: String,
+                       tolMs: Long): DataFrame = {
+    require(payload.contains(rightTs),
+      s"rightTs=$rightTs must be one of the payload columns $payload")
+    val j = asOfJoin(left, right, keys, tsCol, payload)
+    val fresh = col(s"asof_$rightTs").isNotNull &&
+      (col(tsCol) - col(s"asof_$rightTs") <= tolMs)
+    payload.foldLeft(j) { (df, c) =>
+      df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+    }
+  }
+
+  /** q114: last-touch attribution — each purchase attributed to the
+    * user's most recent click no older than `tolMs` (7 days): the
+    * marketing-attribution join, i.e. [[asOfJoinTolerant]] with clicks
+    * pre-deduped per (user, ms) by max event_id (the [[asOfJoin]]
+    * uniqueness contract).
+    */
+  def lastTouchAttribution(events: DataFrame,
+                           tolMs: Long = 7L * 86400000L): DataFrame = {
+    val ev = events.withColumn("ts_ms", unix_millis(col("ts")))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_ms").as("c_ms"))
+      .agg(max(col("event_id")).as("click_id"))
+      .withColumn("ts_ms", col("c_ms"))
+    asOfJoinTolerant(purchases, clicks, Seq("user_id"), "ts_ms",
+        Seq("c_ms", "click_id"), "c_ms", tolMs)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        coalesce(col("asof_click_id"), lit(-1L)).as("attributed_click"),
+        coalesce(col("ts_ms") - col("asof_c_ms"), lit(-1L))
+          .as("click_age_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Oracle SQL twin of [[lastTouchAttribution]] — DuckDB's native
+    * ASOF JOIN plus the same staleness CASE.
+    */
+  def lastTouchAttributionOracle(tolMs: Long = 7L * 86400000L): String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+       |  FROM events
+       |), p AS (
+       |  SELECT event_id, user_id, ts_ms FROM ev
+       |  WHERE event_type = 'purchase'
+       |), c AS (
+       |  SELECT user_id, ts_ms AS c_ms, max(event_id) AS click_id
+       |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+       |)
+       |SELECT p.event_id, p.user_id, p.ts_ms,
+       |  CASE WHEN c.c_ms IS NOT NULL AND p.ts_ms - c.c_ms <= $tolMs
+       |    THEN c.click_id ELSE -1 END AS attributed_click,
+       |  CASE WHEN c.c_ms IS NOT NULL AND p.ts_ms - c.c_ms <= $tolMs
+       |    THEN p.ts_ms - c.c_ms ELSE -1 END AS click_age_ms
+       |FROM p ASOF LEFT JOIN c
+       |  ON p.user_id = c.user_id AND p.ts_ms >= c.c_ms
+       |ORDER BY p.event_id""".stripMargin
+
   /** Event-time gap sessions via the built-in `session_window` — the
     * operator form of q14's manual lag+cumsum sessionization, and the
     * one that runs unchanged under Structured Streaming (watermark +
@@ -213,6 +283,47 @@ object TemporalOps {
       .where(col("k").isNotNull)
     scd2(obs, "user_id", "k", "ms", "event_id")
   }
+
+  /** Time travel over an SCD2 dimension: the dimension AS OF `tMs` is
+    * the rows whose validity interval covers it — `valid_from ≤ t` and
+    * (open or `t < valid_to`). Because [[scd2]]'s intervals tile each
+    * key's timeline, the snapshot has EXACTLY one row per key that had
+    * any version by `t` — the invariant that makes an SCD2 table a
+    * drop-in for "what did we believe at time T" queries. Row-local
+    * filter; no recomputation of history.
+    */
+  def scd2SnapshotAt(dim: DataFrame, tMs: Long): DataFrame =
+    dim.where(col("valid_from_ms") <= tMs &&
+        (col("valid_to_ms").isNull || col("valid_to_ms") > tMs))
+
+  /** q116: [[userAttrScd2]] snapshotted at a mid-corpus instant. The
+    * oracle is the INDEPENDENT identity — latest observation at or
+    * before `t` per user — so the hash gate proves the snapshot-of-
+    * versions equals the point query it exists to replace.
+    */
+  def userAttrSnapshot(events: DataFrame, tMs: Long): DataFrame =
+    scd2SnapshotAt(userAttrScd2(events), tMs)
+      .select(col("user_id"), col("k"))
+      .orderBy("user_id")
+
+  /** Oracle SQL twin of [[userAttrSnapshot]] — latest-at-T, not a
+    * replay of the SCD2 CTEs.
+    */
+  def userAttrSnapshotOracle(tMs: Long): String =
+    s"""WITH o AS (
+       |  SELECT user_id,
+       |    CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k,
+       |    epoch_ms(ts) AS ms, event_id
+       |  FROM events
+       |), f AS (
+       |  SELECT * FROM o WHERE k IS NOT NULL AND ms <= $tMs
+       |), r AS (
+       |  SELECT user_id, k,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ms DESC, event_id DESC) AS rn
+       |  FROM f
+       |)
+       |SELECT user_id, k FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   /** Oracle SQL twin of [[userAttrScd2]] — same lag/lead construction;
     * JSON extraction via regexp (the q13 idiom — DuckDB 1.0's json

@@ -94,6 +94,21 @@ class RelationalSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, 4L, 6L), (2L, 4L, 6L), (3L, 4L, 6L)))
   }
 
+  test("frequentTriples: support counted per distinct order, a-priori agrees with brute force") {
+    import graft.operators.GraphOps
+    // orders: {1,2,3} ×2 (frequent triple), {1,2,4}, {5,6} — and a dup
+    // line (order 10 lists part 1 twice) that must not inflate support
+    val li = Seq(
+      (10L, 1L), (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 4L),
+      (13L, 5L), (13L, 6L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = GraphOps.frequentTriples(li, minSupport = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 2L, 3L, 2L)))
+  }
+
   test("triangleCount: hub star has zero triangles, no wedge blowup") {
     import graft.operators.GraphOps
     // star centered on 0: naive id-ordered wedging at the hub would

@@ -65,6 +65,18 @@ class ScaleAndTemporalSpec extends SparkSuite {
     assert(out(2L) === ((Some(1.0), "x")))
   }
 
+  test("asOfJoinTolerant: stale matches null out whole-row, fresh ones survive") {
+    val left = Seq((1L, 10L, 1000L), (2L, 10L, 5000L)).toDF("event_id", "user_id", "ts_ms")
+    val right = Seq((10L, 900L, 7.0)).toDF("user_id", "p_ms", "p_val")
+      .withColumn("ts_ms", col("p_ms"))
+    val out = TemporalOps.asOfJoinTolerant(left, right, Seq("user_id"),
+        "ts_ms", Seq("p_ms", "p_val"), "p_ms", tolMs = 500L)
+      .orderBy("event_id").collect()
+    // event 1: age 100 <= 500 -> match; event 2: age 4100 -> BOTH nulls
+    assert(out(0).getLong(3) === 900L && out(0).getDouble(4) === 7.0)
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4))
+  }
+
   test("session_window: exactly-gap merges, one ms beyond starts a new session") {
     def t(ms: Long) = new java.sql.Timestamp(ms)
     val gapMs = 30 * 60 * 1000L
