@@ -483,6 +483,69 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  case class FunnelAdvance(userId: Long, stage: Int)
+
+  case class FunnelObs(userId: Long, ts: java.sql.Timestamp,
+                       eventId: Long, sidx: Int) {
+    def tsMs: Long = ts.getTime
+  }
+
+  /** Per-key funnel state: watermark-buffered observations plus the
+    * greedy matcher's (furthest stage, witness ms). */
+  case class FunnelState(pending: Seq[(Long, Long, Int)], k: Int, t: Long)
+
+  /** Streaming funnel progression — the streaming form of
+    * [[graft.operators.EventOps.funnel]] (q99): per user, the SAME
+    * greedy strictly-ordered stage matcher, fed observations in
+    * event-time order as the watermark finalizes them (the
+    * [[streamingScd2]] buffering pattern). Emits one APPEND row per
+    * stage ADVANCEMENT — `users(stage i) = |{users with an advancement
+    * ≥ i}|`, so the batch histogram is one aggregate over the emitted
+    * stream (StreamingSpec proves equality); emitting advancements
+    * instead of evolving counts is what keeps the sink append-mode.
+    * State per user: the bounded lateness buffer + two integers.
+    */
+  def streamingFunnel(events: DataFrame,
+                      stages: Seq[String]
+                        = Seq("signup", "view", "click", "purchase"),
+                      watermark: String = "10 minutes"): Dataset[FunnelAdvance] = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sidx = stages.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, i)) => when(col("event_type") === s, lit(i + 1)).otherwise(acc)
+    }
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("userId"), col("ts"),
+        col("event_id").as("eventId"), sidx.as("sidx"))
+      .where(col("sidx").isNotNull)
+      .as[FunnelObs]
+    val fn = (userId: Long, arrivals: Iterator[FunnelObs],
+              state: GroupState[FunnelState]) => {
+      var st = state.getOption.getOrElse(
+        FunnelState(Nil, 0, Long.MinValue))
+      val pend = st.pending ++
+        arrivals.map(o => (o.tsMs, o.eventId, o.sidx))
+      val wm = state.getCurrentWatermarkMs()
+      val (fin, rest) = pend.partition(_._1 < wm)
+      val out = Seq.newBuilder[FunnelAdvance]
+      var (k, t) = (st.k, st.t)
+      fin.sorted.foreach { case (ms, _, s) =>
+        if (s == k + 1 && ms > t) {
+          k += 1; t = ms
+          out += FunnelAdvance(userId, k)
+        }
+      }
+      state.update(FunnelState(rest, k, t))
+      state.setTimeoutTimestamp(wm + 1L)
+      out.result().iterator
+    }
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   def streamingCleanDocs(docs: DataFrame, minTokens: Int = 30,
                          tsCol: String = "ts",
                          watermark: String = "10 minutes"): DataFrame = {

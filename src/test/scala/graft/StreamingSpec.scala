@@ -577,6 +577,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingFunnel advancements reproduce the batch funnel histogram") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = EventOps.funnel(ev)
+      .select($"stage_idx", $"users")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+
+    val rows = ev
+      .select($"event_id", $"user_id", unix_millis($"ts").as("ms"),
+        $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._3, t._1))
+    val tSplit = rows(rows.length / 2)._3
+    val (b1, b2) = rows.partition(_._3 < tSplit)
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ms", "event_type")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.streamingFunnel(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      mem.addData((999999L, 999999L, rows.last._3 + 86400000L, "signup"))
+      q.processAllAvailable()
+      val advances = spark.table("funnel_out")
+        .where($"userId" =!= 999999L)
+        .groupBy($"userId").agg(max($"stage").as("k"))
+        .collect().map(r => r.getInt(1))
+      val got = (1 to 4)
+        .map(i => i -> advances.count(_ >= i).toLong).toMap
+      assert(got === expected)
+      assert(got(1) > 0)
+    } finally q.stop()
+  }
+
   test("annCandidates per micro-batch reproduces batch annTopK on a replay") {
     import graft.operators.SimilarityOp
     implicit val sqlCtx = spark.sqlContext
