@@ -618,6 +618,21 @@ object SparkEntry {
     // oracle derives the same snapshot as latest-observation-at-T.
     "q116_scd2_snapshot" -> ((s, d) =>
       TemporalOps.userAttrSnapshot(Tables.events(s, d), 1705363200000L)),
+
+    // First-order event-type transition matrix with exact outgoing
+    // shares (behavioral Markov summary).
+    "q117_transitions" -> ((s, d) =>
+      EventOps.typeTransitions(Tables.events(s, d))),
+
+    // Rolling 7-day active users per day, exact, via bounded fan-out
+    // instead of per-day window scans.
+    "q118_rolling_wau" -> ((s, d) =>
+      EventOps.rollingActiveUsers(Tables.events(s, d))),
+
+    // BPE merge training, 3 supersteps: most frequent symbol pair
+    // fused per round; oracle unrolls the identical procedure.
+    "q119_bpe_merges" -> ((s, d) =>
+      TextOps.bpeMerges(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1140,5 +1155,11 @@ object SparkEntry {
     "q115_frequent_triples" -> GraphOps.frequentTriplesOracle(),
 
     "q116_scd2_snapshot" -> TemporalOps.userAttrSnapshotOracle(1705363200000L),
+
+    "q117_transitions" -> EventOps.typeTransitionsOracle,
+
+    "q118_rolling_wau" -> EventOps.rollingActiveUsersOracle(),
+
+    "q119_bpe_merges" -> TextOps.bpeMergesOracle(),
   )
 }

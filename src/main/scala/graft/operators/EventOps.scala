@@ -472,6 +472,97 @@ object EventOps {
        |FROM (SELECT * FROM bh UNION ALL SELECT * FROM gh) u
        |ORDER BY hr_ms""".stripMargin
 
+  /** Event-type transition matrix — the behavioral "what happens next"
+    * rollup: per user, consecutive event pairs in (ts, event_id) order
+    * (the sessionize tie rule), counted over all users, with each
+    * transition's share of its source type's outgoing edges as an
+    * exact [[graft.functions.DetAgg]] ratio. The first-order Markov
+    * summary under every "users who view then click" product question.
+    *
+    * Scale shape: one per-user window (lag), one global pair rollup of
+    * |types|² output rows — both the canonical shapes.
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+    val cnt = pairs.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTot = cnt.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("out_n"))
+    cnt.join(broadcast(outTot), Seq("prev_type"))
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        col("n"), DetAgg.ratio(col("n"), col("out_n")).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Oracle SQL twin of [[typeTransitions]]. */
+  def typeTransitionsOracle: String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_type
+       |  FROM events
+       |), c AS (
+       |  SELECT prev_type, event_type AS next_type, count(*) AS n
+       |  FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       |), o AS (
+       |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT c.prev_type, c.next_type, c.n,
+       |  ${graft.functions.DetAgg.ratioSql("c.n", "o.out_n")} AS p
+       |FROM c JOIN o USING (prev_type)
+       |ORDER BY prev_type, next_type""".stripMargin
+
+  /** Rolling 7-day active users per day (WAU) — EXACTLY, without a
+    * distinct-over-sliding-window shuffle per day: each (user, active
+    * day) pair fans out to the ≤7 report days whose trailing window
+    * covers it (a BOUNDED explode — the q105 chunking argument), and
+    * the per-day rollup counts distinct users. Report days are only
+    * days with actual activity in their window (dense data ⇒ dense
+    * profile; a calendar left join densifies if ever needed).
+    *
+    * Scale shape: distinct (user, day) first (collapses event volume),
+    * then a ≤7× fan-out and one count-distinct rollup keyed by day —
+    * no per-day re-scan, no window join.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ud = events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .distinct()
+    val mx = ud.agg(max(col("d")).as("mx"))
+    ud.withColumn("report_d",
+        explode(sequence(col("d"), col("d") + (windowDays - 1))))
+      .crossJoin(broadcast(mx))
+      .where(col("report_d") <= col("mx"))
+      .groupBy(col("report_d"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("report_d")
+  }
+
+  /** Oracle SQL twin of [[rollingActiveUsers]]. */
+  def rollingActiveUsersOracle(windowDays: Int = 7): String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+       |  FROM events
+       |), f AS (
+       |  SELECT user_id, unnest(generate_series(d, d + ${windowDays - 1}))
+       |    AS report_d
+       |  FROM ud
+       |)
+       |SELECT report_d, count(DISTINCT user_id) AS active_users
+       |FROM f WHERE report_d <= (SELECT max(d) FROM ud)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Time-weighted average value per user — the telemetry aggregate
     * (mean utilization, average position, TWAP) where each observation
     * holds until the NEXT one, so its weight is its duration, not 1: a

@@ -908,6 +908,111 @@ object TextOps {
        |FROM g ORDER BY source""".stripMargin
   }
 
+  /** BPE merge training, `k` supersteps — the tokenizer-TRAINING loop
+    * (the operators downstream of a trained tokenizer — counting,
+    * masking, packing — are q25/q77/q74): build the word-frequency
+    * table once, space out each word into characters, then repeatedly
+    * (1) count adjacent symbol pairs weighted by word frequency,
+    * (2) pick the most frequent pair (ties: lexicographic — the
+    * deterministic dial), (3) fuse that pair everywhere. Output: one
+    * row per merge with the fused token and its winning pair count —
+    * the ordered merge list IS the trained tokenizer.
+    *
+    * Merge application is defined OPERATIONALLY as two passes of
+    * space-delimited leftmost non-overlapping `replace` on the
+    * sentinel-padded symbol string — both engines run the byte-same
+    * procedure, so parity is by construction. The second pass exists
+    * because pass one consumes the boundary space of each match and so
+    * skips immediately-adjacent repeats; for SELF-adjacent runs of odd
+    * length (`l l l`) even two passes fuse left-to-right pairs only
+    * partially differently than canonical greedy BPE would — a
+    * documented deviation that affects which WORDS a merge rewrites,
+    * never which merge wins here (pair selection runs before any
+    * rewrite of the round).
+    *
+    * Scale shape: everything per-word row-local except one
+    * |pairs|-keyed rollup per round; the 1-row winner broadcasts back.
+    * Winner and vocab frames persist EAGERLY per round (the kCore
+    * lineage rule — each is referenced twice downstream).
+    */
+  def bpeMerges(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 10, s"bpeMerges: k=$k out of range")
+    val words0 = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sp"),
+        col("freq"))
+    var words = words0.persist(); words.count()
+    val rounds = (1 to k).map { i =>
+      val pairs = words
+        .where(size(split(col("sp"), " ")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(split(sp, ' ')) - 1), " +
+            "j -> concat(element_at(split(sp, ' '), j), ' ', " +
+            "element_at(split(sp, ' '), j + 1)))")).as("pair"))
+      val best = pairs.groupBy(col("pair"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .persist()
+      best.count()
+      words = words.crossJoin(broadcast(best))
+        .select(expr(
+          "trim(replace(replace(concat(' ', sp, ' '), " +
+            "concat(' ', pair, ' '), concat(' ', replace(pair, ' ', ''), ' ')), " +
+            "concat(' ', pair, ' '), concat(' ', replace(pair, ' ', ''), ' ')))")
+          .as("sp"), col("freq"))
+        .persist()
+      words.count()
+      best.select(lit(i.toLong).as("iter"),
+        expr("replace(pair, ' ', '')").as("merged"),
+        col("c").as("pair_count"))
+    }
+    rounds.reduce(_ unionByName _).orderBy("iter")
+  }
+
+  /** Oracle SQL twin of [[bpeMerges]] — the rounds unrolled as chained
+    * CTEs running the identical pair count, tie rule, and two-pass
+    * replace.
+    */
+  def bpeMergesOracle(k: Int = 3): String = {
+    val rounds = (1 to k).map { i =>
+      s"""a$i AS (SELECT sp, freq, string_split(sp, ' ') AS a
+         |        FROM s${i - 1}),
+         |p$i AS (
+         |  SELECT list_extract(a, j) || ' ' || list_extract(a, j + 1) AS pair,
+         |    freq
+         |  FROM a$i, generate_series(1, 256) g(j)
+         |  WHERE j <= len(a) - 1
+         |), c$i AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM p$i GROUP BY 1
+         |), b$i AS (SELECT pair, c FROM c$i ORDER BY c DESC, pair LIMIT 1),
+         |s$i AS (
+         |  SELECT trim(replace(replace(' ' || sp || ' ',
+         |      ' ' || b$i.pair || ' ',
+         |      ' ' || replace(b$i.pair, ' ', '') || ' '),
+         |      ' ' || b$i.pair || ' ',
+         |      ' ' || replace(b$i.pair, ' ', '') || ' ')) AS sp, freq
+         |  FROM s${i - 1}, b$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { i =>
+      s"""SELECT $i AS iter, replace(pair, ' ', '') AS merged,
+         |  c AS pair_count FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  GROUP BY 1
+       |), s0 AS (
+       |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sp, freq
+       |  FROM w0
+       |),
+       |$rounds
+       |SELECT * FROM (
+       |$out
+       |) r ORDER BY iter""".stripMargin
+  }
+
   /** Minimum vocabulary size for declared token-coverage thresholds —
     * the tokenizer-sizing question ("how many types cover 95 % of all
     * occurrences?") answered EXACTLY without ranking the vocabulary:

@@ -529,6 +529,19 @@ class DedupAndTextSpec extends SparkSuite {
       ("y", "x", 1L, 1000000000000L / 6L)))
   }
 
+  test("bpeMerges: hand-traced merges, adjacent repeats fused by the two-pass replace") {
+    import graft.operators.TextOps
+    // corpus: abab ×2, ab ×1.
+    // round 1 pairs: 'a b' = 2·2+1 = 5, 'b a' = 2 -> merge 'ab' (5);
+    //   two-pass replace must fuse BOTH 'a b' in 'a b a b' -> 'ab ab'
+    // round 2: 'ab ab' = 2 -> merge 'abab' (2)
+    val docs = Seq((0L, "abab ab", "en", "s", 8L), (1L, "abab", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.bpeMerges(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "ab", 5L), (2L, "abab", 2L)))
+  }
+
   test("sourceGini: uniform source scores 0, concentrated source matches hand calc") {
     import graft.operators.TextOps
     // source u: three equal docs -> G = 0
