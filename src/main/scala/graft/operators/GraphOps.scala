@@ -85,8 +85,13 @@ object GraphOps {
     * orders².
     */
   def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    // no per-(ok, pk) pre-distinct: the l.pk < r.pk predicate already
+    // excludes self-pairs, duplicate lines only duplicate pair rows,
+    // and the FINAL distinct defines the edge set either way — so the
+    // pre-dedup exchange is pure cost here (repeatCopurchaseEdges, by
+    // contrast, COUNTS per-order pairs and must keep its distinct).
     val li = lineitem.select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pk")).distinct()
+      col("l_partkey").as("pk"))
     li.as("l").join(li.as("r"),
         col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
       .select(col("l.pk").as("a"), col("r.pk").as("b"))
