@@ -633,6 +633,20 @@ object SparkEntry {
     // fused per round; oracle unrolls the identical procedure.
     "q119_bpe_merges" -> ((s, d) =>
       TextOps.bpeMerges(Tables.documents(s, d))),
+
+    // Order-2 behavioral sequences: top event-type trigrams.
+    "q120_trigrams" -> ((s, d) =>
+      EventOps.typeTrigrams(Tables.events(s, d))),
+
+    // Benford first-digit screen on order totals (string-extracted
+    // exact digits; expectation as fixed literals).
+    "q121_benford" -> ((s, d) =>
+      AuditOps.benfordAudit(Tables.orders(s, d), "o_totalprice")),
+
+    // Funnel time-to-convert: exact index quartiles of the elapsed
+    // first→final stage witness time over converting users.
+    "q122_funnel_durations" -> ((s, d) =>
+      EventOps.funnelDurations(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1161,5 +1175,11 @@ object SparkEntry {
     "q118_rolling_wau" -> EventOps.rollingActiveUsersOracle(),
 
     "q119_bpe_merges" -> TextOps.bpeMergesOracle(),
+
+    "q120_trigrams" -> EventOps.typeTrigramsOracle(),
+
+    "q121_benford" -> AuditOps.benfordAuditOracle("orders", "o_totalprice"),
+
+    "q122_funnel_durations" -> EventOps.funnelDurationsOracle(),
   )
 }

@@ -194,4 +194,52 @@ object AuditOps {
        |FROM $table)
        |${arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")}""".stripMargin
   }
+
+  /** Benford first-digit audit — the classic fabricated-data screen:
+    * the leading digit of each amount, counted against Benford's
+    * log₁₀(1 + 1/d) expectation. The digit is extracted from the
+    * STRING form of the exact cents integer (`substr(cast, 1, 1)`) —
+    * no float log, so the histogram is engine-exact; the expected
+    * shares are fixed literal doubles (identical in both engines by
+    * construction). One map-side-combined 9-group rollup.
+    */
+  def benfordAudit(df: DataFrame, amountCol: String): DataFrame = {
+    import graft.functions.DetAgg
+    val expected = (1 to 9)
+      .map(d => d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
+    val expectedCol = expected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, e)) =>
+        when(col("digit") === d.toString, lit(e)).otherwise(acc)
+    }
+    val cnt = df
+      .select(substring(
+        expr(s"CAST(CAST(round($amountCol * 100) AS BIGINT) AS STRING)"),
+        1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).as("total"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        DetAgg.ratio(col("n"), col("total"), 6).as("share"),
+        expectedCol.as("benford"))
+      .orderBy("digit")
+  }
+
+  /** Oracle SQL twin of [[benfordAudit]]. */
+  def benfordAuditOracle(table: String, amountCol: String): String = {
+    import graft.functions.DetAgg
+    val expected = (1 to 9)
+      .map(d => d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
+    val cases = expected
+      .map { case (d, e) => s"WHEN digit = '$d' THEN $e" }
+      .mkString(" ")
+    s"""WITH c AS (
+       |  SELECT substr(CAST(CAST(round($amountCol * 100) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS digit,
+       |    count(*) AS n
+       |  FROM $table GROUP BY 1
+       |), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+       |SELECT digit, n, ${DetAgg.ratioSql("n", "total", 6)} AS share,
+       |  CASE $cases ELSE NULL END AS benford
+       |FROM c, t ORDER BY digit""".stripMargin
+  }
 }

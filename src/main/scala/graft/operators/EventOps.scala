@@ -366,15 +366,20 @@ object EventOps {
     * (each stage's earliest event strictly after the previous stage's
     * witness), which the Spark fold's greedy scan provably equals.
     */
-  def funnelOracle(stages: Seq[String]
-                     = Seq("signup", "view", "click", "purchase")): String = {
-    val stageCtes = stages.zipWithIndex.map { case (s, i) =>
+  /** Shared chained-minimum stage CTEs (`s1..sN`) for the funnel
+    * oracles — one definition so q99 and q122 cannot drift. */
+  private def funnelStageCtes(stages: Seq[String]): String =
+    stages.zipWithIndex.map { case (s, i) =>
       if (i == 0)
         s"s1 AS (SELECT user_id, min(ms) AS m FROM ev WHERE event_type = '$s' GROUP BY 1)"
       else
         s"s${i + 1} AS (SELECT e.user_id, min(e.ms) AS m FROM ev e " +
           s"JOIN s$i USING (user_id) WHERE e.event_type = '$s' AND e.ms > s$i.m GROUP BY 1)"
     }.mkString(",\n")
+
+  def funnelOracle(stages: Seq[String]
+                     = Seq("signup", "view", "click", "purchase")): String = {
+    val stageCtes = funnelStageCtes(stages)
     val unions = stages.zipWithIndex.map { case (s, i) =>
       s"SELECT ${i + 1} AS stage_idx, '$s' AS stage, (SELECT count(*) FROM s${i + 1}) AS users"
     }.mkString(" UNION ALL ")
@@ -385,6 +390,79 @@ object EventOps {
        |  ${graft.functions.DetAgg.ratioSql("u.users", "b.u1")} AS conv
        |FROM u, (SELECT count(*) AS u1 FROM s1) b
        |ORDER BY stage_idx""".stripMargin
+  }
+
+  /** Funnel time-to-convert — exact quartiles of the full-funnel
+    * elapsed time (first-stage witness → final-stage witness) over
+    * converting users, via [[funnel]]'s greedy fold extended to carry
+    * the first witness: the greedy scan advances at the EARLIEST
+    * eligible event, so its witnesses coincide with the oracle's
+    * chained minimums and the duration is well-defined. Quartiles are
+    * the repo's exact index convention (`vs[n div 4 + 1]` etc. on the
+    * sorted list — the q07 A3 indexing); the single-group collect is
+    * bounded by |converting users|, with `percentile_approx` as the
+    * documented swap past that.
+    */
+  def funnelDurations(events: DataFrame,
+                      stages: Seq[String]
+                        = Seq("signup", "view", "click", "purchase"))
+      : DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "funnel stages must be non-empty and distinct")
+    val sidx = stages.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, i)) => when(col("event_type") === s, lit(i + 1)).otherwise(acc)
+    }
+    val ev = events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), sidx.as("sidx"))
+      .where(col("sidx").isNotNull)
+    val folded = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ms"), col("event_id"), col("sidx")))).as("evs"))
+      .select(aggregate(col("evs"),
+        struct(lit(0).as("k"), lit(Long.MinValue).as("t"),
+          lit(0L).as("t1")),
+        (a, e) => when(
+          e.getField("sidx") === a.getField("k") + 1 &&
+            e.getField("ms") > a.getField("t"),
+          struct((a.getField("k") + 1).as("k"),
+            e.getField("ms").as("t"),
+            when(a.getField("k") === 0, e.getField("ms"))
+              .otherwise(a.getField("t1")).as("t1")))
+          .otherwise(a)).as("st"))
+      .where(col("st.k") === stages.size)
+      .select((col("st.t") - col("st.t1")).as("dur"))
+    folded
+      .agg(count(lit(1)).as("n"),
+           sort_array(collect_list(col("dur"))).as("vs"))
+      .select(col("n").as("n_converted"),
+        element_at(col("vs"), 1).as("min_ms"),
+        element_at(col("vs"), (expr("n DIV 4") + 1).cast("int")).as("q1_ms"),
+        element_at(col("vs"), (expr("n DIV 2") + 1).cast("int")).as("median_ms"),
+        element_at(col("vs"), (expr("n DIV 4") * 3 + 1).cast("int")).as("q3_ms"),
+        element_at(col("vs"), col("n").cast("int")).as("max_ms"))
+  }
+
+  /** Oracle SQL twin of [[funnelDurations]] — the shared chained-min
+    * stage CTEs, duration from the first/last witnesses, q07's index
+    * quantiles.
+    */
+  def funnelDurationsOracle(stages: Seq[String]
+                              = Seq("signup", "view", "click", "purchase"))
+      : String = {
+    val n = stages.size
+    s"""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+       |${funnelStageCtes(stages)},
+       |d AS (
+       |  SELECT s$n.m - s1.m AS dur
+       |  FROM s$n JOIN s1 USING (user_id)
+       |), ag AS (
+       |  SELECT count(*) AS n, list_sort(list(dur)) AS vs FROM d
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_converted,
+       |  vs[1] AS min_ms, vs[n//4 + 1] AS q1_ms, vs[n//2 + 1] AS median_ms,
+       |  vs[(n//4)*3 + 1] AS q3_ms, vs[n] AS max_ms
+       |FROM ag""".stripMargin
   }
 
   /** Daily cohort retention — the (cohort day × day offset) activity
@@ -519,6 +597,44 @@ object EventOps {
        |  ${graft.functions.DetAgg.ratioSql("c.n", "o.out_n")} AS p
        |FROM c JOIN o USING (prev_type)
        |ORDER BY prev_type, next_type""".stripMargin
+
+  /** Top behavioral trigrams — [[typeTransitions]] at order 2: per
+    * user, consecutive (t₋₂ → t₋₁ → t) event-type triples in the
+    * sessionize order, counted corpus-wide, top-k by count (ties:
+    * lexicographic). Two lags over ONE per-user window sort — Catalyst
+    * plans a single Exchange+Sort for both.
+    */
+  def typeTrigrams(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lag(col("event_type"), 1).over(w))
+      .withColumn("t2", lag(col("event_type"), 2).over(w))
+      .where(col("t2").isNotNull)
+      .groupBy(col("t2").as("first_type"), col("t1").as("second_type"),
+        col("event_type").as("third_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("first_type"), col("second_type"),
+        col("third_type"))
+      .limit(k)
+  }
+
+  /** Oracle SQL twin of [[typeTrigrams]]. */
+  def typeTrigramsOracle(k: Int = 20): String =
+    s"""WITH x AS (
+       |  SELECT event_type,
+       |    lag(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS t1,
+       |    lag(event_type, 2) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS t2
+       |  FROM events
+       |)
+       |SELECT t2 AS first_type, t1 AS second_type,
+       |  event_type AS third_type, count(*) AS n
+       |FROM x WHERE t2 IS NOT NULL
+       |GROUP BY 1, 2, 3
+       |ORDER BY n DESC, 1, 2, 3 LIMIT $k""".stripMargin
 
   /** Rolling 7-day active users per day (WAU) — EXACTLY, without a
     * distinct-over-sliding-window shuffle per day: each (user, active
