@@ -647,6 +647,11 @@ object SparkEntry {
     // first→final stage witness time over converting users.
     "q122_funnel_durations" -> ((s, d) =>
       EventOps.funnelDurations(Tables.events(s, d))),
+
+    // IVF-PQ serving: coarse cells prune the search, PQ codes score
+    // candidates by asymmetric distance — no candidate vector touched.
+    "q123_ivfpq" -> ((s, d) =>
+      SimilarityOp.ivfPqTopK(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1181,5 +1186,7 @@ object SparkEntry {
     "q121_benford" -> AuditOps.benfordAuditOracle("orders", "o_totalprice"),
 
     "q122_funnel_durations" -> EventOps.funnelDurationsOracle(),
+
+    "q123_ivfpq" -> SimilarityOp.ivfPqTopKOracle(),
   )
 }

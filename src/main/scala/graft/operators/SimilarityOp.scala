@@ -412,10 +412,20 @@ object SimilarityOp {
     */
   def pqStats(embeddings: DataFrame,
               centerIds: Seq[Long] = Seq(7L, 42L, 123L),
-              nSub: Int = 4, dims: Int = 64): DataFrame = {
+              nSub: Int = 4, dims: Int = 64): DataFrame =
+    pqAssign(embeddings, centerVecs(embeddings, centerIds), nSub, dims)
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n_vecs"), round(sum(col("dd")), 4).as("distortion"))
+      .orderBy("subspace", "code")
+
+  /** Per-(vector, subspace) PQ code assignment (+ its rounded
+    * distance) against literal sub-centroids — the row-local kernel
+    * shared by [[pqStats]] and [[ivfPqTopK]]. */
+  private def pqAssign(embeddings: DataFrame,
+                       centers: Seq[(Long, Seq[Double])],
+                       nSub: Int, dims: Int): DataFrame = {
     require(dims % nSub == 0, s"dims=$dims not divisible by nSub=$nSub")
     val sub = dims / nSub
-    val centers = centerVecs(embeddings, centerIds)
     val v = toDoubleArray(col("embedding"))
     val parts = (0 until nSub).map { s =>
       val vs = slice(v, s * sub + 1, sub)
@@ -432,11 +442,111 @@ object SimilarityOp {
     }
     embeddings
       .select(col("vec_id"), explode(array(parts: _*)).as("a"))
+      .select(col("vec_id"), col("a.subspace").as("subspace"),
+        col("a.code").as("code"), col("a.dd").as("dd"))
+  }
+
+  /** IVF-PQ serving — the composition a production ANN index actually
+    * runs: the IVF coarse quantizer prunes the search to `nProbe`
+    * cells (q50/q92's partition-pruning layout), then candidates are
+    * scored by ASYMMETRIC DISTANCE COMPUTATION over their PQ codes —
+    * the query's distance to each sub-centroid is computed ONCE (a
+    * |nSub × codebook|-row lookup, broadcast), and a candidate's
+    * approximate distance is the 4-term sum of lookups on its codes:
+    * no candidate vector is ever touched at query time, which is the
+    * entire point of PQ compression at 100 TB. Output: top-k by
+    * (adc, vec_id).
+    *
+    * Parity note: the 4 per-subspace lookup values are each rounded to
+    * 1e-6 BEFORE the sum, so the true sum is a rational multiple of
+    * 1e-6 — never at a round-half boundary — and the final round(·, 6)
+    * is stable under any float fold order.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryId: Long = 0L,
+                centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                nProbe: Int = 2, nSub: Int = 4, k: Int = 10,
+                dims: Int = 64): DataFrame = {
+    val sub = dims / nSub
+    val centers = centerVecs(embeddings, centerIds)
+    val qv: Seq[Double] = embeddings.filter(col("vec_id") === queryId)
+      .select(toDoubleArray(col("embedding"))).collect().head.getSeq[Double](0)
+    val probes = probeCells(qv, centers, nProbe)
+    // query→sub-centroid lookup, derived IN-PLAN from the embeddings
+    // table (not driver floats) so the oracle's arithmetic is identical
+    val lookupParts = (0 until nSub).map { s =>
+      val qs = array(qv.slice(s * sub, (s + 1) * sub).map(lit): _*)
+      val cs = slice(toDoubleArray(col("embedding")), s * sub + 1, sub)
+      struct(lit(s.toLong).as("subspace"), col("vec_id").as("code"),
+        round(l2(qs, cs), 6).as("qd"))
+    }
+    val lookup = embeddings.filter(col("vec_id").isin(centerIds: _*))
+      .select(explode(array(lookupParts: _*)).as("a"))
       .select(col("a.subspace").as("subspace"), col("a.code").as("code"),
-        col("a.dd").as("dd"))
-      .groupBy("subspace", "code")
-      .agg(count(lit(1)).as("n_vecs"), round(sum(col("dd")), 4).as("distortion"))
-      .orderBy("subspace", "code")
+        col("a.qd").as("qd"))
+    val probed = cellAssign(embeddings, centers)
+      .where(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"))
+    pqAssign(embeddings, centers, nSub, dims)
+      .join(probed, Seq("vec_id"), "left_semi")
+      .join(broadcast(lookup), Seq("subspace", "code"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("qd")), 6).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Oracle SQL twin of [[ivfPqTopK]] — cells, probes, PQ codes, and
+    * the ADC lookup all re-derived in SQL (probe selection included,
+    * the q50 oracle's in-SQL convention).
+    */
+  def ivfPqTopKOracle(queryId: Long = 0L,
+                      centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                      nProbe: Int = 2, nSub: Int = 4, k: Int = 10,
+                      dims: Int = 64): String = {
+    val sub = dims / nSub
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id IN (${centerIds.sorted.mkString(", ")})),
+       |d AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sqrt(sum((e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE)
+       |                 * (e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE))), 6) AS dist
+       |  FROM embeddings e, c, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), asg AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d) r WHERE rn = 1
+       |), qc AS (
+       |  SELECT cid AS cell FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn
+       |    FROM d WHERE vec_id = $queryId) q WHERE rn <= $nProbe
+       |), cand AS (
+       |  SELECT a.vec_id FROM asg a JOIN qc USING (cell)
+       |  WHERE a.vec_id <> $queryId
+       |), sd AS (
+       |  SELECT e.vec_id, s.s AS subspace, c.cid,
+       |    round(sqrt(sum(
+       |      (e.embedding[s.s*$sub + i.i + 1]::DOUBLE - c.cv[s.s*$sub + i.i + 1]::DOUBLE)
+       |      * (e.embedding[s.s*$sub + i.i + 1]::DOUBLE - c.cv[s.s*$sub + i.i + 1]::DOUBLE)
+       |    )), 6) AS dd
+       |  FROM embeddings e, c, range($nSub) s(s), range($sub) i(i)
+       |  GROUP BY 1, 2, 3
+       |), code AS (
+       |  SELECT vec_id, subspace, cid AS code FROM (
+       |    SELECT vec_id, subspace, cid,
+       |      row_number() OVER (PARTITION BY vec_id, subspace
+       |        ORDER BY dd, cid) AS rn
+       |    FROM sd) r WHERE rn = 1
+       |), qd AS (
+       |  SELECT subspace, cid AS code, dd AS qd FROM sd
+       |  WHERE vec_id = $queryId
+       |)
+       |SELECT co.vec_id, round(sum(qd.qd), 6) AS adc
+       |FROM cand cd
+       |JOIN code co ON co.vec_id = cd.vec_id
+       |JOIN qd ON qd.subspace = co.subspace AND qd.code = co.code
+       |GROUP BY 1 ORDER BY adc, co.vec_id LIMIT $k""".stripMargin
   }
 
   /** Oracle SQL twin of [[pqStats]] — per-element subspace distances

@@ -336,6 +336,41 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ivfPqTopK equals a driver-side ADC brute force over probed cells") {
+    import graft.operators.SimilarityOp
+    val emb = Tables.embeddings(spark, sfDir)
+    val centerIds = Seq(7L, 42L, 123L)
+    val centers = centerIds.map(id => id -> vecs(id))
+    val (nSub, sub) = (4, 16)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def subL2(a: Array[Double], b: Array[Double], s: Int) =
+      r6(l2(a.slice(s * sub, (s + 1) * sub), b.slice(s * sub, (s + 1) * sub)))
+    val qv = vecs(0L)
+    // probe cells: nearest 2 full-dim centers to the query
+    val probes = centers.map { case (cid, cv) => (cid, r6(l2(qv, cv))) }
+      .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1).toSet
+    def cellOf(v: Array[Double]) = centers
+      .map { case (cid, cv) => (cid, r6(l2(v, cv))) }
+      .sortBy { case (cid, d) => (d, cid) }.head._1
+    val expected = vecs.toSeq
+      .filter { case (id, v) => id != 0L && probes.contains(cellOf(v)) }
+      .map { case (id, v) =>
+        val adc = (0 until nSub).map { s =>
+          val code = centers
+            .map { case (cid, cv) => (cid, subL2(v, cv, s)) }
+            .sortBy { case (cid, d) => (d, cid) }.head._1
+          subL2(qv, centers.toMap.apply(code).toArray, s)
+        }.sum
+        (id, r6(adc))
+      }
+      .sortBy { case (id, adc) => (adc, id) }.take(10)
+    val got = SimilarityOp.ivfPqTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) === expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 2e-6) }
+  }
+
   test("LSH near-dup pairs all satisfy the cosine threshold, symmetric blocking") {
     val pairs = SimilarityOp.nearDupLsh(Tables.embeddings(spark, sfDir), 0.2)
       .as[(Long, Long, Double)].collect()
