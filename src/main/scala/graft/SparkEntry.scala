@@ -652,6 +652,11 @@ object SparkEntry {
     // candidates by asymmetric distance — no candidate vector touched.
     "q123_ivfpq" -> ((s, d) =>
       SimilarityOp.ivfPqTopK(Tables.embeddings(s, d))),
+
+    // Incremental view maintenance: base agg ⊕ CDC delta contributions
+    // proven equal to the direct recompute (the oracle side).
+    "q124_ivm_revenue" -> ((s, d) =>
+      RelationalOps.ivmRevenueByNation(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1188,5 +1193,7 @@ object SparkEntry {
     "q122_funnel_durations" -> EventOps.funnelDurationsOracle(),
 
     "q123_ivfpq" -> SimilarityOp.ivfPqTopKOracle(),
+
+    "q124_ivm_revenue" -> RelationalOps.ivmRevenueByNationOracle,
   )
 }

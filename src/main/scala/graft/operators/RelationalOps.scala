@@ -80,6 +80,72 @@ object RelationalOps {
     * 100 TB. A forced broadcast(customer) would be a scale bug: the
     * hint overrides the planner at ANY size.
     */
+  /** Incremental view maintenance — the warehouse identity that makes
+    * a 100 TB aggregate AFFORDABLE to keep fresh: a per-nation revenue
+    * view is maintained by merging the BASE aggregate with per-group
+    * DELTA CONTRIBUTIONS from a CDC batch (update ⇒ +new−old, delete
+    * ⇒ −old) instead of re-scanning the fact table. The CDC batch is
+    * deterministic in-query (keys %41 deleted — taking precedence —
+    * keys %37 repriced by +cents DIV 10, exact integers), and the
+    * ORACLE recomputes the view directly from the post-delta state —
+    * so the hash gate proves `base ⊕ Δ = recompute`, which is the
+    * whole IVM contract. Sum-mergeable aggregates only, by
+    * construction; everything rides exact cents.
+    *
+    * Scale shape: base agg scans once (in production it's the stored
+    * view); the delta side scans only CDC rows; dims broadcast; the
+    * merge is a |nations|-row outer join.
+    */
+  def ivmRevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val base = o.join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("cents")).as("c0"), count(lit(1)).as("n0"))
+    val delta = o
+      .where(col("o_orderkey") % 41 === 0 || col("o_orderkey") % 37 === 0)
+      .select(col("o_custkey"),
+        when(col("o_orderkey") % 41 === 0, -col("cents"))
+          .otherwise(expr("cents DIV 10")).as("dc"),
+        when(col("o_orderkey") % 41 === 0, lit(-1L)).otherwise(lit(0L))
+          .as("dn"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("dc")).as("dc"), sum(col("dn")).as("dn"))
+    base.join(delta, Seq("n_name"), "left")
+      .select(col("n_name").as("nation"),
+        ((col("c0") + coalesce(col("dc"), lit(0L))).cast("double") / 100.0)
+          .as("revenue"),
+        (col("n0") + coalesce(col("dn"), lit(0L))).as("n_orders"))
+      .orderBy("nation")
+  }
+
+  /** Oracle SQL twin of [[ivmRevenueByNation]] — the DIRECT recompute
+    * over the post-delta order set (no merge), the independent side of
+    * the IVM identity.
+    */
+  def ivmRevenueByNationOracle: String =
+    s"""WITH v2 AS (
+       |  SELECT o_custkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT)
+       |      + CASE WHEN o_orderkey % 37 = 0
+       |          THEN CAST(round(o_totalprice * 100) AS BIGINT) // 10
+       |          ELSE 0 END AS cents
+       |  FROM orders WHERE o_orderkey % 41 <> 0
+       |)
+       |SELECT n.n_name AS nation,
+       |  CAST(sum(v2.cents) AS DOUBLE) / 100.0 AS revenue,
+       |  count(*) AS n_orders
+       |FROM v2
+       |JOIN customer c ON v2.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def revenueByNation(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val o  = Tables.orders(s, dir)
