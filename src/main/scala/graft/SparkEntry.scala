@@ -657,6 +657,11 @@ object SparkEntry {
     // proven equal to the direct recompute (the oracle side).
     "q124_ivm_revenue" -> ((s, d) =>
       RelationalOps.ivmRevenueByNation(s, d)),
+
+    // TextRank keywords: integer PageRank over the q61 co-occurrence
+    // graph (stationary importance, not raw frequency).
+    "q125_textrank" -> ((s, d) =>
+      TextOps.textRank(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1195,5 +1200,7 @@ object SparkEntry {
     "q123_ivfpq" -> SimilarityOp.ivfPqTopKOracle(),
 
     "q124_ivm_revenue" -> RelationalOps.ivmRevenueByNationOracle,
+
+    "q125_textrank" -> TextOps.textRankOracle(),
   )
 }

@@ -48,7 +48,10 @@ object GraphOps {
     * `ed` — on a real cluster, after repartitioning both by node id so
     * the join is exchange-free).
     */
-  def pageRank(edges: DataFrame, iters: Int = 3, k: Int = 20): DataFrame = {
+  /** The rank loop alone — (node, r) after `iters` supersteps; node
+    * ids may be ANY orderable type (BIGINT warehouse keys in
+    * [[pageRank]], token STRINGS in [[TextOps.textRank]]). */
+  def pageRankRanks(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 20, "pageRank: iters out of range")
     val e = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -69,7 +72,11 @@ object GraphOps {
           call_function("div",
             lit(15L) * base + lit(85L) * col("contrib"), lit(100L)).as("r"))
     }
-    r.select(
+    r
+  }
+
+  def pageRank(edges: DataFrame, iters: Int = 3, k: Int = 20): DataFrame = {
+    pageRankRanks(edges, iters).select(
         when(pmod(col("node"), lit(2)) === 0, lit("c")).otherwise(lit("s"))
           .as("node_type"),
         call_function("div", col("node"), lit(2L)).as("node_id"),
@@ -330,7 +337,10 @@ object GraphOps {
     * arithmetic. Products are ordered BIGINT-first and per-step sums
     * cast back to BIGINT (DuckDB sums BIGINT into HUGEINT).
     */
-  def pageRankOracle(iters: Int = 3, k: Int = 20): String = {
+  /** Shared unrolled-superstep CTE chain (`e/d/n/r0/c_i/r_i`, expects
+    * an `e0` CTE upstream) — one definition for every pageRank-family
+    * oracle so the integer update rule cannot drift between copies. */
+  private[operators] def pageRankCtesSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
       s"""c$i AS (
@@ -344,15 +354,20 @@ object GraphOps {
          |  FROM c$i, n
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
-       |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
-       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-       |), e AS (
+    s"""e AS (
        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
        |), d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
        |r0 AS (SELECT src AS node, (1000000000 // nn) AS r FROM d, n),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  def pageRankOracle(iters: Int = 3, k: Int = 20): String = {
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |),
+       |${pageRankCtesSql(iters)}
        |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
        |  node // 2 AS node_id, CAST(r AS BIGINT) AS rank_ppb
        |FROM r$iters

@@ -325,6 +325,47 @@ object TextOps {
        |FROM p GROUP BY 1, 2 HAVING count(*) >= $minCount
        |ORDER BY 1, 2""".stripMargin
 
+  /** TextRank keyword extraction — PageRank over the
+    * [[tokenCooccurrence]] graph (Mihalcea & Tarau's construction):
+    * tokens are nodes, windowed co-occurrence pairs are edges, and the
+    * stationary importance — not raw frequency — ranks keywords; a
+    * token that co-occurs with many DIVERSE important tokens outranks
+    * a merely frequent one. Reuses [[GraphOps.pageRankRanks]]'s exact
+    * integer supersteps verbatim (node ids are token strings), so the
+    * oracle composes the q61 co-occurrence CTEs with the shared q102
+    * rank CTEs.
+    */
+  def textRank(docs: DataFrame, k: Int = 20, w: Int = 3,
+               minCount: Long = 10L, iters: Int = 3): DataFrame =
+    GraphOps.pageRankRanks(
+        tokenCooccurrence(docs, w, minCount)
+          .select(col("tok_a").as("src"), col("tok_b").as("dst")),
+        iters)
+      .select(col("node").as("token"), col("r").as("rank_ppb"))
+      .orderBy(col("rank_ppb").desc, col("token"))
+      .limit(k)
+
+  /** Oracle SQL twin of [[textRank]]. */
+  def textRankOracle(k: Int = 20, w: Int = 3, minCount: Long = 10L,
+                     iters: Int = 3): String =
+    s"""WITH t AS (
+       |  SELECT string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |), i AS (
+       |  SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM t
+       |), p AS (
+       |  SELECT tk, i, unnest(generate_series(1, least($w, len(tk) - i))) AS k
+       |  FROM i
+       |), e0 AS (
+       |  SELECT least(tk[i], tk[i+k]) AS src,
+       |    greatest(tk[i], tk[i+k]) AS dst
+       |  FROM p GROUP BY 1, 2 HAVING count(*) >= $minCount
+       |),
+       |${GraphOps.pageRankCtesSql(iters)}
+       |SELECT node AS token, CAST(r AS BIGINT) AS rank_ppb
+       |FROM r$iters
+       |ORDER BY rank_ppb DESC, token LIMIT $k""".stripMargin
+
   /** Winnowing (MOSS) rolling-hash fingerprints: hash every w-shingle
     * at its POSITION, take the window minimum over each run of `win`
     * consecutive shingle hashes, and fingerprint the document as the
