@@ -435,6 +435,9 @@ object EventOps {
     folded
       .agg(count(lit(1)).as("n"),
            sort_array(collect_list(col("dur"))).as("vs"))
+      // zero converters would make element_at(vs, 0) a runtime error —
+      // an empty result is the honest answer (oracle mirrors)
+      .where(col("n") > 0L)
       .select(col("n").as("n_converted"),
         element_at(col("vs"), 1).as("min_ms"),
         element_at(col("vs"), (expr("n DIV 4") + 1).cast("int")).as("q1_ms"),
@@ -458,6 +461,7 @@ object EventOps {
        |  FROM s$n JOIN s1 USING (user_id)
        |), ag AS (
        |  SELECT count(*) AS n, list_sort(list(dur)) AS vs FROM d
+       |  HAVING count(*) > 0
        |)
        |SELECT CAST(n AS BIGINT) AS n_converted,
        |  vs[1] AS min_ms, vs[n//4 + 1] AS q1_ms, vs[n//2 + 1] AS median_ms,
