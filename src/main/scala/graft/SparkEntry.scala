@@ -662,6 +662,11 @@ object SparkEntry {
     // graph (stationary importance, not raw frequency).
     "q125_textrank" -> ((s, d) =>
       TextOps.textRank(Tables.documents(s, d))),
+
+    // Compressed-domain recall arm: the q123 ADC ranking audited
+    // against the exact scan (the q83 audit's fourth arm).
+    "q126_adc_recall" -> ((s, d) =>
+      SimilarityOp.adcRecall(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1202,5 +1207,7 @@ object SparkEntry {
     "q124_ivm_revenue" -> RelationalOps.ivmRevenueByNationOracle,
 
     "q125_textrank" -> TextOps.textRankOracle(),
+
+    "q126_adc_recall" -> SimilarityOp.adcRecallOracle(),
   )
 }
