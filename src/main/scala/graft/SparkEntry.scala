@@ -667,6 +667,11 @@ object SparkEntry {
     // against the exact scan (the q83 audit's fourth arm).
     "q126_adc_recall" -> ((s, d) =>
       SimilarityOp.adcRecall(Tables.embeddings(s, d))),
+
+    // Interpolated quartiles (percentile_cont semantics) per segment —
+    // the continuous quantile convention, formula spelled out.
+    "q127_interp_quartiles" -> ((s, d) =>
+      RelationalOps.segmentPriceQuartiles(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1209,5 +1214,7 @@ object SparkEntry {
     "q125_textrank" -> TextOps.textRankOracle(),
 
     "q126_adc_recall" -> SimilarityOp.adcRecallOracle(),
+
+    "q127_interp_quartiles" -> RelationalOps.segmentPriceQuartilesOracle,
   )
 }

@@ -146,6 +146,59 @@ object RelationalOps {
        |JOIN nation n ON c.c_nationkey = n.n_nationkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Interpolated quartiles (percentile_cont semantics) of order value
+    * per market segment — the OTHER quantile convention ([[OutlierOp]]
+    * is index-based/discrete): position `(n−1)·q` splits into
+    * `idx = pos div 4` and a remainder, and the value interpolates
+    * `lo + rem/4 · (hi − lo)`. The formula is spelled out EXPLICITLY
+    * on both engines (never the built-in percentile functions, whose
+    * edge conventions differ), so every arithmetic step is the same
+    * double operation on the same operands. Per-group collect is
+    * bounded by group size — q07's stance, with percentile_approx as
+    * the documented swap.
+    */
+  def segmentPriceQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+    def interp(qnum: Int) = {
+      val pos = (col("n") - 1) * qnum
+      val idx = expr(s"((n - 1) * $qnum) DIV 4")
+      val rem = pos - idx * 4
+      val lo = element_at(col("vs"), (idx + 1).cast("int"))
+      val hi = element_at(col("vs"), least(idx + 2, col("n")).cast("int"))
+      round(lo + rem.cast("double") / 4.0 * (hi - lo), 4)
+    }
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sort_array(collect_list(col("o_totalprice"))).as("vs"))
+      .select(col("c_mktsegment"), col("n"),
+        interp(1).as("p25"), interp(2).as("p50"), interp(3).as("p75"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Oracle SQL twin of [[segmentPriceQuartiles]]. */
+  def segmentPriceQuartilesOracle: String = {
+    def interp(qnum: Int, name: String) =
+      s"""round(vs[((n - 1) * $qnum) // 4 + 1]
+         |  + (((n - 1) * $qnum) % 4) / 4.0
+         |    * (vs[least(((n - 1) * $qnum) // 4 + 2, n)]
+         |       - vs[((n - 1) * $qnum) // 4 + 1]), 4) AS $name""".stripMargin
+    s"""WITH j AS (
+       |  SELECT c.c_mktsegment, o.o_totalprice
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |), g AS (
+       |  SELECT c_mktsegment, count(*) AS n,
+       |    list_sort(list(o_totalprice)) AS vs
+       |  FROM j GROUP BY 1
+       |)
+       |SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+       |  ${interp(1, "p25")},
+       |  ${interp(2, "p50")},
+       |  ${interp(3, "p75")}
+       |FROM g ORDER BY c_mktsegment""".stripMargin
+  }
+
   def revenueByNation(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val o  = Tables.orders(s, dir)

@@ -82,6 +82,39 @@ class RelationalSpec extends SparkSuite {
     assert((out.getLong(0), out.getLong(1), out.getLong(2)) === (5L, 7L, 4L))
   }
 
+  test("interpolated quartiles: percentile_cont hand-check, n=1 degenerate") {
+    import graft.operators.RelationalOps
+    // Validate via the wired query shape with a crafted mini "orders ⋈
+    // customer": segment A has values 10, 20, 30, 40 -> p25 = 17.5,
+    // p50 = 25, p75 = 32.5; segment B has a single value (all three
+    // quartiles = it).
+    val orders = Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0),
+      (4L, 1L, 40.0), (5L, 2L, 7.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+    // re-derive through the same formula the operator uses
+    val joined = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+    def interp(qnum: Int) = {
+      val pos = (col("n") - 1) * qnum
+      val idx = expr(s"((n - 1) * $qnum) DIV 4")
+      val rem = pos - idx * 4
+      val lo = element_at(col("vs"), (idx + 1).cast("int"))
+      val hi = element_at(col("vs"), least(idx + 2, col("n")).cast("int"))
+      round(lo + rem.cast("double") / 4.0 * (hi - lo), 4)
+    }
+    val out = joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("o_totalprice"))).as("vs"))
+      .select(col("c_mktsegment"), interp(1).as("p25"), interp(2).as("p50"),
+        interp(3).as("p75"))
+      .orderBy("c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("A", 17.5, 25.0, 32.5),
+      ("B", 7.0, 7.0, 7.0)))
+  }
+
   test("kCore: pendant chain peels away round by round, core is stable") {
     import graft.operators.GraphOps
     // K4 on {1,2,3,4} (a true 3-core) with a pendant chain 4-5-6:

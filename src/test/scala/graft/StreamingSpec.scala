@@ -577,6 +577,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingScd2 absorbs out-of-order arrivals inside the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    def j(k: Long) = s"""{"k": $k}"""
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val stream = mem.toDF().toDF("user_id", "ms", "event_id", "props")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.streamingScd2(stream, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_ooo").start()
+    try {
+      val m = 60000L
+      // arrivals OUT of event-time order inside one batch: the 5→7
+      // change at t=2min arrives before the t=1min obs of 5
+      mem.addData((1L, 2 * m, 2L, j(7)), (1L, 1 * m, 1L, j(5)))
+      q.processAllAvailable()
+      // a straggler at t=3min (still above watermark), then a sentinel
+      // far ahead to finalize everything
+      mem.addData((1L, 3 * m, 3L, j(5)))
+      q.processAllAvailable()
+      mem.addData((999L, 86400000L, 99L, j(1)))
+      q.processAllAvailable()
+      val got = spark.table("scd2_ooo").where($"userId" === 1L)
+        .select($"k", $"validFromMs", $"validToMs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(_._2)
+      // event-time order 5@1m, 7@2m, 5@3m -> closed versions
+      // (5, 1m..2m) and (7, 2m..3m); the open (5, 3m..) stays in state
+      assert(got === Seq((5L, 1 * m, 2 * m), (7L, 2 * m, 3 * m)))
+    } finally q.stop()
+  }
+
   test("streamingFunnel advancements reproduce the batch funnel histogram") {
     import graft.operators.EventOps
     implicit val sqlCtx = spark.sqlContext
