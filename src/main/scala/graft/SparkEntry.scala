@@ -672,6 +672,11 @@ object SparkEntry {
     // the continuous quantile convention, formula spelled out.
     "q127_interp_quartiles" -> ((s, d) =>
       RelationalOps.segmentPriceQuartiles(s, d)),
+
+    // Session entry/exit matrix with bounce counts (which event types
+    // open and close sessions).
+    "q128_entry_exit" -> ((s, d) =>
+      EventOps.sessionEntryExit(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1216,5 +1221,7 @@ object SparkEntry {
     "q126_adc_recall" -> SimilarityOp.adcRecallOracle(),
 
     "q127_interp_quartiles" -> RelationalOps.segmentPriceQuartilesOracle,
+
+    "q128_entry_exit" -> EventOps.sessionEntryExitOracle(),
   )
 }

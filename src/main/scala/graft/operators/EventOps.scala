@@ -602,6 +602,69 @@ object EventOps {
        |FROM c JOIN o USING (prev_type)
        |ORDER BY prev_type, next_type""".stripMargin
 
+  /** Session entry/exit profile — which event types OPEN and CLOSE
+    * sessions, with the bounce count (single-event sessions): the
+    * engagement diagnostic next to [[sessionize]]. One pass over the
+    * sessionized stream: first/last per (user, session) via the
+    * min/max-of-struct trick (no second window), then a |types|²
+    * rollup.
+    */
+  def sessionEntryExit(events: DataFrame,
+                       gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSession =
+      when(unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))
+             > gapMs, 1).otherwise(0)
+    events
+      .withColumn("new_s", coalesce(newSession, lit(0)))
+      .withColumn("sid",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(struct(unix_millis(col("ts")).as("ms"), col("event_id"),
+          col("event_type"))).as("fst"),
+        max(struct(unix_millis(col("ts")).as("ms"), col("event_id"),
+          col("event_type"))).as("lst"),
+        count(lit(1)).as("n_events"))
+      .groupBy(col("fst.event_type").as("entry_type"),
+        col("lst.event_type").as("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+             .as("n_bounces"))
+      .orderBy("entry_type", "exit_type")
+  }
+
+  /** Oracle SQL twin of [[sessionEntryExit]] — the shared sessionize
+    * CTEs, first/last via min/max over (ms, event_id) ROW tuples.
+    */
+  def sessionEntryExitOracle(gapMs: Long = 30 * 60 * 1000L): String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, ts, event_type, epoch_ms(ts) AS ms,
+       |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id)) > $gapMs
+       |      THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |), y AS (
+       |  SELECT user_id, event_id, ms, event_type,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM x
+       |), s AS (
+       |  SELECT user_id, sid,
+       |    min(struct_pack(ms := ms, eid := event_id, et := event_type))
+       |      AS fst,
+       |    max(struct_pack(ms := ms, eid := event_id, et := event_type))
+       |      AS lst,
+       |    count(*) AS n_events
+       |  FROM y GROUP BY 1, 2
+       |)
+       |SELECT fst['et'] AS entry_type, lst['et'] AS exit_type,
+       |  count(*) AS n_sessions,
+       |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bounces
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Top behavioral trigrams — [[typeTransitions]] at order 2: per
     * user, consecutive (t₋₂ → t₋₁ → t) event-type triples in the
     * sessionize order, counted corpus-wide, top-k by count (ties:

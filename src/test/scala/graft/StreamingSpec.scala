@@ -608,6 +608,52 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("native stream-stream time-bounded join equals the batch join on a replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val clicksB = ev.where($"event_type" === "click")
+      .select($"user_id", $"event_id".as("c_id"), $"ts".as("c_ts"))
+    val purchB = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+    val cond = "p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"
+    val expected = clicksB.join(purchB, Seq("user_id"))
+      .where(expr(cond))
+      .select($"c_id", $"p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val rows = ev
+      .where($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .sortBy(t => (t._3.getTime, t._1))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val clicksS = stream.where($"event_type" === "click")
+      .select($"user_id", $"event_id".as("c_id"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchS = stream.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    // Spark's NATIVE stream-stream inner join: both sides buffer in
+    // watermark-bounded state; the time-range condition bounds how
+    // long a click waits for purchases
+    val q = clicksS.join(purchS,
+        clicksS("user_id") === purchS("user_id") && expr(cond))
+      .select(clicksS("c_id"), purchS("p_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingFunnel advancements reproduce the batch funnel histogram") {
     import graft.operators.EventOps
     implicit val sqlCtx = spark.sqlContext
