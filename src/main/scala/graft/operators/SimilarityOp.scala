@@ -186,7 +186,7 @@ object SimilarityOp {
     val probes = probeCells(qv, centers, nProbe)
     val v = toDoubleArray(col("embedding"))
     val dists = centers.map { case (cid, cv) =>
-      cid -> round(l2(v, array(cv.map(lit): _*)), 6)
+      cid -> round(graft.functions.L2Expr.column(v, array(cv.map(lit): _*)), 6)
     }
     val withD = vecs
       .select(col("vec_id") +: col("embedding") +:
@@ -430,7 +430,7 @@ object SimilarityOp {
     val parts = (0 until nSub).map { s =>
       val vs = slice(v, s * sub + 1, sub)
       val dists = centers.map { case (cid, cv) =>
-        cid -> round(l2(vs,
+        cid -> round(graft.functions.L2Expr.column(vs,
           array(cv.slice(s * sub, (s + 1) * sub).map(lit): _*)), 6)
       }
       val minD = least(dists.map(_._2): _*)
@@ -482,7 +482,7 @@ object SimilarityOp {
       val qs = array(qv.slice(s * sub, (s + 1) * sub).map(lit): _*)
       val cs = slice(toDoubleArray(col("embedding")), s * sub + 1, sub)
       struct(lit(s.toLong).as("subspace"), col("vec_id").as("code"),
-        round(l2(qs, cs), 6).as("qd"))
+        round(graft.functions.L2Expr.column(qs, cs), 6).as("qd"))
     }
     val lookup = embeddings.filter(col("vec_id").isin(cbIds: _*))
       .select(explode(array(lookupParts: _*)).as("a"))
@@ -887,7 +887,7 @@ object SimilarityOp {
     val qlit = array(qv.map(lit): _*)
     embeddings.where(col("vec_id") =!= queryId)
       .select(col("vec_id"),
-        round(l2(toDoubleArray(col("embedding")), qlit), 6).as("dist"))
+        round(graft.functions.L2Expr.column(toDoubleArray(col("embedding")), qlit), 6).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
@@ -922,7 +922,7 @@ object SimilarityOp {
       .select(col("vec_id"))
       .join(embeddings, Seq("vec_id"))
       .select(col("vec_id"),
-        round(l2(toDoubleArray(col("embedding")), qlit), 6).as("dist"))
+        round(graft.functions.L2Expr.column(toDoubleArray(col("embedding")), qlit), 6).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
@@ -972,18 +972,32 @@ object SimilarityOp {
                 codebookIds: Seq[Long] = PqCodebookIds,
                 nSub: Int = 8, k: Int = 10, shortlist: Int = 100): DataFrame = {
     val exact = l2TopK(embeddings, queryId, k).select(col("vec_id"))
+    // ONE PQ evaluation: the shortlist-sized ADC ranking, eager-cached
+    // (the kCore rule — both arms below branch off it; unpersisted,
+    // the whole cell+code assignment re-ran per arm: 7.5 s → ~2 s).
+    // The adc arm's top-k is a prefix of the shortlist ranking by
+    // construction (same total order).
+    val sl = ivfPqTopK(embeddings, queryId, coarseIds,
+      nProbe = coarseIds.size, nSub = nSub, k = shortlist,
+      codebookIds = codebookIds).persist()
+    sl.count()
+    val qv: Seq[Double] = embeddings.filter(col("vec_id") === queryId)
+      .select(toDoubleArray(col("embedding"))).collect().head.getSeq[Double](0)
+    val qlit = array(qv.map(lit): _*)
+    val rerank = sl.select(col("vec_id"))
+      .join(embeddings, Seq("vec_id"))
+      .select(col("vec_id"),
+        round(graft.functions.L2Expr.column(
+          toDoubleArray(col("embedding")), qlit), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
     def arm(name: String, approx: DataFrame): DataFrame =
       exact.join(approx.select(col("vec_id")), Seq("vec_id"))
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("method"), col("n_hits"),
           round(col("n_hits").cast("double") / k, 4).as("recall"))
-    arm("adc",
-        ivfPqTopK(embeddings, queryId, coarseIds, nProbe = coarseIds.size,
-          nSub = nSub, k = k, codebookIds = codebookIds))
-      .unionByName(arm("adc_rerank",
-        ivfPqRerankTopK(embeddings, queryId, coarseIds,
-          nProbe = coarseIds.size, nSub = nSub, k = k,
-          shortlist = shortlist, codebookIds = codebookIds)))
+    arm("adc", sl.orderBy(col("adc"), col("vec_id")).limit(k))
+      .unionByName(arm("adc_rerank", rerank))
       .orderBy("method")
   }
 
@@ -1088,7 +1102,7 @@ object SimilarityOp {
                        keep: Seq[String]): DataFrame = {
     val v = toDoubleArray(col("embedding"))
     val dists = centers.map { case (cid, cv) =>
-      cid -> round(l2(v, array(cv.map(lit): _*)), 6)
+      cid -> round(graft.functions.L2Expr.column(v, array(cv.map(lit): _*)), 6)
     }
     val withD = embeddings.select(keep.map(col) ++
       dists.zipWithIndex.map { case ((_, c), i) => c.as(s"d$i") }: _*)
@@ -1151,7 +1165,7 @@ object SimilarityOp {
                                  centers: Seq[(Long, Seq[Double])],
                                  nProbe: Int): DataFrame = {
     val entries = centers.map { case (cid, cv) =>
-      struct(round(l2(col("qv"), array(cv.map(lit): _*)), 6).as("dist"),
+      struct(round(graft.functions.L2Expr.column(col("qv"), array(cv.map(lit): _*)), 6).as("dist"),
         lit(cid).as("cid"))
     }
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))

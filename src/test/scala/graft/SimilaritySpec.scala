@@ -110,6 +110,22 @@ class SimilaritySpec extends SparkSuite {
     assert(both.count() === 500)
   }
 
+  test("L2Expr is bit-equal to the composed-built-ins l2, full and sliced") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{L2Expr, VectorFunctions}
+    val emb = Tables.embeddings(spark, sfDir)
+    val v = VectorFunctions.toDoubleArray(col("embedding"))
+    val qlit = array(vecs(7L).toSeq.map(lit): _*)
+    val both = emb.select(
+      L2Expr.column(v, qlit).as("fast"),
+      VectorFunctions.l2(v, qlit).as("slow"),
+      L2Expr.column(slice(v, 17, 16), slice(qlit, 17, 16)).as("fast_sub"),
+      VectorFunctions.l2(slice(v, 17, 16), slice(qlit, 17, 16)).as("slow_sub"))
+    assert(both.where(col("fast") =!= col("slow") ||
+      col("fast_sub") =!= col("slow_sub")).count() === 0)
+    assert(both.count() === 500)
+  }
+
   test("annTopK returns correctly-scored, correctly-ordered band-mates") {
     val got = SimilarityOp.annTopK(Tables.embeddings(spark, sfDir), 0L, 10)
       .as[(Long, Double)].collect().toSeq
