@@ -677,6 +677,40 @@ object SparkEntry {
     // open and close sessions).
     "q128_entry_exit" -> ((s, d) =>
       EventOps.sessionEntryExit(Tables.events(s, d))),
+
+    // Single-source BFS hop levels on the repeat-copurchase graph —
+    // frontier expansion with eager per-level persist; oracle unrolls
+    // the levels as chained CTEs.
+    "q129_bfs_levels" -> ((s, d) =>
+      GraphOps.bfsLevels(
+        GraphOps.repeatCopurchaseEdges(Tables.lineitem(s, d)))),
+
+    // Pearson correlation screen from exact integer moments; scalar
+    // double math only (no float SUM), fixed-point ppm output.
+    "q130_feature_corr" -> ((s, d) =>
+      AuditOps.featureCorr(Tables.lineitem(s, d))),
+
+    // Benford chi-square distance for two amount columns — q121's
+    // one-row verdict, chained-term float fold spelled out in the query.
+    "q131_benford_chi2" -> ((s, d) =>
+      AuditOps.benfordChi2(Tables.orders(s, d), "orders", "o_totalprice")
+        .unionByName(AuditOps.benfordChi2(
+          Tables.lineitem(s, d), "lineitem", "l_extendedprice"))
+        .orderBy("tbl")),
+
+    // Explicit irregular GROUPING SETS lattice (neither rollup nor
+    // cube can express it).
+    "q132_grouping_sets" -> ((s, d) =>
+      RelationalOps.groupingSetsRevenue(s, d)),
+
+    // Per-brand Pareto frontier (skyline) via sorted running-max
+    // windows — no quadratic dominance join; oracle uses NOT EXISTS.
+    "q133_skyline" -> ((s, d) => RelationalOps.brandSkyline(s, d)),
+
+    // Exact size-weighted median price per brand (integer threshold
+    // arithmetic, deterministic tie order).
+    "q134_weighted_median" -> ((s, d) =>
+      RelationalOps.weightedMedianPrice(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1223,5 +1257,21 @@ object SparkEntry {
     "q127_interp_quartiles" -> RelationalOps.segmentPriceQuartilesOracle,
 
     "q128_entry_exit" -> EventOps.sessionEntryExitOracle(),
+
+    "q129_bfs_levels" -> GraphOps.bfsLevelsOracle(),
+
+    "q130_feature_corr" -> AuditOps.featureCorrOracle,
+
+    "q131_benford_chi2" ->
+      (AuditOps.benfordChi2Oracle("orders", "o_totalprice") +
+        "\nUNION ALL\n" +
+        AuditOps.benfordChi2Oracle("lineitem", "l_extendedprice") +
+        "\nORDER BY tbl"),
+
+    "q132_grouping_sets" -> RelationalOps.groupingSetsRevenueOracle,
+
+    "q133_skyline" -> RelationalOps.brandSkylineOracle,
+
+    "q134_weighted_median" -> RelationalOps.weightedMedianPriceOracle,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality audits an ingest pipeline runs BEFORE trusting a drop:
@@ -222,6 +222,154 @@ object AuditOps {
         DetAgg.ratio(col("n"), col("total"), 6).as("share"),
         expectedCol.as("benford"))
       .orderBy("digit")
+  }
+
+  /** Pearson correlation screen between declared numeric features, per
+    * (returnflag, linestatus) — the feature-drift audit a training
+    * pipeline runs on tabular drops ("did quantity stop predicting
+    * price?"). All five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * EXACT BIGINTs over integer-coded features (quantity as-is, price
+    * as whole currency units = cents div 100, discount as integer
+    * percent), so both engines feed IDENTICAL integers into an
+    * IDENTICAL scalar double expression — and every operator in that
+    * expression (·, −, /, sqrt, floor) is IEEE-correctly-rounded, so
+    * the fixed-point ppm output is bit-equal cross-engine with no
+    * float-SUM fold-order hazard anywhere (the q109 lesson: only
+    * AGGREGATION over floats leaks order; scalar float math does not).
+    *
+    * Scale shape: one map-side-combined groupBy carrying eight integer
+    * sums — a single shuffle of ~6 tiny rows. At SF where Σy² nears
+    * 2^63 (≈ sf5 for whole-dollar units), promote the moment sums to
+    * DECIMAL(38,0); the downstream double math is unchanged.
+    */
+  def featureCorr(lineitem: DataFrame): DataFrame = {
+    val qty = col("l_quantity").cast("long")
+    val dol = call_function("div",
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)"), lit(100L))
+    val dsc = expr("CAST(round(l_discount * 100) AS BIGINT)")
+    def corrPpm(n: Column, sx: Column, sy: Column,
+                sxx: Column, syy: Column, sxy: Column): Column = {
+      val nd = n.cast("double")
+      val num = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+      val d1 = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+      val d2 = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+      when(d1 > 0.0 && d2 > 0.0,
+        floor(num / sqrt(d1 * d2) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long"))
+    }
+    lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(qty).as("sx"), sum(dol).as("sy"), sum(dsc).as("sz"),
+        sum(qty * qty).as("sxx"), sum(dol * dol).as("syy"),
+        sum(dsc * dsc).as("szz"),
+        sum(qty * dol).as("sxy"), sum(qty * dsc).as("sxz"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        corrPpm(col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy")).as("corr_qty_price_ppm"),
+        corrPpm(col("n"), col("sx"), col("sz"),
+          col("sxx"), col("szz"), col("sxz")).as("corr_qty_disc_ppm"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Oracle SQL twin of [[featureCorr]] — same exact integer moments,
+    * same scalar double expression, operator for operator.
+    */
+  def featureCorrOracle: String = {
+    def corr(sx: String, sy: String, sxx: String, syy: String,
+             sxy: String): String = {
+      val nd = "CAST(n AS DOUBLE)"
+      def d(c: String) = s"CAST($c AS DOUBLE)"
+      val num = s"($nd * ${d(sxy)} - ${d(sx)} * ${d(sy)})"
+      val d1 = s"($nd * ${d(sxx)} - ${d(sx)} * ${d(sx)})"
+      val d2 = s"($nd * ${d(syy)} - ${d(sy)} * ${d(sy)})"
+      s"""CASE WHEN $d1 > 0.0 AND $d2 > 0.0
+         |  THEN CAST(floor($num / sqrt($d1 * $d2) * 1000000.0 + 0.5) AS BIGINT)
+         |  ELSE NULL END""".stripMargin
+    }
+    s"""WITH m AS (
+       |  SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) // 100)
+       |      AS BIGINT) AS sy,
+       |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sz,
+       |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+       |      AS BIGINT) AS sxx,
+       |    CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) // 100) *
+       |             (CAST(round(l_extendedprice * 100) AS BIGINT) // 100))
+       |      AS BIGINT) AS syy,
+       |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT) *
+       |             CAST(round(l_discount * 100) AS BIGINT))
+       |      AS BIGINT) AS szz,
+       |    CAST(sum(CAST(l_quantity AS BIGINT) *
+       |             (CAST(round(l_extendedprice * 100) AS BIGINT) // 100))
+       |      AS BIGINT) AS sxy,
+       |    CAST(sum(CAST(l_quantity AS BIGINT) *
+       |             CAST(round(l_discount * 100) AS BIGINT))
+       |      AS BIGINT) AS sxz
+       |  FROM lineitem GROUP BY 1, 2
+       |)
+       |SELECT l_returnflag, l_linestatus, n,
+       |  ${corr("sx", "sy", "sxx", "syy", "sxy")} AS corr_qty_price_ppm,
+       |  ${corr("sx", "sz", "sxx", "szz", "sxz")} AS corr_qty_disc_ppm
+       |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  private val benfordExpected: Seq[(Int, Double)] = (1 to 9)
+    .map(d => d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
+
+  /** Benford χ² goodness-of-fit distance — [[benfordAudit]]'s one-row
+    * verdict per amount column: χ² = Σ_d (n_d − N·e_d)²/(N·e_d) over
+    * digits 1–9, with e_d the same fixed literal expectations. The
+    * nine digit counts are EXACT conditional-sum integers gathered in
+    * one aggregate row, and the χ² terms are then CHAINED
+    * left-to-right in digit order as one scalar expression — never a
+    * float SUM aggregate — so the fold order is part of the query text
+    * and both engines compute the identical double. Output is
+    * fixed-point (χ²·10⁶ floored) under the hash gate, with df = 8.
+    *
+    * Scale shape: one full-scan aggregate per audited column with nine
+    * conditional counters — a map-side-combined single row; the χ²
+    * arithmetic happens on that one row.
+    */
+  def benfordChi2(df: DataFrame, tableName: String,
+                  amountCol: String): DataFrame = {
+    val digit = substring(
+      expr(s"CAST(CAST(round($amountCol * 100) AS BIGINT) AS STRING)"), 1, 1)
+    val digitAggs = benfordExpected.map { case (d, _) =>
+      coalesce(sum(when(col("digit") === d.toString, 1L).otherwise(0L)),
+        lit(0L)).as(s"n$d")
+    }
+    val counts = df.select(digit.as("digit"))
+      .agg(count(lit(1)).as("n"), digitAggs: _*)
+    val chi2 = benfordExpected.map { case (d, e) =>
+      val exp = col("n").cast("double") * lit(e)
+      val diff = col(s"n$d").cast("double") - exp
+      diff * diff / exp
+    }.reduce(_ + _) // left fold in digit order — deterministic chain
+    counts.select(lit(tableName).as("tbl"), col("n"),
+      lit(8L).as("df"),
+      floor(chi2 * lit(1000000.0) + lit(0.5)).cast("long").as("chi2_e6"))
+  }
+
+  /** Oracle SQL twin of [[benfordChi2]] for one table/column arm. */
+  def benfordChi2Oracle(table: String, amountCol: String): String = {
+    val counters = benfordExpected.map { case (d, _) =>
+      s"""    coalesce(CAST(sum(CASE WHEN digit = '$d' THEN 1 ELSE 0 END)
+         |      AS BIGINT), 0) AS n$d""".stripMargin
+    }.mkString(",\n")
+    val chi2 = benfordExpected.map { case (d, e) =>
+      s"((CAST(n$d AS DOUBLE) - CAST(n AS DOUBLE) * $e) * " +
+        s"(CAST(n$d AS DOUBLE) - CAST(n AS DOUBLE) * $e) / " +
+        s"(CAST(n AS DOUBLE) * $e))"
+    }.reduce((a, b) => s"($a + $b)")
+    s"""SELECT '$table' AS tbl, n, CAST(8 AS BIGINT) AS df,
+       |  CAST(floor($chi2 * 1000000.0 + 0.5) AS BIGINT) AS chi2_e6
+       |FROM (
+       |  SELECT count(*) AS n,
+       |$counters
+       |  FROM (SELECT substr(CAST(CAST(round($amountCol * 100) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS digit FROM $table) s
+       |) c""".stripMargin
   }
 
   /** Oracle SQL twin of [[benfordAudit]]. */

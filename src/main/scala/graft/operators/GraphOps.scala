@@ -261,6 +261,85 @@ object GraphOps {
       .orderBy("part_a", "part_b", "part_c")
   }
 
+  /** Single-source BFS hop levels by frontier expansion, `maxHops`
+    * fixed supersteps from the smallest node id in the edge set — the
+    * reachability primitive (neighborhood sizing, influence radius,
+    * "how far is everything from the flagship product"). Returns every
+    * node reached within `maxHops` with its EXACT hop distance; a node
+    * is labeled the first time a frontier touches it and never again,
+    * so the level assignment is the true shortest unweighted distance.
+    *
+    * Scale shape per superstep: one key-partitioned join (frontier ⋈
+    * adjacency) + a distinct + one LEFT ANTI against the visited set —
+    * all keyed by node id, nothing collected. Frontier and visited are
+    * EAGERLY persisted per level (the [[kCore]] lesson: each level is
+    * referenced by the next expansion AND the anti-join, so a lazy
+    * chain re-evaluates an exponential lineage tree). Visited grows
+    * monotonically and is bounded by |V|; on a real cluster you would
+    * checkpoint it every ~10 levels to truncate lineage.
+    *
+    * Reference scope: the reference's graph use is implicit (cell
+    * adjacency in `/root/reference` traffic topology); BFS is the
+    * Spark-first generalization of that reachability need.
+    */
+  def bfsLevels(edges: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 12, "bfsLevels: maxHops out of range")
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    // deterministic source: the smallest node id (a < b by edge
+    // construction, but take the least of both ends for robustness)
+    val src = und.agg(least(min(col("u")), min(col("v"))).as("node"))
+    var visited = src.select(col("node"), lit(0L).as("hops")).persist()
+    visited.count()
+    var frontier = visited.select(col("node"))
+    for (i <- 1 to maxHops) {
+      val next = und.join(frontier.select(col("node").as("u")), Seq("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .persist()
+      next.count()
+      visited = visited
+        .unionByName(next.select(col("node"), lit(i.toLong).as("hops")))
+        .persist()
+      visited.count()
+      frontier = next.select(col("node"))
+    }
+    visited.orderBy("node")
+  }
+
+  /** Oracle SQL twin of [[bfsLevels]] over [[repeatCopurchaseEdges]] —
+    * the frontier expansions unrolled as chained CTEs (`NOT IN` plays
+    * the anti-join).
+    */
+  def bfsLevelsOracle(maxHops: Int = 4, minW: Long = 2L): String = {
+    val steps = (1 to maxHops).map { i =>
+      val pf = if (i == 1) "f0" else s"f${i - 1}"
+      s"""f$i AS (
+         |  SELECT DISTINCT und.v AS node
+         |  FROM und JOIN $pf p ON und.u = p.node
+         |  WHERE und.v NOT IN (SELECT node FROM v${i - 1})
+         |), v$i AS (
+         |  SELECT node, hops FROM v${i - 1}
+         |  UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |w AS (
+       |  SELECT a.pk AS x, b.pk AS y, count(*) AS wc
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2
+       |),
+       |e0 AS (SELECT x, y FROM w WHERE wc >= $minW),
+       |und AS (SELECT x AS u, y AS v FROM e0 UNION ALL SELECT y, x FROM e0),
+       |v0 AS (SELECT least(min(u), min(v)) AS node, CAST(0 AS BIGINT) AS hops
+       |       FROM und),
+       |f0 AS (SELECT node FROM v0),
+       |$steps
+       |SELECT node, hops FROM v$maxHops ORDER BY node""".stripMargin
+  }
+
   /** Oracle SQL twin of [[frequentTriples]] — the direct unpruned
     * triple count.
     */

@@ -383,4 +383,147 @@ object RelationalOps {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Explicit GROUPING SETS over an IRREGULAR lattice — ((nation,
+    * segment), (segment), ()) — the grouping-sets form neither
+    * [[rollupRevenue]] (hierarchy prefixes) nor [[cubeRevenue]] (full
+    * lattice) can express: segment marginals and the grand total, but
+    * NO nation-only marginal. Revenue is exact cents under the
+    * integer-sum rule, so every lattice row hashes identically
+    * cross-engine. Same physical shape as cube: one Expand (×3 here)
+    * feeding one partially-aggregated shuffle.
+    */
+  def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"), cents.as("cents"))
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("c_mktsegment")),
+          Seq(col("c_mktsegment")), Seq.empty[org.apache.spark.sql.Column]),
+        col("n_name"), col("c_mktsegment"))
+      .agg(grouping(col("n_name")).cast("long").as("g_nation"),
+        grouping(col("c_mktsegment")).cast("long").as("g_segment"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("g_nation"), col("g_segment"), col("revenue"), col("n_orders"))
+      .orderBy("nation", "segment")
+  }
+
+  /** Oracle SQL twin of [[groupingSetsRevenue]]. */
+  def groupingSetsRevenueOracle: String =
+    """SELECT coalesce(n.n_name, 'ALL') AS nation,
+      |  coalesce(c.c_mktsegment, 'ALL') AS segment,
+      |  CAST(GROUPING(n.n_name) AS BIGINT) AS g_nation,
+      |  CAST(GROUPING(c.c_mktsegment) AS BIGINT) AS g_segment,
+      |  CAST(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS DOUBLE) / 100.0 AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY GROUPING SETS ((n.n_name, c.c_mktsegment),
+      |  (c.c_mktsegment), ())
+      |ORDER BY nation, segment""".stripMargin
+
+  /** Per-brand Pareto frontier (skyline) on (price ↓ better, size ↑
+    * better): a part survives iff no same-brand part is at-least-as-good
+    * on both axes and strictly better on one — the multi-objective
+    * "best offers" screen. Computed WITHOUT the quadratic dominance
+    * join: within each brand, sort by exact price cents and take the
+    * running max size over strictly-cheaper rows (a RANGE frame ending
+    * at −1 cent) plus the max size at the same price point; a row is
+    * dominated iff either max beats it. One shuffle on the brand key;
+    * the oracle independently re-derives the frontier with the
+    * textbook NOT EXISTS dominance query.
+    */
+  def brandSkyline(s: SparkSession, dir: String): DataFrame = {
+    val withC = Tables.part(s, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("pc"))
+    val cheaper = Window.partitionBy(col("p_brand")).orderBy(col("pc"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy(col("p_brand"), col("pc"))
+    withC
+      .withColumn("max_cheaper", max(col("p_size")).over(cheaper))
+      .withColumn("max_same", max(col("p_size")).over(samePrice))
+      .where(coalesce(col("max_cheaper"), lit(Int.MinValue.toLong))
+        < col("p_size") && col("max_same") <= col("p_size"))
+      .select(col("p_brand"), col("p_partkey"),
+        (col("pc").cast("double") / 100.0).as("price"), col("p_size"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  /** Oracle SQL twin of [[brandSkyline]] — the direct dominance test. */
+  def brandSkylineOracle: String =
+    """WITH p AS (
+      |  SELECT p_brand, p_partkey, p_size,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+      |  FROM part
+      |)
+      |SELECT a.p_brand, a.p_partkey,
+      |  CAST(a.pc AS DOUBLE) / 100.0 AS price, a.p_size
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.p_brand = a.p_brand AND b.pc <= a.pc
+      |    AND b.p_size >= a.p_size
+      |    AND (b.pc < a.pc OR b.p_size > a.p_size))
+      |ORDER BY a.p_brand, a.p_partkey""".stripMargin
+
+  /** Exact weighted median per brand: retail price weighted by size —
+    * the "where does the bulk of inventory capacity sit on the price
+    * axis" statistic (a plain median over-weights small parts). Lower
+    * weighted median: the smallest price whose cumulative weight
+    * reaches half the total, computed with one per-brand sort window
+    * (cumulative weight, deterministic (price, partkey) order) and a
+    * min-over-qualifying aggregate — integer arithmetic end to end
+    * (2·cumw ≥ totw avoids the half division). Both shuffles key on
+    * brand, so AQE reuses the exchange.
+    */
+  def weightedMedianPrice(s: SparkSession, dir: String): DataFrame = {
+    val withC = Tables.part(s, dir)
+      .select(col("p_brand"), col("p_partkey"),
+        col("p_size").cast("long").as("wt"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("pc"))
+    val cum = Window.partitionBy(col("p_brand"))
+      .orderBy(col("pc"), col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("p_brand"))
+    withC
+      .withColumn("cumw", sum(col("wt")).over(cum))
+      .withColumn("totw", sum(col("wt")).over(tot))
+      .groupBy(col("p_brand"))
+      .agg(min(when(col("cumw") * 2 >= col("totw"), col("pc")))
+          .as("med_pc"),
+        max(col("totw")).as("total_weight"),
+        count(lit(1)).as("n_parts"))
+      .select(col("p_brand"),
+        (col("med_pc").cast("double") / 100.0).as("wmedian_price"),
+        col("total_weight"), col("n_parts"))
+      .orderBy("p_brand")
+  }
+
+  /** Oracle SQL twin of [[weightedMedianPrice]]. */
+  def weightedMedianPriceOracle: String =
+    """WITH p AS (
+      |  SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS wt,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+      |  FROM part
+      |), w AS (
+      |  SELECT p_brand, pc, wt,
+      |    sum(wt) OVER (PARTITION BY p_brand ORDER BY pc, p_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    sum(wt) OVER (PARTITION BY p_brand) AS totw
+      |  FROM p
+      |)
+      |SELECT p_brand,
+      |  CAST(min(CASE WHEN cumw * 2 >= totw THEN pc END) AS DOUBLE) / 100.0
+      |    AS wmedian_price,
+      |  CAST(max(totw) AS BIGINT) AS total_weight, count(*) AS n_parts
+      |FROM w GROUP BY 1 ORDER BY p_brand""".stripMargin
 }

@@ -67,4 +67,50 @@ class AuditSpec extends SparkSuite {
     assert(out("s") === ((4L, 1L, 2L))) // a, b; one NULL
     assert(out("n") === ((4L, 1L, 2L))) // 1, 2; one NULL
   }
+
+  test("featureCorr: perfect linear feature scores 1e6 ppm, constant is NULL") {
+    // price = qty dollars exactly → corr(qty, dollars) = +1;
+    // discount constant → zero variance → NULL by the guard.
+    val li = (1 to 40).map { i =>
+      val q = (i % 10) + 1
+      ("N", "O", q.toDouble, q * 100.0, 0.05)
+    }.toDF("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount")
+    val out = AuditOps.featureCorr(li).collect().head
+    assert(out.getLong(2) === 40L)
+    assert(out.getLong(3) === 1000000L)
+    assert(out.isNullAt(4))
+  }
+
+  test("featureCorr: perfect inverse relation scores -1e6 ppm") {
+    // discount falls exactly linearly as quantity rises
+    val li = (1 to 30).map { i =>
+      val q = (i % 6) + 1
+      ("R", "F", q.toDouble, 1000.0, (10 - q) / 100.0)
+    }.toDF("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount")
+    val out = AuditOps.featureCorr(li).collect().head
+    assert(out.isNullAt(3)) // constant price → NULL
+    assert(out.getLong(4) === -1000000L)
+  }
+
+  test("benfordChi2: planted Benford-exact counts score ~zero, uniform does not") {
+    // 1000 rows whose leading-digit histogram matches the Benford
+    // expectation to the nearest count: chi2 stays tiny. A uniform
+    // digit histogram scores far higher.
+    val bCounts = (1 to 9).map(d =>
+      d -> math.rint(math.log10(1.0 + 1.0 / d) * 1000).toInt)
+    val benford = bCounts.flatMap { case (d, n) =>
+      Seq.fill(n)(d * 111.0) // leading digit d
+    }.toDF("amt")
+    val uniform = (1 to 9).flatMap(d => Seq.fill(100)(d * 111.0)).toDF("amt")
+    val bOut = AuditOps.benfordChi2(benford, "b", "amt").collect().head
+    val uOut = AuditOps.benfordChi2(uniform, "u", "amt").collect().head
+    assert(bOut.getLong(1) === bCounts.map(_._2).sum.toLong)
+    assert(bOut.getLong(2) === 8L)
+    // rounding each expected count to an integer costs < 0.5 per digit
+    // → chi2 well under 0.1 (chi2_e6 < 100000)
+    assert(bOut.getLong(3) < 100000L)
+    assert(uOut.getLong(3) > 10000000L) // uniform: chi2 >> 10
+  }
 }

@@ -151,4 +151,56 @@ class RelationalSpec extends SparkSuite {
     val out = GraphOps.triangleCount(edges).collect().head
     assert((out.getLong(0), out.getLong(1), out.getLong(2)) === (51L, 50L, 0L))
   }
+
+  test("bfsLevels: exact hop distances; unreachable and beyond-horizon absent") {
+    import graft.operators.GraphOps
+    // path 1-2-3-4-5-6 plus chord 1-3, plus disconnected pair 10-11.
+    // From source 1: hops = 1:0, 2:1, 3:1 (chord), 4:2, 5:3, 6:4.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 3L), (10L, 11L)).toDF("a", "b")
+    val out3 = GraphOps.bfsLevels(edges, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out3 === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    val out4 = GraphOps.bfsLevels(edges, maxHops = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out4(6L) === 4L && !out4.contains(10L) && !out4.contains(11L))
+  }
+
+  test("brandSkyline: window filter equals the brute-force dominance set") {
+    import graft.operators.RelationalOps
+    // deterministic synthetic parts across 3 brands, with deliberate
+    // price ties and duplicate (price, size) points
+    val parts = (1 to 120).map { i =>
+      (i.toLong, s"B${i % 3}", (i * 37 % 11) + 1, 900.0 + (i * 53 % 17))
+    }.toDF("p_partkey", "p_brand", "p_size", "p_retailprice")
+    val tmp = java.nio.file.Files.createTempDirectory("skyline").toString
+    parts.write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val got = RelationalOps.brandSkyline(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // brute force: survives iff nothing in-brand dominates it
+    val rows = parts.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    val want = rows.filter { case (k, b, sz, p) =>
+      !rows.exists { case (k2, b2, sz2, p2) =>
+        k2 != k && b2 == b && p2 <= p && sz2 >= sz && (p2 < p || sz2 > sz)
+      }
+    }.map { case (k, b, _, _) => (b, k) }.toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("weightedMedianPrice: threshold rule on a hand-computed brand") {
+    import graft.operators.RelationalOps
+    // one brand, prices 10/20/30 with weights 1/2/1: total 4, the
+    // cumulative weight reaches 2 (=half) at price 20 → wmedian 20.
+    // second brand: single part → its own price.
+    val parts = Seq(
+      (1L, "X", 1, 10.0), (2L, "X", 2, 20.0), (3L, "X", 1, 30.0),
+      (4L, "Y", 7, 55.5)
+    ).toDF("p_partkey", "p_brand", "p_size", "p_retailprice")
+    val tmp = java.nio.file.Files.createTempDirectory("wmed").toString
+    parts.write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val out = RelationalOps.weightedMedianPrice(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("X", 20.0, 4L, 3L), ("Y", 55.5, 7L, 1L)))
+  }
 }
