@@ -607,4 +607,61 @@ object StreamOps {
       .flatMapGroupsWithState[BudgetState, AdmittedDoc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
+
+  case class NgramObs(userId: Long, ts: java.sql.Timestamp,
+                      eventId: Long, etype: String) {
+    def tsMs: Long = ts.getTime
+  }
+
+  case class TypeNgram(userId: Long, types: Seq[String])
+
+  /** Per-key n-gram state: the watermark lateness buffer plus the last
+    * n−1 FINALIZED event types in order. */
+  case class NgramState(pending: Seq[(Long, Long, String)],
+                        lastTypes: Seq[String])
+
+  /** Streaming per-user consecutive type n-grams — the streaming form
+    * of [[graft.operators.EventOps.typeTransitions]] (n = 2, q117) and
+    * [[graft.operators.EventOps.typeTrigrams]] (n = 3, q120): emits one
+    * APPEND row per finalized n-gram occurrence, so either batch matrix
+    * is one count aggregate over the emitted stream (StreamingSpec
+    * proves both equalities on a replay). The [[streamingScd2]]
+    * buffer-then-fold pattern verbatim: arrivals buffer until the
+    * watermark passes them, then fold in the batch operator's exact
+    * (tsMs, eventId) order through a sliding window of the last n−1
+    * types. State per user = the bounded lateness buffer (rate ×
+    * horizon, not history) + n−1 strings; timers drain users with no
+    * further arrivals.
+    */
+  def streamingTypeNgrams(events: DataFrame, n: Int = 2,
+                          watermark: String = "10 minutes"): Dataset[TypeNgram] = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    require(n >= 2 && n <= 5, "streamingTypeNgrams: n out of range")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("userId"), col("ts"),
+        col("event_id").as("eventId"), col("event_type").as("etype"))
+      .as[NgramObs]
+    val fn = (userId: Long, arrivals: Iterator[NgramObs],
+              state: GroupState[NgramState]) => {
+      val st = state.getOption.getOrElse(NgramState(Nil, Nil))
+      val pend = st.pending ++ arrivals.map(o => (o.tsMs, o.eventId, o.etype))
+      val wm = state.getCurrentWatermarkMs()
+      val (fin, rest) = pend.partition(_._1 < wm)
+      val out = Seq.newBuilder[TypeNgram]
+      var last = st.lastTypes
+      fin.sorted.foreach { case (_, _, t) =>
+        if (last.size == n - 1) out += TypeNgram(userId, last :+ t)
+        last = (last :+ t).takeRight(n - 1)
+      }
+      state.update(NgramState(rest, last))
+      state.setTimeoutTimestamp(wm + 1L)
+      out.result().iterator
+    }
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState[NgramState, TypeNgram](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 }

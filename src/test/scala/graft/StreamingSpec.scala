@@ -754,4 +754,58 @@ class StreamingSpec extends SparkSuite {
       assert(got === expected)
     } finally q.stop()
   }
+
+  /** Replays sf0.001 events through [[StreamOps.streamingTypeNgrams]]
+    * and aggregates the emitted n-grams into the batch matrix. */
+  private def ngramReplayCounts(n: Int, outName: String): Map[Seq[String], Long] = {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = ev
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id",
+        $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._2, t._3))
+    val tSplit = rows(rows.length / 2)._2
+    val (b1, b2) = rows.partition(_._2 < tSplit)
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val stream = mem.toDF().toDF("user_id", "ms", "event_id", "event_type")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.streamingTypeNgrams(stream, n)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(outName).start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // sentinel pushes the watermark past every buffered observation
+      mem.addData((999999L, rows.last._2 + 86400000L, 999999L, "flush"))
+      q.processAllAvailable()
+      spark.table(outName)
+        .where($"userId" =!= 999999L)
+        .collect()
+        .map(r => r.getSeq[String](1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    } finally q.stop()
+  }
+
+  test("streamingTypeNgrams(2) equals the batch transition matrix on a replay") {
+    import graft.operators.EventOps
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = EventOps.typeTransitions(ev).collect()
+      .map(r => Seq(r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = ngramReplayCounts(2, "ngram2_out")
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("streamingTypeNgrams(3) equals the batch trigram counts on a replay") {
+    import graft.operators.EventOps
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = EventOps.typeTrigrams(ev, k = Int.MaxValue).collect()
+      .map(r => Seq(r.getString(0), r.getString(1), r.getString(2))
+        -> r.getLong(3)).toMap
+    val got = ngramReplayCounts(3, "ngram3_out")
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
