@@ -711,6 +711,27 @@ object SparkEntry {
     // arithmetic, deterministic tie order).
     "q134_weighted_median" -> ((s, d) =>
       RelationalOps.weightedMedianPrice(s, d)),
+
+    // FUZZY decontamination: MinHash-banded train×eval near-dup match
+    // in integer sixteenths — catches paraphrased eval leakage that
+    // q67's exact-gram rule misses.
+    "q135_fuzzy_decontaminate" -> ((s, d) =>
+      DedupOp.fuzzyDecontaminate(Tables.documents(s, d))),
+
+    // Temperature-rebalanced mixture (T=2): per-source admit rates
+    // aimed at token shares ∝ sqrt(source tokens), data-derived weights.
+    "q136_temperature_mix" -> ((s, d) =>
+      ScaleOps.temperatureMixSample(Tables.documents(s, d))),
+
+    // Top session paths: first-5-event journeys per session, counted
+    // corpus-wide.
+    "q137_session_paths" -> ((s, d) =>
+      EventOps.topSessionPaths(Tables.events(s, d))),
+
+    // Count-min heavy hitters with exact audit column — the mergeable
+    // frequency sketch, fully under the hash gate.
+    "q138_countmin_topk" -> ((s, d) =>
+      TextOps.countMinTopK(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1273,5 +1294,13 @@ object SparkEntry {
     "q133_skyline" -> RelationalOps.brandSkylineOracle,
 
     "q134_weighted_median" -> RelationalOps.weightedMedianPriceOracle,
+
+    "q135_fuzzy_decontaminate" -> DedupOp.fuzzyDecontaminateOracle(),
+
+    "q136_temperature_mix" -> ScaleOps.temperatureMixSampleOracle(),
+
+    "q137_session_paths" -> EventOps.topSessionPathsOracle(),
+
+    "q138_countmin_topk" -> TextOps.countMinTopKOracle(),
   )
 }

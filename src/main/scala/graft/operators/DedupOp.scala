@@ -1029,4 +1029,99 @@ object DedupOp {
       } finally bfB.destroy()
     } finally evalSh.unpersist()
   }
+
+  /** FUZZY benchmark decontamination — flag training documents that
+    * NEAR-duplicate an eval document, not merely share a single w-gram:
+    * the MinHash-banded complement of [[decontaminate]] (exact-gram
+    * overlap misses paraphrased or lightly-edited eval leakage; a
+    * near-dup signature match catches it). Candidates come from the
+    * [[minhashLsh]] band scheme joined TRAIN × EVAL instead of
+    * all-pairs; each candidate is verified by signature agreement in
+    * integer sixteenths (`n_eq ≥ minEq` of [[NumPerms]] components —
+    * the same estimator q26 thresholds as a double, kept integral here
+    * so the gate hashes integers). Output per contaminated train doc:
+    * how many eval docs it matches and its strongest agreement.
+    *
+    * Scale shape: the eval slice is benchmark-sized, so its band
+    * signatures AND its full signatures broadcast; the training corpus
+    * streams through signature aggregation once (the one corpus-wide
+    * shuffle), then candidates and verification touch only matched
+    * (train, eval) id pairs — never all-pairs, never the text.
+    */
+  def fuzzyDecontaminate(docs: DataFrame, evalSource: String = "src0",
+                         minEq: Int = 8): DataFrame = {
+    def bandsOf(sigs: DataFrame): DataFrame = sigs
+      .withColumn("band", expr(s"i DIV $BandRows"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("minv")))),
+          x => x.getField("minv").cast("string")), ",").as("sig"))
+    val evalSigs = minhashSignatures(
+      docs.where(col("source") === evalSource)).persist()
+    val trainSigs = minhashSignatures(
+      docs.where(col("source") =!= evalSource)).persist()
+    val cand = bandsOf(trainSigs)
+      .join(broadcast(bandsOf(evalSigs)
+        .select(col("doc_id").as("eval_id"), col("band"), col("sig"))),
+        Seq("band", "sig"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val sims = cand
+      .join(trainSigs, Seq("doc_id"))
+      .join(broadcast(evalSigs.select(col("doc_id").as("eval_id"),
+        col("i"), col("minv").as("ev"))), Seq("eval_id", "i"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(sum(when(col("minv") === col("ev"), 1L).otherwise(0L)).as("n_eq"))
+      .where(col("n_eq") >= minEq.toLong)
+    materializeAndRelease(
+      sims.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_eval_matches"), max(col("n_eq")).as("max_eq"))
+        .orderBy("doc_id"),
+      evalSigs, trainSigs)
+  }
+
+  /** Oracle SQL twin of [[fuzzyDecontaminate]]. */
+  def fuzzyDecontaminateOracle(evalSource: String = "src0",
+                               minEq: Int = 8): String = {
+    val permRows = (0 until NumPerms)
+      .map(i => s"(${i}, ${permA(i)}::BIGINT, ${permB(i)}::BIGINT)")
+      .mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+       |             FROM documents),
+       |shx AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    ${portableHashSql(s"(${shingleConcatSql(3)})")} AS hx
+       |  FROM (SELECT doc_id, source, tk,
+       |          unnest(generate_series(1, len(tk) - 2)) AS i
+       |        FROM toks WHERE len(tk) >= 3) t
+       |), perms(i, a, b) AS (VALUES $permRows),
+       |sigs AS (
+       |  SELECT s.doc_id, s.source, p.i,
+       |    min((p.a * s.hx + p.b) % $HashMod) AS minv
+       |  FROM shx s, perms p GROUP BY 1, 2, 3
+       |), tb AS (
+       |  SELECT doc_id, i // $BandRows AS band,
+       |    string_agg(minv::VARCHAR, ',' ORDER BY i) AS sig
+       |  FROM sigs WHERE source <> '$evalSource' GROUP BY 1, 2
+       |), eb AS (
+       |  SELECT doc_id, i // $BandRows AS band,
+       |    string_agg(minv::VARCHAR, ',' ORDER BY i) AS sig
+       |  FROM sigs WHERE source = '$evalSource' GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+       |  FROM tb t JOIN eb e ON t.band = e.band AND t.sig = e.sig
+       |), sims AS (
+       |  SELECT c.doc_id, c.eval_id,
+       |    CAST(sum(CASE WHEN st.minv = se.minv THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_eq
+       |  FROM cand c
+       |  JOIN sigs st ON st.doc_id = c.doc_id
+       |  JOIN sigs se ON se.doc_id = c.eval_id AND se.i = st.i
+       |  GROUP BY 1, 2
+       |  HAVING CAST(sum(CASE WHEN st.minv = se.minv THEN 1 ELSE 0 END)
+       |    AS BIGINT) >= $minEq
+       |)
+       |SELECT doc_id, count(*) AS n_eval_matches,
+       |  CAST(max(n_eq) AS BIGINT) AS max_eq
+       |FROM sims GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
 }

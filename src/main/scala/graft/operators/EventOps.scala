@@ -665,6 +665,73 @@ object EventOps {
        |    AS n_bounces
        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Top session paths — the full-journey sibling of
+    * [[sessionEntryExit]]: each session's first `maxLen` event types,
+    * in (ts, event_id) order, concatenated to one path string
+    * ("view>click>purchase"), counted corpus-wide, top-k by count
+    * (ties: lexicographic on the path). The per-path truncation cap is
+    * what bounds the string and the group row — a pathological
+    * million-event session contributes a `maxLen`-step path, not a
+    * megabyte string.
+    *
+    * Scale shape: the session id and the in-session rank come from the
+    * SAME per-user window sort (one shuffle); the path build is a
+    * per-(user, session) collect of ≤ `maxLen` structs sorted in-task;
+    * the path count partial-aggregates before its shuffle.
+    */
+  def topSessionPaths(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+                      maxLen: Int = 5, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSession =
+      when(unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))
+             > gapMs, 1).otherwise(0)
+    events
+      .withColumn("new_s", coalesce(newSession, lit(0)))
+      .withColumn("sid",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("ts"), col("event_id"))))
+      .where(col("rn") <= maxLen)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"),
+          col("event_type").as("et")))), x => x.getField("et")), ">")
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Oracle SQL twin of [[topSessionPaths]]. */
+  def topSessionPathsOracle(gapMs: Long = 30 * 60 * 1000L,
+                            maxLen: Int = 5, k: Int = 20): String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id)) > $gapMs
+       |      THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |), y AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM x
+       |), z AS (
+       |  SELECT user_id, sid, event_type,
+       |    row_number() OVER (PARTITION BY user_id, sid
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM y
+       |), p AS (
+       |  SELECT user_id, sid,
+       |    string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM z WHERE rn <= $maxLen GROUP BY 1, 2
+       |)
+       |SELECT path, count(*) AS n_sessions
+       |FROM p GROUP BY 1
+       |ORDER BY n_sessions DESC, path LIMIT $k""".stripMargin
+
   /** Top behavioral trigrams — [[typeTransitions]] at order 2: per
     * user, consecutive (t₋₂ → t₋₁ → t) event-type triples in the
     * sessionize order, counted corpus-wide, top-k by count (ties:

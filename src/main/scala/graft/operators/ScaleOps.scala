@@ -212,6 +212,77 @@ object ScaleOps {
       .orderBy("source")
   }
 
+  /** Temperature-rebalanced mixture sampling (T = 2): per-source admit
+    * rates aimed at token shares ∝ √(source tokens) — the UniMax-style
+    * rebalance that upweights rare domains without declared weights
+    * ([[domainMixSample]]'s data-derived sibling; T = 1 is proportional
+    * = no rebalance, T → ∞ is uniform). The ONLY non-rational step,
+    * w_s = ⌊√tokens_s⌋, is safe under the parity rules: IEEE sqrt is
+    * correctly rounded in both engines, so the floor is bit-identical
+    * (unlike pow/log, which are libm-dependent — the q87 lesson).
+    * Admission reuses the integer-exact cross-multiplied hash
+    * threshold: admit iff hb·tokens_s·Σw < S·B·w_s, every operand an
+    * exact integer.
+    *
+    * Scale shape: one per-source token rollup (tiny, broadcast back),
+    * one scalar Σw broadcast, then admission is a scan-speed predicate
+    * and the summary partial-aggregates before its single shuffle.
+    */
+  def temperatureMixSample(docs: DataFrame,
+                           budgetTokens: Long = 20000L): DataFrame = {
+    val S = 1048576L // 2^20 probability buckets, as ppsWeightedSample
+    val d = docs.select(col("doc_id"), col("source"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+      pmod(docHash, lit(S)).as("hb"))
+    val perSrc = d.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
+    val tot = perSrc.agg(sum(col("w")).as("sum_w"))
+    d.join(broadcast(perSrc), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("admit",
+        (col("hb") * col("src_tokens") * col("sum_w")) <
+          (lit(S) * lit(budgetTokens) * col("w")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("w")).as("w"),
+        sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admit"), col("n_tokens")).otherwise(0L))
+          .as("admitted_tokens"),
+        call_function("div", max(col("w")) * lit(budgetTokens),
+          max(col("sum_w"))).as("target_tokens"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[temperatureMixSample]]. */
+  def temperatureMixSampleOracle(budgetTokens: Long = 20000L): String = {
+    val h = docHashSql
+    val s = 1048576L
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    $h % $s AS hb
+       |  FROM documents
+       |), t AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+       |    CAST(floor(sqrt(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)))
+       |      AS BIGINT) AS w
+       |  FROM d GROUP BY 1
+       |), sw AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM t)
+       |SELECT d.source, count(*) AS n_docs, max(t.w) AS w,
+       |  CAST(sum(CASE WHEN d.hb * t.src_tokens * sw.sum_w
+       |                     < CAST($s AS BIGINT) * $budgetTokens * t.w
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |  CAST(sum(CASE WHEN d.hb * t.src_tokens * sw.sum_w
+       |                     < CAST($s AS BIGINT) * $budgetTokens * t.w
+       |                THEN d.n_tokens ELSE 0 END) AS BIGINT)
+       |    AS admitted_tokens,
+       |  (max(t.w) * $budgetTokens) // max(sw.sum_w) AS target_tokens
+       |FROM d JOIN t USING (source), sw
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   /** Oracle SQL twin of [[domainMixSample]]. */
   def domainMixSampleOracle(targets: Seq[(String, Long)],
                             budgetTokens: Long = 20000L): String = {

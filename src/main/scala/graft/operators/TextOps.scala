@@ -1185,4 +1185,81 @@ object TextOps {
        |    AS score_ppt
        |FROM bg JOIN uni ux ON bg.w1 = ux.w JOIN uni uy ON bg.w2 = uy.w
        |ORDER BY score_ppt DESC, w1, w2 LIMIT $k""".stripMargin
+
+  /** Perm-family offset for the count-min rows — disjoint from the
+    * MinHash (0..) and SimHash ([[DedupOp.SimPermOffset]]..) regions. */
+  val CmPermOffset = 200
+
+  /** Count-min-sketch heavy hitters with an exact audit column: token
+    * frequency estimated from a `depth` × `width` counter sketch
+    * (est = min over rows of the hashed cell count — never an
+    * underestimate), top-k tokens by estimate, with the TRUE count
+    * alongside so the audit sees the overestimate directly. The sketch
+    * itself is the 100 TB artifact: `depth·width` integers, built in
+    * one map-side-combined pass, MERGEABLE across drops by cell-wise
+    * addition (the HLL q57 argument) — while exact counts need a
+    * vocabulary-sized shuffle, the sketch never grows. Every cell and
+    * estimate is exact integer arithmetic over the portable hash, so
+    * unlike q57 the WHOLE operator sits under the cross-engine hash
+    * gate (the oracle rebuilds the identical sketch in SQL).
+    *
+    * The deliberate second scan (sketch pass + audit pass) replaces a
+    * token-stream persist: at corpus scale the exploded occurrence
+    * stream is far larger than the input and must not be cached; in
+    * the sketch-only production form the audit scan disappears.
+    */
+  def countMinTopK(docs: DataFrame, width: Int = 1024, depth: Int = 4,
+                   k: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 16,
+      "countMinTopK: sketch dims out of range")
+    def bucketCols(hx: Column): Column = array((0 until depth).map { r =>
+      ((lit(permA(CmPermOffset + r)) * hx + lit(permB(CmPermOffset + r)))
+        % lit(HashMod)) % lit(width.toLong)
+    }: _*)
+    val occ = docs.select(explode(tokens(col("text"))).as("tok"))
+      .withColumn("hx", portableHash(col("tok")))
+    val cells = occ
+      .select(posexplode(bucketCols(col("hx"))).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    val dtok = occ.groupBy(col("tok"), col("hx"))
+      .agg(count(lit(1)).as("true_n"))
+    dtok
+      .select(col("tok"), col("true_n"),
+        posexplode(bucketCols(col("hx"))).as(Seq("r", "bucket")))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("tok"), col("true_n")).agg(min(col("c")).as("est"))
+      .select(col("tok").as("token"), col("est"), col("true_n"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Oracle SQL twin of [[countMinTopK]] — the identical sketch built
+    * in SQL. */
+  def countMinTopKOracle(width: Int = 1024, depth: Int = 4,
+                         k: Int = 20): String = {
+    val permRows = (0 until depth)
+      .map(r => s"($r, ${permA(CmPermOffset + r)}::BIGINT, " +
+        s"${permB(CmPermOffset + r)}::BIGINT)")
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+       |), thx AS (
+       |  SELECT tok, ${portableHashSql("tok")} AS hx FROM toks
+       |), rws(r, a, b) AS (VALUES $permRows),
+       |cells AS (
+       |  SELECT r.r, ((r.a * t.hx + r.b) % $HashMod) % $width AS bucket,
+       |    count(*) AS c
+       |  FROM thx t CROSS JOIN rws r GROUP BY 1, 2
+       |), dtok AS (
+       |  SELECT tok, hx, count(*) AS true_n FROM thx GROUP BY 1, 2
+       |), est AS (
+       |  SELECT d.tok, d.true_n, CAST(min(c.c) AS BIGINT) AS est
+       |  FROM dtok d CROSS JOIN rws r
+       |  JOIN cells c ON c.r = r.r
+       |    AND c.bucket = ((r.a * d.hx + r.b) % $HashMod) % $width
+       |  GROUP BY 1, 2
+       |)
+       |SELECT tok AS token, est, true_n
+       |FROM est ORDER BY est DESC, token LIMIT $k""".stripMargin
+  }
 }

@@ -585,4 +585,43 @@ class DedupAndTextSpec extends SparkSuite {
       (1L, 1L, score(1L, 6L, 2L, n, tot))))
     assert(out(0)._3 > out(1)._3, "length normalization must rank the shorter doc higher")
   }
+
+  test("fuzzyDecontaminate flags a lightly-edited eval doc that exact grams miss less") {
+    import graft.operators.DedupOp
+    // evalDoc and nearDup share most shingles (one word swapped mid-way)
+    // → identical MinHash on most permutations → band match + high n_eq.
+    // farDoc shares nothing.
+    val evalWords = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "SWAP" else s"w$i").mkString(" ")
+    val farDoc = (100 to 160).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (0L, evalWords, "en", "src0", 1L),
+      (1L, nearDup, "en", "srcB", 1L),
+      (2L, farDoc, "en", "srcB", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOp.fuzzyDecontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(1L))
+    val (_, nMatches, maxEq) = out.head
+    assert(nMatches === 1L)
+    assert(maxEq >= 8L && maxEq <= 16L)
+  }
+
+  test("countMinTopK: estimates never undercount and rank the true heavy hitter first") {
+    import graft.operators.TextOps
+    // "hot" appears 40×, everything else ≤ 4× — the heavy hitter must
+    // surface at rank 1 and every estimate must dominate its true count
+    val docs = (
+      Seq((0L, Seq.fill(40)("hot").mkString(" "), "en", "s", 1L)) ++
+      (1 to 25).map(i => (i.toLong, s"a$i b$i c$i d$i", "en", "s", 1L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.countMinTopK(docs, width = 64, depth = 4, k = 30)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head._1 === "hot" && out.head._3 === 40L)
+    assert(out.forall { case (_, est, tru) => est >= tru },
+      "count-min must never underestimate")
+    // error bound sanity: with 140 occurrences over width 64, collisions
+    // inflate by well under the worst case; the hot estimate is exact-ish
+    assert(out.head._2 <= 40L + 140L)
+  }
 }

@@ -507,4 +507,48 @@ class ScaleAndTemporalSpec extends SparkSuite {
       events.where($"ts" >= timestamp_millis(lit(1600000000000L)))).collect()
     assert(ok.length === 1)
   }
+
+  test("temperatureMixSample: sqrt weights compress the mixture toward rare sources") {
+    import graft.operators.ScaleOps
+    // big source: 100 docs × 10 tokens = 1000 tokens; rare: 4 docs × 10
+    // = 40 tokens. Proportional shares would be 96%/4%; sqrt-temperature
+    // targets isqrt(1000)=31 vs isqrt(40)=6 → ~84%/16%: the rare source's
+    // target share more than triples.
+    val docs = (
+      (1 to 100).map(i => (i.toLong, (1 to 10).map(j => s"b$i-$j").mkString(" "), "en", "big", 1L)) ++
+      (1 to 4).map(i => (1000L + i, (1 to 10).map(j => s"r$i-$j").mkString(" "), "en", "rare", 1L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = ScaleOps.temperatureMixSample(docs, budgetTokens = 500L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    val (nBig, wBig, tBig) = out("big")
+    val (nRare, wRare, tRare) = out("rare")
+    assert(nBig === 100L && nRare === 4L)
+    assert(wBig === 31L && wRare === 6L) // isqrt(1000), isqrt(40)
+    // targets split the 500-token budget 31:6 by integer division
+    assert(tBig === 500L * 31L / 37L && tRare === 500L * 6L / 37L)
+    // rare target share (~16%) far exceeds its proportional share (~4%)
+    assert(tRare * 1000L / (tBig + tRare) > 120L)
+  }
+
+  test("topSessionPaths: gap splits sessions, truncation caps the path, ties sort") {
+    import graft.operators.EventOps
+    val h = 3600000L
+    // user 1: one session view>click>buy, then (after a gap) view alone;
+    // user 2: view>click>buy again; user 3: seven clicks → truncated at 5
+    val events = Seq(
+      (1L, 1L, 0L, "view"), (2L, 1L, 60000L, "click"), (3L, 1L, 120000L, "buy"),
+      (4L, 1L, 10 * h, "view"),
+      (5L, 2L, 0L, "view"), (6L, 2L, 60000L, "click"), (7L, 2L, 120000L, "buy")
+    ) ++ (0 until 7).map(i => (10L + i, 3L, i * 1000L, "click"))
+    val df = events.toDF("event_id", "user_id", "ms", "event_type")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val out = EventOps.topSessionPaths(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(
+      ("view>click>buy", 2L),
+      ("click>click>click>click>click", 1L),
+      ("view", 1L)))
+  }
 }
