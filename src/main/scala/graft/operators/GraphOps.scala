@@ -284,6 +284,14 @@ object GraphOps {
     */
   def bfsLevels(edges: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1 && maxHops <= 12, "bfsLevels: maxHops out of range")
+    // the union's two branches are IDENTICAL subplans up to the final
+    // projection, so Catalyst's ReusedExchange runs the (expensive)
+    // edge build once — pre-persisting the directed edges to "avoid
+    // the double build" was A/B'd at RunOne x3 and measured 2× SLOWER
+    // (22 s vs 10 s steady at sf0.1): the eager cache materialization
+    // defeats exchange reuse and pays a full extra pass. Unlike kCore
+    // (whose levels reference a MUTATING frame 3× — no common
+    // exchange to reuse), here only the symmetric union is cached.
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
       .persist()
