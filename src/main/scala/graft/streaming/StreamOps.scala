@@ -608,6 +608,92 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 
+  case class EeEvent(userId: Long, eventId: Long,
+                     ts: java.sql.Timestamp, etype: String) {
+    def tsMs: Long = ts.getTime
+  }
+
+  /** One CLOSED session with its boundary types, as emitted by
+    * [[streamingSessionEntryExit]]. */
+  case class EntryExitRow(userId: Long, sid: Long, entryType: String,
+                          exitType: String, n: Long)
+
+  /** Per-key open-session state: boundary (ms, eventId, type) on both
+    * ends so out-of-order arrivals inside the gap can move EITHER
+    * boundary, exactly like the batch min/max-of-struct. */
+  case class EeState(sid: Long, startMs: Long, startEid: Long,
+                     entryType: String, endMs: Long, endEid: Long,
+                     exitType: String, n: Long)
+
+  /** Streaming session entry/exit — the streaming form of
+    * [[graft.operators.EventOps.sessionEntryExit]] (q128): the
+    * [[streamingSessionize]] state machine, additionally tracking the
+    * session's boundary EVENT TYPES in the batch operator's exact
+    * (ms, event_id) tie order. A session closes (emits) when a new
+    * event lands beyond the gap, or when the event-time timer fires
+    * (watermark past end + gap) — so unlike [[streamingScd2]]'s
+    * open-version caveat, EVERY session eventually emits and the
+    * batch matrix is one aggregate over the emitted stream
+    * (StreamingSpec proves full equality on a replay). A
+    * within-the-gap straggler MERGES and may move either boundary —
+    * including replacing the entry type, which the batch total order
+    * would have seen first. State per user: one open session row.
+    */
+  def streamingSessionEntryExit(events: DataFrame,
+                                gapMs: Long = 30 * 60 * 1000L,
+                                watermark: String = "10 minutes"): Dataset[EntryExitRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("ts"), col("event_type").as("etype"))
+      .as[EeEvent]
+    def close(userId: Long, s: EeState): EntryExitRow =
+      EntryExitRow(userId, s.sid, s.entryType, s.exitType, s.n)
+    val fn = (userId: Long, arrivals: Iterator[EeEvent],
+              state: GroupState[EeState]) =>
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(close(userId, s))
+      } else {
+        val inc = arrivals.toSeq.sortBy(e => (e.tsMs, e.eventId))
+        var cur = state.getOption
+        val out = Seq.newBuilder[EntryExitRow]
+        inc.foreach { e =>
+          cur match {
+            case Some(s) if e.tsMs - s.endMs <= gapMs =>
+              var n = s.copy(n = s.n + 1)
+              if (e.tsMs < n.startMs ||
+                  (e.tsMs == n.startMs && e.eventId < n.startEid))
+                n = n.copy(startMs = e.tsMs, startEid = e.eventId,
+                  entryType = e.etype)
+              if (e.tsMs > n.endMs ||
+                  (e.tsMs == n.endMs && e.eventId > n.endEid))
+                n = n.copy(endMs = e.tsMs, endEid = e.eventId,
+                  exitType = e.etype)
+              cur = Some(n)
+            case Some(s) =>
+              out += close(userId, s)
+              cur = Some(EeState(s.sid + 1, e.tsMs, e.eventId, e.etype,
+                e.tsMs, e.eventId, e.etype, 1L))
+            case None =>
+              cur = Some(EeState(0L, e.tsMs, e.eventId, e.etype,
+                e.tsMs, e.eventId, e.etype, 1L))
+          }
+        }
+        state.update(cur.get)
+        state.setTimeoutTimestamp(math.max(
+          state.getCurrentWatermarkMs() + 1L, cur.get.endMs + gapMs))
+        out.result().iterator
+      }
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState[EeState, EntryExitRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   case class NgramObs(userId: Long, ts: java.sql.Timestamp,
                       eventId: Long, etype: String) {
     def tsMs: Long = ts.getTime

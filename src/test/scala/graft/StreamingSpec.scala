@@ -798,6 +798,49 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("streamingSessionEntryExit equals the batch q128 matrix on a replay") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = EventOps.sessionEntryExit(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+
+    val rows = ev
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id",
+        $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._2, t._3))
+    val tSplit = rows(rows.length / 2)._2
+    val (b1, b2) = rows.partition(_._2 < tSplit)
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val stream = mem.toDF().toDF("user_id", "ms", "event_id", "event_type")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.streamingSessionEntryExit(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ee_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // sentinel advances the watermark far past every session's
+      // end + gap, so the event-time timers CLOSE every open session —
+      // full matrix equality, not just closed-prefix equality
+      mem.addData((999999L, rows.last._2 + 30L * 86400000L, 999999L, "flush"))
+      q.processAllAvailable()
+      val got = spark.table("ee_out")
+        .where($"userId" =!= 999999L)
+        .groupBy($"entryType", $"exitType")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when($"n" === 1L, 1L).otherwise(0L)).as("n_bounces"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingTypeNgrams(3) equals the batch trigram counts on a replay") {
     import graft.operators.EventOps
     val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
