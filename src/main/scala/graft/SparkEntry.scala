@@ -732,6 +732,12 @@ object SparkEntry {
     // frequency sketch, fully under the hash gate.
     "q138_countmin_topk" -> ((s, d) =>
       TextOps.countMinTopK(Tables.documents(s, d))),
+
+    // Matryoshka truncation recall: serve from the first 16/32 of 64
+    // dims with overfetch + exact rerank, audited against full-dim
+    // ground truth (how many dims must the first-phase index store?).
+    "q139_trunc_recall" -> ((s, d) =>
+      SimilarityOp.truncRecall(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1302,5 +1308,7 @@ object SparkEntry {
     "q137_session_paths" -> EventOps.topSessionPathsOracle(),
 
     "q138_countmin_topk" -> TextOps.countMinTopKOracle(),
+
+    "q139_trunc_recall" -> SimilarityOp.truncRecallOracle(),
   )
 }

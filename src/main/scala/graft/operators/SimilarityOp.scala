@@ -1366,4 +1366,107 @@ object SimilarityOp {
     recallAuditOracle(qmod, k, centerIds,
       SweepNProbes.map(p => s"ivf_p$p" -> p),
       SweepLsh.map(c => c.name -> c), dims)
+
+  /** Matryoshka-truncation candidates: per query, the top `c` corpus
+    * vectors by cosine over only the FIRST `dims` components — the
+    * "coarse rank in the cheap prefix space" retrieval a
+    * dimension-truncated (MRL-style) index serves, as a (qid, vec_id)
+    * candidate frame for [[recallArm]]'s exact rerank.
+    */
+  private def truncCandidatesMulti(embeddings: DataFrame, qmod: Int,
+                                   dims: Int, c: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("tsim").desc, col("vec_id"))
+    corpusVecs(embeddings)
+      .join(broadcast(queryFrame(embeddings, qmod)),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.CosineExpr.column(
+          slice(col("qv"), 1, dims), slice(col("v"), 1, dims)), 6)
+          .as("tsim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= c)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** q139: dimension-truncation recall audit — how much of the exact
+    * full-dimension top-k survives serving from only the first 16 / 32
+    * of 64 components with a `c`-deep overfetch + exact rerank (the
+    * q126 ADC pattern applied to Matryoshka truncation). This is the
+    * table that decides how many dimensions a 100 TB first-phase index
+    * actually has to store — candidate cost is fixed at `c` per query
+    * by construction, so the only moving number is recall.
+    */
+  def truncRecall(embeddings: DataFrame, qmod: Int = 7, k: Int = 10,
+                  c: Int = 50): DataFrame = {
+    val qframe = queryFrame(embeddings, qmod)
+    val exact = exactTopKMulti(embeddings, qmod, k)
+    Seq(16, 32).map(d =>
+      recallArm(s"trunc${d}_c$c", embeddings, qframe, exact,
+        truncCandidatesMulti(embeddings, qmod, d, c), k))
+      .reduce(_ unionByName _)
+      .orderBy("config")
+  }
+
+  /** Oracle SQL twin of [[truncRecall]]. */
+  def truncRecallOracle(qmod: Int = 7, k: Int = 10, c: Int = 50,
+                        dims: Int = 64): String = {
+    val arms = Seq(16, 32).map { d =>
+      s"""tc$d AS (
+         |  SELECT qq.qid, e.vec_id,
+         |    round(sum(e.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE)
+         |      / (sqrt(sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE))
+         |         * sqrt(sum(qe.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE))), 6)
+         |      AS tsim
+         |  FROM q qq
+         |  JOIN embeddings qe ON qe.vec_id = qq.qid
+         |  JOIN embeddings e ON e.vec_id <> qq.qid, range($d) i(i)
+         |  GROUP BY 1, 2
+         |), cand$d AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY tsim DESC, vec_id) AS rn
+         |    FROM tc$d) t WHERE rn <= $c
+         |), topk$d AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+         |      ORDER BY s.sim DESC, s.vec_id) AS rn
+         |    FROM sims s JOIN cand$d cc ON cc.qid = s.qid
+         |      AND cc.vec_id = s.vec_id) t WHERE rn <= $k
+         |), arm$d AS (
+         |  SELECT 'trunc${d}_c$c' AS config,
+         |    (SELECT n FROM nq) AS n_queries,
+         |    ${graft.functions.DetAgg.ratioSql(
+               s"(SELECT count(*) FROM cand$d)", "(SELECT n FROM nq)")}
+         |      AS mean_cand,
+         |    ${graft.functions.DetAgg.ratioSql(
+               s"(SELECT count(*) FROM topk$d tk JOIN ex ON ex.qid = tk.qid AND ex.vec_id = tk.vec_id)",
+               s"(SELECT n FROM nq) * $k")} AS mean_recall
+         |)""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id AS qid FROM embeddings
+       |           WHERE vec_id % $qmod = 0),
+       |pc0 AS (
+       |  SELECT qq.qid, e.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(qe.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM q qq
+       |  JOIN embeddings qe ON qe.vec_id = qq.qid
+       |  JOIN embeddings e ON e.vec_id <> qq.qid, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |  FROM pc0
+       |), ex AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sims) t WHERE rn <= $k
+       |), nq AS (SELECT count(*) AS n FROM q),
+       |${arms.mkString(",\n")}
+       |SELECT config, n_queries, mean_cand, mean_recall FROM arm16
+       |UNION ALL
+       |SELECT config, n_queries, mean_cand, mean_recall FROM arm32
+       |ORDER BY config""".stripMargin
+  }
 }
