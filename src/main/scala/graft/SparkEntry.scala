@@ -738,6 +738,11 @@ object SparkEntry {
     // ground truth (how many dims must the first-phase index store?).
     "q139_trunc_recall" -> ((s, d) =>
       SimilarityOp.truncRecall(Tables.embeddings(s, d))),
+
+    // Rolling z-score anomalies: trailing-16 window, 3-sigma rule,
+    // integer cross-multiplied — no division, sqrt, or float anywhere.
+    "q140_rolling_anomalies" -> ((s, d) =>
+      EventOps.rollingAnomalies(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1310,5 +1315,7 @@ object SparkEntry {
     "q138_countmin_topk" -> TextOps.countMinTopKOracle(),
 
     "q139_trunc_recall" -> SimilarityOp.truncRecallOracle(),
+
+    "q140_rolling_anomalies" -> EventOps.rollingAnomaliesOracle(),
   )
 }

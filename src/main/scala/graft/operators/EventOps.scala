@@ -665,6 +665,65 @@ object EventOps {
        |    AS n_bounces
        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Rolling z-score anomalies — per user, flag events whose value
+    * deviates more than `k`σ from the TRAILING `window` events' mean
+    * (the online telemetry-spike rule, batch form; the reference's IQR
+    * outliers are global/per-cluster — this is the per-event trailing
+    * variant a monitoring pipeline runs). ENTIRELY integer: with cents
+    * v, trailing sum S and square-sum Q over exactly W events,
+    * |v − μ| > kσ  ⇔  (W·v − S)² > k²·(W·Q − S²) — cross-multiplied so
+    * no division, no sqrt, no float; zero-variance windows flag any
+    * deviation (the inequality degenerates to (W·v − S)² > 0, which is
+    * the right reading of an infinite z-score). Warm-up rows (fewer
+    * than W predecessors) are excluded by the exact count.
+    *
+    * Scale shape: one per-user sort window carrying two running integer
+    * sums — a single shuffle on user_id, no self-joins, no collect.
+    */
+  def rollingAnomalies(events: DataFrame, window: Int = 16,
+                       k: Long = 3L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-window, -1)
+    val wl = lit(window.toLong)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .withColumn("s", sum(col("vc")).over(w))
+      .withColumn("q", sum(col("vc") * col("vc")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("n") === window.toLong &&
+        (wl * col("vc") - col("s")) * (wl * col("vc") - col("s"))
+          > lit(k * k) * (wl * col("q") - col("s") * col("s")))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("vc"), col("s"), col("q"))
+      .orderBy("user_id", "ms", "event_id")
+  }
+
+  /** Oracle SQL twin of [[rollingAnomalies]]. */
+  def rollingAnomaliesOracle(window: Int = 16, k: Long = 3L): String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    CAST(round(value * 100) AS BIGINT) AS vc,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN $window PRECEDING AND 1 PRECEDING) AS BIGINT) AS s,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT) *
+       |             CAST(round(value * 100) AS BIGINT)) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN $window PRECEDING AND 1 PRECEDING) AS BIGINT) AS q,
+       |    count(*) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN $window PRECEDING AND 1 PRECEDING) AS n
+       |  FROM events
+       |)
+       |SELECT user_id, event_id, ms, vc, s, q
+       |FROM x
+       |WHERE n = $window
+       |  AND ($window * vc - s) * ($window * vc - s)
+       |      > ${k * k} * ($window * q - s * s)
+       |ORDER BY user_id, ms, event_id""".stripMargin
+
   /** Top session paths — the full-journey sibling of
     * [[sessionEntryExit]]: each session's first `maxLen` event types,
     * in (ts, event_id) order, concatenated to one path string

@@ -694,6 +694,68 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  case class RzObs(userId: Long, ts: java.sql.Timestamp, eventId: Long,
+                   vc: Long) {
+    def tsMs: Long = ts.getTime
+  }
+
+  /** One flagged anomaly, the same row shape as the batch
+    * [[graft.operators.EventOps.rollingAnomalies]]. */
+  case class RzRow(userId: Long, eventId: Long, ms: Long, vc: Long,
+                   s: Long, q: Long)
+
+  /** Per-key state: the watermark lateness buffer plus the last
+    * `window` FINALIZED cent values in arrival (event-time) order. */
+  case class RzState(pending: Seq[(Long, Long, Long)], lastV: Seq[Long])
+
+  /** Streaming rolling z-score anomalies — the streaming form of
+    * [[graft.operators.EventOps.rollingAnomalies]] (q140): the
+    * [[streamingScd2]] buffer-then-fold pattern over a `window`-deep
+    * deque of finalized cent values per user, applying the identical
+    * integer cross-multiplied k·σ test as each observation finalizes.
+    * This is the shape the batch docstring calls "the online
+    * telemetry-spike rule" — here it actually runs online. State per
+    * user: the bounded lateness buffer + `window` longs.
+    */
+  def streamingRollingAnomalies(events: DataFrame, window: Int = 16,
+                                k: Long = 3L,
+                                watermark: String = "10 minutes"): Dataset[RzRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("userId"), col("ts"),
+        col("event_id").as("eventId"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .as[RzObs]
+    val fn = (userId: Long, arrivals: Iterator[RzObs],
+              state: GroupState[RzState]) => {
+      val st = state.getOption.getOrElse(RzState(Nil, Nil))
+      val pend = st.pending ++ arrivals.map(o => (o.tsMs, o.eventId, o.vc))
+      val wm = state.getCurrentWatermarkMs()
+      val (fin, rest) = pend.partition(_._1 < wm)
+      val out = Seq.newBuilder[RzRow]
+      var lastV = st.lastV
+      fin.sorted.foreach { case (ms, eid, vc) =>
+        if (lastV.size == window) {
+          val s = lastV.sum
+          val q = lastV.map(v => v * v).sum
+          val d = window * vc - s
+          if (d * d > k * k * (window * q - s * s))
+            out += RzRow(userId, eid, ms, vc, s, q)
+        }
+        lastV = (lastV :+ vc).takeRight(window)
+      }
+      state.update(RzState(rest, lastV))
+      state.setTimeoutTimestamp(wm + 1L)
+      out.result().iterator
+    }
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState[RzState, RzRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   case class NgramObs(userId: Long, ts: java.sql.Timestamp,
                       eventId: Long, etype: String) {
     def tsMs: Long = ts.getTime

@@ -532,6 +532,35 @@ class ScaleAndTemporalSpec extends SparkSuite {
     assert(tRare * 1000L / (tBig + tRare) > 120L)
   }
 
+  test("rollingAnomalies: 3-sigma spike flagged, flat window and warm-up are not") {
+    import graft.operators.EventOps
+    // user 1: events 1..16 at 10.00 (warm-up), event 17 at 10.00 (zero
+    // deviation over a zero-variance window → NOT flagged), event 18 at
+    // 11.00 (any deviation over zero variance → flagged)
+    val rows = (1 to 16).map(i => (i.toLong, 1L, i * 1000L, 10.00)) ++
+      Seq((17L, 1L, 17000L, 10.00), (18L, 1L, 18000L, 11.00))
+    val df = rows.toDF("event_id", "user_id", "ms", "value")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val out = EventOps.rollingAnomalies(df).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq === Seq((18L, 1100L)))
+  }
+
+  test("rollingAnomalies: in-band noise under 3 sigma is not flagged") {
+    import graft.operators.EventOps
+    // alternating 10.00/12.00 window (mean 11.00, sigma 1.00): a 13.50
+    // probe is 2.5 sigma → quiet; a 14.50 probe is 3.5 sigma → flagged
+    def series(probe: Double) =
+      ((1 to 16).map(i => (i.toLong, 1L, i * 1000L,
+        if (i % 2 == 0) 12.00 else 10.00)) :+
+        ((17L, 1L, 17000L, probe)))
+        .toDF("event_id", "user_id", "ms", "value")
+        .withColumn("ts", timestamp_millis($"ms"))
+    assert(EventOps.rollingAnomalies(series(13.50)).collect().isEmpty)
+    val hit = EventOps.rollingAnomalies(series(14.50)).collect()
+    assert(hit.map(_.getLong(1)).toSeq === Seq(17L))
+  }
+
   test("topSessionPaths: gap splits sessions, truncation caps the path, ties sort") {
     import graft.operators.EventOps
     val h = 3600000L

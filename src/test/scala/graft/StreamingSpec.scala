@@ -788,6 +788,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingRollingAnomalies equals the batch q140 flags on a replay") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = EventOps.rollingAnomalies(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+
+    val rows = ev
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._2, t._3))
+    val tSplit = rows(rows.length / 2)._2
+    val (b1, b2) = rows.partition(_._2 < tSplit)
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val stream = mem.toDF().toDF("user_id", "ms", "event_id", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.streamingRollingAnomalies(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rz_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      mem.addData((999999L, rows.last._2 + 86400000L, 999999L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("rz_out")
+        .where($"userId" =!= 999999L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingTypeNgrams(2) equals the batch transition matrix on a replay") {
     import graft.operators.EventOps
     val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
