@@ -551,7 +551,8 @@ object SparkEntry {
     // wedges (the O(m^1.5) orientation); oracle re-derives the count
     // with the plain id-ordered three-way join.
     "q103_triangles" -> ((s, d) =>
-      GraphOps.triangleCount(GraphOps.copurchaseEdges(Tables.lineitem(s, d)))),
+      GraphOps.triangleCount(GraphOps.copurchaseEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", Some(d)))),
 
     // BM25 ranked retrieval: doc-length-normalized, tf-saturating
     // sibling of q98, in pure integer arithmetic (k1=1.2, b=0.75).
@@ -586,7 +587,8 @@ object SparkEntry {
     // k-core peeling over the repeat-co-purchase graph: surviving
     // (nodes, edges) per superstep.
     "q110_kcore" -> ((s, d) =>
-      GraphOps.kCore(GraphOps.repeatCopurchaseEdges(Tables.lineitem(s, d)))),
+      GraphOps.kCore(GraphOps.repeatEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", inputTag = Some(d)))),
 
     // Z-order vs linear clustering audit: per-dimension total probe
     // cost of value-range files under each layout, integer-exact.
@@ -682,8 +684,8 @@ object SparkEntry {
     // frontier expansion with eager per-level persist; oracle unrolls
     // the levels as chained CTEs.
     "q129_bfs_levels" -> ((s, d) =>
-      GraphOps.bfsLevels(
-        GraphOps.repeatCopurchaseEdges(Tables.lineitem(s, d)))),
+      GraphOps.bfsLevels(GraphOps.repeatEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", inputTag = Some(d)))),
 
     // Pearson correlation screen from exact integer moments; scalar
     // double math only (no float SUM), fixed-point ppm output.

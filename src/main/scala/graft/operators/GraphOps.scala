@@ -170,6 +170,47 @@ object GraphOps {
       .select(col("a"), col("b"))
   }
 
+  /** Session write-once materialized edge layouts — the ingest-artifact
+    * stance for the graph tier (the q54/q58 write-once precedent): a
+    * co-purchase edge set is DERIVED data, built once from the fact
+    * table in an ingest step and then served read-only to every graph
+    * query over it (q103 triangles, q110 k-core, q129 BFS all consume
+    * the same pairs). At 100 TB the edge build is a large one-off
+    * shuffle and the layout is what every downstream superstep scans —
+    * rebuilding it per query would be the anti-pattern. The oracles
+    * deliberately KEEP re-deriving the pairs from lineitem, so the
+    * layout's correctness is checked against the independent
+    * derivation on every run. Same caller contract as
+    * [[BucketedOps.writeOnce]]: the tag must uniquely identify the
+    * input data; untagged callers rebuild every time.
+    */
+  def repeatEdgesTable(lineitem: DataFrame, warehouse: String,
+                       minW: Long = 2L,
+                       inputTag: Option[String] = None): DataFrame = {
+    val spark = lineitem.sparkSession
+    val t = s"g_repeat_edges_w$minW${BucketedOps.tagOf(inputTag)}"
+    BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
+      repeatCopurchaseEdges(lineitem, minW)
+        .write.mode("overwrite").option("path", s"$warehouse/$t")
+        .format("parquet").saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
+  /** [[repeatEdgesTable]]'s sibling for the unweighted co-purchase
+    * edge set ([[copurchaseEdges]]). */
+  def copurchaseEdgesTable(lineitem: DataFrame, warehouse: String,
+                           inputTag: Option[String] = None): DataFrame = {
+    val spark = lineitem.sparkSession
+    val t = s"g_copurchase_edges${BucketedOps.tagOf(inputTag)}"
+    BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
+      copurchaseEdges(lineitem)
+        .write.mode("overwrite").option("path", s"$warehouse/$t")
+        .format("parquet").saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
   /** k-core decomposition by iterative peeling, `iters` fixed
     * supersteps: each round drops every node of degree < k (and its
     * edges), reporting the surviving (nodes, edges) per round — the
