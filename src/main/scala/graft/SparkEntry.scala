@@ -544,8 +544,9 @@ object SparkEntry {
     // Fixed-iteration integer PageRank over the customer↔supplier
     // bipartite graph — the join-agg-per-superstep iterative pattern.
     "q102_pagerank" -> ((s, d) =>
-      GraphOps.pageRank(
-        GraphOps.custSuppEdges(Tables.orders(s, d), Tables.lineitem(s, d)))),
+      GraphOps.pageRank(GraphOps.custSuppEdgesTable(
+        Tables.orders(s, d), Tables.lineitem(s, d),
+        "/tmp/graft_warehouse", Some(d)))),
 
     // Exact triangle count on the co-purchase graph via degree-ordered
     // wedges (the O(m^1.5) orientation); oracle re-derives the count

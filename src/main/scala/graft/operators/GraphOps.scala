@@ -197,6 +197,21 @@ object GraphOps {
     spark.table(t)
   }
 
+  /** [[repeatEdgesTable]]'s sibling for the customer↔supplier
+    * bipartite edge set ([[custSuppEdges]], q102's input). */
+  def custSuppEdgesTable(orders: DataFrame, lineitem: DataFrame,
+                         warehouse: String,
+                         inputTag: Option[String] = None): DataFrame = {
+    val spark = lineitem.sparkSession
+    val t = s"g_custsupp_edges${BucketedOps.tagOf(inputTag)}"
+    BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
+      custSuppEdges(orders, lineitem)
+        .write.mode("overwrite").option("path", s"$warehouse/$t")
+        .format("parquet").saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
   /** [[repeatEdgesTable]]'s sibling for the unweighted co-purchase
     * edge set ([[copurchaseEdges]]). */
   def copurchaseEdgesTable(lineitem: DataFrame, warehouse: String,
