@@ -746,6 +746,17 @@ object SparkEntry {
     // integer cross-multiplied — no division, sqrt, or float anywhere.
     "q140_rolling_anomalies" -> ((s, d) =>
       EventOps.rollingAnomalies(Tables.events(s, d))),
+
+    // Degree assortativity (Newman's r) of the repeat-copurchase graph
+    // via the shared exact-moment correlation kernel.
+    "q141_assortativity" -> ((s, d) =>
+      GraphOps.degreeAssortativity(GraphOps.repeatEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", inputTag = Some(d)))),
+
+    // Leave-one-out kNN label accuracy per class — the embedding-
+    // quality eval over the exact top-k ground truth.
+    "q142_knn_label_acc" -> ((s, d) =>
+      SimilarityOp.knnLabelAccuracy(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1320,5 +1331,9 @@ object SparkEntry {
     "q139_trunc_recall" -> SimilarityOp.truncRecallOracle(),
 
     "q140_rolling_anomalies" -> EventOps.rollingAnomaliesOracle(),
+
+    "q141_assortativity" -> GraphOps.degreeAssortativityOracle(),
+
+    "q142_knn_label_acc" -> SimilarityOp.knnLabelAccuracyOracle(),
   )
 }

@@ -117,4 +117,37 @@ object DetAgg {
       s"* $up * 2 + sum(CASE WHEN $condSql THEN 1 END)) " +
       s"// (sum(CASE WHEN $condSql THEN 1 END) * 2) AS DOUBLE) / ${pow10(scale)}.0)"
   }
+
+  /** Pearson correlation in fixed-point ppm from EXACT integer moment
+    * sums (n, Σx, Σy, Σx², Σy², Σxy). Both engines feed identical
+    * integers into an identical scalar double expression, and every
+    * operator in it (·, −, /, sqrt, floor) is IEEE-correctly-rounded —
+    * so the result is bit-equal cross-engine with no float-SUM
+    * fold-order hazard (only float AGGREGATION leaks order; log/pow
+    * would NOT be safe, they are libm-dependent). NULL when either
+    * variance is zero.
+    */
+  def corrPpm(n: Column, sx: Column, sy: Column,
+              sxx: Column, syy: Column, sxy: Column): Column = {
+    val nd = n.cast("double")
+    val num = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+    val d1 = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    val d2 = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+    when(d1 > 0.0 && d2 > 0.0,
+      floor(num / sqrt(d1 * d2) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .otherwise(lit(null).cast("long"))
+  }
+
+  /** SQL twin of [[corrPpm]] — operator for operator. The moment
+    * expressions must already be BIGINT columns/aliases. */
+  def corrPpmSql(n: String, sx: String, sy: String,
+                 sxx: String, syy: String, sxy: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val num = s"(${d(n)} * ${d(sxy)} - ${d(sx)} * ${d(sy)})"
+    val d1 = s"(${d(n)} * ${d(sxx)} - ${d(sx)} * ${d(sx)})"
+    val d2 = s"(${d(n)} * ${d(syy)} - ${d(sy)} * ${d(sy)})"
+    s"""CASE WHEN $d1 > 0.0 AND $d2 > 0.0
+       |  THEN CAST(floor($num / sqrt($d1 * $d2) * 1000000.0 + 0.5) AS BIGINT)
+       |  ELSE NULL END""".stripMargin
+  }
 }

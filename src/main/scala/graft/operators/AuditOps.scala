@@ -243,20 +243,11 @@ object AuditOps {
     * DECIMAL(38,0); the downstream double math is unchanged.
     */
   def featureCorr(lineitem: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.corrPpm
     val qty = col("l_quantity").cast("long")
     val dol = call_function("div",
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)"), lit(100L))
     val dsc = expr("CAST(round(l_discount * 100) AS BIGINT)")
-    def corrPpm(n: Column, sx: Column, sy: Column,
-                sxx: Column, syy: Column, sxy: Column): Column = {
-      val nd = n.cast("double")
-      val num = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
-      val d1 = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
-      val d2 = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
-      when(d1 > 0.0 && d2 > 0.0,
-        floor(num / sqrt(d1 * d2) * lit(1000000.0) + lit(0.5)).cast("long"))
-        .otherwise(lit(null).cast("long"))
-    }
     lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
         sum(qty).as("sx"), sum(dol).as("sy"), sum(dsc).as("sz"),
@@ -276,16 +267,8 @@ object AuditOps {
     */
   def featureCorrOracle: String = {
     def corr(sx: String, sy: String, sxx: String, syy: String,
-             sxy: String): String = {
-      val nd = "CAST(n AS DOUBLE)"
-      def d(c: String) = s"CAST($c AS DOUBLE)"
-      val num = s"($nd * ${d(sxy)} - ${d(sx)} * ${d(sy)})"
-      val d1 = s"($nd * ${d(sxx)} - ${d(sx)} * ${d(sx)})"
-      val d2 = s"($nd * ${d(syy)} - ${d(sy)} * ${d(sy)})"
-      s"""CASE WHEN $d1 > 0.0 AND $d2 > 0.0
-         |  THEN CAST(floor($num / sqrt($d1 * $d2) * 1000000.0 + 0.5) AS BIGINT)
-         |  ELSE NULL END""".stripMargin
-    }
+             sxy: String): String =
+      graft.functions.DetAgg.corrPpmSql("n", sx, sy, sxx, syy, sxy)
     s"""WITH m AS (
        |  SELECT l_returnflag, l_linestatus, count(*) AS n,
        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,

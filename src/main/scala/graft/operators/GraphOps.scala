@@ -372,6 +372,72 @@ object GraphOps {
     visited.orderBy("node")
   }
 
+  /** Degree assortativity — the Pearson correlation of endpoint
+    * degrees over the symmetrized edge list (Newman's r): positive =
+    * hubs prefer hubs, negative = hubs attach to leaves — THE one-row
+    * structural fingerprint of a graph (social graphs are assortative,
+    * dependency/purchase graphs usually disassortative). Reuses
+    * [[graft.functions.DetAgg.corrPpm]]'s exact-moment kernel: each
+    * directed orientation contributes one (deg(u), deg(v)) pair, the
+    * six moment sums are exact BIGINTs, and the only float math is the
+    * shared correctly-rounded scalar expression.
+    *
+    * Scale shape: one degree count + two id-keyed joins to decorate
+    * the edge list + one 1-row moment aggregate — nothing quadratic,
+    * nothing collected.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    import graft.functions.DetAgg
+    val und = edges.select(col("a").as("u"))
+      .unionByName(edges.select(col("b").as("u")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val dec = edges
+      .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("dg").as("db")), Seq("b"))
+    val pairs = dec.select(col("da").as("x"), col("db").as("y"))
+      .unionByName(dec.select(col("db").as("x"), col("da").as("y")))
+    pairs.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_endpoint_pairs"),
+        DetAgg.corrPpm(col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy")).as("assortativity_ppm"))
+  }
+
+  /** Oracle SQL twin of [[degreeAssortativity]] over
+    * [[repeatCopurchaseEdges]]. */
+  def degreeAssortativityOracle(minW: Long = 2L): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |w AS (
+       |  SELECT a.pk AS x, b.pk AS y, count(*) AS wc
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2
+       |),
+       |e0 AS (SELECT x, y FROM w WHERE wc >= $minW),
+       |und AS (SELECT x AS u FROM e0 UNION ALL SELECT y FROM e0),
+       |deg AS (SELECT u, count(*) AS dg FROM und GROUP BY 1),
+       |dd AS (
+       |  SELECT da.dg AS dx, db.dg AS dy
+       |  FROM e0 JOIN deg da ON e0.x = da.u JOIN deg db ON e0.y = db.u
+       |),
+       |pairs AS (SELECT dx AS px, dy AS py FROM dd
+       |          UNION ALL SELECT dy, dx FROM dd),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(px) AS BIGINT) AS sx, CAST(sum(py) AS BIGINT) AS sy,
+       |    CAST(sum(px * px) AS BIGINT) AS sxx,
+       |    CAST(sum(py * py) AS BIGINT) AS syy,
+       |    CAST(sum(px * py) AS BIGINT) AS sxy
+       |  FROM pairs
+       |)
+       |SELECT n AS n_endpoint_pairs,
+       |  ${graft.functions.DetAgg.corrPpmSql("n", "sx", "sy", "sxx", "syy", "sxy")}
+       |    AS assortativity_ppm
+       |FROM m""".stripMargin
+
   /** Oracle SQL twin of [[bfsLevels]] over [[repeatCopurchaseEdges]] —
     * the frontier expansions unrolled as chained CTEs (`NOT IN` plays
     * the anti-join).

@@ -1367,6 +1367,87 @@ object SimilarityOp {
       SweepNProbes.map(p => s"ivf_p$p" -> p),
       SweepLsh.map(c => c.name -> c), dims)
 
+  /** q142: leave-one-out kNN label accuracy — the classification eval
+    * an embedding pipeline runs before trusting its vectors: for each
+    * query in the deterministic sample, does the majority label of its
+    * exact top-k neighbours (ties → smaller label) equal its own
+    * label? Reported per true label so class-level quality skew is
+    * visible, with the exact-integer-ratio accuracy. On structured
+    * embeddings this is the retrieval-quality headline; on this
+    * synthetic corpus it measures how much label signal the generator
+    * actually planted — either way the audit, not a guess.
+    *
+    * Scale shape: ground truth reuses [[exactTopKMulti]] (broadcast
+    * query sample × one corpus scan, codegen'd cosine); everything
+    * after is k-sized per query.
+    */
+  def knnLabelAccuracy(embeddings: DataFrame, qmod: Int = 7,
+                       k: Int = 10): DataFrame = {
+    val labels = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("lbl"))
+    val votes = exactTopKMulti(embeddings, qmod, k)
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("qid"), col("lbl")).agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("nv").desc, col("lbl"))
+    val majority = votes.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("qid"), col("lbl").as("pred"))
+    labels.select(col("vec_id").as("qid"), col("lbl").as("truth"))
+      .join(majority, Seq("qid"))
+      .groupBy(col("truth"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("truth"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("truth").as("label"), col("n_queries"), col("n_correct"),
+        graft.functions.DetAgg.ratio(col("n_correct"), col("n_queries"))
+          .as("accuracy"))
+      .orderBy("label")
+  }
+
+  /** Oracle SQL twin of [[knnLabelAccuracy]]. */
+  def knnLabelAccuracyOracle(qmod: Int = 7, k: Int = 10,
+                             dims: Int = 64): String =
+    s"""WITH q AS (SELECT vec_id AS qid FROM embeddings
+       |           WHERE vec_id % $qmod = 0),
+       |pc0 AS (
+       |  SELECT qq.qid, e.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(qe.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM q qq
+       |  JOIN embeddings qe ON qe.vec_id = qq.qid
+       |  JOIN embeddings e ON e.vec_id <> qq.qid, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |  FROM pc0
+       |), ex AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sims) t WHERE rn <= $k
+       |), votes AS (
+       |  SELECT e.qid, CAST(emb.label AS BIGINT) AS lbl, count(*) AS nv
+       |  FROM ex e JOIN embeddings emb ON emb.vec_id = e.vec_id
+       |  GROUP BY 1, 2
+       |), maj AS (
+       |  SELECT qid, lbl AS pred FROM (
+       |    SELECT qid, lbl, row_number() OVER (PARTITION BY qid
+       |      ORDER BY nv DESC, lbl) AS rn
+       |    FROM votes) t WHERE rn = 1
+       |), tr AS (
+       |  SELECT m.pred, CAST(emb.label AS BIGINT) AS truth
+       |  FROM maj m JOIN embeddings emb ON emb.vec_id = m.qid
+       |)
+       |SELECT truth AS label, count(*) AS n_queries,
+       |  CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  ${graft.functions.DetAgg.ratioSql(
+           "sum(CASE WHEN pred = truth THEN 1 ELSE 0 END)", "count(*)")}
+       |    AS accuracy
+       |FROM tr GROUP BY 1 ORDER BY label""".stripMargin
+
   /** Matryoshka-truncation candidates: per query, the top `c` corpus
     * vectors by cosine over only the FIRST `dims` components — the
     * "coarse rank in the cheap prefix space" retrieval a

@@ -152,6 +152,20 @@ class RelationalSpec extends SparkSuite {
     assert((out.getLong(0), out.getLong(1), out.getLong(2)) === (51L, 50L, 0L))
   }
 
+  test("degreeAssortativity: star is perfectly disassortative, matching is degenerate") {
+    import graft.operators.GraphOps
+    // star: every edge joins the degree-5 hub to a degree-1 leaf →
+    // endpoint degrees are perfectly anti-correlated, r = −1
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val out = GraphOps.degreeAssortativity(star).collect().head
+    assert(out.getLong(0) === 10L) // 5 edges × both orientations
+    assert(out.getLong(1) === -1000000L)
+    // perfect matching: all degrees 1 → zero variance → NULL guard
+    val matching = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val deg = GraphOps.degreeAssortativity(matching).collect().head
+    assert(deg.isNullAt(1))
+  }
+
   test("bfsLevels: exact hop distances; unreachable and beyond-horizon absent") {
     import graft.operators.GraphOps
     // path 1-2-3-4-5-6 plus chord 1-3, plus disconnected pair 10-11.

@@ -397,4 +397,32 @@ class SimilaritySpec extends SparkSuite {
       assert(math.abs(c - math.rint(cos(vecs(a), vecs(b)) * 1e4) / 1e4) < 2e-4)
     }
   }
+
+  test("knnLabelAccuracy: clean clusters score 1.0, planted mislabel drops its class") {
+    // two tight clusters on orthogonal axes; qmod 7 picks 0 and 7 as
+    // queries (one per cluster). All of cluster 0 is label 0, all of
+    // cluster 1 is label 1 → both queries' 3-NN majority is correct.
+    def v(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(4)(0.001f * i)
+      a(axis) = 1.0f; a
+    }
+    val clean = ((0 to 6).map(i => (i.toLong, v(0, i), 0)) ++
+      (7 to 13).map(i => (i.toLong, v(1, i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOp.knnLabelAccuracy(clean, qmod = 7, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(0L -> ((1L, 1L, 1.0)), 1L -> ((1L, 1L, 1.0))))
+    // flip the LABEL of query 0's entire neighbourhood: its majority
+    // vote is now label 1, so class 0's accuracy collapses to 0
+    val flipped = ((0 to 6).map(i =>
+      (i.toLong, v(0, i), if (i == 0) 0 else 1)) ++
+      (7 to 13).map(i => (i.toLong, v(1, i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val out2 = SimilarityOp.knnLabelAccuracy(flipped, qmod = 7, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out2(0L) === ((1L, 0L, 0.0)))
+    assert(out2(1L) === ((1L, 1L, 1.0)))
+  }
 }
