@@ -757,6 +757,16 @@ object SparkEntry {
     // quality eval over the exact top-k ground truth.
     "q142_knn_label_acc" -> ((s, d) =>
       SimilarityOp.knnLabelAccuracy(Tables.embeddings(s, d))),
+
+    // Cross-source vocabulary Jaccard matrix (which domains share a
+    // lexicon) — vocab-sized join, exact integer ratios.
+    "q143_vocab_jaccard" -> ((s, d) =>
+      TextOps.vocabJaccard(Tables.documents(s, d))),
+
+    // Power-of-two token-length histogram per source — the data-card
+    // length profile, integer bucket boundaries.
+    "q144_length_histogram" -> ((s, d) =>
+      TextOps.lengthHistogram(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1335,5 +1345,9 @@ object SparkEntry {
     "q141_assortativity" -> GraphOps.degreeAssortativityOracle(),
 
     "q142_knn_label_acc" -> SimilarityOp.knnLabelAccuracyOracle(),
+
+    "q143_vocab_jaccard" -> TextOps.vocabJaccardOracle,
+
+    "q144_length_histogram" -> TextOps.lengthHistogramOracle(),
   )
 }

@@ -1186,6 +1186,93 @@ object TextOps {
        |FROM bg JOIN uni ux ON bg.w1 = ux.w JOIN uni uy ON bg.w2 = uy.w
        |ORDER BY score_ppt DESC, w1, w2 LIMIT $k""".stripMargin
 
+  /** Cross-source vocabulary Jaccard matrix — |V_a ∩ V_b| / |V_a ∪ V_b|
+    * for every source pair: the corpus-similarity screen that says
+    * which domains share a lexicon (q75's doc-overlap sibling at the
+    * VOCABULARY level — near-dup docs are rare across sources, shared
+    * vocabulary is not). Exact integer ratio; the intersection comes
+    * from one self-join of the (source, token)-distinct frame on the
+    * token key — vocab-sized, never the token stream — and the union
+    * is |V_a| + |V_b| − |V_a ∩ V_b|, so no second join.
+    *
+    * Scale shape: one distinct shuffle on (source, token), one
+    * token-keyed join whose fan-out is |sources per token| ≤ |sources|,
+    * one pair rollup. At 100 TB the distinct frame is vocabulary ×
+    * sources — tiny next to the corpus.
+    */
+  def vocabJaccard(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"),
+        explode(tokens(col("text"))).as("tok")).distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val inter = st.as("l").join(st.as("r"),
+        col("l.tok") === col("r.tok") && col("l.source") < col("r.source"))
+      .groupBy(col("l.source").as("src_a"), col("r.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("nv").as("va"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("nv").as("vb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_inter"),
+        (col("va") + col("vb") - col("n_inter")).as("n_union"),
+        graft.functions.DetAgg.ratio(col("n_inter"),
+          col("va") + col("vb") - col("n_inter")).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Oracle SQL twin of [[vocabJaccard]]. */
+  def vocabJaccardOracle: String =
+    s"""WITH st AS (
+       |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), sz AS (SELECT source, count(*) AS nv FROM st GROUP BY 1),
+       |inter AS (
+       |  SELECT l.source AS src_a, r.source AS src_b, count(*) AS n_inter
+       |  FROM st l JOIN st r ON l.tok = r.tok AND l.source < r.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.src_a, i.src_b, i.n_inter,
+       |  (a.nv + b.nv - i.n_inter) AS n_union,
+       |  ${graft.functions.DetAgg.ratioSql("i.n_inter",
+           "(a.nv + b.nv - i.n_inter)")} AS jaccard
+       |FROM inter i
+       |JOIN sz a ON i.src_a = a.source JOIN sz b ON i.src_b = b.source
+       |ORDER BY i.src_a, i.src_b""".stripMargin
+
+  /** Power-of-two token-length histogram per source — the corpus
+    * length-profile every data card reports, with log-spaced buckets
+    * computed as a literal boundary CASE chain (exact integers, no
+    * float log — the engine-portable spelling of ⌊log₂ n⌋). Bucket b
+    * holds docs with 2^b ≤ tokens < 2^(b+1); one map-side-combined
+    * rollup.
+    */
+  def lengthHistogram(docs: DataFrame, maxPow: Int = 12): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    // ascending fold so the LARGEST threshold lands outermost — the
+    // first-match-wins order the oracle's CASE chain spells explicitly
+    val bucket = (1 to maxPow).foldLeft(lit(0L)) { case (acc, p) =>
+      when(n >= (1L << p), lit(p.toLong)).otherwise(acc)
+    }
+    docs.select(col("source"), bucket.as("pow2"), n.as("nt"))
+      .groupBy(col("source"), col("pow2"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .orderBy("source", "pow2")
+  }
+
+  /** Oracle SQL twin of [[lengthHistogram]]. */
+  def lengthHistogramOracle(maxPow: Int = 12): String = {
+    val cases = (maxPow to 1 by -1)
+      .map(p => s"WHEN nt >= ${1L << p} THEN $p").mkString(" ")
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents
+       |)
+       |SELECT source, CAST(CASE $cases ELSE 0 END AS BIGINT) AS pow2,
+       |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |FROM d GROUP BY 1, 2 ORDER BY source, pow2""".stripMargin
+  }
+
   /** Perm-family offset for the count-min rows — disjoint from the
     * MinHash (0..) and SimHash ([[DedupOp.SimPermOffset]]..) regions. */
   val CmPermOffset = 200
@@ -1208,19 +1295,34 @@ object TextOps {
     * stream is far larger than the input and must not be cached; in
     * the sketch-only production form the audit scan disappears.
     */
+  private def cmBucketCols(hx: Column, width: Int, depth: Int): Column =
+    array((0 until depth).map { r =>
+      ((lit(permA(CmPermOffset + r)) * hx + lit(permB(CmPermOffset + r)))
+        % lit(HashMod)) % lit(width.toLong)
+    }: _*)
+
+  /** The bare `depth` × `width` count-min cell frame (r, bucket, c) —
+    * the MERGEABLE sketch artifact itself: sketches of disjoint drops
+    * add cell-wise to the sketch of the union (asserted in
+    * DedupAndTextSpec), which is what lets 100 TB of partitions
+    * sketch independently and combine at negligible cost.
+    */
+  def countMinCells(docs: DataFrame, width: Int = 1024,
+                    depth: Int = 4): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .withColumn("hx", portableHash(col("tok")))
+      .select(posexplode(cmBucketCols(col("hx"), width, depth))
+        .as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+
   def countMinTopK(docs: DataFrame, width: Int = 1024, depth: Int = 4,
                    k: Int = 20): DataFrame = {
     require(depth >= 1 && depth <= 8 && width >= 16,
       "countMinTopK: sketch dims out of range")
-    def bucketCols(hx: Column): Column = array((0 until depth).map { r =>
-      ((lit(permA(CmPermOffset + r)) * hx + lit(permB(CmPermOffset + r)))
-        % lit(HashMod)) % lit(width.toLong)
-    }: _*)
+    def bucketCols(hx: Column): Column = cmBucketCols(hx, width, depth)
     val occ = docs.select(explode(tokens(col("text"))).as("tok"))
       .withColumn("hx", portableHash(col("tok")))
-    val cells = occ
-      .select(posexplode(bucketCols(col("hx"))).as(Seq("r", "bucket")))
-      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    val cells = countMinCells(docs, width, depth)
     val dtok = occ.groupBy(col("tok"), col("hx"))
       .agg(count(lit(1)).as("true_n"))
     dtok

@@ -624,4 +624,21 @@ class DedupAndTextSpec extends SparkSuite {
     // inflate by well under the worst case; the hot estimate is exact-ish
     assert(out.head._2 <= 40L + 140L)
   }
+
+  test("count-min sketch is mergeable: cell-wise sum of split halves equals the full build") {
+    // the 100 TB property: sketch each drop independently, add cells —
+    // identical to sketching the union. Verified on the real corpus.
+    import graft.operators.TextOps
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    def cells(d: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      TextOps.countMinCells(d, width = 128, depth = 4).collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap
+    val full = cells(docs)
+    val left = cells(docs.where($"doc_id" % 2 === 0))
+    val right = cells(docs.where($"doc_id" % 2 =!= 0))
+    val merged = (left.keySet ++ right.keySet).map(k =>
+      k -> (left.getOrElse(k, 0L) + right.getOrElse(k, 0L))).toMap
+    assert(merged === full)
+    assert(full.nonEmpty)
+  }
 }
