@@ -767,6 +767,16 @@ object SparkEntry {
     // length profile, integer bucket boundaries.
     "q144_length_histogram" -> ((s, d) =>
       TextOps.lengthHistogram(Tables.documents(s, d))),
+
+    // "Customers also bought": per-part top-3 co-purchase partners by
+    // repeat weight — the item-item CF serving table.
+    "q145_copurchase_recs" -> ((s, d) =>
+      GraphOps.copurchaseRecs(Tables.lineitem(s, d))),
+
+    // Hour-of-day x day-of-week seasonality matrix from pure integer
+    // epoch arithmetic (no calendar functions).
+    "q146_seasonality" -> ((s, d) =>
+      EventOps.seasonality(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1349,5 +1359,9 @@ object SparkEntry {
     "q143_vocab_jaccard" -> TextOps.vocabJaccardOracle,
 
     "q144_length_histogram" -> TextOps.lengthHistogramOracle(),
+
+    "q145_copurchase_recs" -> GraphOps.copurchaseRecsOracle(),
+
+    "q146_seasonality" -> EventOps.seasonalityOracle,
   )
 }

@@ -665,6 +665,39 @@ object EventOps {
        |    AS n_bounces
        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Hour-of-day × day-of-week seasonality matrix — the traffic-shape
+    * profile (when does load arrive?), with exact integer shares. Both
+    * coordinates come from pure integer epoch arithmetic
+    * (dow = (days + 4) mod 7 with epoch day 0 = Thursday; hour =
+    * epoch-hours mod 24, UTC) — no calendar/locale functions, so both
+    * engines bucket identically by construction. One map-side-combined
+    * ≤168-group rollup; the total broadcasts back for the share.
+    */
+  def seasonality(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg
+    val ms = unix_millis(col("ts"))
+    val dow = pmod(call_function("div", ms, lit(86400000L)) + 4, lit(7L))
+    val hr = pmod(call_function("div", ms, lit(3600000L)), lit(24L))
+    val cnt = events.select(dow.as("dow"), hr.as("hr"))
+      .groupBy(col("dow"), col("hr")).agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).as("total"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hr"), col("n"),
+        DetAgg.ratio(col("n"), col("total"), 6).as("share"))
+      .orderBy("dow", "hr")
+  }
+
+  /** Oracle SQL twin of [[seasonality]]. */
+  def seasonalityOracle: String =
+    s"""WITH c AS (
+       |  SELECT ((epoch_ms(ts) // 86400000 + 4) % 7) AS dow,
+       |    ((epoch_ms(ts) // 3600000) % 24) AS hr, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+       |SELECT dow, hr, n, ${graft.functions.DetAgg.ratioSql("n", "total", 6)}
+       |  AS share
+       |FROM c, t ORDER BY dow, hr""".stripMargin
+
   /** Rolling z-score anomalies — per user, flag events whose value
     * deviates more than `k`σ from the TRAILING `window` events' mean
     * (the online telemetry-spike rule, batch form; the reference's IQR

@@ -372,6 +372,58 @@ object GraphOps {
     visited.orderBy("node")
   }
 
+  /** "Customers also bought" — per part, the top `k` co-purchase
+    * partners by repeat weight (ties → smaller partner id): the
+    * item-to-item collaborative-filtering serving table, built from
+    * the SAME per-order-local pair generation as the edge layouts.
+    * Both directions of each unordered pair are ranked (a recommends b
+    * AND b recommends a); parts whose best partner never repeats
+    * (w < minW) simply have no rows — a recommender serves nothing
+    * rather than noise.
+    *
+    * Scale shape: pair counts are one map-side-combined shuffle; the
+    * per-part top-k is one window sort keyed by the part — at 100 TB
+    * this is the classic nightly batch that writes the serving table.
+    */
+  def copurchaseRecs(lineitem: DataFrame, k: Int = 3,
+                     minW: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    val w = li.as("l").join(li.as("r"),
+        col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+      .groupBy(col("l.pk").as("a"), col("r.pk").as("b"))
+      .agg(count(lit(1)).as("wt"))
+      .where(col("wt") >= minW)
+    val sym = w.select(col("a").as("part"), col("b").as("rec"), col("wt"))
+      .unionByName(w.select(col("b").as("part"), col("a").as("rec"),
+        col("wt")))
+    val win = Window.partitionBy(col("part"))
+      .orderBy(col("wt").desc, col("rec"))
+    sym.withColumn("rk", row_number().over(win))
+      .where(col("rk") <= k)
+      .select(col("part"), col("rk").cast("long").as("rk"),
+        col("rec"), col("wt"))
+      .orderBy("part", "rk")
+  }
+
+  /** Oracle SQL twin of [[copurchaseRecs]]. */
+  def copurchaseRecsOracle(k: Int = 3, minW: Long = 2L): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |w AS (
+       |  SELECT a.pk AS x, b.pk AS y, count(*) AS wt
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minW
+       |),
+       |sym AS (SELECT x AS part, y AS rec, wt FROM w
+       |        UNION ALL SELECT y, x, wt FROM w)
+       |SELECT part, CAST(rk AS BIGINT) AS rk, rec, wt FROM (
+       |  SELECT part, rec, wt, row_number() OVER (PARTITION BY part
+       |    ORDER BY wt DESC, rec) AS rk
+       |  FROM sym) t
+       |WHERE rk <= $k ORDER BY part, rk""".stripMargin
+
   /** Degree assortativity — the Pearson correlation of endpoint
     * degrees over the symmetrized edge list (Newman's r): positive =
     * hubs prefer hubs, negative = hubs attach to leaves — THE one-row
