@@ -777,6 +777,11 @@ object SparkEntry {
     // epoch arithmetic (no calendar functions).
     "q146_seasonality" -> ((s, d) =>
       EventOps.seasonality(Tables.events(s, d))),
+
+    // Winsorized robust stats: exact index-percentile clipping via
+    // TakeOrdered tails (no global window), integer cents end-to-end.
+    "q147_winsorized" -> ((s, d) =>
+      OutlierOp.winsorizedStats(Tables.lineitem(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1363,5 +1368,7 @@ object SparkEntry {
     "q145_copurchase_recs" -> GraphOps.copurchaseRecsOracle(),
 
     "q146_seasonality" -> EventOps.seasonalityOracle,
+
+    "q147_winsorized" -> OutlierOp.winsorizedStatsOracle(),
   )
 }

@@ -113,4 +113,63 @@ object OutlierOp {
         explode(col("rows")).as("r"))
       .where(col("n") > 4 && (col("r.v") < col("lo") || col("r.v") > col("hi")))
       .select(col("r.id").as(idCol), col(keyCol), col("r.v").as(valCol))
+
+  /** Winsorized robust stats — clip the price distribution at exact
+    * index percentiles (rank ⌊n·p/100⌋ + 1, 1-based) and report the
+    * clipped-tail counts plus the winsorized sum, ALL in exact cents:
+    * the robust-mean prep step that stops a handful of fat-finger
+    * amounts from dragging every downstream average. The two tail
+    * values are found WITHOUT a global row_number: the p-th smallest is
+    * `max` over an ascending sort-limit (and the high tail `min` over a
+    * descending one) — Spark executes sort+limit+agg as
+    * TakeOrdered(k), so only the ≈n/100 tail rows ever leave the
+    * executors. At 100 TB even a 1 % tail is too big for one task —
+    * switch to `approx_percentile` bounds or a two-pass value-range
+    * bucket count (the q32 exact/approx dual stance); this form is the
+    * exact gate-checkable one.
+    */
+  def winsorizedStats(lineitem: DataFrame, pLo: Int = 1,
+                      pHi: Int = 99): DataFrame = {
+    require(0 < pLo && pLo < pHi && pHi < 100, "winsorizedStats: bad bounds")
+    val v = lineitem
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("vc"))
+    val n = v.count()
+    val loK = (n * pLo / 100 + 1).toInt
+    val hiK = (n - (n * pHi / 100 + 1) + 1).toInt
+    val loF = v.orderBy(col("vc").asc).limit(loK)
+      .agg(max(col("vc")).as("lo_cents"))
+    val hiF = v.orderBy(col("vc").desc).limit(hiK)
+      .agg(min(col("vc")).as("hi_cents"))
+    v.crossJoin(broadcast(loF)).crossJoin(broadcast(hiF))
+      .groupBy(col("lo_cents"), col("hi_cents"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("vc") < col("lo_cents"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("vc") > col("hi_cents"), 1L).otherwise(0L)).as("n_hi"),
+        sum(greatest(least(col("vc"), col("hi_cents")), col("lo_cents")))
+          .as("sum_winsorized_cents"))
+      .select(col("n"), col("lo_cents"), col("hi_cents"),
+        col("n_lo"), col("n_hi"), col("sum_winsorized_cents"))
+  }
+
+  /** Oracle SQL twin of [[winsorizedStats]] — same 1-based index-rank
+    * percentile definition, spelled with row_number (oracle-side only;
+    * the Spark plan deliberately avoids the global window). */
+  def winsorizedStatsOracle(pLo: Int = 1, pHi: Int = 99): String =
+    s"""WITH v AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS vc
+       |  FROM lineitem
+       |), nn AS (SELECT count(*) AS n FROM v),
+       |r AS (SELECT vc, row_number() OVER (ORDER BY vc) AS rn FROM v),
+       |lo AS (SELECT vc AS lo_cents FROM r, nn
+       |       WHERE rn = n * $pLo // 100 + 1),
+       |hi AS (SELECT vc AS hi_cents FROM r, nn
+       |       WHERE rn = n * $pHi // 100 + 1)
+       |SELECT nn.n, lo.lo_cents, hi.hi_cents,
+       |  (SELECT CAST(sum(CASE WHEN vc < lo_cents THEN 1 ELSE 0 END)
+       |     AS BIGINT) FROM v, lo) AS n_lo,
+       |  (SELECT CAST(sum(CASE WHEN vc > hi_cents THEN 1 ELSE 0 END)
+       |     AS BIGINT) FROM v, hi) AS n_hi,
+       |  (SELECT CAST(sum(greatest(least(vc, hi_cents), lo_cents))
+       |     AS BIGINT) FROM v, lo, hi) AS sum_winsorized_cents
+       |FROM nn, lo, hi""".stripMargin
 }
