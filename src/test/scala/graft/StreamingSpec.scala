@@ -788,6 +788,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming count-min cells equal the batch sketch (complete-mode agg)") {
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val expected = TextOps.countMinCells(docs, width = 128, depth = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("doc_id", "text")
+    // the sketch build is ONE streaming aggregation — runs as a
+    // standard stateful agg, no custom state needed
+    val q = TextOps.countMinCells(sdf, width = 128, depth = 4)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cm_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("cm_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingRollingAnomalies equals the batch q140 flags on a replay") {
     import graft.operators.EventOps
     implicit val sqlCtx = spark.sqlContext
