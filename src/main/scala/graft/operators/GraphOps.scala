@@ -634,4 +634,182 @@ object GraphOps {
        |FROM r$iters
        |ORDER BY rank_ppb DESC, node_type, node_id LIMIT $k""".stripMargin
   }
+
+  /** [[repeatCopurchaseEdges]] WITH the repeat weight kept — the input
+    * the weighted graph operators ([[labelPropagation]], [[sssp]])
+    * consume. Same per-order-local pair generation, one map-side
+    * combined count shuffle.
+    */
+  def weightedCopurchaseEdges(lineitem: DataFrame,
+                              minW: Long = 2L): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    li.as("l").join(li.as("r"),
+        col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+      .groupBy(col("l.pk").as("a"), col("r.pk").as("b"))
+      .agg(count(lit(1)).as("wt"))
+      .where(col("wt") >= minW)
+  }
+
+  /** [[repeatEdgesTable]]'s sibling carrying the weight column —
+    * write-once session layout for the weighted graph tier. */
+  def weightedEdgesTable(lineitem: DataFrame, warehouse: String,
+                         minW: Long = 2L,
+                         inputTag: Option[String] = None): DataFrame = {
+    val spark = lineitem.sparkSession
+    val t = s"g_repeat_wedges_w$minW${BucketedOps.tagOf(inputTag)}"
+    BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
+      weightedCopurchaseEdges(lineitem, minW)
+        .write.mode("overwrite").option("path", s"$warehouse/$t")
+        .format("parquet").saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
+  /** q148: synchronous WEIGHTED label propagation, `iters` fixed
+    * supersteps — community detection without a parameter count: every
+    * node starts labeled by its own id; each superstep every node
+    * adopts the label with the largest incident weight sum among its
+    * neighbors (ties → smaller label). Fixed iterations + total tie
+    * order make the k-th iterate deterministic on any engine — the
+    * [[pageRank]] stance — so the oracle unrolls the supersteps as
+    * chained CTEs over the same integer weights. (Classic async LPA is
+    * run-order-dependent BY construction; the synchronous fixed-round
+    * form is the one a distributed engine can promise bit-stable.)
+    *
+    * Scale shape per superstep: one join keyed on node id + one
+    * map-side-combined (node, label) weight sum + one per-node top-1
+    * window on that (already aggregated) frame — the canonical
+    * 2-shuffle Pregel step; nothing collects. The label frame MUTATES
+    * across rounds and is referenced once per step, so per-level eager
+    * persists keep lineage linear (the [[kCore]] rule; total cache is
+    * iters × |nodes| rows of two BIGINTs).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      "labelPropagation: iters out of range")
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("a").as("u"), col("b").as("v"), col("wt"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v"),
+        col("wt")))
+      .persist()
+    var lab = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .persist()
+    lab.count()
+    val w = Window.partitionBy(col("v"))
+      .orderBy(col("sc").desc, col("lab"))
+    for (_ <- 1 to iters) {
+      lab = sym.join(lab.withColumnRenamed("node", "u"), Seq("u"))
+        .groupBy(col("v"), col("lab")).agg(sum(col("wt")).as("sc"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("v").as("node"), col("lab"))
+        .persist()
+      lab.count()
+    }
+    lab.orderBy("node")
+  }
+
+  /** Oracle SQL twin of [[labelPropagation]] over
+    * [[weightedCopurchaseEdges]] — supersteps unrolled, identical
+    * weight-sum argmax and (score desc, label asc) tie rule.
+    */
+  def labelPropagationOracle(iters: Int = 3, minW: Long = 2L): String = {
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS (
+         |  SELECT node, lab FROM (
+         |    SELECT s.v AS node, l.lab,
+         |      row_number() OVER (PARTITION BY s.v
+         |        ORDER BY CAST(sum(s.wt) AS BIGINT) DESC, l.lab) AS rn
+         |    FROM sym s JOIN l${i - 1} l ON l.node = s.u
+         |    GROUP BY s.v, l.lab) t
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |w AS (
+       |  SELECT a.pk AS x, b.pk AS y, count(*) AS wt
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minW
+       |),
+       |sym AS (SELECT x AS u, y AS v, wt FROM w
+       |        UNION ALL SELECT y, x, wt FROM w),
+       |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+       |$steps
+       |SELECT node, lab FROM l$iters ORDER BY node""".stripMargin
+  }
+
+  /** q149: single-source shortest paths, `iters` Bellman-Ford
+    * supersteps in EXACT integer arithmetic — hop cost is
+    * `costScale div wt` (a heavier co-purchase tie is a cheaper hop),
+    * source is the smallest node id, and after round i every node
+    * holds the cheapest ≤ i-hop path cost. Fixed rounds keep the
+    * result deterministic and the oracle unrollable; nodes beyond the
+    * `iters`-hop horizon are simply absent (the [[bfsLevels]]
+    * contract, generalized to weights).
+    *
+    * Scale shape per superstep: one join keyed on node id + one
+    * map-side-combined min per node — no edge payload beyond
+    * (node, cost) rides the shuffle. The distance frame is referenced
+    * TWICE per round (relax join + carry-forward union), so per-level
+    * eager persists are load-bearing: without them lineage doubles
+    * each round (the [[kCore]] 2^i lesson).
+    */
+  def sssp(edges: DataFrame, iters: Int = 4,
+           costScale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 12, "sssp: iters out of range")
+    val sym = edges.select(col("a").as("u"), col("b").as("v"), col("wt"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v"),
+        col("wt")))
+      .withColumn("cost", call_function("div", lit(costScale), col("wt")))
+      .persist()
+    var dist = sym.agg(min(col("u")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+      .persist()
+    dist.count()
+    for (_ <- 1 to iters) {
+      val relax = sym
+        .join(dist.select(col("node").as("u"), col("dist").as("du")),
+          Seq("u"))
+        .select(col("v").as("node"), (col("du") + col("cost")).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .persist()
+      dist.count()
+    }
+    dist.orderBy("node")
+  }
+
+  /** Oracle SQL twin of [[sssp]] over [[weightedCopurchaseEdges]] —
+    * relaxation rounds unrolled, identical integer hop costs.
+    */
+  def ssspOracle(iters: Int = 4, costScale: Long = 1000000L,
+                 minW: Long = 2L): String = {
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT s.v, d.dist + ($costScale // s.wt)
+         |    FROM sym s JOIN d${i - 1} d ON d.node = s.u) t
+         |  GROUP BY node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |w AS (
+       |  SELECT a.pk AS x, b.pk AS y, count(*) AS wt
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minW
+       |),
+       |sym AS (SELECT x AS u, y AS v, wt FROM w
+       |        UNION ALL SELECT y, x, wt FROM w),
+       |d0 AS (SELECT (SELECT min(u) FROM sym) AS node,
+       |              CAST(0 AS BIGINT) AS dist),
+       |$steps
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$iters
+       |ORDER BY node""".stripMargin
+  }
 }

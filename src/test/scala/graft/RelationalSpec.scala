@@ -127,6 +127,38 @@ class RelationalSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, 4L, 6L), (2L, 4L, 6L), (3L, 4L, 6L)))
   }
 
+  test("labelPropagation: barbell communities converge to component minima") {
+    import graft.operators.GraphOps
+    // two weight-5 triangles {1,2,3} / {4,5,6} bridged by a weight-1
+    // edge 3-4: after 3 synchronous rounds every node carries its
+    // triangle's minimum id (bridge too weak to leak labels across);
+    // round 1 exercises the (score desc, label asc) tie rule on every
+    // node.
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L), (3L, 4L, 1L))
+      .toDF("a", "b", "wt")
+    val out = GraphOps.labelPropagation(edges, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)))
+  }
+
+  test("sssp: integer hop costs relax round by round, horizon bounds reach") {
+    import graft.operators.GraphOps
+    // path 1-2-3-4 with weights 2,4,2 (costs 500000, 250000, 500000)
+    // plus a heavy shortcut 1-5 (wt 10, cost 100000); source = min = 1
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 4L), (3L, 4L, 2L),
+      (1L, 5L, 10L)).toDF("a", "b", "wt")
+    val at2 = GraphOps.sssp(edges, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(at2.toSeq === Seq((1L, 0L), (2L, 500000L), (3L, 750000L),
+      (5L, 100000L)))
+    val at4 = GraphOps.sssp(edges, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(at4.toSeq === Seq((1L, 0L), (2L, 500000L), (3L, 750000L),
+      (4L, 1250000L), (5L, 100000L)))
+  }
+
   test("frequentTriples: support counted per distinct order, a-priori agrees with brute force") {
     import graft.operators.GraphOps
     // orders: {1,2,3} ×2 (frequent triple), {1,2,4}, {5,6} — and a dup
