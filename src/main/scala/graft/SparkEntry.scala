@@ -782,6 +782,39 @@ object SparkEntry {
     // TakeOrdered tails (no global window), integer cents end-to-end.
     "q147_winsorized" -> ((s, d) =>
       OutlierOp.winsorizedStats(Tables.lineitem(s, d))),
+
+    // Synchronous weighted label propagation (3 supersteps, exact
+    // integer weights) off the write-once weighted edge layout.
+    "q148_label_prop" -> ((s, d) =>
+      GraphOps.labelPropagation(GraphOps.weightedEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", inputTag = Some(d)))),
+
+    // Bellman-Ford shortest paths (4 relaxation rounds), integer hop
+    // costs costScale div weight, same weighted layout.
+    "q149_sssp" -> ((s, d) =>
+      GraphOps.sssp(GraphOps.weightedEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", inputTag = Some(d)))),
+
+    // Gini-Simpson token diversity per source — the diversity index
+    // that is exactly rational, so it hash-gates (entropy needs log).
+    "q150_simpson_diversity" -> ((s, d) =>
+      TextOps.simpsonDiversity(Tables.documents(s, d))),
+
+    // Per-user EWMA smoothing, alpha=1/2 truncated to 16 taps: dyadic
+    // weights keep it pure integer (no pow), one window pass.
+    "q151_ewma" -> ((s, d) =>
+      EventOps.ewmaSmooth(Tables.events(s, d))),
+
+    // r x c independence: chi-square + Cramér's V over priority x
+    // status, structural zeros materialized, integer cell terms.
+    "q152_contingency" -> ((s, d) =>
+      AuditOps.contingencyChi2(Tables.orders(s, d),
+        "o_orderpriority", "o_orderstatus")),
+
+    // MRR of the true nearest neighbour under both ANN serving paths,
+    // exact 1/2520-unit reciprocal ranks (lcm(1..10) — fully rational).
+    "q153_ann_mrr" -> ((s, d) =>
+      SimilarityOp.annMrr(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1370,5 +1403,11 @@ object SparkEntry {
     "q146_seasonality" -> EventOps.seasonalityOracle,
 
     "q147_winsorized" -> OutlierOp.winsorizedStatsOracle(),
+    "q148_label_prop" -> GraphOps.labelPropagationOracle(),
+    "q149_sssp" -> GraphOps.ssspOracle(),
+    "q150_simpson_diversity" -> TextOps.simpsonDiversityOracle,
+    "q151_ewma" -> EventOps.ewmaSmoothOracle(),
+    "q152_contingency" -> AuditOps.contingencyChi2Oracle(),
+    "q153_ann_mrr" -> SimilarityOp.annMrrOracle(),
   )
 }

@@ -373,4 +373,82 @@ object AuditOps {
        |  CASE $cases ELSE NULL END AS benford
        |FROM c, t ORDER BY digit""".stripMargin
   }
+
+  /** q152: categorical-independence audit — the r×c contingency test
+    * between two warehouse dimensions (χ² plus Cramér's V), in the
+    * q131 determinism discipline generalized to DATA-DEPENDENT cells:
+    * with cell count O, row total R, column total C, grand total N,
+    * each cell contributes the INTEGER `(O·N − R·C)² div (R·C)`
+    * (≡ χ²cell·N in exact rationals), the contributions sum order-free
+    * (integer addition is associative — the reason the per-cell floor
+    * happens BEFORE the sum), and one final scale gives
+    * `chi2_milli = S·1000 div N`. Structural zero cells are
+    * materialized from the row×col grid — a groupBy alone would
+    * silently drop them and understate χ². The only float ops are the
+    * final `/`, `sqrt`, `floor` for Cramér's V (emitted as half-up e4
+    * fixed point) — scalar, correctly rounded, parity-safe (the q130
+    * rule); no float ever aggregates.
+    *
+    * Scale shape: ONE map-side-combined scan to (r×c)-sized cells;
+    * everything after runs on that tiny frame (grid join, rollups) —
+    * broadcast-sized regardless of fact-table size.
+    */
+  def contingencyChi2(df: DataFrame, rowCol: String,
+                      colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("rk"), col(colCol).as("ck"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("rk")).agg(sum(col("o")).as("r"))
+    val ct = cells.groupBy(col("ck")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("rk")).as("nr"),
+      count_distinct(col("ck")).as("nc"))
+    val grid = rt.crossJoin(ct)
+      .join(cells, Seq("rk", "ck"), "left")
+      .select(col("r"), col("c"), coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(tot)
+    val d = col("o") * col("n") - col("r") * col("c")
+    val s = grid
+      .select(call_function("div", d * d, col("r") * col("c")).as("q"),
+        col("n"), col("nr"), col("nc"))
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sum(col("q")).as("s"))
+    s.select(col("n"), col("nr"), col("nc"),
+        ((col("nr") - 1L) * (col("nc") - 1L)).as("dof"),
+        call_function("div", col("s") * 1000L, col("n")).as("chi2_milli"))
+      .withColumn("cramers_v_e4",
+        floor(sqrt(col("chi2_milli").cast("double") / 1000.0 /
+          (col("n") * (least(col("nr"), col("nc")) - 1L)).cast("double"))
+          * 10000.0 + 0.5).cast("long"))
+  }
+
+  /** Oracle SQL twin of [[contingencyChi2]] over
+    * orders(o_orderpriority × o_orderstatus). */
+  def contingencyChi2Oracle(table: String = "orders",
+                            rowCol: String = "o_orderpriority",
+                            colCol: String = "o_orderstatus"): String =
+    s"""WITH cells AS (
+       |  SELECT $rowCol AS rk, $colCol AS ck, count(*) AS o
+       |  FROM $table GROUP BY 1, 2
+       |), rt AS (SELECT rk, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+       |ct AS (SELECT ck, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(o) AS BIGINT) AS n,
+       |    count(DISTINCT rk) AS nr, count(DISTINCT ck) AS nc
+       |  FROM cells
+       |), grid AS (
+       |  SELECT rt.r, ct.c, coalesce(cells.o, 0) AS o
+       |  FROM rt CROSS JOIN ct
+       |  LEFT JOIN cells ON cells.rk = rt.rk AND cells.ck = ct.ck
+       |), s AS (
+       |  SELECT n, nr, nc,
+       |    CAST(sum(((o * n - r * c) * (o * n - r * c)) // (r * c))
+       |      AS BIGINT) AS s
+       |  FROM grid, tot GROUP BY 1, 2, 3
+       |)
+       |SELECT n, nr, nc, (nr - 1) * (nc - 1) AS dof,
+       |  (s * 1000) // n AS chi2_milli,
+       |  CAST(floor(sqrt(CAST((s * 1000) // n AS DOUBLE) / 1000.0 /
+       |    CAST(n * (least(nr, nc) - 1) AS DOUBLE)) * 10000.0 + 0.5)
+       |    AS BIGINT) AS cramers_v_e4
+       |FROM s""".stripMargin
 }

@@ -1042,4 +1042,68 @@ object EventOps {
        |FROM iv JOIN e ON e.event_type = iv.event_type
        |  AND e.ms >= iv.s AND e.ms < iv.en
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q151: per-user EWMA telemetry smoothing with the half-life-one
+    * decay α = 1/2, EXACT integer arithmetic — the trailing `window`
+    * cents values combine with power-of-two weights
+    * `Σⱼ vcⱼ·2^(window−1−j) div (2^window − 1)` (j = 0 newest), which
+    * is the geometric EWMA truncated where its weights vanish, with a
+    * dyadic weight sum instead of the float `pow` that breaks parity
+    * (the q136 rule: `pow` is libm-dependent, powers of two are not
+    * float at all). Warm-up rows (< `window` predecessors) are
+    * excluded by the oldest-lag null check; values are non-negative
+    * cents so truncating and floor division agree across engines (the
+    * locfResample `DIV` note).
+    *
+    * Scale shape: ONE per-user sort window evaluating `window` lag
+    * expressions in a single WindowExec pass — one shuffle on
+    * user_id, no self-joins, no per-row array state.
+    */
+  def ewmaSmooth(events: DataFrame, window: Int = 16): DataFrame = {
+    require(window >= 2 && window <= 30, "ewmaSmooth: window out of range")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val terms = (0 until window).map { j =>
+      val weight = 1L << (window - 1 - j)
+      (if (j == 0) col("vc")
+       else lag(col("vc"), j).over(w)) * lit(weight)
+    }
+    val den = (1L << window) - 1
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .withColumn("num", terms.reduce(_ + _))
+      .withColumn("oldest", lag(col("vc"), window - 1).over(w))
+      .where(col("oldest").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("vc"),
+        call_function("div", col("num"), lit(den)).as("ewma_c"))
+      .orderBy("user_id", "ms", "event_id")
+  }
+
+  /** Oracle SQL twin of [[ewmaSmooth]] — the same `window` lag terms
+    * over one named window; integer addition is associative, so the
+    * sum spelling cannot drift. */
+  def ewmaSmoothOracle(window: Int = 16): String = {
+    val terms = (0 until window).map { j =>
+      val weight = 1L << (window - 1 - j)
+      if (j == 0) s"vc * $weight"
+      else s"lag(vc, $j) OVER w * $weight"
+    }.mkString(" +\n      ")
+    val den = (1L << window) - 1
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    CAST(round(value * 100) AS BIGINT) AS vc, ts
+       |  FROM events
+       |), x AS (
+       |  SELECT user_id, event_id, ms, vc,
+       |    ($terms) AS num,
+       |    lag(vc, ${window - 1}) OVER w AS oldest
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |)
+       |SELECT user_id, event_id, ms, vc, num // $den AS ewma_c
+       |FROM x WHERE oldest IS NOT NULL
+       |ORDER BY user_id, ms, event_id""".stripMargin
+  }
 }

@@ -1550,4 +1550,146 @@ object SimilarityOp {
        |SELECT config, n_queries, mean_cand, mean_recall FROM arm32
        |ORDER BY config""".stripMargin
   }
+
+  /** One MRR arm: the true nearest neighbour's reciprocal rank inside
+    * the arm's exact-cosine-ranked candidate list, in EXACT 1/2520
+    * units (2520 = lcm(1..10), so `2520 div rank` is an exact integer
+    * for every rank ≤ k ≤ 10 — reciprocal rank is the ranked-retrieval
+    * headline that happens to be RATIONAL, which is why MRR hash-gates
+    * where nDCG's log2 discounts cannot; the q150 Simpson argument).
+    * Unretrieved or beyond-k neighbours contribute 0.
+    */
+  private def mrrArm(name: String, embeddings: DataFrame,
+                     qframe: DataFrame, nn1: DataFrame,
+                     cand: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10, "mrrArm: k out of range (2520-unit RR)")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val ranked = cand.join(corpusVecs(embeddings), Seq("vec_id"))
+      .join(broadcast(qframe), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"))
+    val rr = nn1.join(ranked, Seq("qid", "vec_id"), "left")
+      .select(coalesce(call_function("div", lit(2520L), col("rn")),
+        lit(0L)).as("rr_u"))
+    val nq = qframe.agg(count(lit(1)).as("n_queries"))
+    rr.agg(sum(col("rr_u")).as("rr_units")).crossJoin(nq)
+      .select(lit(name).as("config"), col("n_queries"), col("rr_units"),
+        graft.functions.DetAgg.ratio(col("rr_units"),
+          col("n_queries") * 2520L, 6).as("mrr"))
+  }
+
+  /** q153: mean reciprocal rank of the TRUE nearest neighbour under
+    * both serving paths (IVF nProbe=2 and multi-probe LSH) over the
+    * q84 deterministic query sample — the serving metric recall@k
+    * hides: recall counts a neighbour retrieved at rank 10 the same as
+    * rank 1, MRR prices the difference, and together the two audits
+    * bound where each index actually ranks what matters most.
+    *
+    * Scale shape: ground truth and candidate scoring reuse the q84
+    * machinery (broadcast query sample × one corpus scan, codegen'd
+    * cosine kernel); everything after the per-query top-k is k-sized.
+    */
+  def annMrr(embeddings: DataFrame, qmod: Int = 7, k: Int = 10,
+             centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+             nProbe: Int = 2,
+             conf: LshConf = AnnDefault): DataFrame = {
+    val qframe = queryFrame(embeddings, qmod)
+    val nn1 = exactTopKMulti(embeddings, qmod, 1)
+    val centers = centerVecs(embeddings, centerIds)
+    mrrArm("ivf", embeddings, qframe, nn1,
+      ivfCandidatesMulti(embeddings, qmod, centers, nProbe), k)
+      .unionByName(mrrArm("lsh", embeddings, qframe, nn1,
+        lshCandidatesMulti(embeddings, qmod, conf), k))
+      .orderBy("config")
+  }
+
+  /** Oracle SQL twin of [[annMrr]] — the q84 shared CTEs, ground truth
+    * at rn=1, per-arm candidate ranking and the same 2520-unit RR. */
+  def annMrrOracle(qmod: Int = 7, k: Int = 10,
+                   centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                   nProbe: Int = 2, dims: Int = 64): String = {
+    val c = AnnDefault
+    def armCtes(name: String, candCte: String): String =
+      s"""ranked_$name AS (
+         |  SELECT c.qid, c.vec_id,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY s.sim DESC, c.vec_id) AS rn
+         |  FROM $candCte c
+         |  JOIN sims s ON s.qid = c.qid AND s.vec_id = c.vec_id
+         |), rr_$name AS (
+         |  SELECT e.qid,
+         |    coalesce(CASE WHEN r.rn <= $k THEN 2520 // r.rn END, 0) AS rr_u
+         |  FROM ex1 e
+         |  LEFT JOIN ranked_$name r
+         |    ON r.qid = e.qid AND r.vec_id = e.vec_id
+         |), agg_$name AS (
+         |  SELECT '$name' AS config,
+         |    (SELECT CAST(n AS BIGINT) FROM nq) AS n_queries,
+         |    CAST(sum(rr_u) AS BIGINT) AS rr_units,
+         |    ${graft.functions.DetAgg.ratioSql("sum(rr_u)",
+              "(2520 * (SELECT n FROM nq))", 6)} AS mrr
+         |  FROM rr_$name
+         |)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid FROM embeddings
+       |           WHERE vec_id % $qmod = 0),
+       |pc0 AS (
+       |  SELECT qq.qid, e.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(qe.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM q qq
+       |  JOIN embeddings qe ON qe.vec_id = qq.qid
+       |  JOIN embeddings e ON e.vec_id <> qq.qid, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |  FROM pc0
+       |), ex1 AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sims) t WHERE rn = 1
+       |), nq AS (SELECT count(*) AS n FROM q),
+       |cc AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id IN (${centerIds.sorted.mkString(", ")})),
+       |cd AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sqrt(sum((e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE)
+       |               * (e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE))), 6) AS dist
+       |  FROM embeddings e, cc c, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), cell AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rn FROM cd) t WHERE rn = 1
+       |), qc AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qq.qid, cd.cid AS cell, row_number() OVER (
+       |      PARTITION BY qq.qid ORDER BY cd.dist, cd.cid) AS rn
+       |    FROM q qq JOIN cd ON cd.vec_id = qq.qid) t WHERE rn <= $nProbe
+       |), cand_ivf AS (
+       |  SELECT qp.qid, ce.vec_id
+       |  FROM qc qp JOIN cell ce USING (cell)
+       |  WHERE ce.vec_id <> qp.qid
+       |),
+       |${bandCte(dims, c.bands, c.bits, c.mulJ, c.mulD, c.mod, "_lsh")},
+       |cand_lsh AS (
+       |  SELECT DISTINCT qb.vec_id AS qid, b.vec_id
+       |  FROM q qq
+       |  JOIN bands_lsh qb ON qb.vec_id = qq.qid
+       |  JOIN bands_lsh b ON b.band = qb.band
+       |    AND bit_count(xor(b.bval, qb.bval)) <= ${c.radius}
+       |  WHERE b.vec_id <> qq.qid
+       |),
+       |${armCtes("ivf", "cand_ivf")},
+       |${armCtes("lsh", "cand_lsh")}
+       |SELECT config, n_queries, rr_units, mrr FROM agg_ivf
+       |UNION ALL
+       |SELECT config, n_queries, rr_units, mrr FROM agg_lsh
+       |ORDER BY config""".stripMargin
+  }
 }

@@ -1364,4 +1364,56 @@ object TextOps {
        |SELECT tok AS token, est, true_n
        |FROM est ORDER BY est DESC, token LIMIT $k""".stripMargin
   }
+
+  /** q150: per-source token diversity via the Gini–Simpson index,
+    * EXACT rational arithmetic end to end — the probability two
+    * random token draws (without replacement) differ:
+    * `1 − Σ nᵢ(nᵢ−1) / (N(N−1))`, reported in half-up 6-decimal units
+    * through the same integer path as every [[DetAgg]] ratio. Entropy
+    * is the conventional diversity number but needs `log` (libm-
+    * dependent, not correctly rounded — the q130 rule); Simpson is the
+    * diversity index that happens to be a small-denominator RATIONAL,
+    * so the whole audit sits under the cross-engine hash gate with no
+    * float anywhere. BIGINT headroom: Σnᵢ(nᵢ−1)·10⁶ overflows past
+    * ~3·10⁶ tokens per source — at that size the per-source counts
+    * feed the same formula with the scale split (divide first), noted
+    * here rather than silently changed.
+    *
+    * Scale shape: one map-side-combined (source, token) count, one
+    * tiny per-source rollup — no distinct-pair expansion, nothing
+    * row-local beyond the token explode.
+    */
+  def simpsonDiversity(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.ratio
+    docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("ni"))
+      .groupBy(col("source"))
+      .agg(sum(col("ni")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("ni") * (col("ni") - 1L)).as("same"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        ratio(col("n_tokens") * (col("n_tokens") - 1L) - col("same"),
+          col("n_tokens") * (col("n_tokens") - 1L), 6).as("simpson"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[simpsonDiversity]]. */
+  def simpsonDiversityOracle: String =
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, tok, count(*) AS ni FROM t GROUP BY 1, 2
+       |), s AS (
+       |  SELECT source, CAST(sum(ni) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_types,
+       |    CAST(sum(ni * (ni - 1)) AS BIGINT) AS same
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT source, n_tokens, n_types,
+       |  ${graft.functions.DetAgg.ratioSql(
+            "(n_tokens * (n_tokens - 1) - same)",
+            "(n_tokens * (n_tokens - 1))", 6)} AS simpson
+       |FROM s ORDER BY source""".stripMargin
 }

@@ -113,4 +113,23 @@ class AuditSpec extends SparkSuite {
     assert(bOut.getLong(3) < 100000L)
     assert(uOut.getLong(3) > 10000000L) // uniform: chi2 >> 10
   }
+
+  test("contingencyChi2: independence scores zero, perfect association maxes V") {
+    // perfectly independent 2x2 (every cell = 2): chi2 = 0, V = 0
+    val indep = (Seq.fill(2)(("A", "X")) ++ Seq.fill(2)(("A", "Y")) ++
+      Seq.fill(2)(("B", "X")) ++ Seq.fill(2)(("B", "Y"))).toDF("r", "c")
+    val i = AuditOps.contingencyChi2(indep, "r", "c").collect().head
+    assert((i.getLong(0), i.getLong(1), i.getLong(2), i.getLong(3)) ===
+      (8L, 2L, 2L, 1L))
+    assert(i.getLong(4) === 0L)   // chi2_milli
+    assert(i.getLong(5) === 0L)   // cramers_v_e4
+    // perfect association with STRUCTURAL ZERO cells (A only with X,
+    // B only with Y): 2x2 with n=8 gives chi2 = n = 8, V = 1 — only
+    // correct if the zero cells are materialized into the grid
+    val assoc = (Seq.fill(4)(("A", "X")) ++ Seq.fill(4)(("B", "Y")))
+      .toDF("r", "c")
+    val a = AuditOps.contingencyChi2(assoc, "r", "c").collect().head
+    assert(a.getLong(4) === 8000L)
+    assert(a.getLong(5) === 10000L)
+  }
 }

@@ -641,4 +641,13 @@ class DedupAndTextSpec extends SparkSuite {
     assert(merged === full)
     assert(full.nonEmpty)
   }
+
+  test("simpsonDiversity: exact rational hand-check, all-distinct source scores 1") {
+    // source A "a a b": N=3, same = 2·1 = 2 → (6−2)/6 = 2/3 →
+    // half-up 6dp 0.666667; source B "x y": same = 0 → exactly 1.0
+    val docs = Seq(("a a b", "A"), ("x y", "B")).toDF("text", "source")
+    val out = TextOps.simpsonDiversity(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(("A", 3L, 2L, 0.666667), ("B", 2L, 2L, 1.0)))
+  }
 }

@@ -580,4 +580,19 @@ class ScaleAndTemporalSpec extends SparkSuite {
       ("click>click>click>click>click", 1L),
       ("view", 1L)))
   }
+
+  test("ewmaSmooth: dyadic weights hand-check, warm-up excluded, users independent") {
+    import graft.operators.EventOps
+    // window=2: ewma = (2·now + 1·prev) div 3. user 1: 3.00, 6.00,
+    // 9.00 → rows from the 2nd event: (1200+300)/3 = 500,
+    // (1800+600)/3 = 800. user 2 has one event → all warm-up.
+    val df = Seq(
+      (1L, 1L, 1000L, 3.00), (2L, 1L, 2000L, 6.00),
+      (3L, 1L, 3000L, 9.00), (4L, 2L, 1000L, 5.00))
+      .toDF("event_id", "user_id", "ms", "value")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val out = EventOps.ewmaSmooth(df, window = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 2L, 500L), (1L, 3L, 800L)))
+  }
 }
