@@ -812,4 +812,128 @@ object StreamOps {
       .flatMapGroupsWithState[NgramState, TypeNgram](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /** One smoothed observation, the row shape of the batch
+    * [[graft.operators.EventOps.ewmaSmooth]]. */
+  case class EwmaRow(userId: Long, eventId: Long, ms: Long, vc: Long,
+                     ewmaC: Long)
+
+  /** Per-key state: lateness buffer + the last window−1 FINALIZED cent
+    * values, oldest first. */
+  case class EwmaState(pending: Seq[(Long, Long, Long)], lastV: Seq[Long])
+
+  /** Streaming EWMA smoothing — the streaming form of
+    * [[graft.operators.EventOps.ewmaSmooth]] (q151): the
+    * [[streamingRollingAnomalies]] buffer-then-fold pattern over a
+    * (window−1)-deep deque, emitting the identical dyadic-weight
+    * integer EWMA as each observation finalizes. State per user =
+    * bounded lateness buffer + window−1 longs.
+    */
+  def streamingEwma(events: DataFrame, window: Int = 16,
+                    watermark: String = "10 minutes"): Dataset[EwmaRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    require(window >= 2 && window <= 30, "streamingEwma: window out of range")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val den = (1L << window) - 1
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("userId"), col("ts"),
+        col("event_id").as("eventId"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .as[RzObs]
+    val fn = (userId: Long, arrivals: Iterator[RzObs],
+              state: GroupState[EwmaState]) => {
+      val st = state.getOption.getOrElse(EwmaState(Nil, Nil))
+      val pend = st.pending ++ arrivals.map(o => (o.tsMs, o.eventId, o.vc))
+      val wm = state.getCurrentWatermarkMs()
+      val (fin, rest) = pend.partition(_._1 < wm)
+      val out = Seq.newBuilder[EwmaRow]
+      var lastV = st.lastV
+      fin.sorted.foreach { case (ms, eid, vc) =>
+        if (lastV.size == window - 1) {
+          // oldest..newest with weights 2^0..2^(window−1): the batch
+          // operator's Σ vcⱼ·2^(window−1−j) spelled from the other end
+          val vals = lastV :+ vc
+          val num = vals.zipWithIndex
+            .map { case (v, i) => v * (1L << i) }.sum
+          out += EwmaRow(userId, eid, ms, vc, num / den)
+        }
+        lastV = (lastV :+ vc).takeRight(window - 1)
+      }
+      state.update(EwmaState(rest, lastV))
+      state.setTimeoutTimestamp(wm + 1L)
+      out.result().iterator
+    }
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  case class AttrObs(userId: Long, ts: java.sql.Timestamp, eventId: Long,
+                     etype: String) {
+    def tsMs: Long = ts.getTime
+  }
+
+  /** One attributed purchase, the row shape of the batch
+    * [[graft.operators.TemporalOps.lastTouchAttribution]]. */
+  case class AttrRow(eventId: Long, userId: Long, tsMs: Long,
+                     attributedClick: Long, clickAgeMs: Long)
+
+  /** Per-key state: lateness buffer + the latest finalized click as
+    * (ms, eventId), encoded as a pair with ms = −1 when absent. */
+  case class AttrState(pending: Seq[(Long, Int, Long)],
+                       lastClickMs: Long, lastClickId: Long)
+
+  /** Streaming last-touch attribution — the streaming form of
+    * [[graft.operators.TemporalOps.lastTouchAttribution]] (q114): each
+    * purchase is attributed the moment it FINALIZES, against the
+    * latest finalized click state, instead of a batch as-of join.
+    * Matching the batch as-of semantics exactly needs two details the
+    * naive fold misses: (a) a click at the SAME millisecond as a
+    * purchase attributes to it (the as-of join is inclusive), so the
+    * fold orders same-ms clicks BEFORE purchases; (b) equal-ms clicks
+    * dedup to the max event_id (the asOfJoin uniqueness contract).
+    * State per user = bounded lateness buffer + ONE (ms, id) pair —
+    * the minimal state any attribution stream needs.
+    */
+  def streamingAttribution(events: DataFrame,
+                           tolMs: Long = 7L * 86400000L,
+                           watermark: String = "10 minutes"): Dataset[AttrRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").as("userId"), col("ts"),
+        col("event_id").as("eventId"), col("event_type").as("etype"))
+      .as[AttrObs]
+    val fn = (userId: Long, arrivals: Iterator[AttrObs],
+              state: GroupState[AttrState]) => {
+      val st = state.getOption.getOrElse(AttrState(Nil, -1L, -1L))
+      val pend = st.pending ++ arrivals.map(o =>
+        (o.tsMs, if (o.etype == "click") 0 else 1, o.eventId))
+      val wm = state.getCurrentWatermarkMs()
+      val (fin, rest) = pend.partition(_._1 < wm)
+      val out = Seq.newBuilder[AttrRow]
+      var (cMs, cId) = (st.lastClickMs, st.lastClickId)
+      fin.sorted.foreach { case (ms, kind, eid) =>
+        if (kind == 0) {
+          if (ms > cMs) { cMs = ms; cId = eid }
+          else if (ms == cMs && eid > cId) cId = eid
+        } else {
+          val fresh = cMs >= 0 && ms - cMs <= tolMs
+          out += AttrRow(eid, userId, ms,
+            if (fresh) cId else -1L, if (fresh) ms - cMs else -1L)
+        }
+      }
+      state.update(AttrState(rest, cMs, cId))
+      state.setTimeoutTimestamp(wm + 1L)
+      out.result().iterator
+    }
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState[AttrState, AttrRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 }

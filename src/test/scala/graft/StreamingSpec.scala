@@ -850,6 +850,79 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingEwma equals the batch q151 smoothing on a replay") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = EventOps.ewmaSmooth(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    val rows = ev
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._2, t._3))
+    val tSplit = rows(rows.length / 2)._2
+    val (b1, b2) = rows.partition(_._2 < tSplit)
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val stream = mem.toDF().toDF("user_id", "ms", "event_id", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.streamingEwma(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      mem.addData((999999L, rows.last._2 + 86400000L, 999999L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ewma_out")
+        .where($"userId" =!= 999999L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streamingAttribution equals the batch q114 as-of join on a replay") {
+    import graft.operators.TemporalOps
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = TemporalOps.lastTouchAttribution(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    val rows = ev
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id",
+        $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._2, t._3))
+    val tSplit = rows(rows.length / 2)._2
+    val (b1, b2) = rows.partition(_._2 < tSplit)
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val stream = mem.toDF().toDF("user_id", "ms", "event_id", "event_type")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamOps.streamingAttribution(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      mem.addData((999999L, rows.last._2 + 86400000L, 999999L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .where($"userId" =!= 999999L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingTypeNgrams(2) equals the batch transition matrix on a replay") {
     import graft.operators.EventOps
     val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
