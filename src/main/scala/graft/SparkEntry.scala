@@ -634,8 +634,11 @@ object SparkEntry {
 
     // BPE merge training, 3 supersteps: most frequent symbol pair
     // fused per round; oracle unrolls the identical procedure.
+    // k=6 (widened from the original k=3): the oracle unrolls the
+    // same six merge rounds, so the tie rule is checked deeper into
+    // the merge sequence where earlier merges feed later pair counts.
     "q119_bpe_merges" -> ((s, d) =>
-      TextOps.bpeMerges(Tables.documents(s, d))),
+      TextOps.bpeMerges(Tables.documents(s, d), k = 6)),
 
     // Order-2 behavioral sequences: top event-type trigrams.
     "q120_trigrams" -> ((s, d) =>
@@ -815,6 +818,16 @@ object SparkEntry {
     // exact 1/2520-unit reciprocal ranks (lcm(1..10) — fully rational).
     "q153_ann_mrr" -> ((s, d) =>
       SimilarityOp.annMrr(Tables.embeddings(s, d))),
+
+    // Trailing rolling median (odd window -> selected element, pure
+    // integer): the robust despiking sibling of q151's EWMA.
+    "q154_rolling_median" -> ((s, d) =>
+      EventOps.rollingMedian(Tables.events(s, d))),
+
+    // Seasonality-adjusted anomalies: 3-sigma against the event's own
+    // (dow, hour) bucket population, integer cross-multiplied test.
+    "q155_seasonal_anomalies" -> ((s, d) =>
+      EventOps.seasonalAnomalies(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1342,7 +1355,7 @@ object SparkEntry {
 
     "q118_rolling_wau" -> EventOps.rollingActiveUsersOracle(),
 
-    "q119_bpe_merges" -> TextOps.bpeMergesOracle(),
+    "q119_bpe_merges" -> TextOps.bpeMergesOracle(k = 6),
 
     "q120_trigrams" -> EventOps.typeTrigramsOracle(),
 
@@ -1409,5 +1422,7 @@ object SparkEntry {
     "q151_ewma" -> EventOps.ewmaSmoothOracle(),
     "q152_contingency" -> AuditOps.contingencyChi2Oracle(),
     "q153_ann_mrr" -> SimilarityOp.annMrrOracle(),
+    "q154_rolling_median" -> EventOps.rollingMedianOracle(),
+    "q155_seasonal_anomalies" -> EventOps.seasonalAnomaliesOracle(),
   )
 }

@@ -1106,4 +1106,108 @@ object EventOps {
        |FROM x WHERE oldest IS NOT NULL
        |ORDER BY user_id, ms, event_id""".stripMargin
   }
+
+  /** q154: per-user trailing rolling MEDIAN — [[ewmaSmooth]]'s robust
+    * sibling: the EWMA follows a spike immediately, the `window`-deep
+    * median ignores it until half the window agrees (the classic
+    * despiking filter). `window` is odd so the median is a SELECTED
+    * element — no midpoint average, no division, pure integer cents
+    * under the hash gate. Warm-up rows are excluded by the exact
+    * frame count.
+    *
+    * Scale shape: one per-user sort window; the only non-running work
+    * is the O(w log w) in-task sort of each `window`-sized frame list —
+    * `sort_array` is a native expression (NOT an interpreted HOF), and
+    * the frame never leaves its task.
+    */
+  def rollingMedian(events: DataFrame, window: Int = 15): DataFrame = {
+    require(window >= 3 && window <= 99 && window % 2 == 1,
+      "rollingMedian: window must be a small odd count")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(window - 1), 0)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .withColumn("vs", collect_list(col("vc")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("n") === window.toLong)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("vc"),
+        element_at(sort_array(col("vs")), (window + 1) / 2).as("med_c"))
+      .orderBy("user_id", "ms", "event_id")
+  }
+
+  /** Oracle SQL twin of [[rollingMedian]]. */
+  def rollingMedianOracle(window: Int = 15): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    CAST(round(value * 100) AS BIGINT) AS vc, ts
+       |  FROM events
+       |), x AS (
+       |  SELECT user_id, event_id, ms, vc,
+       |    list(vc) OVER w AS vs, count(*) OVER w AS n
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, event_id, ms, vc,
+       |  list_extract(list_sort(vs), ${(window + 1) / 2}) AS med_c
+       |FROM x WHERE n = $window
+       |ORDER BY user_id, ms, event_id""".stripMargin
+
+  /** q155: seasonality-adjusted anomalies — [[rollingAnomalies]]'s
+    * calendar sibling: an event is anomalous when it deviates > `k`σ
+    * from its OWN (weekday, hour) bucket's population — 3 AM traffic
+    * judged against 3 AM history, so the daily cycle itself stops
+    * tripping the trailing-window rule. Same cross-multiplied integer
+    * test, with bucket count n replacing the fixed W:
+    * `(n·v − S)² > k²·(n·Q − S²)`, buckets from the q146 pure-integer
+    * epoch arithmetic (locale/TZ-proof), n ≥ `minN` so near-empty
+    * buckets cannot flag by degeneracy.
+    *
+    * Scale shape: one map-side-combined (dow, hr) moment aggregate
+    * (≤ 168 rows), broadcast back over one event scan — no window, no
+    * self-join, two scans of the fact or one with a persist (at this
+    * row shape the rescan is cheaper; the q138 two-scan stance).
+    */
+  def seasonalAnomalies(events: DataFrame, k: Long = 3L,
+                        minN: Long = 8L): DataFrame = {
+    val ms = unix_millis(col("ts"))
+    val dow = pmod(call_function("div", ms, lit(86400000L)) + 4, lit(7L))
+    val hr = pmod(call_function("div", ms, lit(3600000L)), lit(24L))
+    val ev = events.select(col("user_id"), col("event_id"), col("ts"),
+      dow.as("dow"), hr.as("hr"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+    val prof = ev.groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"),
+        sum(col("vc") * col("vc")).as("q"))
+      .where(col("n") >= minN)
+    val d = col("n") * col("vc") - col("s")
+    ev.join(broadcast(prof), Seq("dow", "hr"))
+      .where(d * d > lit(k * k) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("dow"), col("hr"), col("vc"))
+      .orderBy("user_id", "ms", "event_id")
+  }
+
+  /** Oracle SQL twin of [[seasonalAnomalies]]. */
+  def seasonalAnomaliesOracle(k: Long = 3L, minN: Long = 8L): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    ((epoch_ms(ts) // 86400000 + 4) % 7) AS dow,
+       |    ((epoch_ms(ts) // 3600000) % 24) AS hr,
+       |    CAST(round(value * 100) AS BIGINT) AS vc
+       |  FROM events
+       |), p AS (
+       |  SELECT dow, hr, count(*) AS n,
+       |    CAST(sum(vc) AS BIGINT) AS s,
+       |    CAST(sum(vc * vc) AS BIGINT) AS q
+       |  FROM e GROUP BY 1, 2 HAVING count(*) >= $minN
+       |)
+       |SELECT e.user_id, e.event_id, e.ms, e.dow, e.hr, e.vc
+       |FROM e JOIN p ON e.dow = p.dow AND e.hr = p.hr
+       |WHERE (p.n * e.vc - p.s) * (p.n * e.vc - p.s)
+       |  > ${k * k} * (p.n * p.q - p.s * p.s)
+       |ORDER BY e.user_id, e.ms, e.event_id""".stripMargin
 }

@@ -595,4 +595,35 @@ class ScaleAndTemporalSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
     assert(out.toSeq === Seq((1L, 2L, 500L), (1L, 3L, 800L)))
   }
+
+  test("rollingMedian: spike never becomes the median, warm-up excluded") {
+    import graft.operators.EventOps
+    // window=3 over 1.00, 9.00, 2.00, 50.00, 3.00: medians 2.00, 9.00,
+    // 3.00 — the 50.00 spike is in two frames and never selected
+    val df = Seq((1L, 1L, 1000L, 1.00), (2L, 1L, 2000L, 9.00),
+      (3L, 1L, 3000L, 2.00), (4L, 1L, 4000L, 50.00),
+      (5L, 1L, 5000L, 3.00))
+      .toDF("event_id", "user_id", "ms", "value")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val out = EventOps.rollingMedian(df, window = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(4)))
+    assert(out.toSeq === Seq((3L, 200L), (4L, 900L), (5L, 300L)))
+  }
+
+  test("seasonalAnomalies: bucket outlier flagged, sparse bucket exempt") {
+    import graft.operators.EventOps
+    // bucket A (one hour): 16 events at 10.00 + one at 30.00 — the
+    // spike's self-included z is sqrt(16) = 4 > 3 → flagged, the flat
+    // rows are not. bucket B (next hour): 5 wild events < minN=8 →
+    // exempt by the sparse-bucket rule.
+    val a = (1 to 16).map(i => (i.toLong, 1L, 1000L * i, 10.00)) :+
+      ((17L, 1L, 17000L, 30.00))
+    val b = (18 to 22).map(i =>
+      (i.toLong, 1L, 3600000L + 1000L * i, i * 100.0))
+    val df = (a ++ b).toDF("event_id", "user_id", "ms", "value")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val out = EventOps.seasonalAnomalies(df).collect()
+      .map(r => (r.getLong(1), r.getLong(5)))
+    assert(out.toSeq === Seq((17L, 3000L)))
+  }
 }
