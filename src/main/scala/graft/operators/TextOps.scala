@@ -978,13 +978,26 @@ object TextOps {
     */
   def bpeMerges(docs: DataFrame, k: Int = 3): DataFrame = {
     require(k >= 1 && k <= 10, s"bpeMerges: k=$k out of range")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val words0 = docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sp"),
         col("freq"))
     var words = words0.persist(); words.count()
-    val rounds = (1 to k).map { i =>
+    // Each round's best pair is collected to the driver (ONE row, the
+    // [[KMeansOp]] k-sized-collect stance) and re-applied as string
+    // LITERALS. The earlier frame-join formulation kept `best` as a
+    // broadcast frame, so round i's ANALYZED plan referenced round
+    // i−1's twice (rewrite + pair count) — the per-round persists
+    // collapsed execution but not analysis, and Catalyst re-analyzed a
+    // 2^k-node tree per action: measured 2.2 s at k=3 but 37 s at
+    // k=6. With the literal rewrite each round is a flat select over
+    // the cached vocab — planning stays O(k), execution was always
+    // trivial.
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (i <- 1 to k) {
       val pairs = words
         .where(size(split(col("sp"), " ")) >= 2)
         .select(col("freq"), explode(expr(
@@ -993,22 +1006,26 @@ object TextOps {
             "element_at(split(sp, ' '), j + 1)))")).as("pair"))
       val best = pairs.groupBy(col("pair"))
         .agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("pair")).limit(1)
-        .persist()
-      best.count()
-      words = words.crossJoin(broadcast(best))
-        .select(expr(
-          "trim(replace(replace(concat(' ', sp, ' '), " +
-            "concat(' ', pair, ' '), concat(' ', replace(pair, ' ', ''), ' ')), " +
-            "concat(' ', pair, ' '), concat(' ', replace(pair, ' ', ''), ' ')))")
-          .as("sp"), col("freq"))
-        .persist()
-      words.count()
-      best.select(lit(i.toLong).as("iter"),
-        expr("replace(pair, ' ', '')").as("merged"),
-        col("c").as("pair_count"))
+        .orderBy(col("c").desc, col("pair")).limit(1).collect()
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        val merged = pair.replace(" ", "")
+        merges += ((i.toLong, merged, best(0).getLong(1)))
+        // identical two-pass space-delimited replace as the oracle
+        val pat = lit(s" $pair ")
+        val rep = lit(s" $merged ")
+        val one = call_function("replace",
+          concat(lit(" "), col("sp"), lit(" ")), pat, rep)
+        val prev = words
+        words = words
+          .select(trim(call_function("replace", one, pat, rep)).as("sp"),
+            col("freq"))
+          .persist()
+        words.count()
+        prev.unpersist()
+      }
     }
-    rounds.reduce(_ unionByName _).orderBy("iter")
+    merges.result().toDF("iter", "merged", "pair_count").orderBy("iter")
   }
 
   /** Oracle SQL twin of [[bpeMerges]] — the rounds unrolled as chained
