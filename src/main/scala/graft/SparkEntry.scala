@@ -828,6 +828,11 @@ object SparkEntry {
     // (dow, hour) bucket population, integer cross-multiplied test.
     "q155_seasonal_anomalies" -> ((s, d) =>
       EventOps.seasonalAnomalies(Tables.events(s, d))),
+
+    // Lossless prefix-filtered Jaccard join (AllPairs/PPJoin family):
+    // no df cap; the unpruned oracle proves the filter complete.
+    "q156_prefix_jaccard" -> ((s, d) =>
+      DedupOp.prefixJaccard(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1424,5 +1429,6 @@ object SparkEntry {
     "q153_ann_mrr" -> SimilarityOp.annMrrOracle(),
     "q154_rolling_median" -> EventOps.rollingMedianOracle(),
     "q155_seasonal_anomalies" -> EventOps.seasonalAnomaliesOracle(),
+    "q156_prefix_jaccard" -> DedupOp.prefixJaccardOracle(),
   )
 }

@@ -766,6 +766,88 @@ object DedupOp {
        |  JOIN sizes sb ON sb.doc_id = i.db) t
        |WHERE jaccard >= $minJaccard ORDER BY da, db""".stripMargin
 
+  /** q156: exact n-gram Jaccard pairs via PREFIX FILTERING (the
+    * AllPairs/PPJoin family) — the LOSSLESS scale path next to
+    * [[ngramJaccard]]'s df-capped blocking: the cap is safe only
+    * because exact dedup runs first (the [[cleanCorpus]] ordering
+    * argument); prefix filtering needs no cap and no such argument.
+    * Shingles order globally by (document frequency asc, hash asc) —
+    * rarest first — and a pair can reach the J ≥ 1/2 verdict only if
+    * one side's PREFIX (its first ⌊n/2⌋+1 shingles in that order)
+    * appears somewhere in the other: J ≥ t ⇒ I ≥ ⌈t·n_a⌉, and a
+    * prefix of length n_a − ⌈t·n_a⌉ + 1 cannot be disjoint from I
+    * common elements. The threshold the filter must honor is the
+    * 4-decimal HALF-UP ratio the verdict uses (admitting true J down
+    * to 0.49995); ⌈0.49995·n⌉ = ⌈n/2⌉ for every n < 20 000, so the
+    * simple ⌊n/2⌋+1 prefix stays complete for any per-doc shingle
+    * count this side of the [[TextOps.chunkDocs]] boundary (asserted).
+    *
+    * Scale shape: one df count + one per-doc rank window build the
+    * prefix index; candidates are a (prefix × postings) equi-join on
+    * the shingle hash — rare shingles dominate prefixes, so high-df
+    * postings rows meet only the few docs where a common shingle
+    * ranks early; verification joins candidate ids back through the
+    * (doc, hx) frame, never the text. Output is the TRUE uncapped
+    * pair set — its own oracle derives it with no pruning at all, so
+    * the hash gate checks the filter's completeness claim, not just
+    * its precision.
+    */
+  def prefixJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard == 0.5,
+      "prefixJaccard: the prefix bound is derived for t = 1/2")
+    import org.apache.spark.sql.expressions.Window
+    val d = docShingles(docs).persist()
+    val dfc = d.groupBy(col("hx")).agg(count(lit(1)).as("df"))
+    val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("hx"))
+    val prefix = d.join(dfc, Seq("hx"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= call_function("div", col("n"), lit(2L)) + 1L)
+      .select(col("hx"), col("doc_id").as("pd"))
+    val cand = prefix
+      .join(d.select(col("hx"), col("doc_id").as("fd")), Seq("hx"))
+      .where(col("pd") =!= col("fd"))
+      .select(least(col("pd"), col("fd")).as("da"),
+        greatest(col("pd"), col("fd")).as("db"))
+      .distinct()
+    val inter = cand
+      .join(d.select(col("doc_id").as("da"), col("hx")), Seq("da"))
+      .join(d.select(col("doc_id").as("db"), col("hx")), Seq("db", "hx"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    materializeAndRelease(
+      inter
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")),
+          Seq("da"))
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")),
+          Seq("db"))
+        .select(col("da"), col("db"),
+          graft.functions.DetAgg.ratio(col("inter"),
+            col("na") + col("nb") - col("inter")).as("jaccard"))
+        .where(col("jaccard") >= minJaccard)
+        .orderBy("da", "db"),
+      d)
+  }
+
+  /** Oracle SQL twin of [[prefixJaccard]] — deliberately UNPRUNED
+    * (all shared-shingle pairs, no df cap, no prefix): the independent
+    * derivation that proves the prefix filter lossless. */
+  def prefixJaccardOracle(minJaccard: Double = 0.5): String =
+    s"""WITH ${shingleCte()},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM shx a JOIN shx b ON a.hx = b.hx AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT da, db, jaccard FROM (
+       |  SELECT i.da, i.db,
+       |    ${graft.functions.DetAgg.ratioSql("i.inter", "sa.n + sb.n - i.inter")} AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.da
+       |  JOIN sizes sb ON sb.doc_id = i.db) t
+       |WHERE jaccard >= $minJaccard ORDER BY da, db""".stripMargin
+
   /** The canonical pretraining-data pipeline, end to end, in production
     * order: EXACT dedup → quality filter → NEAR-dup survivor selection →
     * per-source yield stats.

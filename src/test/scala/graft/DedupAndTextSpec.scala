@@ -642,6 +642,19 @@ class DedupAndTextSpec extends SparkSuite {
     assert(full.nonEmpty)
   }
 
+  test("prefixJaccard: lossless — equals the uncapped blocking derivation") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ngramJaccard with an unreachable df cap IS the brute
+    // shared-shingle derivation — an independent in-engine twin of the
+    // unpruned oracle
+    val brute = pairs(DedupOp.ngramJaccard(docs, maxDf = Int.MaxValue))
+    val pref = pairs(DedupOp.prefixJaccard(docs))
+    assert(pref === brute)
+    assert(pref.nonEmpty)
+  }
+
   test("simpsonDiversity: exact rational hand-check, all-distinct source scores 1") {
     // source A "a a b": N=3, same = 2·1 = 2 → (6−2)/6 = 2/3 →
     // half-up 6dp 0.666667; source B "x y": same = 0 → exactly 1.0
