@@ -21,19 +21,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as raw nanos (legacy flag) and floor-convert to a
-    * microsecond TimestampType — the same truncation DuckDB applies when
-    * it reads TIMESTAMP_NS, so both engines see identical instants.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) and
+    * timestamp[us] (isAdjustedToUTC=false → Spark 4 TIMESTAMP_NTZ) across
+    * testdata generations. Normalize every variant to a microsecond
+    * TimestampType so downstream `unix_millis`/`window()` always analyze:
+    *  - NANOS → raw nanos via the legacy flag, floor-divide to micros
+    *    (the same truncation DuckDB applies, so both engines see
+    *    identical instants);
+    *  - TIMESTAMP_NTZ → cast to TimestampType, instant-preserving under
+    *    the UTC session timezone forced in build.sbt and every harness
+    *    (DuckDB also treats the naive timestamp as UTC → epoch_ms parity);
+    *  - TimestampType → already canonical.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

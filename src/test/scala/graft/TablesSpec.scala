@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, expr, unix_millis}
+import org.apache.spark.sql.types.TimestampType
+import graft.tables.Tables
+
+/** Schema-drift regression guard (VERDICT r7 §Next-round 3).
+  *
+  * The driver has regenerated the testdata twice already (parquet
+  * TIMESTAMP(NANOS) → timestamp[us]/TIMESTAMP_NTZ). Whatever physical
+  * type `events.ts` ships as, `Tables.events` must normalize it to a
+  * canonical `TimestampType` so `unix_millis(ts)` and `window(ts, …)`
+  * analyze. The next flip (back to nanos, to LTZ, to string…) must fail
+  * HERE, not as 26 crashed driver queries.
+  */
+class TablesSpec extends SparkSuite {
+  private val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1").map("/root/testdata/" + _)
+
+  test("events.ts normalizes to TimestampType in every sf dir") {
+    for (d <- sfDirs) {
+      val df = Tables.events(spark, d)
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$d: ts is ${df.schema("ts").dataType}, expected TimestampType")
+    }
+  }
+
+  test("unix_millis(ts) analyzes and yields sane epochs") {
+    for (d <- sfDirs.take(1)) {
+      val row = Tables.events(spark, d)
+        .select(unix_millis(col("ts")).as("ms")).agg(expr("min(ms)"), expr("max(ms)"))
+        .head()
+      val (lo, hi) = (row.getLong(0), row.getLong(1))
+      // epoch-millis plausibility: between 2000-01-01 and 2100-01-01
+      assert(lo > 946684800000L && hi < 4102444800000L, s"$d: ms range [$lo,$hi]")
+    }
+  }
+
+  test("window(ts) analyzes on the loaded events table") {
+    val d = sfDirs.head
+    val df = Tables.events(spark, d)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"))
+      .count()
+    assert(df.schema.fieldNames.contains("window"))
+    assert(df.limit(1).collect().nonEmpty)
+  }
+
+  /** Negative-epoch floor-division property (ADVICE r6/VERDICT r7 item 6).
+    *
+    * The temporal bucketing kernel is
+    * `(ms - pmod(ms, step)) DIV step` (EventOps.floorDivMs). DuckDB's `//`
+    * floors; Spark's `DIV` truncates toward zero. The pmod-subtract form
+    * must equal mathematical floor division for ANY sign — pinned here on
+    * pre-1970 (negative) epochs so the documented cross-engine risk stays
+    * closed even if the shipped data ever grows old clocks.
+    */
+  test("pmod-subtract bucketing equals Math.floorDiv on negative epochs") {
+    import spark.implicits._
+    val steps = Seq(1000L, 60000L, 3600000L, 86400000L)
+    // Deterministic sample straddling 1970, including exact multiples ±1.
+    val ms = (-20 to 20).map(_ * 7_777_777L) ++
+      steps.flatMap(s => Seq(-3 * s - 1, -3 * s, -3 * s + 1, -1L, 0L, 1L, s - 1, s, s + 1))
+    val df = ms.distinct.toDF("ms")
+    for (step <- steps) {
+      val got = df.select(col("ms"),
+          expr(s"CAST(((ms) - pmod(ms, ${step}L)) DIV ${step}L AS BIGINT)").as("slot"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for ((m, slot) <- got)
+        assert(slot == Math.floorDiv(m, step),
+          s"step=$step ms=$m: got $slot, want ${Math.floorDiv(m, step)}")
+    }
+  }
+}
