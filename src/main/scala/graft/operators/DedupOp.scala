@@ -804,12 +804,36 @@ object DedupOp {
       .join(sizes, Seq("doc_id"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= call_function("div", col("n"), lit(2L)) + 1L)
-      .select(col("hx"), col("doc_id").as("pd"))
+      .select(col("hx"), col("doc_id").as("pd"), col("n").as("pn"),
+        col("rk").as("prk"))
+      .persist()
+    // PPJoin prefix-intersection: a J ≥ t pair's intersection I ≥
+    // ⌈t·max(nₐ,n_b)⌉ =: α, and by the prefix-filtering lemma the
+    // (n − α + 1)-prefixes of BOTH sides must then share an element —
+    // for the larger doc that is exactly its ⌊n/2⌋+1 prefix, for the
+    // smaller one a superset of it. So candidates join prefix × prefix
+    // (not prefix × full postings): Σ pref(hx)² rows instead of
+    // Σ pref(hx)·df(hx), which removes the high-df postings blowup.
+    // Two further LOSSLESS prunes ride the same join:
+    //  - length filter: I ≤ min ⇒ 2·min(nₐ,n_b) ≥ max(nₐ,n_b) (the
+    //    prefix bound's own ⌈·⌉ slack argument, valid for n < 20 000);
+    //  - positional filter: a qualifying pair's FIRST common shingle
+    //    in the global (df, hx) order — rank i within a, j within b —
+    //    bounds I ≤ 1 + min(nₐ−i, n_b−j), while J ≥ t forces
+    //    I ≥ ⌈(nₐ+n_b)/3⌉ =: α (⌈0.333311·s⌉ = ⌈s/3⌉ for the
+    //    4-decimal half-up slack whenever s < 45 000). That first
+    //    common shingle is the lemma's witness, i.e. it sits in BOTH
+    //    prefixes, so keeping exactly the matches whose bound clears
+    //    α keeps every qualifying pair (EXISTS over the distinct).
+    // Measured at sf0.1: 1.77 M → 641 k candidates, 25–46 s → ~9 s.
     val cand = prefix
-      .join(d.select(col("hx"), col("doc_id").as("fd")), Seq("hx"))
-      .where(col("pd") =!= col("fd"))
-      .select(least(col("pd"), col("fd")).as("da"),
-        greatest(col("pd"), col("fd")).as("db"))
+      .join(prefix.select(col("hx"), col("pd").as("fd"),
+        col("pn").as("fn"), col("prk").as("frk")), Seq("hx"))
+      .where(col("pd") < col("fd") &&
+        least(col("pn"), col("fn")) * 2L >= greatest(col("pn"), col("fn")) &&
+        lit(1L) + least(col("pn") - col("prk"), col("fn") - col("frk")) >=
+          call_function("div", col("pn") + col("fn") + lit(2L), lit(3L)))
+      .select(col("pd").as("da"), col("fd").as("db"))
       .distinct()
     val inter = cand
       .join(d.select(col("doc_id").as("da"), col("hx")), Seq("da"))
@@ -826,7 +850,7 @@ object DedupOp {
             col("na") + col("nb") - col("inter")).as("jaccard"))
         .where(col("jaccard") >= minJaccard)
         .orderBy("da", "db"),
-      d)
+      d, prefix)
   }
 
   /** Oracle SQL twin of [[prefixJaccard]] — deliberately UNPRUNED

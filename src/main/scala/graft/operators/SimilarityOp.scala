@@ -1231,27 +1231,88 @@ object SimilarityOp {
       .orderBy("config")
   }
 
+  /** The q85 IVF-PQ arms: (name, nProbe, ADC shortlist size). */
+  val SweepPq: Seq[(String, Int, Int)] =
+    Seq(("pq_p2_s50", 2, 50), ("pq_p3_s100", 3, 100))
+
+  /** Per-query ADC shortlist over the IVF candidate set — the
+    * multi-query form of [[ivfPqTopK]]'s served path: candidates come
+    * from the coarse quantizer ([[ivfCandidatesMulti]]), are ranked in
+    * the COMPRESSED domain (each candidate's distance is the nSub-term
+    * sum of broadcast (qid, subspace, code) → distance lookups — no
+    * candidate vector is touched), and only the top-`shortlist` per
+    * query survive. Feeding this into [[recallArm]] reranks exactly
+    * that shortlist by exact cosine — so the sweep's `mean_cand` for a
+    * PQ arm counts the rows that get EXACT scoring (the expensive
+    * full-vector reads PQ exists to avoid), which is the honest cost
+    * axis for the compressed path.
+    *
+    * Same 1e-6 pre-rounding of each lookup term as [[ivfPqTopK]], so
+    * the ADC sum is fold-order-stable cross-engine.
+    */
+  private def pqShortlistMulti(embeddings: DataFrame, qmod: Int,
+                               centers: Seq[(Long, Seq[Double])],
+                               nProbe: Int,
+                               codebook: Seq[(Long, Seq[Double])],
+                               nSub: Int, shortlist: Int,
+                               dims: Int = 64): DataFrame = {
+    val sub = dims / nSub
+    val lookupParts = for {
+      s <- 0 until nSub
+      (cid, cv) <- codebook
+    } yield struct(lit(s.toLong).as("subspace"), lit(cid).as("code"),
+      round(graft.functions.L2Expr.column(
+        slice(col("qv"), s * sub + 1, sub),
+        array(cv.slice(s * sub, (s + 1) * sub).map(lit): _*)), 6).as("qd"))
+    val lookup = queryFrame(embeddings, qmod)
+      .select(col("qid"), explode(array(lookupParts: _*)).as("a"))
+      .select(col("qid"), col("a.subspace").as("subspace"),
+        col("a.code").as("code"), col("a.qd").as("qd"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vec_id"))
+    ivfCandidatesMulti(embeddings, qmod, centers, nProbe)
+      .join(pqAssign(embeddings, codebook, nSub, dims), Seq("vec_id"))
+      .join(broadcast(lookup), Seq("qid", "subspace", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("qd")), 6).as("adc"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+  }
+
   /** q85: the recall/cost FRONTIER — every [[SweepLsh]] configuration
-    * (including the legacy starved one, kept as the measured baseline)
-    * and IVF at nProbe 1..3, each as one (config, n_queries, mean_cand,
-    * mean_recall) row. This is the table an ANN deployment picks its
-    * operating point from; on this mostly-unstructured corpus it shows
-    * recall ≥ 0.8 costs ~60 % candidate fraction for LSH vs ~67 % for
-    * IVF-p2 — there is no free lunch without data structure, and the
-    * sweep is what PROVES that instead of guessing.
+    * (including the legacy starved one, kept as the measured baseline),
+    * IVF at nProbe 1..3, and the IVF-PQ compressed path ([[SweepPq]]:
+    * ADC shortlist + exact rerank), each as one (config, n_queries,
+    * mean_cand, mean_recall) row. This is the table an ANN deployment
+    * picks its operating point from — all four serving paths (exact is
+    * the ground truth) in one frame; on this mostly-unstructured corpus
+    * it shows recall ≥ 0.8 costs ~60 % candidate fraction for LSH vs
+    * ~67 % for IVF-p2 — there is no free lunch without data structure,
+    * and the sweep is what PROVES that instead of guessing. For PQ arms
+    * `mean_cand` is the exact-scored shortlist (compressed-domain ops
+    * are the cheap part), so the column stays comparable: full-vector
+    * reads per query.
     */
   def annRecallSweep(embeddings: DataFrame, qmod: Int = 29, k: Int = 10,
-                     centerIds: Seq[Long] = Seq(7L, 42L, 123L)): DataFrame = {
+                     centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                     nSub: Int = 8): DataFrame = {
     val qframe = queryFrame(embeddings, qmod)
     val exact = exactTopKMulti(embeddings, qmod, k)
     val centers = centerVecs(embeddings, centerIds)
+    val codebook = centerVecs(embeddings, PqCodebookIds)
     val ivfArms = SweepNProbes.map(p =>
       recallArm(s"ivf_p$p", embeddings, qframe, exact,
         ivfCandidatesMulti(embeddings, qmod, centers, p), k))
     val lshArms = SweepLsh.map(c =>
       recallArm(c.name, embeddings, qframe, exact,
         lshCandidatesMulti(embeddings, qmod, c), k))
-    (ivfArms ++ lshArms).reduce(_.unionByName(_)).orderBy("config")
+    val pqArms = SweepPq.map { case (name, p, s) =>
+      recallArm(name, embeddings, qframe, exact,
+        pqShortlistMulti(embeddings, qmod, centers, p,
+          codebook, nSub, s), k)
+    }
+    (ivfArms ++ lshArms ++ pqArms).reduce(_.unionByName(_))
+      .orderBy("config")
   }
 
   /** Oracle SQL for [[annRecallMulti]] / [[annRecallSweep]]: the shared
@@ -1263,7 +1324,11 @@ object SimilarityOp {
   private def recallAuditOracle(qmod: Int, k: Int, centerIds: Seq[Long],
                                 ivfArms: Seq[(String, Int)],
                                 lshArms: Seq[(String, LshConf)],
-                                dims: Int): String = {
+                                dims: Int,
+                                pqArms: Seq[(String, Int, Int)] = Nil,
+                                codebookIds: Seq[Long] = Nil,
+                                nSub: Int = 8): String = {
+    val sub = dims / nSub
     val shared =
       s"""q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % $qmod = 0),
          |pc0 AS (
@@ -1284,7 +1349,7 @@ object SimilarityOp {
          |      ORDER BY sim DESC, vec_id) AS rn
          |    FROM sims) t WHERE rn <= $k
          |), nq AS (SELECT count(*) AS n FROM q)""".stripMargin
-    val ivfShared = if (ivfArms.isEmpty) "" else
+    val ivfShared = if (ivfArms.isEmpty && pqArms.isEmpty) "" else
       s""",
          |cc AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
          |  WHERE vec_id IN (${centerIds.sorted.mkString(", ")})),
@@ -1298,6 +1363,31 @@ object SimilarityOp {
          |  SELECT vec_id, cid AS cell FROM (
          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY dist, cid) AS rn FROM cd) t WHERE rn = 1
+         |)""".stripMargin
+    // PQ codebook, per-(vector, subspace) sub-distances and codes, and
+    // the per-query ADC lookup — shared by every PQ arm. Tie order
+    // (dd, cid) matches pqAssign's lowest-cid-on-tie fold.
+    val pqShared = if (pqArms.isEmpty) "" else
+      s""",
+         |cb AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id IN (${codebookIds.sorted.mkString(", ")})),
+         |sd AS (
+         |  SELECT e.vec_id, s.s AS subspace, cb.cid,
+         |    round(sqrt(sum(
+         |      (e.embedding[s.s*$sub + i.i + 1]::DOUBLE - cb.cv[s.s*$sub + i.i + 1]::DOUBLE)
+         |      * (e.embedding[s.s*$sub + i.i + 1]::DOUBLE - cb.cv[s.s*$sub + i.i + 1]::DOUBLE)
+         |    )), 6) AS dd
+         |  FROM embeddings e, cb, range($nSub) s(s), range($sub) i(i)
+         |  GROUP BY 1, 2, 3
+         |), pcode AS (
+         |  SELECT vec_id, subspace, cid AS code FROM (
+         |    SELECT vec_id, subspace, cid,
+         |      row_number() OVER (PARTITION BY vec_id, subspace
+         |        ORDER BY dd, cid) AS rn
+         |    FROM sd) r WHERE rn = 1
+         |), pqd AS (
+         |  SELECT q2.qid, sd.subspace, sd.cid AS code, sd.dd AS qd
+         |  FROM q q2 JOIN sd ON sd.vec_id = q2.qid
          |)""".stripMargin
     def rollup(name: String, candCte: String): String = {
       val candRatio = graft.functions.DetAgg.ratioSql(
@@ -1346,9 +1436,37 @@ object SimilarityOp {
          |),
          |${rollup(name, s"cand_$name")}""".stripMargin
     }
-    val allNames = ivfArms.map(_._1) ++ lshArms.map(_._1)
-    s"""WITH $shared$ivfShared,
-       |${(ivfCtes ++ lshCtes).mkString(",\n")}
+    val pqCtes = pqArms.map { case (name, p, sl) =>
+      s"""qc_$name AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qq.qid, cd.cid AS cell, row_number() OVER (
+         |      PARTITION BY qq.qid ORDER BY cd.dist, cd.cid) AS rn
+         |    FROM q qq JOIN cd ON cd.vec_id = qq.qid) t WHERE rn <= $p
+         |),
+         |civf_$name AS (
+         |  SELECT qp.qid, ce.vec_id
+         |  FROM qc_$name qp JOIN cell ce USING (cell)
+         |  WHERE ce.vec_id <> qp.qid
+         |),
+         |adc_$name AS (
+         |  SELECT c.qid, c.vec_id, round(sum(pq2.qd), 6) AS adc
+         |  FROM civf_$name c
+         |  JOIN pcode co ON co.vec_id = c.vec_id
+         |  JOIN pqd pq2 ON pq2.qid = c.qid AND pq2.subspace = co.subspace
+         |    AND pq2.code = co.code
+         |  GROUP BY 1, 2
+         |),
+         |cand_$name AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc, vec_id) AS rn
+         |    FROM adc_$name) t WHERE rn <= $sl
+         |),
+         |${rollup(name, s"cand_$name")}""".stripMargin
+    }
+    val allNames = ivfArms.map(_._1) ++ lshArms.map(_._1) ++ pqArms.map(_._1)
+    s"""WITH $shared$ivfShared$pqShared,
+       |${(ivfCtes ++ lshCtes ++ pqCtes).mkString(",\n")}
        |SELECT config, n_queries, mean_cand, mean_recall
        |FROM (${allNames.map(n => s"SELECT * FROM agg_$n").mkString("\n      UNION ALL ")}) u
        |ORDER BY config""".stripMargin
@@ -1362,10 +1480,11 @@ object SimilarityOp {
 
   def annRecallSweepOracle(qmod: Int = 29, k: Int = 10,
                            centerIds: Seq[Long] = Seq(7L, 42L, 123L),
-                           dims: Int = 64): String =
+                           dims: Int = 64, nSub: Int = 8): String =
     recallAuditOracle(qmod, k, centerIds,
       SweepNProbes.map(p => s"ivf_p$p" -> p),
-      SweepLsh.map(c => c.name -> c), dims)
+      SweepLsh.map(c => c.name -> c), dims,
+      SweepPq, PqCodebookIds, nSub)
 
   /** q142: leave-one-out kNN label accuracy — the classification eval
     * an embedding pipeline runs before trusting its vectors: for each
