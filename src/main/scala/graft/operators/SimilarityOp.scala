@@ -426,24 +426,33 @@ object SimilarityOp {
                        nSub: Int, dims: Int): DataFrame = {
     require(dims % nSub == 0, s"dims=$dims not divisible by nSub=$nSub")
     val sub = dims / nSub
+    // Two explodes + an argmin aggregate instead of nested when-chains:
+    // generator outputs are MATERIALIZED attributes, so the interpreted
+    // toDoubleArray HOF runs once per vector and each of the
+    // nSub×|codebook| codegen'd L2 kernels runs once per (vector,
+    // subspace) — the when-chain form re-evaluated the whole HOF
+    // subtree per branch (~80× per vector; this was the measured cost
+    // of every pqAssign consumer). min(struct(dd, cid)) is the same
+    // (dd asc, cid asc) tie order as the oracle's row_number.
     val v = toDoubleArray(col("embedding"))
-    val parts = (0 until nSub).map { s =>
-      val vs = slice(v, s * sub + 1, sub)
-      val dists = centers.map { case (cid, cv) =>
-        cid -> round(graft.functions.L2Expr.column(vs,
-          array(cv.slice(s * sub, (s + 1) * sub).map(lit): _*)), 6)
-      }
-      val minD = least(dists.map(_._2): _*)
-      val code = dists.foldRight(lit(centers.last._1): Column) {
-        case ((cid, d), elseCol) =>
-          when(d === minD, lit(cid)).otherwise(elseCol)
-      }
-      struct(lit(s.toLong).as("subspace"), code.as("code"), minD.as("dd"))
-    }
-    embeddings
-      .select(col("vec_id"), explode(array(parts: _*)).as("a"))
-      .select(col("vec_id"), col("a.subspace").as("subspace"),
-        col("a.code").as("code"), col("a.dd").as("dd"))
+    val subs = embeddings.select(col("vec_id"),
+      posexplode(array((0 until nSub).map(s =>
+        slice(v, s * sub + 1, sub)): _*)).as(Seq("subspace", "vs")))
+    val scored = subs.select(col("vec_id"),
+      col("subspace").cast("long").as("subspace"),
+      explode(array(centers.map { case (cid, cv) =>
+        struct(
+          round(graft.functions.L2Expr.column(col("vs"),
+            slice(array(cv.map(lit): _*),
+              col("subspace") * sub + 1, lit(sub))), 6).as("dd"),
+          lit(cid).as("cid"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("subspace"),
+        col("e.dd").as("dd"), col("e.cid").as("cid"))
+    scored.groupBy(col("vec_id"), col("subspace"))
+      .agg(min(struct(col("dd"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("subspace"),
+        col("m.cid").as("code"), col("m.dd").as("dd"))
   }
 
   /** IVF-PQ serving — the composition a production ANN index actually
@@ -1238,14 +1247,24 @@ object SimilarityOp {
   /** Per-query ADC shortlist over the IVF candidate set — the
     * multi-query form of [[ivfPqTopK]]'s served path: candidates come
     * from the coarse quantizer ([[ivfCandidatesMulti]]), are ranked in
-    * the COMPRESSED domain (each candidate's distance is the nSub-term
-    * sum of broadcast (qid, subspace, code) → distance lookups — no
-    * candidate vector is touched), and only the top-`shortlist` per
-    * query survive. Feeding this into [[recallArm]] reranks exactly
-    * that shortlist by exact cosine — so the sweep's `mean_cand` for a
-    * PQ arm counts the rows that get EXACT scoring (the expensive
+    * the COMPRESSED domain, and only the top-`shortlist` per query
+    * survive. Feeding this into [[recallArm]] reranks exactly that
+    * shortlist by exact cosine — so the sweep's `mean_cand` for a PQ
+    * arm counts the rows that get EXACT scoring (the expensive
     * full-vector reads PQ exists to avoid), which is the honest cost
     * axis for the compressed path.
+    *
+    * ADC rides entirely on BROADCAST state — no row multiplication:
+    * each candidate row joins the corpus codes frame (vec_id → the
+    * nSub codes as an array, broadcast-sized: |corpus| tiny rows) and
+    * the per-query lookup map (qid → map[(subspace·2¹⁰ + code) → qd],
+    * broadcast: |Q|·nSub·|codebook| doubles), and the approximate
+    * distance is an nSub-term sum of map lookups in one projection —
+    * the DataFrame twin of ivfPqTopK's "query-to-sub-centroid table
+    * computed once, candidates scored by lookups". The only shuffle
+    * in the arm is the final per-query rank window. (A first cut
+    * exploded candidates × nSub through a shuffle join + hash agg —
+    * 6.9 M rows at sf0.1 — and cost ~3× this form.)
     *
     * Same 1e-6 pre-rounding of each lookup term as [[ivfPqTopK]], so
     * the ADC sum is fold-order-stable cross-engine.
@@ -1257,24 +1276,34 @@ object SimilarityOp {
                                nSub: Int, shortlist: Int,
                                dims: Int = 64): DataFrame = {
     val sub = dims / nSub
-    val lookupParts = for {
+    // qid → flat lookup map keyed subspace·2¹⁰ + code (codebook ids are
+    // vec_ids, far below 2¹⁰ here; guarded by require below)
+    require(codebook.forall(_._1 < 1024L),
+      "pqShortlistMulti: codebook id overflows the flat map key")
+    val lookupEntries = for {
       s <- 0 until nSub
       (cid, cv) <- codebook
-    } yield struct(lit(s.toLong).as("subspace"), lit(cid).as("code"),
+    } yield struct(lit(s.toLong * 1024L + cid).as("k"),
       round(graft.functions.L2Expr.column(
         slice(col("qv"), s * sub + 1, sub),
-        array(cv.slice(s * sub, (s + 1) * sub).map(lit): _*)), 6).as("qd"))
-    val lookup = queryFrame(embeddings, qmod)
-      .select(col("qid"), explode(array(lookupParts: _*)).as("a"))
-      .select(col("qid"), col("a.subspace").as("subspace"),
-        col("a.code").as("code"), col("a.qd").as("qd"))
+        array(cv.slice(s * sub, (s + 1) * sub).map(lit): _*)), 6).as("v"))
+    val qmaps = queryFrame(embeddings, qmod)
+      .select(col("qid"),
+        map_from_entries(array(lookupEntries: _*)).as("qmap"))
+    // vec_id → codes array, subspace order; one row per corpus vector
+    val codes = pqAssign(embeddings, codebook, nSub, dims)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("subspace"), col("code")))), e => e("code")).as("codes"))
+    val adcExpr = round((0 until nSub)
+      .map(s => element_at(col("qmap"), col("codes")(s) + lit(s.toLong * 1024L)))
+      .reduce(_ + _), 6)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc"), col("vec_id"))
     ivfCandidatesMulti(embeddings, qmod, centers, nProbe)
-      .join(pqAssign(embeddings, codebook, nSub, dims), Seq("vec_id"))
-      .join(broadcast(lookup), Seq("qid", "subspace", "code"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(round(sum(col("qd")), 6).as("adc"))
+      .join(broadcast(codes), Seq("vec_id"))
+      .join(broadcast(qmaps), Seq("qid"))
+      .select(col("qid"), col("vec_id"), adcExpr.as("adc"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= shortlist)
       .select(col("qid"), col("vec_id"))
   }
