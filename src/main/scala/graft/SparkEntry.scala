@@ -833,6 +833,11 @@ object SparkEntry {
     // no df cap; the unpruned oracle proves the filter complete.
     "q156_prefix_jaccard" -> ((s, d) =>
       DedupOp.prefixJaccard(Tables.documents(s, d))),
+
+    // nDCG@10 retrieval audit in exact 1e6-unit integer discounts:
+    // exact-ranking arm vs the IVF serving path, label relevance.
+    "q157_ndcg" -> ((s, d) =>
+      SimilarityOp.ndcgAudit(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1430,5 +1435,6 @@ object SparkEntry {
     "q154_rolling_median" -> EventOps.rollingMedianOracle(),
     "q155_seasonal_anomalies" -> EventOps.seasonalAnomaliesOracle(),
     "q156_prefix_jaccard" -> DedupOp.prefixJaccardOracle(),
+    "q157_ndcg" -> SimilarityOp.ndcgAuditOracle(),
   )
 }

@@ -1840,4 +1840,198 @@ object SimilarityOp {
        |SELECT config, n_queries, rr_units, mrr FROM agg_lsh
        |ORDER BY config""".stripMargin
   }
+
+  /** Integer DCG discount weights in 1e6 units: wU(r) = round(10⁶ /
+    * log₂(r+1)) for ranks 1..10, precomputed HERE (plan-build time)
+    * and embedded as the same literals in the Spark plan and the
+    * oracle SQL — the runtime never touches log₂, so nDCG hash-gates
+    * the way the rational metrics (MRR q153, Simpson q150) do even
+    * though its textbook form is float. cumWU(n) = Σ wU(1..n) is the
+    * ideal-DCG lookup. */
+  private val NdcgWU: Seq[Long] =
+    (1 to 10).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+  private val NdcgCumWU: Seq[Long] = NdcgWU.scanLeft(0L)(_ + _)
+
+  /** Per-arm ranked top-k list (qid, vec_id, rn) — the mrrArm ranking
+    * kernel, shared by [[annMrr]]'s arms and [[ndcgAudit]]. */
+  private def rankedTopK(embeddings: DataFrame, qframe: DataFrame,
+                         cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.join(corpusVecs(embeddings), Seq("vec_id"))
+      .join(broadcast(qframe.select(col("qid"), col("qv"))), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"))
+  }
+
+  /** q157: micro-averaged nDCG@k of the exact ranking and the IVF
+    * serving path, with binary label relevance (retrieved vector's
+    * label equals the query's) — the rank-discounted retrieval eval
+    * that completes the family: recall@k (q84/q85) counts hits flat,
+    * MRR (q153) prices only the first true neighbour, label accuracy
+    * (q142) scores the voted prediction; nDCG prices the whole ranked
+    * page. The exact arm measures how much label structure the
+    * embedding geometry itself encodes; the ivf arm shows what the
+    * coarse quantizer's pruning does to it.
+    *
+    * All arithmetic is EXACT integers in 1e6 discount units
+    * ([[NdcgWU]]): per query, DCG_u = Σ rel(rank)·wU(rank), ideal
+    * DCG_u = cumWU(min(k, n_rel)) where n_rel counts the query's
+    * label-mates in the corpus; micro-average = Σ DCG_u / Σ IDCG_u as
+    * one [[graft.functions.DetAgg]] ratio. Queries with no label-mate
+    * contribute zero to both sums — micro-averaging handles the
+    * undefined-per-query case without a convention fork.
+    *
+    * Scale shape: ranking reuses the one-scan broadcast kernels;
+    * relevance is a broadcast label join; n_rel is one |labels|-group
+    * aggregate joined back to the |Q|-row sample. Everything after the
+    * per-query top-k is k-sized.
+    */
+  def ndcgAudit(embeddings: DataFrame, qmod: Int = 7, k: Int = 10,
+                centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                nProbe: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 10, "ndcgAudit: k out of range (weight table)")
+    val labels = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("lbl"))
+    val qframe = embeddings.where(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"),
+        toDoubleArray(col("embedding")).as("qv"),
+        col("label").cast("long").as("qlbl"))
+    val wuArr = array(NdcgWU.map(lit): _*)
+    val cumArr = array(NdcgCumWU.drop(1).map(lit): _*) // 1-based: cum(1..10)
+    // n_rel per query: label-mates in the corpus (excluding the query
+    // itself, which is its own label-mate by construction)
+    val classSizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cn"))
+    val idcg = qframe.select(col("qid"), col("qlbl"))
+      .join(broadcast(classSizes), col("qlbl") === col("lbl"))
+      .select(col("qid"), col("qlbl"),
+        when(col("cn") - 1L <= 0L, lit(0L))
+          .otherwise(element_at(cumArr,
+            least(col("cn") - 1L, lit(k.toLong)).cast("int")))
+          .as("idcg_u"))
+    def arm(name: String, ranked: DataFrame): DataFrame = {
+      val dcg = ranked
+        .join(labels, Seq("vec_id"))
+        .join(broadcast(qframe.select(col("qid"), col("qlbl"))), Seq("qid"))
+        .groupBy(col("qid"))
+        .agg(sum(when(col("lbl") === col("qlbl"),
+          element_at(wuArr, col("rn").cast("int"))).otherwise(0L))
+          .as("dcg_u"))
+      val perQ = idcg.join(dcg, Seq("qid"), "left")
+        .select(col("idcg_u"), coalesce(col("dcg_u"), lit(0L)).as("dcg_u"))
+      perQ.agg(count(lit(1)).as("n_queries"),
+          sum(col("dcg_u")).as("dcg_units"),
+          sum(col("idcg_u")).as("idcg_units"))
+        .select(lit(name).as("config"), col("n_queries"),
+          col("dcg_units"), col("idcg_units"),
+          graft.functions.DetAgg.ratio(col("dcg_units"),
+            col("idcg_units"), 6).as("ndcg"))
+    }
+    val exactRanked = rankedTopK(embeddings, qframe,
+      corpusVecs(embeddings).select(col("vec_id"))
+        .join(broadcast(qframe.select(col("qid"))),
+          col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id")), k)
+    val centers = centerVecs(embeddings, centerIds)
+    val ivfRanked = rankedTopK(embeddings, qframe,
+      ivfCandidatesMulti(embeddings, qmod, centers, nProbe), k)
+    arm("exact", exactRanked).unionByName(arm("ivf_p2", ivfRanked))
+      .orderBy("config")
+  }
+
+  /** Oracle SQL twin of [[ndcgAudit]] — same literal 1e6-unit weight
+    * and cumulative tables (VALUES), same micro-average. */
+  def ndcgAuditOracle(qmod: Int = 7, k: Int = 10,
+                      centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                      nProbe: Int = 2, dims: Int = 64): String = {
+    val wtRows = NdcgWU.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, ${w}::BIGINT)" }.mkString(", ")
+    val cwRows = NdcgCumWU.zipWithIndex
+      .map { case (c, n) => s"($n, ${c}::BIGINT)" }.mkString(", ")
+    def armCtes(name: String, candCte: String): String =
+      s"""ranked_$name AS (
+         |  SELECT qid, vec_id, rn FROM (
+         |    SELECT c.qid, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY s.sim DESC, c.vec_id) AS rn
+         |    FROM $candCte c
+         |    JOIN sims s ON s.qid = c.qid AND s.vec_id = c.vec_id) t
+         |  WHERE rn <= $k
+         |), dcg_$name AS (
+         |  SELECT r.qid,
+         |    sum(CASE WHEN el.label = q2.qlbl THEN wt.wu ELSE 0 END) AS dcg_u
+         |  FROM ranked_$name r
+         |  JOIN wt ON wt.r = r.rn
+         |  JOIN embeddings el ON el.vec_id = r.vec_id
+         |  JOIN q q2 ON q2.qid = r.qid
+         |  GROUP BY 1
+         |), agg_$name AS (
+         |  SELECT '$name' AS config,
+         |    (SELECT count(*) FROM q) AS n_queries,
+         |    (SELECT CAST(sum(coalesce(d.dcg_u, 0)) AS BIGINT)
+         |     FROM q LEFT JOIN dcg_$name d USING (qid)) AS dcg_units,
+         |    (SELECT CAST(sum(idcg_u) AS BIGINT) FROM idcg) AS idcg_units,
+         |    ${graft.functions.DetAgg.ratioSql(
+              s"(SELECT sum(coalesce(d.dcg_u, 0)) FROM q LEFT JOIN dcg_$name d USING (qid))",
+              "(SELECT sum(idcg_u) FROM idcg)", 6)} AS ndcg
+         |)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlbl
+       |           FROM embeddings WHERE vec_id % $qmod = 0),
+       |wt(r, wu) AS (VALUES $wtRows),
+       |cw(n, cu) AS (VALUES $cwRows),
+       |pc0 AS (
+       |  SELECT qq.qid, e.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(qe.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM q qq
+       |  JOIN embeddings qe ON qe.vec_id = qq.qid
+       |  JOIN embeddings e ON e.vec_id <> qq.qid, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |  FROM pc0
+       |), cls AS (
+       |  SELECT CAST(label AS BIGINT) AS lbl, count(*) AS cn
+       |  FROM embeddings GROUP BY 1
+       |), idcg AS (
+       |  SELECT q.qid,
+       |    CASE WHEN c.cn - 1 <= 0 THEN 0
+       |         ELSE (SELECT cu FROM cw
+       |               WHERE cw.n = least(c.cn - 1, $k)) END AS idcg_u
+       |  FROM q JOIN cls c ON c.lbl = q.qlbl
+       |), cand_exact AS (
+       |  SELECT qid, vec_id FROM sims
+       |), cc AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id IN (${centerIds.sorted.mkString(", ")})),
+       |cd AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sqrt(sum((e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE)
+       |               * (e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE))), 6) AS dist
+       |  FROM embeddings e, cc c, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), cell AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rn FROM cd) t WHERE rn = 1
+       |), qc AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qq.qid, cd.cid AS cell, row_number() OVER (
+       |      PARTITION BY qq.qid ORDER BY cd.dist, cd.cid) AS rn
+       |    FROM q qq JOIN cd ON cd.vec_id = qq.qid) t WHERE rn <= $nProbe
+       |), cand_ivf AS (
+       |  SELECT qp.qid, ce.vec_id
+       |  FROM qc qp JOIN cell ce USING (cell)
+       |  WHERE ce.vec_id <> qp.qid
+       |),
+       |${armCtes("exact", "cand_exact")},
+       |${armCtes("ivf_p2", "cand_ivf")}
+       |SELECT config, n_queries, dcg_units, idcg_units, ndcg FROM agg_exact
+       |UNION ALL
+       |SELECT config, n_queries, dcg_units, idcg_units, ndcg FROM agg_ivf_p2
+       |ORDER BY config""".stripMargin
+  }
 }
