@@ -835,16 +835,28 @@ object DedupOp {
           call_function("div", col("pn") + col("fn") + lit(2L), lit(3L)))
       .select(col("pd").as("da"), col("fd").as("db"))
       .distinct()
-    val inter = cand
-      .join(d.select(col("doc_id").as("da"), col("hx")), Seq("da"))
-      .join(d.select(col("doc_id").as("db"), col("hx")), Seq("db", "hx"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    // Verification by per-doc sorted shingle ARRAYS instead of
+    // re-joining candidates through the (doc, hx) stream: the exploded
+    // form shuffles |cand|·n̄ rows (33 M at sf0.1, measured 6.5 s);
+    // each candidate row here carries its two ~n̄-element arrays once
+    // and intersects them in-expression (0.5 s). Join deliberately
+    // UNHINTED: the doc-array frame auto-broadcasts at test scale and
+    // degrades to a by-id shuffle join at corpus scale — both are the
+    // right plan, and candidate pairs never explode either way. na/nb
+    // fall out of the array lengths, dropping the two sizes joins.
+    val docArr = d.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("hx"))).as("arr"))
     materializeAndRelease(
-      inter
-        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")),
+      cand
+        .join(docArr.select(col("doc_id").as("da"), col("arr").as("aa")),
           Seq("da"))
-        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")),
+        .join(docArr.select(col("doc_id").as("db"), col("arr").as("ab")),
           Seq("db"))
+        .select(col("da"), col("db"),
+          size(array_intersect(col("aa"), col("ab"))).cast("long")
+            .as("inter"),
+          size(col("aa")).cast("long").as("na"),
+          size(col("ab")).cast("long").as("nb"))
         .select(col("da"), col("db"),
           graft.functions.DetAgg.ratio(col("inter"),
             col("na") + col("nb") - col("inter")).as("jaccard"))

@@ -59,6 +59,16 @@ object ProfPrefix {
       .join(d.select(col("doc_id").as("db"), col("hx")), Seq("db", "hx"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
     t("inter count")(println(inter.count()))
+    // variant B: broadcast sorted-array intersection
+    val docArr = d.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("hx"))).as("arr"))
+    val interB = cand
+      .join(broadcast(docArr.select(col("doc_id").as("da"), col("arr").as("aa"))), Seq("da"))
+      .join(broadcast(docArr.select(col("doc_id").as("db"), col("arr").as("ab"))), Seq("db"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("aa"), col("ab"))).cast("long").as("inter"))
+    t("interB count")(println(interB.count()))
+    t("interB again")(println(interB.count()))
     val out = inter
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
