@@ -44,6 +44,65 @@ class TablesSpec extends SparkSuite {
     assert(df.limit(1).collect().nonEmpty)
   }
 
+  /** Whole-catalog column guard: every column an operator depends on,
+    * per table. The driver regenerates the testdata between rounds —
+    * a dropped/renamed column (or a type leaving its family) must fail
+    * HERE with a nameable diff, not as a scatter of AnalysisExceptions
+    * across the query suite. Type families (not exact types) so benign
+    * widenings (int→long, float→double) stay green; the queries cast
+    * at use sites.
+    */
+  test("all tables keep their operator-required columns and type families") {
+    import org.apache.spark.sql.types._
+    def fam(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "int"
+      case FloatType | DoubleType | _: DecimalType => "frac"
+      case StringType => "str"
+      case TimestampType | TimestampNTZType => "ts"
+      case ArrayType(et, _) => "arr:" + fam(et)
+      case other => other.simpleString
+    }
+    val want: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, Seq[(String, String)])] = Seq(
+      ("region", Tables.region _, Seq("r_regionkey" -> "int", "r_name" -> "str")),
+      ("nation", Tables.nation _, Seq("n_nationkey" -> "int",
+        "n_name" -> "str", "n_regionkey" -> "int")),
+      ("customer", Tables.customer _, Seq("c_custkey" -> "int",
+        "c_name" -> "str", "c_nationkey" -> "int", "c_acctbal" -> "frac",
+        "c_mktsegment" -> "str")),
+      ("supplier", Tables.supplier _, Seq("s_suppkey" -> "int",
+        "s_name" -> "str", "s_nationkey" -> "int", "s_acctbal" -> "frac")),
+      ("part", Tables.part _, Seq("p_partkey" -> "int", "p_name" -> "str",
+        "p_brand" -> "str", "p_type" -> "str", "p_size" -> "int",
+        "p_retailprice" -> "frac")),
+      ("orders", Tables.orders _, Seq("o_orderkey" -> "int",
+        "o_custkey" -> "int", "o_orderstatus" -> "str",
+        "o_totalprice" -> "frac", "o_orderdate" -> "ts",
+        "o_orderpriority" -> "str")),
+      ("lineitem", Tables.lineitem _, Seq("l_orderkey" -> "int",
+        "l_partkey" -> "int", "l_suppkey" -> "int", "l_linenumber" -> "int",
+        "l_quantity" -> "frac", "l_extendedprice" -> "frac",
+        "l_discount" -> "frac", "l_tax" -> "frac", "l_returnflag" -> "str",
+        "l_linestatus" -> "str", "l_shipdate" -> "ts")),
+      ("events", Tables.events _, Seq("event_id" -> "int", "ts" -> "ts",
+        "user_id" -> "int", "event_type" -> "str", "value" -> "frac",
+        "props" -> "str")),
+      ("documents", Tables.documents _, Seq("doc_id" -> "int",
+        "text" -> "str", "lang" -> "str", "source" -> "str",
+        "n_chars" -> "int")),
+      ("embeddings", Tables.embeddings _, Seq("vec_id" -> "int",
+        "embedding" -> "arr:frac", "label" -> "int")))
+    val d = sfDirs.head
+    for ((name, loader, cols) <- want) {
+      val schema = loader(spark, d).schema
+      for ((cn, f) <- cols) {
+        assert(schema.fieldNames.contains(cn), s"$name: missing column $cn")
+        assert(fam(schema(cn).dataType) == f,
+          s"$name.$cn: ${schema(cn).dataType} not in family $f")
+      }
+    }
+  }
+
   /** Negative-epoch floor-division property (ADVICE r6/VERDICT r7 item 6).
     *
     * The temporal bucketing kernel is
