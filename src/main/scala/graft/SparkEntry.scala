@@ -838,6 +838,11 @@ object SparkEntry {
     // exact-ranking arm vs the IVF serving path, label relevance.
     "q157_ndcg" -> ((s, d) =>
       SimilarityOp.ndcgAudit(Tables.embeddings(s, d))),
+
+    // Per-group quantiles from the bounded bottom-k-by-hash sample
+    // sketch (custom Aggregator; deterministic cross-engine).
+    "q158_sampled_quantiles" -> ((s, d) =>
+      ScaleOps.sampledQuantiles(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1436,5 +1441,6 @@ object SparkEntry {
     "q155_seasonal_anomalies" -> EventOps.seasonalAnomaliesOracle(),
     "q156_prefix_jaccard" -> DedupOp.prefixJaccardOracle(),
     "q157_ndcg" -> SimilarityOp.ndcgAuditOracle(),
+    "q158_sampled_quantiles" -> ScaleOps.sampledQuantilesOracle(),
   )
 }

@@ -451,4 +451,82 @@ object ScaleOps {
        |  FROM documents) t
        |WHERE rk <= $quota ORDER BY source, rk""".stripMargin
   }
+
+  /** Event-row sampling hash — reversed id so consecutive ids spread
+    * across the hash space (the [[docHash]] convention). */
+  private def eventHash: Column =
+    TextFunctions.portableHash(reverse(col("event_id").cast("string")))
+  private def eventHashSql: String =
+    TextFunctions.portableHashSql("reverse(CAST(event_id AS VARCHAR))")
+
+  /** q158: per-group value quantiles from a BOUNDED bottom-k-by-hash
+    * sample ([[graft.functions.BottomKAgg]]) — the mergeable-sketch
+    * answer to "what does the value distribution look like per group"
+    * at 100 TB: exact quantiles shuffle every row into a per-group
+    * sort (the q07 collect path — fine while a group fits an
+    * executor), `percentile_approx` is mergeable but engine-specific
+    * (rows-only oracle, the q57 HLL situation); the bottom-k sample is
+    * BOTH bounded (every map-side partial ≤ k rows, so a group costs
+    * k·|partitions| shuffled rows) AND deterministic cross-engine (the
+    * portable hash is the PRNG, so the oracle re-derives the identical
+    * sample and the identical quantiles — full hash gate, no error
+    * bound needed). Quantile convention: exact 1-indexed
+    * `(n·q) DIV d + 1` on the sample sorted by (value, id), the
+    * [[OutlierOp.thresholds]] index discipline; quantile values are
+    * raw sample members, passed through unrounded.
+    */
+  def sampledQuantiles(events: DataFrame, k: Int = 64): DataFrame = {
+    val bottomK = udaf(new graft.functions.BottomKAgg(k))
+    val sampled = events
+      .select(col("event_type"), eventHash.as("hx"),
+        col("event_id").as("id"), col("value").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        bottomK(col("hx"), col("id"), col("v")).as("sample"))
+    val vs = array_sort(transform(col("sample"),
+      r => struct(r.getField("v").as("v"), r.getField("id").as("id"))))
+    def q(num: Int, den: Int): Column =
+      element_at(col("vs"),
+        expr(s"CAST(ns * $num DIV $den + 1 AS INT)")).getField("v")
+    sampled
+      .select(col("event_type"), col("n_events"),
+        size(col("sample")).cast("long").as("ns"), vs.as("vs"))
+      .select(col("event_type"), col("n_events"), col("ns").as("n_sample"),
+        q(1, 4).as("p25"), q(1, 2).as("p50"), q(3, 4).as("p75"),
+        q(9, 10).as("p90"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle SQL twin of [[sampledQuantiles]] — the identical sample
+    * re-derived with a rank window over the same portable hash, the
+    * identical index quantiles. */
+  def sampledQuantilesOracle(k: Int = 64): String = {
+    val h = eventHashSql
+    s"""WITH base AS (
+       |  SELECT event_type, event_id, value, $h AS hx FROM events
+       |), tot AS (
+       |  SELECT event_type, count(*) AS n_events FROM base GROUP BY 1
+       |), samp AS (
+       |  SELECT event_type, event_id, value FROM (
+       |    SELECT event_type, event_id, value,
+       |      row_number() OVER (PARTITION BY event_type
+       |        ORDER BY hx, event_id) AS rn
+       |    FROM base) t WHERE rn <= $k
+       |), ranked AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value, event_id) AS vrn,
+       |    count(*) OVER (PARTITION BY event_type) AS ns
+       |  FROM samp
+       |)
+       |SELECT t.event_type, CAST(t.n_events AS BIGINT) AS n_events,
+       |  CAST(r.ns AS BIGINT) AS n_sample,
+       |  max(CASE WHEN vrn = (ns * 1) // 4 + 1 THEN value END) AS p25,
+       |  max(CASE WHEN vrn = (ns * 1) // 2 + 1 THEN value END) AS p50,
+       |  max(CASE WHEN vrn = (ns * 3) // 4 + 1 THEN value END) AS p75,
+       |  max(CASE WHEN vrn = (ns * 9) // 10 + 1 THEN value END) AS p90
+       |FROM ranked r JOIN tot t USING (event_type)
+       |GROUP BY t.event_type, t.n_events, r.ns
+       |ORDER BY t.event_type""".stripMargin
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{BottomKAgg, SampleRow}
+
+/** The sketch contract of [[BottomKAgg]]: bottom-k of a union equals
+  * the merge of per-part bottom-k's (MERGEABILITY — the property that
+  * bounds every map-side partial at k rows), and the fold is
+  * order-insensitive. Pure Scala: the Spark-side identity with the SQL
+  * window derivation is the q158 oracle gate.
+  */
+class BottomKAggSpec extends AnyFunSuite {
+  private def ref(rows: Seq[SampleRow], k: Int): Seq[SampleRow] =
+    rows.sortBy(r => (r.hx, r.id)).take(k)
+
+  private def fold(agg: BottomKAgg, rows: Seq[SampleRow]): Seq[SampleRow] =
+    rows.foldLeft(agg.zero)(agg.reduce)
+
+  private def lcgRows(n: Int, seed0: Long): Seq[SampleRow] = {
+    var seed = seed0
+    def next(): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 33)
+    }
+    (1 to n).map(i =>
+      SampleRow(next() % 1000, i.toLong, (next() % 10000) / 100.0))
+  }
+
+  test("fold equals sorted-take-k regardless of arrival order") {
+    val agg = new BottomKAgg(16)
+    val rows = lcgRows(500, 7L)
+    assert(fold(agg, rows) == ref(rows, 16))
+    assert(fold(agg, rows.reverse) == ref(rows, 16))
+    assert(fold(agg, rows.sortBy(_.v)) == ref(rows, 16))
+  }
+
+  test("mergeability: merge of per-part bottom-k equals bottom-k of union") {
+    val agg = new BottomKAgg(32)
+    for (seed <- 1L to 5L) {
+      val rows = lcgRows(400, seed)
+      val (a, b) = rows.splitAt(137)
+      assert(agg.merge(fold(agg, a), fold(agg, b)) == ref(rows, 32))
+      // associativity across three parts
+      val (x, rest) = rows.splitAt(100)
+      val (y, z) = rest.splitAt(150)
+      assert(agg.merge(agg.merge(fold(agg, x), fold(agg, y)), fold(agg, z))
+        == ref(rows, 32))
+      assert(agg.merge(fold(agg, x), agg.merge(fold(agg, y), fold(agg, z)))
+        == ref(rows, 32))
+    }
+  }
+
+  test("underfull and tie-heavy inputs") {
+    val agg = new BottomKAgg(64)
+    val few = lcgRows(10, 3L)
+    assert(fold(agg, few) == ref(few, 64))
+    // identical hashes: tie-break must fall to id
+    val ties = (1 to 100).map(i => SampleRow(42L, 101L - i, i.toDouble))
+    assert(fold(agg, ties) == ref(ties, 64))
+    assert(fold(agg, ties).map(_.id) == (1L to 64L))
+  }
+}
