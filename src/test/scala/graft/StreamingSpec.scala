@@ -814,6 +814,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming bottom-k sample quantiles equal the batch q158 (complete-mode udaf)") {
+    import graft.operators.ScaleOps
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = ScaleOps.sampledQuantiles(events)
+      .collect().map(_.toString).sorted
+    val rows = events.select($"event_id", $"event_type", $"value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String, Double)]
+    val sdf = mem.toDF().toDF("event_id", "event_type", "value")
+    // the bounded-buffer Aggregator runs as a standard streaming
+    // aggregation — per-key state IS the k-row sketch, the exact
+    // property the mergeability spec pins
+    val q = ScaleOps.sampledQuantiles(sdf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("bk_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("bk_out").collect().map(_.toString).sorted
+      assert(got.toSeq == expected.toSeq)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingRollingAnomalies equals the batch q140 flags on a replay") {
     import graft.operators.EventOps
     implicit val sqlCtx = spark.sqlContext
