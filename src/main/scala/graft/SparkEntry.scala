@@ -843,6 +843,10 @@ object SparkEntry {
     // sketch (custom Aggregator; deterministic cross-engine).
     "q158_sampled_quantiles" -> ((s, d) =>
       ScaleOps.sampledQuantiles(Tables.events(s, d))),
+
+    // Chance-corrected kNN classifier agreement, exact ppm integers.
+    "q159_knn_kappa" -> ((s, d) =>
+      SimilarityOp.knnKappa(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1442,5 +1446,6 @@ object SparkEntry {
     "q156_prefix_jaccard" -> DedupOp.prefixJaccardOracle(),
     "q157_ndcg" -> SimilarityOp.ndcgAuditOracle(),
     "q158_sampled_quantiles" -> ScaleOps.sampledQuantilesOracle(),
+    "q159_knn_kappa" -> SimilarityOp.knnKappaOracle(),
   )
 }

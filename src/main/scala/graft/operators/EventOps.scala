@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
-  /** Floor-division bucket assignment for epoch-millis columns. Spark's
-    * `DIV` truncates toward zero while DuckDB's `//` (the oracles'
-    * operator) floors, so a raw `ms DIV step` mis-buckets PRE-1970
-    * (negative-epoch) timestamps by one slot — masked by the shipped
-    * data's all-positive clocks, but a real cross-engine divergence.
-    * `pmod` is non-negative in both engines, so subtracting it makes
-    * the dividend an exact multiple and `DIV` exact (= floor) for any
-    * sign, in pure integer arithmetic.
+  /** Floor-division bucket assignment for epoch-millis columns. BOTH
+    * engines' bare integer divisions truncate toward zero — Spark's
+    * `DIV` and (measured round 8, correcting this doc's earlier claim)
+    * DuckDB's `//` as well: (-7)//2 = -3. A raw `ms DIV step` would
+    * therefore mis-bucket PRE-1970 (negative-epoch) timestamps by one
+    * slot on the Spark side while the oracle, truncating identically,
+    * would MIRROR the same wrong slot — hash-parity green, answer
+    * wrong. Subtracting the non-negative remainder (`pmod` here;
+    * ((n % d) + d) % d in any oracle with a sign-indefinite dividend,
+    * see knnKappaOracle) makes the dividend an exact multiple, where
+    * truncate = floor in both engines, in pure integer arithmetic.
     */
   private def floorDivMs(msExpr: String, step: Long): org.apache.spark.sql.Column =
     expr(s"CAST((($msExpr) - pmod($msExpr, ${step}L)) DIV ${step}L AS BIGINT)")

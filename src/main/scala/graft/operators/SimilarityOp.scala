@@ -2034,4 +2034,129 @@ object SimilarityOp {
        |SELECT config, n_queries, dcg_units, idcg_units, ndcg FROM agg_ivf_p2
        |ORDER BY config""".stripMargin
   }
+
+  /** q159: Cohen's kappa of the leave-one-out kNN classifier — the
+    * CHANCE-CORRECTED companion to q142's raw accuracy: on a skewed
+    * label marginal a majority-class guesser scores high accuracy and
+    * exactly zero kappa, so kappa is the number that says whether the
+    * embedding geometry carries label signal beyond the marginal.
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement and
+    * p_e = Σ_l row_l·col_l / N² the chance agreement of the marginals.
+    *
+    * Everything is EXACT integers in parts-per-million:
+    * po_ppm = ⌊10⁶·diag·N / N²⌋, pe_ppm = ⌊10⁶·Σrow·col / N²⌋,
+    * kappa_ppm = ⌊10⁶·(diag·N − Σrow·col) / (N² − Σrow·col)⌋ — FLOOR
+    * division on BOTH sides via the remainder-subtract form, because
+    * kappa is legitimately negative when the classifier is worse than
+    * chance and BOTH engines' bare integer divisions truncate toward
+    * zero there (Spark `DIV`, and — measured this round, contra the
+    * floorDivMs scaladoc's earlier claim — DuckDB `//` as well:
+    * (-7)//2 = -3). Spark uses pmod-subtract; the oracle builds the
+    * non-negative remainder from DuckDB's truncating `%` as
+    * ((n % d) + d) % d and subtracts it, after which `//` on the
+    * exact multiple is floor. The off-by-one surfaced immediately in
+    * this query's own gate (-59501 vs -59500) — the first oracle in
+    * the suite with a genuinely negative dividend.
+    *
+    * Scale shape: the vote machinery is q142's (one broadcast sample ×
+    * corpus scan); the confusion matrix and both marginals are
+    * |labels|²-sized aggregates of it.
+    */
+  def knnKappa(embeddings: DataFrame, qmod: Int = 7,
+               k: Int = 10): DataFrame = {
+    val labels = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("lbl"))
+    val votes = exactTopKMulti(embeddings, qmod, k)
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("qid"), col("lbl")).agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("nv").desc, col("lbl"))
+    val majority = votes.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("qid"), col("lbl").as("pred"))
+    val cells = labels.select(col("vec_id").as("qid"),
+        col("lbl").as("truth"))
+      .join(majority, Seq("qid"))
+      .groupBy(col("truth"), col("pred")).agg(count(lit(1)).as("c"))
+      .persist()
+    val n = cells.agg(sum(col("c")).as("n")).select(col("n"))
+    val diag = cells.where(col("truth") === col("pred"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("diag"))
+    val rows = cells.groupBy(col("truth").as("l"))
+      .agg(sum(col("c")).as("rc"))
+    val cols = cells.groupBy(col("pred").as("l"))
+      .agg(sum(col("c")).as("cc"))
+    val rowcol = rows.join(cols, Seq("l"))
+      .agg(coalesce(sum(col("rc") * col("cc")), lit(0L)).as("rowcol"))
+    // integer DIV on the pmod-subtracted numerator: exact floor for any
+    // sign at any magnitude (the double `/` would be fine at these
+    // sizes but caps at 2^53 — keep the metric integer end to end)
+    def floorDiv(num: Column, den: Column): Column =
+      call_function("div", num - pmod(num, den), den).cast("long")
+    val out = n.crossJoin(diag).crossJoin(rowcol)
+      .select(col("n").as("n_queries"), col("diag").as("n_agree"),
+        floorDiv(col("diag") * col("n") * 1000000L, col("n") * col("n"))
+          .as("po_ppm"),
+        floorDiv(col("rowcol") * 1000000L, col("n") * col("n"))
+          .as("pe_ppm"),
+        floorDiv((col("diag") * col("n") - col("rowcol")) * 1000000L,
+          col("n") * col("n") - col("rowcol")).as("kappa_ppm"))
+    try out.localCheckpoint() finally cells.unpersist()
+  }
+
+  /** Oracle SQL twin of [[knnKappa]] — q142's vote CTEs, then the
+    * confusion-matrix marginals and the same ppm floor divisions. */
+  def knnKappaOracle(qmod: Int = 7, k: Int = 10,
+                     dims: Int = 64): String =
+    s"""WITH q AS (SELECT vec_id AS qid FROM embeddings
+       |           WHERE vec_id % $qmod = 0),
+       |pc0 AS (
+       |  SELECT qq.qid, e.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(qe.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM q qq
+       |  JOIN embeddings qe ON qe.vec_id = qq.qid
+       |  JOIN embeddings e ON e.vec_id <> qq.qid, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |  FROM pc0
+       |), ex AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sims) t WHERE rn <= $k
+       |), votes AS (
+       |  SELECT e.qid, CAST(emb.label AS BIGINT) AS lbl, count(*) AS nv
+       |  FROM ex e JOIN embeddings emb ON emb.vec_id = e.vec_id
+       |  GROUP BY 1, 2
+       |), maj AS (
+       |  SELECT qid, lbl AS pred FROM (
+       |    SELECT qid, lbl, row_number() OVER (PARTITION BY qid
+       |      ORDER BY nv DESC, lbl) AS rn
+       |    FROM votes) t WHERE rn = 1
+       |), cells AS (
+       |  SELECT CAST(emb.label AS BIGINT) AS truth, m.pred,
+       |    count(*) AS c
+       |  FROM maj m JOIN embeddings emb ON emb.vec_id = m.qid
+       |  GROUP BY 1, 2
+       |), agg0 AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(coalesce(sum(CASE WHEN truth = pred THEN c END), 0)
+       |      AS BIGINT) AS diag
+       |  FROM cells
+       |), rc AS (
+       |  SELECT CAST(coalesce(sum(r.rc * c2.cc), 0) AS BIGINT) AS rowcol
+       |  FROM (SELECT truth AS l, sum(c) AS rc FROM cells GROUP BY 1) r
+       |  JOIN (SELECT pred AS l, sum(c) AS cc FROM cells GROUP BY 1) c2
+       |    USING (l)
+       |)
+       |SELECT a.n AS n_queries, a.diag AS n_agree,
+       |  CAST((a.diag * a.n * 1000000) // (a.n * a.n) AS BIGINT) AS po_ppm,
+       |  CAST((rc.rowcol * 1000000) // (a.n * a.n) AS BIGINT) AS pe_ppm,
+       |  CAST((kn - (((kn % kd) + kd) % kd)) // kd AS BIGINT) AS kappa_ppm
+       |FROM agg0 a CROSS JOIN rc CROSS JOIN LATERAL (
+       |  SELECT (a.diag * a.n - rc.rowcol) * 1000000 AS kn,
+       |         a.n * a.n - rc.rowcol AS kd) kv""".stripMargin
 }

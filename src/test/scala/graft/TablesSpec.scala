@@ -106,8 +106,9 @@ class TablesSpec extends SparkSuite {
   /** Negative-epoch floor-division property (ADVICE r6/VERDICT r7 item 6).
     *
     * The temporal bucketing kernel is
-    * `(ms - pmod(ms, step)) DIV step` (EventOps.floorDivMs). DuckDB's `//`
-    * floors; Spark's `DIV` truncates toward zero. The pmod-subtract form
+    * `(ms - pmod(ms, step)) DIV step` (EventOps.floorDivMs). Both
+    * engines' bare integer divisions truncate toward zero (Spark `DIV`,
+    * and DuckDB `//` too: (-7)//2 = -3). The pmod-subtract form
     * must equal mathematical floor division for ANY sign — pinned here on
     * pre-1970 (negative) epochs so the documented cross-engine risk stays
     * closed even if the shipped data ever grows old clocks.
