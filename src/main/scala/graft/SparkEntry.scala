@@ -847,6 +847,11 @@ object SparkEntry {
     // Chance-corrected kNN classifier agreement, exact ppm integers.
     "q159_knn_kappa" -> ((s, d) =>
       SimilarityOp.knnKappa(Tables.embeddings(s, d))),
+
+    // MinHash estimator calibration: true Jaccard distribution per
+    // agreeing-permutation count over the banded candidates.
+    "q160_minhash_calibration" -> ((s, d) =>
+      DedupOp.minhashCalibration(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1447,5 +1452,6 @@ object SparkEntry {
     "q157_ndcg" -> SimilarityOp.ndcgAuditOracle(),
     "q158_sampled_quantiles" -> ScaleOps.sampledQuantilesOracle(),
     "q159_knn_kappa" -> SimilarityOp.knnKappaOracle(),
+    "q160_minhash_calibration" -> DedupOp.minhashCalibrationOracle(),
   )
 }

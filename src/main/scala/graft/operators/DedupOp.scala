@@ -1242,4 +1242,132 @@ object DedupOp {
        |  CAST(max(n_eq) AS BIGINT) AS max_eq
        |FROM sims GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
+
+  /** q160: MinHash estimator CALIBRATION — per agreeing-permutation
+    * count m (the estimator's entire resolution at 16 perms:
+    * est = m/16), how does the TRUE n-gram Jaccard of the banded
+    * candidate pairs actually distribute? This is the audit that turns
+    * "MinHash approximates Jaccard" from a literature citation into a
+    * measured table for THIS corpus and THIS banding — the dedup
+    * operator's q85-style operating-point evidence: E[m/16] = J only
+    * in expectation, and at 16 perms the per-pair noise is ±1/16-size
+    * quanta, so the mean/min/max true-J spread per m is exactly what a
+    * threshold choice needs to see.
+    *
+    * All statistics are exact integers: per-pair true Jaccard in
+    * half-up 1e-4 units (the q156 verification arithmetic, computed
+    * the same array-intersect way), mean as one [[graft.functions.DetAgg]]
+    * ratio, min/max as integer-derived 4-decimal values.
+    *
+    * Scale shape: candidates inherit [[minhashLsh]]'s banded blocking
+    * (no all-pairs anywhere); true-J verification carries the two
+    * per-doc sorted shingle arrays per candidate (the q156 unhinted
+    * join stance); the rollup is ≤17 groups.
+    */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs).persist()
+    val bands = sigs
+      .withColumn("band", expr(s"i DIV $BandRows"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("minv")))),
+        x => x.getField("minv").cast("string")), ",").as("sig"))
+    val cand = bands
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("da"), col("i"), col("minv").as("ma"))
+    val sb = sigs.select(col("doc_id").as("db"), col("i"), col("minv").as("mb"))
+    val est = cand.join(sa, Seq("da")).join(sb, Seq("db", "i"))
+      .groupBy(col("da"), col("db"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("m"))
+    val d = docShingles(docs)
+    val docArr = d.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("hx"))).as("arr"))
+    // half-up 1e-4-unit true Jaccard, the q156 ratio in integer units
+    val tj = est
+      .join(docArr.select(col("doc_id").as("da"), col("arr").as("aa")),
+        Seq("da"))
+      .join(docArr.select(col("doc_id").as("db"), col("arr").as("ab")),
+        Seq("db"))
+      .select(col("m"),
+        size(array_intersect(col("aa"), col("ab"))).cast("long").as("i"),
+        (size(col("aa")) + size(col("ab"))).cast("long").as("ss"))
+      .select(col("m"),
+        call_function("div", col("i") * 10000L * 2L + (col("ss") - col("i")),
+          (col("ss") - col("i")) * 2L).as("tj_u"))
+    materializeAndRelease(
+      tj.groupBy(col("m"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("tj_u")).as("sum_u"),
+          min(col("tj_u")).as("min_u"),
+          max(col("tj_u")).as("max_u"))
+        .select(col("m").as("est_matches"),
+          graft.functions.DetAgg.ratio(col("m"), lit(16L)).as("est_jaccard"),
+          col("n_pairs"),
+          graft.functions.DetAgg.ratio(col("sum_u"),
+            col("n_pairs") * 10000L).as("mean_true_j"),
+          (col("min_u").cast("double") / 10000.0).as("min_true_j"),
+          (col("max_u").cast("double") / 10000.0).as("max_true_j"))
+        .orderBy("est_matches"),
+      sigs)
+  }
+
+  /** Oracle SQL twin of [[minhashCalibration]] — the minhashLsh CTEs
+    * for candidates and agreement counts, the q156 shingle-set
+    * intersection for true J, identical integer units. */
+  def minhashCalibrationOracle(): String = {
+    val permRows = (0 until NumPerms)
+      .map(i => s"(${i}, ${permA(i)}::BIGINT, ${permB(i)}::BIGINT)")
+      .mkString(", ")
+    s"""WITH ${shingleCte()},
+       |perms(i, a, b) AS (VALUES $permRows),
+       |sigs AS (
+       |  SELECT s.doc_id, p.i, min((p.a * s.hx + p.b) % $HashMod) AS minv
+       |  FROM shx s, perms p GROUP BY 1, 2
+       |), bands AS (
+       |  SELECT doc_id, i // $BandRows AS band,
+       |    string_agg(minv::VARCHAR, ',' ORDER BY i) AS sig
+       |  FROM sigs GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |), est AS (
+       |  SELECT c.da, c.db,
+       |    CAST(sum(CASE WHEN sa.minv = sb.minv THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS m
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.da
+       |  JOIN sigs sb ON sb.doc_id = c.db AND sb.i = sa.i
+       |  GROUP BY 1, 2
+       |), sz AS (
+       |  SELECT doc_id, count(*) AS n FROM shx GROUP BY 1
+       |), inter AS (
+       |  SELECT e.da, e.db, e.m, count(*) AS i
+       |  FROM est e
+       |  JOIN shx x ON x.doc_id = e.da
+       |  JOIN shx y ON y.doc_id = e.db AND y.hx = x.hx
+       |  GROUP BY 1, 2, 3
+       |), tj AS (
+       |  SELECT e.m,
+       |    (coalesce(i.i, 0) * 10000 * 2
+       |      + (za.n + zb.n - coalesce(i.i, 0)))
+       |      // ((za.n + zb.n - coalesce(i.i, 0)) * 2) AS tj_u
+       |  FROM est e
+       |  LEFT JOIN inter i ON i.da = e.da AND i.db = e.db
+       |  JOIN sz za ON za.doc_id = e.da
+       |  JOIN sz zb ON zb.doc_id = e.db
+       |)
+       |SELECT m AS est_matches,
+       |  ${graft.functions.DetAgg.ratioSql("m", "16")} AS est_jaccard,
+       |  count(*) AS n_pairs,
+       |  ${graft.functions.DetAgg.ratioSql("sum(tj_u)", "(count(*) * 10000)")}
+       |    AS mean_true_j,
+       |  CAST(min(tj_u) AS DOUBLE) / 10000.0 AS min_true_j,
+       |  CAST(max(tj_u) AS DOUBLE) / 10000.0 AS max_true_j
+       |FROM tj GROUP BY m ORDER BY est_matches""".stripMargin
+  }
 }
