@@ -852,6 +852,10 @@ object SparkEntry {
     // agreeing-permutation count over the banded candidates.
     "q160_minhash_calibration" -> ((s, d) =>
       DedupOp.minhashCalibration(Tables.documents(s, d))),
+
+    // SimHash calibration: hamming distance vs true n-gram Jaccard.
+    "q161_simhash_calibration" -> ((s, d) =>
+      DedupOp.simhashCalibration(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1453,5 +1457,6 @@ object SparkEntry {
     "q158_sampled_quantiles" -> ScaleOps.sampledQuantilesOracle(),
     "q159_knn_kappa" -> SimilarityOp.knnKappaOracle(),
     "q160_minhash_calibration" -> DedupOp.minhashCalibrationOracle(),
+    "q161_simhash_calibration" -> DedupOp.simhashCalibrationOracle(),
   )
 }

@@ -1370,4 +1370,122 @@ object DedupOp {
        |  CAST(max(tj_u) AS DOUBLE) / 10000.0 AS max_true_j
        |FROM tj GROUP BY m ORDER BY est_matches""".stripMargin
   }
+
+  /** q161: SimHash calibration — [[minhashCalibration]]'s twin for the
+    * other sketch: per Hamming distance of the banded candidate pairs,
+    * the mean/min/max TRUE n-gram Jaccard, same exact 1e-4 integer
+    * units. SimHash approximates angular similarity of the token
+    * vote vector, NOT Jaccard — which is exactly why the mapping from
+    * "hamming ≤ h" to "n-gram Jaccard the dedup pipeline actually
+    * cares about" is an EMPIRICAL property of the corpus that must be
+    * measured, not assumed; this is the table the q27 `maxHamming`
+    * dial reads. Pairs where either side has fewer than 3 tokens (no
+    * shingles) are excluded — no shingle set, no Jaccard truth.
+    *
+    * Scale shape: candidates inherit [[simhashPairs]]'s 15-bit banded
+    * blocking; truth rides the q156 array-intersect verification; the
+    * rollup is ≤61 groups.
+    */
+  def simhashCalibration(docs: DataFrame): DataFrame = {
+    val sigs = simhashSignatures(docs).persist()
+    val bandMask = (1L << SimBandBits) - 1L
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(SimBands - 1))).as("j"))
+      .withColumn("nib",
+        expr(s"shiftright(simhash, $SimBandBits * j) & $bandMask"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.j") === col("b.j") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .select(col("da"), col("db"),
+        expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+    val d = docShingles(docs)
+    val docArr = d.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("hx"))).as("arr"))
+    val tj = cand
+      .join(docArr.select(col("doc_id").as("da"), col("arr").as("aa")),
+        Seq("da"))
+      .join(docArr.select(col("doc_id").as("db"), col("arr").as("ab")),
+        Seq("db"))
+      .select(col("hamming"),
+        size(array_intersect(col("aa"), col("ab"))).cast("long").as("i"),
+        (size(col("aa")) + size(col("ab"))).cast("long").as("ss"))
+      .select(col("hamming"),
+        call_function("div", col("i") * 10000L * 2L + (col("ss") - col("i")),
+          (col("ss") - col("i")) * 2L).as("tj_u"))
+    materializeAndRelease(
+      tj.groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("tj_u")).as("sum_u"),
+          min(col("tj_u")).as("min_u"),
+          max(col("tj_u")).as("max_u"))
+        .select(col("hamming"), col("n_pairs"),
+          graft.functions.DetAgg.ratio(col("sum_u"),
+            col("n_pairs") * 10000L).as("mean_true_j"),
+          (col("min_u").cast("double") / 10000.0).as("min_true_j"),
+          (col("max_u").cast("double") / 10000.0).as("max_true_j"))
+        .orderBy("hamming"),
+      sigs)
+  }
+
+  /** Oracle SQL twin of [[simhashCalibration]] — the q27 signature and
+    * banding CTEs (token CTEs renamed to avoid colliding with the
+    * truth-side [[shingleCte]]), the q156 shingle intersection. */
+  def simhashCalibrationOracle(): String = {
+    val permRows = (0 until SimBits)
+      .map(b => s"($b, ${permA(SimPermOffset + b)}::BIGINT, " +
+        s"${permB(SimPermOffset + b)}::BIGINT)")
+      .mkString(", ")
+    s"""WITH ${shingleCte()},
+       |tt AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), tthx AS (
+       |  SELECT doc_id, ${portableHashSql("tok")} AS hx FROM tt
+       |), simperms(b, pa, pb) AS (VALUES $permRows),
+       |bits AS (
+       |  SELECT t.doc_id, p.b,
+       |    sum(CASE WHEN ((p.pa * t.hx + p.pb) % $HashMod) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS s
+       |  FROM tthx t, simperms p GROUP BY 1, 2
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY 1
+       |), banded AS (
+       |  SELECT doc_id, simhash, j.j,
+       |    (simhash >> ($SimBandBits * j.j)) & ${(1L << SimBandBits) - 1L} AS nib
+       |  FROM sigs, range($SimBands) j(j)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.j = b.j AND a.nib = b.nib AND a.doc_id < b.doc_id
+       |), sz AS (
+       |  SELECT doc_id, count(*) AS n FROM shx GROUP BY 1
+       |), inter AS (
+       |  SELECT c.da, c.db, count(*) AS i
+       |  FROM cand c
+       |  JOIN shx x ON x.doc_id = c.da
+       |  JOIN shx y ON y.doc_id = c.db AND y.hx = x.hx
+       |  GROUP BY 1, 2
+       |), tj AS (
+       |  SELECT c.hamming,
+       |    (coalesce(i.i, 0) * 10000 * 2
+       |      + (za.n + zb.n - coalesce(i.i, 0)))
+       |      // ((za.n + zb.n - coalesce(i.i, 0)) * 2) AS tj_u
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+       |  JOIN sz za ON za.doc_id = c.da
+       |  JOIN sz zb ON zb.doc_id = c.db
+       |)
+       |SELECT hamming, count(*) AS n_pairs,
+       |  ${graft.functions.DetAgg.ratioSql("sum(tj_u)", "(count(*) * 10000)")}
+       |    AS mean_true_j,
+       |  CAST(min(tj_u) AS DOUBLE) / 10000.0 AS min_true_j,
+       |  CAST(max(tj_u) AS DOUBLE) / 10000.0 AS max_true_j
+       |FROM tj GROUP BY hamming ORDER BY hamming""".stripMargin
+  }
 }
