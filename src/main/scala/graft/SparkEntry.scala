@@ -856,6 +856,11 @@ object SparkEntry {
     // SimHash calibration: hamming distance vs true n-gram Jaccard.
     "q161_simhash_calibration" -> ((s, d) =>
       DedupOp.simhashCalibration(Tables.documents(s, d))),
+
+    // KMV distinct estimation: the hash-gateable approx-cardinality
+    // sketch (vs q57 HLL's rows-only situation), with its error audit.
+    "q162_kmv_distinct" -> ((s, d) =>
+      ScaleOps.kmvDistinct(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1458,5 +1463,6 @@ object SparkEntry {
     "q159_knn_kappa" -> SimilarityOp.knnKappaOracle(),
     "q160_minhash_calibration" -> DedupOp.minhashCalibrationOracle(),
     "q161_simhash_calibration" -> DedupOp.simhashCalibrationOracle(),
+    "q162_kmv_distinct" -> ScaleOps.kmvDistinctOracle(),
   )
 }

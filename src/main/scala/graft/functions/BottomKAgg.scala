@@ -24,13 +24,21 @@ case class SampleRow(hx: Long, id: Long, v: Double)
   * The buffer is kept sorted ascending by (hx, id); `reduce` is O(1)
   * for rows that miss the current bottom-k (the overwhelming majority
   * once the buffer fills) and O(k) otherwise.
+  *
+  * `distinctKeys = true` gives SET semantics — a row whose (hx, id)
+  * key already sits in the buffer is dropped instead of duplicated.
+  * That is the KMV (k-minimum-values) sketch of the distinct-counting
+  * literature: the k smallest DISTINCT hash values, from which
+  * (k−1)·M / h_k estimates the distinct count (q162).
   */
-class BottomKAgg(k: Int)
+class BottomKAgg(k: Int, distinctKeys: Boolean = false)
     extends Aggregator[SampleRow, Seq[SampleRow], Seq[SampleRow]] {
   require(k >= 1 && k <= 4096, s"BottomKAgg: k=$k out of range")
 
   private def lt(a: SampleRow, b: SampleRow): Boolean =
     a.hx < b.hx || (a.hx == b.hx && a.id < b.id)
+  private def keyEq(a: SampleRow, b: SampleRow): Boolean =
+    a.hx == b.hx && a.id == b.id
 
   override def zero: Seq[SampleRow] = Vector.empty
 
@@ -38,7 +46,8 @@ class BottomKAgg(k: Int)
     if (b.length >= k && !lt(a, b.last)) b
     else {
       val (lo, hi) = b.span(lt(_, a))
-      ((lo :+ a) ++ hi).take(k)
+      if (distinctKeys && hi.nonEmpty && keyEq(hi.head, a)) b
+      else ((lo :+ a) ++ hi).take(k)
     }
 
   override def merge(x: Seq[SampleRow], y: Seq[SampleRow]): Seq[SampleRow] = {
@@ -47,8 +56,12 @@ class BottomKAgg(k: Int)
     var (i, j, n) = (0, 0, 0)
     while (n < k && (i < x.length || j < y.length)) {
       val takeX = j >= y.length || (i < x.length && lt(x(i), y(j)))
-      out += (if (takeX) { i += 1; x(i - 1) } else { j += 1; y(j - 1) })
-      n += 1
+      if (!takeX && distinctKeys && i < x.length && keyEq(x(i), y(j))) {
+        j += 1 // same key on both sides: emit once (the x copy, next turn)
+      } else {
+        out += (if (takeX) { i += 1; x(i - 1) } else { j += 1; y(j - 1) })
+        n += 1
+      }
     }
     out.result()
   }

@@ -529,4 +529,75 @@ object ScaleOps {
        |GROUP BY t.event_type, t.n_events, r.ns
        |ORDER BY t.event_type""".stripMargin
   }
+
+  /** q162: per-source distinct-token estimation by the KMV
+    * (k-minimum-values) sketch — the DETERMINISTIC answer to the q57
+    * problem: HLL's sketch is engine-specific, so approx distinct
+    * could only ever get a rows-only oracle, while KMV's estimate
+    * (k−1)·M / h_k is a pure integer function of the k smallest
+    * DISTINCT portable-hash values, which the oracle re-derives
+    * exactly — an approximate-cardinality operator under the FULL
+    * hash gate, estimator error and all. Audited against the exact
+    * distinct-hash count with the error in ppm (floor division;
+    * under-full groups fall back to the exact sample size, error 0).
+    *
+    * Scale shape: [[graft.functions.BottomKAgg]] with set semantics —
+    * every map-side partial is ≤ k rows (where exact countDistinct
+    * shuffles the vocabulary), merge is the linear dedup-merge; the
+    * exact-truth column exists only because this is the AUDIT form
+    * (the sketch-only production form drops it, as with q138's
+    * count-min).
+    */
+  def kmvDistinct(docs: DataFrame, k: Int = 16): DataFrame = {
+    val M = TextFunctions.HashMod
+    val bk = udaf(new graft.functions.BottomKAgg(k, distinctKeys = true))
+    val hx = docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("source"), TextFunctions.portableHash(col("tok")).as("hx"))
+    val agg = hx.groupBy(col("source"))
+      .agg(countDistinct(col("hx")).as("n_true"),
+        bk(col("hx"), col("hx"), lit(0.0)).as("sample"))
+    val est = when(size(col("sample")) < k,
+        size(col("sample")).cast("long"))
+      .otherwise(call_function("div", lit((k - 1).toLong * M),
+        element_at(col("sample"), k).getField("hx")))
+    agg.select(col("source"), col("n_true"), est.as("kmv_est"))
+      .select(col("source"), col("n_true"), col("kmv_est"),
+        call_function("div",
+          abs(col("kmv_est") - col("n_true")) * 1000000L,
+          col("n_true")).as("err_ppm"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[kmvDistinct]] — distinct hashes, the k-th
+    * order statistic per source, the same integer estimator. */
+  def kmvDistinctOracle(k: Int = 16): String = {
+    val M = TextFunctions.HashMod
+    val h = TextFunctions.portableHashSql("tok")
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), hxs AS (
+       |  SELECT DISTINCT source, $h AS hx FROM toks
+       |), tot AS (
+       |  SELECT source, count(*) AS n_true FROM hxs GROUP BY 1
+       |), rk AS (
+       |  SELECT source, hx,
+       |    row_number() OVER (PARTITION BY source ORDER BY hx) AS rn
+       |  FROM hxs
+       |), hk AS (
+       |  SELECT source, hx AS hk FROM rk WHERE rn = $k
+       |), est AS (
+       |  SELECT t.source, t.n_true,
+       |    CASE WHEN t.n_true < $k THEN t.n_true
+       |         ELSE ${(k - 1).toLong * M}::BIGINT // h.hk END AS kmv_est
+       |  FROM tot t LEFT JOIN hk h USING (source)
+       |)
+       |SELECT source, CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(kmv_est AS BIGINT) AS kmv_est,
+       |  CAST((abs(kmv_est - n_true) * 1000000) // n_true AS BIGINT)
+       |    AS err_ppm
+       |FROM est ORDER BY source""".stripMargin
+  }
 }

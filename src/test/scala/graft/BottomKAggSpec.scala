@@ -50,6 +50,20 @@ class BottomKAggSpec extends AnyFunSuite {
     }
   }
 
+  test("distinctKeys: duplicates collapse in reduce AND across merge") {
+    val agg = new BottomKAgg(8, distinctKeys = true)
+    val base = lcgRows(50, 11L)
+    val dup = base ++ base ++ base.take(20)
+    val want = base.distinct.sortBy(r => (r.hx, r.id)).take(8)
+    assert(fold(agg, dup) == want)
+    // the same key arriving on both merge sides must emit once
+    val (a, b) = dup.splitAt(60)
+    assert(agg.merge(fold(agg, a), fold(agg, b)) == want)
+    // KMV usage shape: id == hx, value ignored
+    val kmv = (1 to 40).map(i => SampleRow((i % 10).toLong, (i % 10).toLong, 0.0))
+    assert(fold(agg, kmv).map(_.hx) == (0L to 7L))
+  }
+
   test("underfull and tie-heavy inputs") {
     val agg = new BottomKAgg(64)
     val few = lcgRows(10, 3L)
