@@ -136,7 +136,10 @@ object GraphOps {
           .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
     // wedge pairs at the apex, id-ordered so the close join can hit the
-    // id-ordered edge set directly
+    // id-ordered edge set directly. `oriented` deliberately NOT
+    // persisted for the self-join: A/B'd at RunOne x4 (round 8) —
+    // cache write cost ≈ the saved degree-join recompute, net zero
+    // (the round-6 deltas-frame lesson again).
     val cand = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.t").as("a"), col("e2.t").as("b"))
