@@ -64,14 +64,33 @@ object Bench {
       val best = if (dt < 0 || c < 0) -1.0 else math.min(dt, c)
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // A failed query (sentinel -1) must not shrink the headline total —
     // report -1 with an explicit failed count so a regression can never
     // read as an improvement to a totals-only comparison.
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // The harness keeps only the LAST ~2000 chars of stdout; a JSON line
+    // carrying all per-query times overflows that buffer and arrives
+    // headless (unparseable — observed in every prior round's BENCH
+    // artifact). So: full detail goes to stderr AND to BENCH_LOCAL.json
+    // next to the repo for humans, while stdout gets ONE compact JSON
+    // line — headline total + every failure + the worst 12 timings —
+    // sized to survive the tail capture intact.
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$full,"sf":"$sfDir"}"""
+    System.err.println(fullLine)
+    try {
+      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+    val shown = (results.filter(_._2 < 0) ++ worst)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$shown,"queries_shown":"failed+worst12_of_${results.size}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -861,6 +861,31 @@ object SparkEntry {
     // sketch (vs q57 HLL's rows-only situation), with its error audit.
     "q162_kmv_distinct" -> ((s, d) =>
       ScaleOps.kmvDistinct(Tables.documents(s, d))),
+
+    // Centroid-based silhouette: the clustering-quality audit for the
+    // q16 assignment (ppm-exact, no O(N²) point-pair means).
+    "q163_silhouette" -> ((s, d) =>
+      KMeansOp.silhouette(Tables.embeddings(s, d), Seq(7L, 42L, 123L))),
+
+    // Spearman rank correlation via histogram average-ranks — the
+    // rank-robust sibling of q130's Pearson kernel.
+    "q164_spearman" -> ((s, d) =>
+      AuditOps.spearman(Tables.lineitem(s, d))),
+
+    // Distinct-to-total n-gram ratios (n=1..3) per source — the
+    // compression-proxy diversity signal corpus filters use.
+    "q165_ngram_diversity" -> ((s, d) =>
+      TextOps.ngramDiversity(Tables.documents(s, d))),
+
+    // The composite keep/drop rule bundle (Gopher/C4 shape): five
+    // integer-exact per-doc rules, per-source pass accounting.
+    "q166_filter_policy" -> ((s, d) =>
+      TextOps.filterPolicy(Tables.documents(s, d))),
+
+    // Asymmetric containment pairs: the subset-copy detector Jaccard's
+    // union denominator hides.
+    "q167_containment" -> ((s, d) =>
+      DedupOp.containmentPairs(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1464,5 +1489,10 @@ object SparkEntry {
     "q160_minhash_calibration" -> DedupOp.minhashCalibrationOracle(),
     "q161_simhash_calibration" -> DedupOp.simhashCalibrationOracle(),
     "q162_kmv_distinct" -> ScaleOps.kmvDistinctOracle(),
+    "q163_silhouette" -> KMeansOp.silhouetteOracle(),
+    "q164_spearman" -> AuditOps.spearmanOracle,
+    "q165_ngram_diversity" -> TextOps.ngramDiversityOracle,
+    "q166_filter_policy" -> TextOps.filterPolicyOracle,
+    "q167_containment" -> DedupOp.containmentPairsOracle(),
   )
 }

@@ -297,6 +297,92 @@ object AuditOps {
        |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin
   }
 
+  /** Spearman rank correlation (quantity vs price cents per return
+    * flag) — the rank-robust sibling of [[featureCorr]]: monotone but
+    * non-linear association that Pearson understates shows up here.
+    *
+    * Ranks are AVERAGE ranks (the tie-correct Spearman definition),
+    * computed without a global per-row sort: one groupBy builds the
+    * per-group value HISTOGRAM, a window over the tiny distinct-value
+    * frame turns counts into cumulative counts, and the doubled average
+    * rank 2·r̄(v) = 2·cum(v) − cnt(v) + 1 joins back by value. For a
+    * low-cardinality variable (quantity: 50 distinct) that frame is
+    * broadcast-sized; in the worst (all-distinct) case it degrades to
+    * exactly the sort a rank statistic inherently needs — never worse.
+    * Doubling keeps ranks integral under ties; Pearson is affine-
+    * invariant, so ρ on 2·r̄ IS ρ on r̄.
+    *
+    * Parity: the moment sums over integer doubled ranks are exact
+    * BIGINTs fed into [[graft.functions.DetAgg.corrPpm]]'s scalar
+    * double kernel — bit-equal cross-engine. At per-group sizes where
+    * Σ(2r̄)² nears 2⁶³ (≈ 2×10⁹ rows/group), promote the moment sums
+    * to DECIMAL(38,0); the kernel is unchanged.
+    */
+  def spearman(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetAgg.corrPpm
+    val base = lineitem.select(col("l_returnflag").as("grp"),
+      col("l_quantity").cast("long").as("x"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+    def rank2(c: String): DataFrame = {
+      val w = Window.partitionBy(col("grp")).orderBy(col(c))
+      base.groupBy(col("grp"), col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .select(col("grp"), col(c),
+          (col("cum") * 2L - col("cnt") + 1L).as(s"r$c"))
+    }
+    base
+      .join(rank2("x"), Seq("grp", "x"))
+      .join(rank2("y"), Seq("grp", "y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("grp").as("l_returnflag"), col("n"),
+        corrPpm(col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy")).as("rho_ppm"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Oracle SQL twin of [[spearman]] — same histogram-ranks
+    * construction. The windowed cumulative has no peer rows (values
+    * are distinct after the groupBy), so the default RANGE frame is
+    * tie-safe in both engines.
+    */
+  def spearmanOracle: String =
+    s"""WITH b AS (
+       |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+       |  FROM lineitem
+       |), hx AS (SELECT grp, x, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |rx AS (
+       |  SELECT grp, x, CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY x) * 2
+       |    - cnt + 1 AS BIGINT) AS rx
+       |  FROM hx
+       |), hy AS (SELECT grp, y, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |ry AS (
+       |  SELECT grp, y, CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY y) * 2
+       |    - cnt + 1 AS BIGINT) AS ry
+       |  FROM hy
+       |), j AS (
+       |  SELECT b.grp, rx.rx, ry.ry
+       |  FROM b
+       |  JOIN rx ON b.grp = rx.grp AND b.x = rx.x
+       |  JOIN ry ON b.grp = ry.grp AND b.y = ry.y
+       |), m AS (
+       |  SELECT grp, count(*) AS n,
+       |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+       |    CAST(sum(rx * rx) AS BIGINT) AS sxx,
+       |    CAST(sum(ry * ry) AS BIGINT) AS syy,
+       |    CAST(sum(rx * ry) AS BIGINT) AS sxy
+       |  FROM j GROUP BY 1
+       |)
+       |SELECT grp AS l_returnflag, n,
+       |  ${graft.functions.DetAgg.corrPpmSql("n", "sx", "sy", "sxx", "syy", "sxy")} AS rho_ppm
+       |FROM m ORDER BY l_returnflag""".stripMargin
+
   private val benfordExpected: Seq[(Int, Double)] = (1 to 9)
     .map(d => d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
 

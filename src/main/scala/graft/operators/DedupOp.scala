@@ -766,6 +766,69 @@ object DedupOp {
        |  JOIN sizes sb ON sb.doc_id = i.db) t
        |WHERE jaccard >= $minJaccard ORDER BY da, db""".stripMargin
 
+  /** Asymmetric CONTAINMENT pairs — inter/min(nₐ,n_b) over the same
+    * df-capped shared-shingle blocks as [[ngramJaccard]]: the
+    * subset-copy detector. A short document pasted inside a long one
+    * has containment ≈ 1 while Jaccard ≈ n_small/n_big — far below any
+    * resemblance threshold — so a Jaccard-only dedup pass keeps both
+    * copies; this op is what catches them (the quote/boilerplate/
+    * truncation duplication class, complementing [[prefixDups]]'s
+    * same-head case with an anywhere-inside case).
+    *
+    * Scale shape identical to [[ngramJaccard]]: one groupBy(hx) builds
+    * the blocks, the df cap bounds every block's pair fan-out, sizes
+    * and intersections both come off the capped frame, nothing but
+    * 8-byte hashes and id pairs ever shuffles. Containment is computed
+    * over the capped shingle space — mirrored exactly by the oracle
+    * (the same deliberate cap [[ngramJaccard]] documents).
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.8,
+                       maxDf: Int = MaxShingleDf): DataFrame = {
+    val byShingle = docShingles(docs)
+      .groupBy(col("hx"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) <= maxDf)
+      .persist()
+    val sizes = byShingle.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = byShingle
+      .where(size(col("ds")) > 1)
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    materializeAndRelease(
+      inter
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .select(col("da"), col("db"), col("na"), col("nb"),
+          graft.functions.DetAgg.ratio(col("inter"),
+            least(col("na"), col("nb"))).as("containment"))
+        .where(col("containment") >= minContainment)
+        .orderBy("da", "db"),
+      byShingle)
+  }
+
+  /** Oracle SQL twin of [[containmentPairs]] — same capped shingle
+    * space, containment = inter/min. */
+  def containmentPairsOracle(minContainment: Double = 0.8,
+                             maxDf: Int = MaxShingleDf): String =
+    s"""WITH ${shingleCte()},
+       |${cappedShingleCte(maxDf)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM shc a JOIN shc b ON a.hx = b.hx AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT da, db, na, nb, containment FROM (
+       |  SELECT i.da, i.db, sa.n AS na, sb.n AS nb,
+       |    ${graft.functions.DetAgg.ratioSql("i.inter", "least(sa.n, sb.n)")}
+       |      AS containment
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.da
+       |  JOIN sizes sb ON sb.doc_id = i.db) t
+       |WHERE containment >= $minContainment ORDER BY da, db""".stripMargin
+
   /** q156: exact n-gram Jaccard pairs via PREFIX FILTERING (the
     * AllPairs/PPJoin family) — the LOSSLESS scale path next to
     * [[ngramJaccard]]'s df-capped blocking: the cap is safe only

@@ -89,6 +89,90 @@ object KMeansOp {
        |) t
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Simplified (centroid-based) silhouette per cluster — the standard
+    * clustering-quality audit next to the assignment op: for each point,
+    * a = distance to its own (nearest) centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/b ∈ [0,1] (b ≥ a by
+    * construction, so max(a,b) = b; b = 0 ⇒ s := 0). Unlike the full
+    * silhouette's O(N²) point-to-point means, the centroid form is one
+    * literal-centers map over the scan — no join, no extra shuffle
+    * beyond the final k-row aggregate — so it runs at any corpus scale.
+    *
+    * Parity: distances are the same round(·, 6) values the assignment
+    * op uses; s is floored to ppm BEFORE aggregation, so the per-cluster
+    * mean is an exact integer mean ([[graft.functions.DetAgg]]) — no
+    * float aggregation anywhere. The second-smallest distance is
+    * `least` over all pairwise `greatest` (exact identity, tie-safe).
+    */
+  def silhouette(embeddings: DataFrame, centerIds: Seq[Long]): DataFrame = {
+    val centers: Seq[(Long, Seq[Double])] = embeddings
+      .filter(col("vec_id").isin(centerIds: _*))
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    require(centers.size >= 2, "silhouette needs at least 2 centers")
+    val v = toDoubleArray(col("embedding"))
+    val dists: Seq[(Long, Column)] = centers.map { case (cid, cv) =>
+      cid -> round(l2(v, array(cv.map(lit): _*)), 6)
+    }
+    val dcols = dists.zipWithIndex.map { case ((_, c), i) => c.as(s"d$i") }
+    val withD = embeddings.select(col("vec_id") +: dcols: _*)
+    val ds = dists.indices.map(i => col(s"d$i"))
+    val a = least(ds: _*)
+    val pairMax = ds.combinations(2).map(p => greatest(p: _*)).toSeq
+    val b = if (pairMax.size == 1) pairMax.head else least(pairMax: _*)
+    val pred = dists.zipWithIndex.foldRight(lit(centers.last._1)) {
+      case (((cid, _), i), elseCol) =>
+        when(col(s"d$i") === a, lit(cid)).otherwise(elseCol)
+    }
+    val sPpm = when(b > 0.0,
+      floor((b - a) / b * lit(1000000.0) + lit(0.5)).cast("long"))
+      .otherwise(lit(0L))
+    withD
+      .select(pred.as("prediction"), sPpm.as("sp"))
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.DetAgg.halfUpDiv(sum(col("sp")), count(lit(1)))
+          .as("mean_s_ppm"),
+        min(col("sp")).as("min_s_ppm"),
+        max(col("sp")).as("max_s_ppm"))
+      .orderBy("prediction")
+  }
+
+  /** Oracle SQL twin of [[silhouette]] — same rounded distances as the
+    * q16 oracle, argmin/second-min via the (dist, cid) rank. */
+  def silhouetteOracle(centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                       dims: Int = 64): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id IN (${centerIds.mkString(", ")})),
+       |d AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sqrt(sum((e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE)
+       |                 * (e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE))), 6) AS dist
+       |  FROM embeddings e, c, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT vec_id, cid, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM d
+       |), p AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN rn = 1 THEN cid END) AS prediction,
+       |    max(CASE WHEN rn = 1 THEN dist END) AS a,
+       |    min(CASE WHEN rn > 1 THEN dist END) AS b
+       |  FROM r GROUP BY 1
+       |), s AS (
+       |  SELECT prediction,
+       |    CASE WHEN b > 0 THEN CAST(floor((b - a) / b * 1000000.0 + 0.5) AS BIGINT)
+       |         ELSE 0 END AS sp
+       |  FROM p
+       |)
+       |SELECT prediction, count(*) AS n,
+       |  ${graft.functions.DetAgg.halfUpDivSql("sum(sp)", "count(*)")} AS mean_s_ppm,
+       |  min(sp) AS min_s_ppm, max(sp) AS max_s_ppm
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Full anomaly pipeline (reference ClusterAnalyser semantics):
     * assign → per-cluster IQR outlier flag on the centroid distance.
     */

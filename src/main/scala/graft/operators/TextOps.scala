@@ -1433,4 +1433,179 @@ object TextOps {
             "(n_tokens * (n_tokens - 1) - same)",
             "(n_tokens * (n_tokens - 1))", 6)} AS simpson
        |FROM s ORDER BY source""".stripMargin
+
+  /** N-gram diversity — the distinct-to-total n-gram ratio per document
+    * for n = 1..3, rolled up to a per-source mean. The compression-
+    * ratio proxy corpus filters use (low diversity ⇒ templated /
+    * machine-generated / looping text) without shipping a codec:
+    * distinct n-gram fraction falls exactly where gzip would compress.
+    * Complements [[repetitionMetrics]] (which flags the single worst
+    * repeat; this scores the whole distribution).
+    *
+    * Scale shape: the per-doc ratios are row-local array ops (shingling
+    * + `array_distinct` inside whole-stage codegen — nothing per-doc
+    * ever shuffles); the only shuffle is the |sources|×3-row rollup.
+    * Parity: each per-doc ratio is floored to integer ppm BEFORE the
+    * mean, and the mean is an exact integer mean — no float
+    * aggregation ([[graft.functions.DetAgg]] rules).
+    */
+  def ngramDiversity(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val tk = tokens(col("text"))
+    def ppm(grams: Column): Column =
+      halfUpDiv(size(array_distinct(grams)).cast("long") * 1000000L,
+        size(grams).cast("long"))
+    val perDoc = docs
+      .select(col("source"), tk.as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("source"), explode(array(
+        struct(lit(1L).as("n"), ppm(col("tk")).as("ppm")),
+        struct(lit(2L).as("n"), ppm(shingles(col("tk"), 2)).as("ppm")),
+        struct(lit(3L).as("n"), ppm(shingles(col("tk"), 3)).as("ppm"))))
+        .as("e"))
+    perDoc
+      .groupBy(col("source"), col("e.n").as("n"))
+      .agg(count(lit(1)).as("n_docs"),
+        halfUpDiv(sum(col("e.ppm")), count(lit(1))).as("mean_div_ppm"))
+      .orderBy("source", "n")
+  }
+
+  /** Oracle SQL twin of [[ngramDiversity]] — grams re-derived with the
+    * series-index construction, distinct counted by GROUP BY. */
+  def ngramDiversityOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    def gramsFor(n: Int): String = {
+      val parts = (0 until n).map(k => s"tk[i + $k]").mkString(" || ' ' || ")
+      s"""SELECT doc_id, source, CAST($n AS BIGINT) AS n, $parts AS g
+         |  FROM (SELECT doc_id, source, tk,
+         |          unnest(generate_series(1, len(tk) - ${n - 1})) AS i
+         |        FROM toks) t""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS tk
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+       |), g AS (
+       |${gramsFor(1)}
+       |UNION ALL
+       |${gramsFor(2)}
+       |UNION ALL
+       |${gramsFor(3)}
+       |), d AS (
+       |  SELECT doc_id, source, n, count(*) AS tot, count(DISTINCT g) AS dis
+       |  FROM g GROUP BY 1, 2, 3
+       |), p AS (
+       |  SELECT source, n,
+       |    ${halfUpDivSql("dis * 1000000", "tot")} AS ppm
+       |  FROM d
+       |)
+       |SELECT source, n, count(*) AS n_docs,
+       |  ${halfUpDivSql("sum(ppm)", "count(*)")} AS mean_div_ppm
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Corpus filter policy — the composite keep/drop verdict a
+    * pretraining pipeline actually applies (the Gopher/C4 rule-bundle
+    * shape): five integer-exact per-document rules, reported as
+    * per-source pass counts so a corpus owner sees WHICH rule costs
+    * which source how much mass.
+    *
+    *  r1: token count in [30, 90]        (too short / too long)
+    *  r2: mean token length in [4.0, 5.0]  (4n ≤ Σlen ≤ 5n, exact)
+    *  r3: stopword ratio ≥ 3%            (100·hits ≥ 3n)
+    *  r4: unique-token ratio ≥ 0.4       (5·uniq ≥ 2n)
+    *  r5: duplicate-bigram fraction ≤ 25% (4·(nb−ndb) ≤ nb)
+    *
+    * Every rule is a pure integer comparison — no ratio ever
+    * materializes, so cross-engine float parity is structural. All
+    * five predicates are row-local (one pass over the scan, inside
+    * codegen); the only shuffle is the per-source rollup.
+    */
+  def filterPolicy(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    val n = size(tk).cast("long")
+    val sumLen = aggregate(transform(tk, t => length(t).cast("long")),
+      lit(0L), (s, x) => s + x)
+    val stop = countIn(tk, EnStop).cast("long")
+    val uniq = size(array_distinct(tk)).cast("long")
+    val bg = shingles(tk, 2)
+    val nb = size(bg).cast("long")
+    val ndb = size(array_distinct(bg)).cast("long")
+    val r1 = n >= 30L && n <= 90L
+    val r2 = sumLen >= n * 4L && sumLen <= n * 5L
+    val r3 = stop * 100L >= n * 3L
+    val r4 = uniq * 5L >= n * 2L
+    val r5 = (nb - ndb) * 4L <= nb && nb > 0L
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    docs
+      .select(col("source"), r1.as("r1"), r2.as("r2"), r3.as("r3"),
+        r4.as("r4"), r5.as("r5"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(col("r1")).as("pass_len"),
+        cnt(col("r2")).as("pass_tok_len"),
+        cnt(col("r3")).as("pass_stop"),
+        cnt(col("r4")).as("pass_uniq"),
+        cnt(col("r5")).as("pass_rep"),
+        cnt(col("r1") && col("r2") && col("r3") && col("r4") && col("r5"))
+          .as("n_pass"))
+      .select(col("source"), col("n_docs"), col("pass_len"),
+        col("pass_tok_len"), col("pass_stop"), col("pass_uniq"),
+        col("pass_rep"), col("n_pass"),
+        graft.functions.DetAgg.halfUpDiv(col("n_pass") * 1000000L,
+          col("n_docs")).as("pass_ppm"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[filterPolicy]] — the same five integer
+    * predicates over re-derived token stats. */
+  def filterPolicyOracle: String = {
+    val stopList = EnStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS tk
+       |  FROM documents
+       |), u AS (
+       |  SELECT doc_id, unnest(tk) AS tok FROM toks
+       |), ts AS (
+       |  SELECT doc_id, CAST(sum(len(tok)) AS BIGINT) AS sum_len,
+       |    CAST(sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS stop_hits,
+       |    CAST(count(DISTINCT tok) AS BIGINT) AS uniq
+       |  FROM u GROUP BY 1
+       |), bg AS (
+       |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+       |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+       |        FROM toks WHERE len(tk) >= 2) t
+       |), bs AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+       |    CAST(count(DISTINCT g) AS BIGINT) AS ndb
+       |  FROM bg GROUP BY 1
+       |), r AS (
+       |  SELECT t.source,
+       |    CAST(len(t.tk) AS BIGINT) AS n, ts.sum_len, ts.stop_hits, ts.uniq,
+       |    coalesce(bs.nb, 0) AS nb, coalesce(bs.ndb, 0) AS ndb
+       |  FROM toks t
+       |  JOIN ts ON ts.doc_id = t.doc_id
+       |  LEFT JOIN bs ON bs.doc_id = t.doc_id
+       |), f AS (
+       |  SELECT source,
+       |    (n >= 30 AND n <= 90) AS r1,
+       |    (sum_len >= n * 4 AND sum_len <= n * 5) AS r2,
+       |    (stop_hits * 100 >= n * 3) AS r3,
+       |    (uniq * 5 >= n * 2) AS r4,
+       |    ((nb - ndb) * 4 <= nb AND nb > 0) AS r5
+       |  FROM r
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+       |  CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_tok_len,
+       |  CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+       |  CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_uniq,
+       |  CAST(sum(CASE WHEN r5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep,
+       |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_pass,
+       |  ${graft.functions.DetAgg.halfUpDivSql(
+            "sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) * 1000000",
+            "count(*)")} AS pass_ppm
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

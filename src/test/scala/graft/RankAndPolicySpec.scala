@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{AuditOps, DedupOp, KMeansOp, TextOps}
+
+/** Constructed-data tests for the round-8 additions: centroid
+  * silhouette (q163), Spearman rank correlation (q164), n-gram
+  * diversity (q165), the composite filter policy (q166), and
+  * asymmetric containment pairs (q167). Each test plants a case with a
+  * hand-computed exact answer — the corpus-level hash gate proves
+  * engine parity, these prove the arithmetic.
+  */
+class RankAndPolicySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("silhouette: tight point high, equidistant point zero, exact ppm means") {
+    // centers are vec_id 1 (0,0) and 2 (10,0); point 3 at (1,0) has
+    // a=1, b=9 → s=8/9; point 4 at (5,0) is equidistant → a=b=5 → s=0
+    val emb = Seq(
+      (1L, Seq(0.0, 0.0)),
+      (2L, Seq(10.0, 0.0)),
+      (3L, Seq(1.0, 0.0)),
+      (4L, Seq(5.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = KMeansOp.silhouette(emb, Seq(1L, 2L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // cluster 1: s values {1000000, 888889, 0} → halfUp(1888889/3) = 629630
+    assert(out(1L) === ((3L, 629630L, 0L, 1000000L)))
+    assert(out(2L) === ((1L, 1000000L, 1000000L, 1000000L)))
+  }
+
+  test("spearman: monotone → 1, anti-monotone → −1, ties keep ±1 when aligned") {
+    val li = Seq(
+      // grp A: monotone but wildly non-linear — Spearman sees 1.0
+      ("A", 1.0, 0.01), ("A", 2.0, 1.00), ("A", 3.0, 100.0), ("A", 4.0, 9999.0),
+      // grp B: aligned ties on both sides — still 1.0 with average ranks
+      ("B", 1.0, 0.05), ("B", 1.0, 0.05), ("B", 2.0, 0.09),
+      // grp C: strictly decreasing — −1.0
+      ("C", 1.0, 0.30), ("C", 2.0, 0.20), ("C", 3.0, 0.10)
+    ).toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val out = AuditOps.spearman(li).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("A") === 1000000L)
+    assert(out("B") === 1000000L)
+    assert(out("C") === -1000000L)
+  }
+
+  test("ngramDiversity: all-same vs all-distinct tokens, exact ppm") {
+    val docs = Seq(
+      (1L, "rep", "a a a a"),      // 1/4, 1/3, 1/2 distinct ratios
+      (2L, "uni", "w x y z")       // all distinct → 1.0 at every n
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.ngramDiversity(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out(("rep", 1L)) === 250000L)
+    assert(out(("rep", 2L)) === 333333L)
+    assert(out(("rep", 3L)) === 500000L)
+    assert(out(("uni", 1L)) === 1000000L)
+    assert(out(("uni", 2L)) === 1000000L)
+    assert(out(("uni", 3L)) === 1000000L)
+  }
+
+  test("filterPolicy: each rule fails exactly its planted doc") {
+    val good = (1 to 40).map(i => s"tok$i").mkString(" ") // 40 toks, len 4-5ish
+    // planted failures, one per rule, same source
+    val tooShort = (1 to 5).map(i => s"tok$i").mkString(" ")
+    val longToks = (1 to 40).map(i => s"verylongtoken$i").mkString(" ")
+    val noStop = good // no stopwords at all → fails r3
+    // 36× one 5-char token + 4 stopwords: length/len rules pass, but
+    // uniq = 2/40 (fails r4) and 36 duplicate bigrams (fails r5)
+    val repeated = ("zzzzz " * 36 + "the the the the").trim
+    val docs = Seq(
+      (1L, "s", good + " the a of"),   // 43 toks incl 3 stopwords → passes all
+      (2L, "s", tooShort),             // fails r1 (too short)
+      (3L, "s", longToks),             // fails r2 (mean len > 5)
+      (4L, "s", noStop),               // fails r3 (0 stopwords)
+      (5L, "s", repeated)              // fails r4 + r5
+    ).toDF("doc_id", "source", "text")
+    val r = TextOps.filterPolicy(docs).collect().head
+    assert(r.getString(0) === "s")
+    assert(r.getLong(1) === 5L)            // n_docs
+    assert(r.getLong(2) === 4L)            // pass_len (doc 2 fails)
+    assert(r.getLong(3) === 4L)            // pass_tok_len (doc 3 fails)
+    assert(r.getLong(4) === 2L)            // pass_stop (docs 1 and 5 only)
+    assert(r.getLong(5) === 4L)            // pass_uniq (doc 5 fails)
+    assert(r.getLong(6) === 4L)            // pass_rep (doc 5 fails)
+    assert(r.getLong(7) === 1L)            // n_pass: only doc 1
+    assert(r.getLong(8) === 200000L)       // pass_ppm = 1/5
+  }
+
+  test("containmentPairs flags a subset-copy that Jaccard misses") {
+    val big = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
+    val sub = (1 to 5).map(i => s"w$i").mkString(" ")    // 3 shingles ⊂ big
+    val docs = Seq((1L, big), (2L, sub)).toDF("doc_id", "text")
+    val cont = DedupOp.containmentPairs(docs, 0.8).collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getLong(2) === 18L && r.getLong(3) === 3L)
+    assert(r.getDouble(4) === 1.0)
+    // the same pair's Jaccard is 3/18 — far below the 0.5 near-dup bar
+    assert(DedupOp.ngramJaccard(docs, 0.5).collect().isEmpty)
+  }
+}
