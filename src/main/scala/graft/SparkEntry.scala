@@ -886,6 +886,23 @@ object SparkEntry {
     // union denominator hides.
     "q167_containment" -> ((s, d) =>
       DedupOp.containmentPairs(Tables.documents(s, d))),
+
+    // Per-source token-distribution χ² vs the corpus — the domain-shift
+    // detector for ingest batches (missing mass in closed form).
+    "q168_token_chi2" -> ((s, d) =>
+      TextOps.tokenChi2Drift(Tables.documents(s, d))),
+
+    // Equal-frequency price histogram with value-level tie-safe bucket
+    // assignment (NTILE's tie-splitting is neither desirable nor
+    // mirrorable).
+    "q169_equidepth_hist" -> ((s, d) =>
+      RelationalOps.equiDepthHistogram(Tables.lineitem(s, d))),
+
+    // Landmark harmonic closeness: one multi-source BFS instead of |V|
+    // passes — the centrality sketch that scales.
+    "q170_landmark_closeness" -> ((s, d) =>
+      GraphOps.landmarkCloseness(GraphOps.repeatEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", inputTag = Some(d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1494,5 +1511,8 @@ object SparkEntry {
     "q165_ngram_diversity" -> TextOps.ngramDiversityOracle,
     "q166_filter_policy" -> TextOps.filterPolicyOracle,
     "q167_containment" -> DedupOp.containmentPairsOracle(),
+    "q168_token_chi2" -> TextOps.tokenChi2DriftOracle,
+    "q169_equidepth_hist" -> RelationalOps.equiDepthHistogramOracle(),
+    "q170_landmark_closeness" -> GraphOps.landmarkClosenessOracle(),
   )
 }

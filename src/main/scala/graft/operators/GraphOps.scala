@@ -375,6 +375,108 @@ object GraphOps {
     visited.orderBy("node")
   }
 
+  /** Landmark harmonic closeness — multi-source BFS from the
+    * `nLandmarks` smallest node ids, then per node the harmonic sum
+    * Σ 1/d(v, landmark) over reached landmarks. The standard
+    * scalable stand-in for closeness centrality: exact all-pairs
+    * closeness is |V| BFS runs, landmark closeness is ONE BFS whose
+    * frontier carries a landmark tag — the classic sketch for "how
+    * central is this node" at graph sizes where |V| passes are
+    * unaffordable.
+    *
+    * Parity: 1/d is irrational in binary for d=3 — so the per-hop
+    * weights round(10⁶/d) are computed ONCE at plan build and embedded
+    * as the SAME integer literals in both engines (the q157 nDCG
+    * trick); the per-node closeness is then an exact integer sum.
+    *
+    * Scale shape: identical to [[bfsLevels]] per round — one
+    * join + distinct + anti-join, now keyed by (node, landmark); the
+    * frontier is at most `nLandmarks` × |V| and each level is
+    * eagerly persisted (the kCore lesson: the mutating visited frame
+    * is referenced by every later round).
+    */
+  def landmarkCloseness(edges: DataFrame, nLandmarks: Int = 4,
+                        maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 12, "landmarkCloseness: maxHops")
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    val lms = und.select(col("u").as("node")).distinct()
+      .orderBy("node").limit(nLandmarks)
+    var visited = lms.select(col("node"), col("node").as("lm"),
+      lit(0L).as("hops")).persist()
+    visited.count()
+    var frontier = visited.select(col("node"), col("lm"))
+    for (i <- 1 to maxHops) {
+      val next = und
+        .join(frontier.select(col("node").as("u"), col("lm")), Seq("u"))
+        .select(col("v").as("node"), col("lm")).distinct()
+        .join(visited.select(col("node"), col("lm")),
+          Seq("node", "lm"), "left_anti")
+        .persist()
+      next.count()
+      visited = visited
+        .unionByName(next.select(col("node"), col("lm"),
+          lit(i.toLong).as("hops")))
+        .persist()
+      visited.count()
+      frontier = next.select(col("node"), col("lm"))
+    }
+    val wts: Seq[(Int, Long)] =
+      (1 to maxHops).map(d => d -> Math.round(1000000.0 / d))
+    val wcol = wts.foldRight(lit(0L)) { case ((d, w), other) =>
+      when(col("hops") === d.toLong, lit(w)).otherwise(other)
+    }
+    val out = visited
+      .where(col("hops") >= 1L)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        min(col("hops")).as("min_hops"),
+        sum(wcol).as("closeness_1e6"))
+      .orderBy("node")
+    try out.localCheckpoint() finally und.unpersist()
+  }
+
+  /** Oracle SQL twin of [[landmarkCloseness]] — the multi-source BFS
+    * unrolled as chained CTEs over (node, landmark) pairs, same
+    * embedded integer weights. */
+  def landmarkClosenessOracle(nLandmarks: Int = 4, maxHops: Int = 4,
+                              minW: Long = 2L): String = {
+    val wts = (1 to maxHops).map(d => d -> Math.round(1000000.0 / d))
+    val wcase = wts.map { case (d, w) => s"WHEN $d THEN $w" }.mkString(" ")
+    val steps = (1 to maxHops).map { i =>
+      val pf = if (i == 1) "f0" else s"f${i - 1}"
+      s"""f$i AS (
+         |  SELECT DISTINCT und.v AS node, p.lm
+         |  FROM und JOIN $pf p ON und.u = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} x
+         |                    WHERE x.node = und.v AND x.lm = p.lm)
+         |), v$i AS (
+         |  SELECT node, lm, hops FROM v${i - 1}
+         |  UNION ALL SELECT node, lm, CAST($i AS BIGINT) FROM f$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |w AS (
+       |  SELECT a.pk AS x, b.pk AS y, count(*) AS wc
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2
+       |),
+       |e0 AS (SELECT x, y FROM w WHERE wc >= $minW),
+       |und AS (SELECT x AS u, y AS v FROM e0 UNION ALL SELECT y, x FROM e0),
+       |lms AS (SELECT u AS node FROM und GROUP BY 1 ORDER BY 1
+       |        LIMIT $nLandmarks),
+       |v0 AS (SELECT node, node AS lm, CAST(0 AS BIGINT) AS hops FROM lms),
+       |f0 AS (SELECT node, lm FROM v0),
+       |$steps
+       |SELECT node, count(*) AS n_reached,
+       |  min(hops) AS min_hops,
+       |  CAST(sum(CASE hops $wcase END) AS BIGINT) AS closeness_1e6
+       |FROM v$maxHops WHERE hops >= 1
+       |GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   /** "Customers also bought" — per part, the top `k` co-purchase
     * partners by repeat weight (ties → smaller partner id): the
     * item-to-item collaborative-filtering serving table, built from

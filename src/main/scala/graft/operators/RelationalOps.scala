@@ -526,4 +526,56 @@ object RelationalOps {
       |    AS wmedian_price,
       |  CAST(max(totw) AS BIGINT) AS total_weight, count(*) AS n_parts
       |FROM w GROUP BY 1 ORDER BY p_brand""".stripMargin
+
+  /** Equi-depth (equal-frequency) histogram of extended price — the
+    * histogram an optimizer or data-profiler keeps when value skew
+    * makes equal-WIDTH bins useless (q12's sibling). Ties stay
+    * together: buckets are assigned at the DISTINCT-VALUE level by the
+    * integer rule b = ⌊start·B/N⌋ where start = rows before the value
+    * group — a tie never straddles a boundary (unlike row-level NTILE,
+    * whose arbitrary tie-splitting also makes it unmirrorable), and
+    * bucket sizes stay within one value-group of N/B.
+    *
+    * Scale shape: one groupBy builds the value histogram; the global
+    * window runs over the DISTINCT-value frame — bounded by the price
+    * DOMAIN cardinality, not the row count (the q94 count-of-counts
+    * argument), so the single-partition sort never sees fact-table
+    * rows. The final rollup is B rows.
+    */
+  def equiDepthHistogram(lineitem: DataFrame, buckets: Int = 8): DataFrame = {
+    val cents = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val h = lineitem.select(cents.as("pc"))
+      .groupBy(col("pc")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("pc"))
+    h.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("b",
+        call_function("div", (col("cum") - col("cnt")) * buckets,
+          max(col("cum")).over(Window.partitionBy())) + 1L)
+      .groupBy(col("b"))
+      .agg(sum(col("cnt")).as("n"),
+        min(col("pc")).as("lo_cents"), max(col("pc")).as("hi_cents"),
+        sum(col("pc") * col("cnt")).as("sum_cents"))
+      .select(col("b").as("bucket"), col("n"), col("lo_cents"),
+        col("hi_cents"), col("sum_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Oracle SQL twin of [[equiDepthHistogram]] — same value-level
+    * integer bucket rule. */
+  def equiDepthHistogramOracle(buckets: Int = 8): String =
+    s"""WITH h AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lineitem GROUP BY 1
+       |), c AS (
+       |  SELECT pc, cnt,
+       |    CAST(sum(cnt) OVER (ORDER BY pc) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+       |  FROM h
+       |)
+       |SELECT ((cum - cnt) * $buckets // n_total) + 1 AS bucket,
+       |  CAST(sum(cnt) AS BIGINT) AS n,
+       |  min(pc) AS lo_cents, max(pc) AS hi_cents,
+       |  CAST(sum(pc * cnt) AS BIGINT) AS sum_cents
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 }

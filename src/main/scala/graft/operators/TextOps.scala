@@ -1503,6 +1503,96 @@ object TextOps {
        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Per-source token-distribution χ² drift vs the whole corpus — the
+    * domain-shift detector a mixture pipeline runs per ingest batch:
+    * a source whose unigram distribution diverges from the corpus
+    * average gets flagged BEFORE it skews the training mix. χ² with
+    * expected counts e(t) = n_t·N_s/N_g (corpus share × source mass).
+    *
+    * The sum splits into present-token terms plus the missing-mass
+    * identity: Σ_t e(t) = N_s exactly, so tokens a source never emits
+    * contribute N_s − Σ_{t∈s} e(t) in one closed form — no zero-count
+    * rows ever materialize (the frame stays |source×type|, never
+    * |source|×|vocab|).
+    *
+    * Parity: every input to the per-term expression is an exact BIGINT
+    * (o·N_g and n_t·N_s stay far under 2⁵³, so their double images are
+    * exact); the term (o·N_g − n_t·N_s)²/(N_g·n_t·N_s) is scalar IEEE
+    * math on identical integers, floored to ppm per term and summed as
+    * integers — the [[graft.functions.DetAgg.corrPpm]] discipline. At
+    * corpus sizes where o·N_g nears 2⁵³ (≈ 10¹⁰ tokens), promote the
+    * products to DECIMAL(38,0) before the double cast.
+    *
+    * Scale shape: one (source, token) count, one per-token rollup, one
+    * co-partitioned join on token, one per-source rollup — all
+    * map-side combined, nothing quadratic anywhere.
+    */
+  def tokenChi2Drift(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val st = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("o"))
+      .persist()
+    val perTok = st.groupBy(col("tok")).agg(sum(col("o")).as("nt"))
+    val perSrc = st.groupBy(col("source")).agg(sum(col("o")).as("ns"),
+      count(lit(1)).as("n_types"))
+    val ngCol = perSrc.agg(sum(col("ns"))).collect()(0).getLong(0)
+    val num = col("o") * lit(ngCol) - col("nt") * col("ns")
+    val den = (lit(ngCol) * col("nt") * col("ns")).cast("double")
+    val termPpm = floor(num.cast("double") * num.cast("double") / den
+      * lit(1000000.0) + lit(0.5)).cast("long")
+    val present = st
+      .join(perTok, Seq("tok"))
+      .join(broadcast(perSrc.select(col("source"), col("ns"))), Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(termPpm).as("present_ppm"), sum(col("nt")).as("snt"))
+    val out = perSrc.join(present, Seq("source"))
+      .select(col("source"), col("ns").as("n_tokens"), col("n_types"),
+        (col("present_ppm") +
+          halfUpDiv(col("ns") * (lit(ngCol) - col("snt")) * 1000000L,
+            lit(ngCol))).as("chi2_ppm"))
+      .orderBy("source")
+    try out.localCheckpoint() finally { st.unpersist(); () }
+  }
+
+  /** Oracle SQL twin of [[tokenChi2Drift]] — same exact-integer terms,
+    * same missing-mass closed form. */
+  def tokenChi2DriftOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), st AS (
+       |  SELECT source, tok, CAST(count(*) AS BIGINT) AS o
+       |  FROM t GROUP BY 1, 2
+       |), pt AS (SELECT tok, CAST(sum(o) AS BIGINT) AS nt FROM st GROUP BY 1),
+       |ps AS (
+       |  SELECT source, CAST(sum(o) AS BIGINT) AS ns, count(*) AS n_types
+       |  FROM st GROUP BY 1
+       |), g AS (SELECT CAST(sum(ns) AS BIGINT) AS ng FROM ps),
+       |pres AS (
+       |  SELECT st.source,
+       |    CAST(sum(CAST(floor(
+       |      CAST(st.o * g.ng - pt.nt * ps.ns AS DOUBLE)
+       |        * CAST(st.o * g.ng - pt.nt * ps.ns AS DOUBLE)
+       |        / CAST(g.ng * pt.nt * ps.ns AS DOUBLE)
+       |        * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS present_ppm,
+       |    CAST(sum(pt.nt) AS BIGINT) AS snt
+       |  FROM st
+       |  JOIN pt ON pt.tok = st.tok
+       |  JOIN ps ON ps.source = st.source
+       |  CROSS JOIN g
+       |  GROUP BY 1
+       |)
+       |SELECT ps.source, ps.ns AS n_tokens, ps.n_types,
+       |  pres.present_ppm +
+       |    ${halfUpDivSql("ps.ns * (g.ng - pres.snt) * 1000000", "g.ng")}
+       |    AS chi2_ppm
+       |FROM ps JOIN pres ON pres.source = ps.source CROSS JOIN g
+       |ORDER BY ps.source""".stripMargin
+  }
+
   /** Corpus filter policy — the composite keep/drop verdict a
     * pretraining pipeline actually applies (the Gopher/C4 rule-bundle
     * shape): five integer-exact per-document rules, reported as

@@ -88,6 +88,46 @@ class RankAndPolicySpec extends SparkSuite {
     assert(r.getLong(8) === 200000L)       // pass_ppm = 1/5
   }
 
+  test("tokenChi2Drift: identical distributions zero, disjoint vocab exact") {
+    // both sources match the corpus distribution exactly → χ² = 0
+    val same = Seq((1L, "sA", "x y"), (2L, "sB", "x y"))
+      .toDF("doc_id", "source", "text")
+    val z = operators.TextOps.tokenChi2Drift(same).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(z === Map("sA" -> 0L, "sB" -> 0L))
+    // disjoint vocabularies: per source χ² = (2−1)²/1 + 1 missing = 2.0
+    val disj = Seq((1L, "sA", "x x"), (2L, "sB", "y y"))
+      .toDF("doc_id", "source", "text")
+    val d = operators.TextOps.tokenChi2Drift(disj).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(d === Map("sA" -> 2000000L, "sB" -> 2000000L))
+  }
+
+  test("equiDepthHistogram keeps tie groups together at a boundary") {
+    // values 1¢×3, 2¢×3, 3¢×2 with 2 buckets: starts 0,3,6 of N=8 →
+    // buckets 1,1,2 — the 2¢ tie group does NOT straddle the boundary
+    val rows = Seq.fill(3)(0.01) ++ Seq.fill(3)(0.02) ++ Seq.fill(2)(0.03)
+    val li = rows.toDF("l_extendedprice")
+    val out = operators.RelationalOps.equiDepthHistogram(li, buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((6L, 1L, 2L, 9L)))   // 3×1¢ + 3×2¢
+    assert(out(2L) === ((2L, 3L, 3L, 6L)))   // 2×3¢
+  }
+
+  test("landmarkCloseness on a path graph: exact harmonic sums") {
+    // path 1-2-3-4-5, landmarks = two smallest nodes {1, 2}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = operators.GraphOps.landmarkCloseness(edges, nLandmarks = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((1L, 1L, 1000000L)))           // d(1,2)=1
+    assert(out(2L) === ((1L, 1L, 1000000L)))           // d(2,1)=1
+    assert(out(3L) === ((2L, 1L, 1500000L)))           // 1/2 + 1/1
+    assert(out(4L) === ((2L, 2L, 833333L)))            // 1/3 + 1/2
+    assert(out(5L) === ((2L, 3L, 583333L)))            // 1/4 + 1/3
+  }
+
   test("containmentPairs flags a subset-copy that Jaccard misses") {
     val big = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
     val sub = (1 to 5).map(i => s"w$i").mkString(" ")    // 3 shingles ⊂ big

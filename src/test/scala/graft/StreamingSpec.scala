@@ -1012,4 +1012,28 @@ class StreamingSpec extends SparkSuite {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("streaming filterPolicy equals the batch q166 verdict (complete-mode agg)") {
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val expected = TextOps.filterPolicy(docs).collect().map(_.toString).sorted
+    val rows = docs.select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String, String)]
+    val sdf = mem.toDF().toDF("doc_id", "source", "text")
+    // the five rules are row-local; the rollup is one standard
+    // streaming aggregation — the batch op runs unchanged on a stream
+    val q = TextOps.filterPolicy(sdf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("policy_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("policy_out").collect().map(_.toString).sorted
+      assert(got.toSeq == expected.toSeq)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
