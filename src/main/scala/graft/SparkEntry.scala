@@ -903,6 +903,11 @@ object SparkEntry {
     "q170_landmark_closeness" -> ((s, d) =>
       GraphOps.landmarkCloseness(GraphOps.repeatEdgesTable(
         Tables.lineitem(s, d), "/tmp/graft_warehouse", inputTag = Some(d)))),
+
+    // Join-key skew audit: per-key share, max/mean ratio, and the salt
+    // factor a skewed shuffle would need — the 100×-scale-up pre-check.
+    "q171_skew_audit" -> ((s, d) =>
+      AuditOps.joinKeySkew(AuditOps.defaultSkewRels(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1514,5 +1519,6 @@ object SparkEntry {
     "q168_token_chi2" -> TextOps.tokenChi2DriftOracle,
     "q169_equidepth_hist" -> RelationalOps.equiDepthHistogramOracle(),
     "q170_landmark_closeness" -> GraphOps.landmarkClosenessOracle(),
+    "q171_skew_audit" -> AuditOps.joinKeySkewOracle(),
   )
 }

@@ -384,6 +384,77 @@ object AuditOps {
        |  ${graft.functions.DetAgg.corrPpmSql("n", "sx", "sy", "sxx", "syy", "sxy")} AS rho_ppm
        |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Join-key skew audit — the pre-flight "will this join survive a
+    * 100× scale-up" diagnostic: per declared join-key column, the
+    * distinct-key count, the heaviest key's share, the max/mean skew
+    * ratio, and the salt factor a skewed shuffle would need (ceil of
+    * heaviest-key rows over the average partition's rows at `parts`
+    * partitions — 1 means "no salting needed"). A key whose share
+    * grows with the data (a null-surrogate, a default id, a hot
+    * celebrity key) is what turns a clean sort-merge join into one
+    * straggler task at 100 TB; this audit is what catches it in CI
+    * before the data gets there.
+    *
+    * Scale shape: one map-side-combined groupBy per audited column,
+    * then a 1-row rollup each — the audit costs one scan per column
+    * regardless of skew. All metrics are exact integers
+    * ([[graft.functions.DetAgg]] ppm rules).
+    */
+  def joinKeySkew(rels: Seq[(String, DataFrame, String)],
+                  parts: Int = 32): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val perRel = rels.map { case (name, df, key) =>
+      df.select(col(key).cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"))
+        .select(lit(name).as("rel"), col("n"), col("n_keys"),
+          col("max_cnt"),
+          halfUpDiv(col("max_cnt") * 1000000L, col("n")).as("top1_ppm"),
+          halfUpDiv(col("max_cnt") * col("n_keys") * 1000000L, col("n"))
+            .as("skew_ppm"),
+          call_function("div",
+            col("max_cnt") * parts.toLong + col("n") - 1L, col("n"))
+            .as(s"salt_$parts"))
+    }
+    perRel.reduce(_.unionByName(_)).orderBy("rel")
+  }
+
+  /** Oracle SQL twin of [[joinKeySkew]] for the default audited set. */
+  def joinKeySkewOracle(parts: Int = 32): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    def one(name: String, table: String, key: String): String =
+      s"""SELECT '$name' AS rel, n, n_keys, max_cnt,
+         |  ${halfUpDivSql("max_cnt * 1000000", "n")} AS top1_ppm,
+         |  ${halfUpDivSql("max_cnt * n_keys * 1000000", "n")} AS skew_ppm,
+         |  (max_cnt * $parts + n - 1) // n AS salt_$parts
+         |FROM (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_keys,
+         |    CAST(max(cnt) AS BIGINT) AS max_cnt
+         |  FROM (SELECT CAST($key AS BIGINT) AS k, count(*) AS cnt
+         |        FROM $table GROUP BY 1) g
+         |) s""".stripMargin
+    Seq(
+      one("events.user_id", "events", "user_id"),
+      one("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      one("lineitem.l_partkey", "lineitem", "l_partkey"),
+      one("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      one("orders.o_custkey", "orders", "o_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rel")
+  }
+
+  /** The default audited join-key set for [[joinKeySkew]]. */
+  def defaultSkewRels(s: SparkSession, d: String)
+      : Seq[(String, DataFrame, String)] = {
+    import graft.tables.Tables
+    Seq(
+      ("events.user_id", Tables.events(s, d), "user_id"),
+      ("lineitem.l_orderkey", Tables.lineitem(s, d), "l_orderkey"),
+      ("lineitem.l_partkey", Tables.lineitem(s, d), "l_partkey"),
+      ("lineitem.l_suppkey", Tables.lineitem(s, d), "l_suppkey"),
+      ("orders.o_custkey", Tables.orders(s, d), "o_custkey"))
+  }
+
   private val benfordExpected: Seq[(Int, Double)] = (1 to 9)
     .map(d => d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
 

@@ -128,6 +128,17 @@ class RankAndPolicySpec extends SparkSuite {
     assert(out(5L) === ((2L, 3L, 583333L)))            // 1/4 + 1/3
   }
 
+  test("joinKeySkew: planted hot key yields exact share, ratio, salt") {
+    // 10 rows: key 1 × 6, keys 2..5 × 1 each → n=10, n_keys=5, max=6
+    val df = (Seq.fill(6)(1L) ++ Seq(2L, 3L, 4L, 5L)).toDF("k")
+    val r = operators.AuditOps.joinKeySkew(Seq(("t.k", df, "k")), parts = 4)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((10L, 5L, 6L)))
+    assert(r.getLong(4) === 600000L)   // top1 share 0.6
+    assert(r.getLong(5) === 3000000L)  // max/mean = 6/2 = 3.0
+    assert(r.getLong(6) === 3L)        // ceil(6·4/10) = 3 salts
+  }
+
   test("containmentPairs flags a subset-copy that Jaccard misses") {
     val big = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
     val sub = (1 to 5).map(i => s"w$i").mkString(" ")    // 3 shingles ⊂ big

@@ -1036,4 +1036,26 @@ class StreamingSpec extends SparkSuite {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming ngramDiversity equals the batch q165 rollup (complete-mode agg)") {
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val expected = TextOps.ngramDiversity(docs).collect().map(_.toString).sorted
+    val rows = docs.select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String, String)]
+    val sdf = mem.toDF().toDF("doc_id", "source", "text")
+    val q = TextOps.ngramDiversity(sdf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("div_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("div_out").collect().map(_.toString).sorted
+      assert(got.toSeq == expected.toSeq)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
