@@ -908,6 +908,12 @@ object SparkEntry {
     // factor a skewed shuffle would need — the 100×-scale-up pre-check.
     "q171_skew_audit" -> ((s, d) =>
       AuditOps.joinKeySkew(AuditOps.defaultSkewRels(s, d))),
+
+    // Dynamic partition pruning: the kept partitions are decided by a
+    // filtered dim at RUN time — q58's static sibling, runtime form.
+    "q172_dpp_stats" -> ((s, d) =>
+      BucketedOps.dppSourceStats(Tables.documents(s, d), Tables.nation(s, d),
+        "/tmp/graft_warehouse", inputTag = Some(d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1520,5 +1526,6 @@ object SparkEntry {
     "q169_equidepth_hist" -> RelationalOps.equiDepthHistogramOracle(),
     "q170_landmark_closeness" -> GraphOps.landmarkClosenessOracle(),
     "q171_skew_audit" -> AuditOps.joinKeySkewOracle(),
+    "q172_dpp_stats" -> BucketedOps.dppSourceStatsOracle,
   )
 }

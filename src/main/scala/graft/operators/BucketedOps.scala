@@ -179,6 +179,68 @@ object BucketedOps {
        |WHERE source IN (${sources.map(s => s"'$s'").mkString(", ")})
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Dynamic partition pruning demo — the RUNTIME sibling of
+    * [[prunedSourceStats]]'s static pruning: the kept sources are not
+    * literals in the query but the output of a filtered dimension
+    * (here: sources whose portable hash is odd), so the planner cannot
+    * prune statically. With the fact partitioned by `source` and the
+    * dim broadcast, Spark inserts a `dynamicpruning` subquery into the
+    * fact scan's PartitionFilters — at 100 TB this is the difference
+    * between scanning every date/tenant directory and scanning the
+    * few the dim selected, decided at RUN time (asserted in
+    * BucketedOpsSpec). Results are layout-invariant; the oracle runs
+    * the plain-parquet predicate directly.
+    *
+    * Reuses [[prunedSourceStats]]'s write-once partitioned table, so
+    * within a session the two demos share one layout write.
+    */
+  /** The tenant dimension: nation keys mapped onto source names, kept
+    * when the source string's portable hash is odd — a predicate the
+    * planner cannot constant-fold through the join, which is exactly
+    * what forces the pruning decision to run time.
+    */
+  private def sourceDim(nation: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.portableHash
+    nation
+      .select(concat(lit("src"), col("n_nationkey").cast("string"))
+        .as("source"))
+      .where(portableHash(col("source")) % 2L === 1L)
+  }
+
+  def dppSourceStats(docs: DataFrame, nation: DataFrame, warehouse: String,
+                     inputTag: Option[String] = None): DataFrame =
+    dppScan(docs, nation, warehouse, inputTag)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+
+  /** The joined-but-unaggregated frame (exposed for the DPP plan
+    * assertion). */
+  def dppScan(docs: DataFrame, nation: DataFrame, warehouse: String,
+              inputTag: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val table = s"g_docs_parted${tagOf(inputTag)}"
+    writeOnce(spark, table, inputTag.isDefined) {
+      writePartitioned(docs.select(col("doc_id"), col("n_chars"), col("source")),
+        table, "source", warehouse)
+    }
+    spark.table(table).join(broadcast(sourceDim(nation)), Seq("source"))
+  }
+
+  /** Oracle SQL twin of [[dppSourceStats]] — the same dim semi-join
+    * evaluated directly on the plain parquet. */
+  def dppSourceStatsOracle: String =
+    s"""WITH dim AS (
+       |  SELECT 'src' || CAST(n_nationkey AS VARCHAR) AS source
+       |  FROM nation
+       |  WHERE (${graft.functions.TextFunctions.portableHashSql(
+                  "('src' || CAST(n_nationkey AS VARCHAR))")}) % 2 = 1
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+       |FROM documents d JOIN dim ON dim.source = d.source
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Morton (Z-order) bit-interleave of two 8-bit bucket values, as a
     * pure-arithmetic formula both engines evaluate identically: bit i
     * of x lands at position 2i+1, bit i of y at 2i. `div` is the

@@ -80,6 +80,40 @@ class BucketedOpsSpec extends SparkSuite {
     }
   }
 
+  test("dpp scan: runtime dim filter reaches the fact PartitionFilters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // source names follow the real corpus ("src"+nationkey) so the
+    // nation-driven dim intersects them
+    val docs = (1L to 40L)
+      .map(i => (i, 10L * i, s"src${i % 8}"))
+      .toDF("doc_id", "n_chars", "source")
+    // the dim must be a FILE scan: an in-memory Seq becomes a
+    // LocalRelation whose filter constant-folds away, and with no
+    // Filter node on the dim side the planner never considers DPP
+    (0 to 24).map(_.toLong).toDF("n_nationkey")
+      .write.mode("overwrite").parquet(s"$wh/nation_pq")
+    val nation = spark.read.parquet(s"$wh/nation_pq")
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val joined = BucketedOps.dppScan(docs, nation, wh)
+      val scans = joined.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+        .filter(_.relation.partitionSchema.nonEmpty)
+      assert(scans.nonEmpty, s"no partitioned fact scan:\n${joined.queryExecution}")
+      // the dim's hash-parity filter is NOT foldable to source literals,
+      // so pruning must arrive as a runtime dynamicpruning subquery
+      assert(scans.exists(_.partitionFilters.exists(
+          _.toString.contains("dynamicpruning"))),
+        s"no dynamic pruning subquery in the fact scan:\n${joined.queryExecution}")
+      // and the result equals the plain predicate evaluated directly
+      val expected = docs
+        .where(graft.functions.TextFunctions.portableHash(col("source"))
+          % 2L === 1L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(joined.select("doc_id").as[Long].collect().toSet === expected)
+      assert(expected.nonEmpty && expected.size < 40)
+    }
+  }
+
   test("bucketing changes the plan, not the result") {
     val out = BucketedOps.bucketedOrderRevenue(orders, lineitem, wh, 8)
       .collect().toSeq
