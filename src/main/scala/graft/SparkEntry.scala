@@ -914,6 +914,12 @@ object SparkEntry {
     "q172_dpp_stats" -> ((s, d) =>
       BucketedOps.dppSourceStats(Tables.documents(s, d), Tables.nation(s, d),
         "/tmp/graft_warehouse", inputTag = Some(d))),
+
+    // Dedup threshold sensitivity: pairs / implicated docs / token mass
+    // per candidate Jaccard threshold — the knob's blast radius,
+    // measured in one pass over the pair graph.
+    "q173_dedup_sensitivity" -> ((s, d) =>
+      DedupOp.dedupSensitivity(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1527,5 +1533,6 @@ object SparkEntry {
     "q170_landmark_closeness" -> GraphOps.landmarkClosenessOracle(),
     "q171_skew_audit" -> AuditOps.joinKeySkewOracle(),
     "q172_dpp_stats" -> BucketedOps.dppSourceStatsOracle,
+    "q173_dedup_sensitivity" -> DedupOp.dedupSensitivityOracle(),
   )
 }

@@ -766,6 +766,101 @@ object DedupOp {
        |  JOIN sizes sb ON sb.doc_id = i.db) t
        |WHERE jaccard >= $minJaccard ORDER BY da, db""".stripMargin
 
+  /** Dedup threshold sensitivity — the operating table behind the
+    * near-dup Jaccard threshold choice (the q85 recall-sweep idea
+    * applied to dedup): for each candidate threshold t ∈ {0.5 … 0.9},
+    * how many pairs fire, how many documents are implicated, and how
+    * much token mass those documents carry. A threshold is a policy
+    * knob; this measures its blast radius instead of guessing.
+    *
+    * One pass over the J ≥ 0.5 pair graph: each pair lands in its
+    * Jaccard DECILE bucket, each implicated doc in the decile of its
+    * MAX pair Jaccard — so "≥ t" rolls up as a cumulative sum from the
+    * high deciles down (a window over ≤ 5 rows), with no per-threshold
+    * recomputation and no connected components. Token mass comes from
+    * one broadcast-sized join of implicated doc ids.
+    */
+  def dedupSensitivity(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = ngramJaccard(docs, 0.5).persist()
+    // half-up 4-decimal jaccard values bucket EXACTLY at decile edges
+    val dec = floor(col("jaccard") * 10.0).cast("long")
+    val pairDec = pairs.select(least(dec, lit(9L)).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_pairs"))
+    val docMax = pairs
+      .select(explode(array(col("da"), col("db"))).as("doc_id"),
+        col("jaccard"))
+      .groupBy(col("doc_id")).agg(max(col("jaccard")).as("mj"))
+      .join(docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")), Seq("doc_id"))
+      .select(least(floor(col("mj") * 10.0).cast("long"), lit(9L)).as("d"),
+        col("n_tokens"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+    val w = Window.orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = pairDec.join(docMax, Seq("d"), "full_outer")
+      .select(col("d"), coalesce(col("n_pairs"), lit(0L)).as("p"),
+        coalesce(col("n_docs"), lit(0L)).as("nd"),
+        coalesce(col("toks"), lit(0L)).as("tk"))
+      .select((col("d").cast("double") / 10.0).as("threshold"),
+        sum(col("p")).over(w).as("n_pairs_ge"),
+        sum(col("nd")).over(w).as("n_docs_ge"),
+        sum(col("tk")).over(w).as("dup_tokens_ge"))
+      .orderBy("threshold")
+    try out.localCheckpoint() finally { pairs.unpersist(); () }
+  }
+
+  /** Oracle SQL twin of [[dedupSensitivity]] — same decile/cumulative
+    * construction over the unpruned pair derivation. */
+  def dedupSensitivityOracle(maxDf: Int = MaxShingleDf): String =
+    s"""WITH ${shingleCte()},
+       |${cappedShingleCte(maxDf)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM shc a JOIN shc b ON a.hx = b.hx AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pr AS (
+       |  SELECT da, db, jaccard FROM (
+       |    SELECT i.da, i.db,
+       |      ${graft.functions.DetAgg.ratioSql("i.inter",
+                "sa.n + sb.n - i.inter")} AS jaccard
+       |    FROM inter i
+       |    JOIN sizes sa ON sa.doc_id = i.da
+       |    JOIN sizes sb ON sb.doc_id = i.db) t
+       |  WHERE jaccard >= 0.5
+       |), pd AS (
+       |  SELECT least(CAST(floor(jaccard * 10.0) AS BIGINT), 9) AS d,
+       |    count(*) AS n_pairs
+       |  FROM pr GROUP BY 1
+       |), du AS (
+       |  SELECT doc_id, max(jaccard) AS mj FROM (
+       |    SELECT da AS doc_id, jaccard FROM pr
+       |    UNION ALL SELECT db, jaccard FROM pr) u
+       |  GROUP BY 1
+       |), dm AS (
+       |  SELECT least(CAST(floor(du.mj * 10.0) AS BIGINT), 9) AS d,
+       |    count(*) AS n_docs,
+       |    CAST(sum(len(string_split(dd.text, ' '))) AS BIGINT) AS toks
+       |  FROM du JOIN documents dd ON dd.doc_id = du.doc_id
+       |  GROUP BY 1
+       |), m AS (
+       |  SELECT coalesce(pd.d, dm.d) AS d,
+       |    coalesce(pd.n_pairs, 0) AS p,
+       |    coalesce(dm.n_docs, 0) AS nd,
+       |    coalesce(dm.toks, 0) AS tk
+       |  FROM pd FULL OUTER JOIN dm ON pd.d = dm.d
+       |)
+       |SELECT CAST(d AS DOUBLE) / 10.0 AS threshold,
+       |  CAST(sum(p) OVER wd AS BIGINT) AS n_pairs_ge,
+       |  CAST(sum(nd) OVER wd AS BIGINT) AS n_docs_ge,
+       |  CAST(sum(tk) OVER wd AS BIGINT) AS dup_tokens_ge
+       |FROM m
+       |WINDOW wd AS (ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING
+       |  AND CURRENT ROW)
+       |ORDER BY threshold""".stripMargin
+
   /** Asymmetric CONTAINMENT pairs — inter/min(nₐ,n_b) over the same
     * df-capped shared-shingle blocks as [[ngramJaccard]]: the
     * subset-copy detector. A short document pasted inside a long one

@@ -139,6 +139,24 @@ class RankAndPolicySpec extends SparkSuite {
     assert(r.getLong(6) === 3L)        // ceil(6·4/10) = 3 salts
   }
 
+  test("dedupSensitivity: cumulative pairs/docs/tokens across deciles") {
+    // pair (3,4): 10 shared of 12+12 shingles → J = 10/14 ≈ 0.7143
+    // pair (1,2): identical → J = 1.0 (capped into decile 9)
+    val c = (1 to 14).map(i => s"c$i")
+    val docs = Seq(
+      (1L, "z1 z2 z3 z4 z5"),
+      (2L, "z1 z2 z3 z4 z5"),
+      (3L, c.mkString(" ")),
+      (4L, (c.take(12) ++ Seq("e1", "e2")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = operators.DedupOp.dedupSensitivity(docs).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0.9) === ((1L, 2L, 10L)))   // only the identical pair
+    assert(out(0.7) === ((2L, 4L, 38L)))   // cumulative: both pairs
+    assert(out.size === 2)
+  }
+
   test("containmentPairs flags a subset-copy that Jaccard misses") {
     val big = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
     val sub = (1 to 5).map(i => s"w$i").mkString(" ")    // 3 shingles ⊂ big
