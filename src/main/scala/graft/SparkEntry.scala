@@ -920,6 +920,11 @@ object SparkEntry {
     // measured in one pass over the pair graph.
     "q173_dedup_sensitivity" -> ((s, d) =>
       DedupOp.dedupSensitivity(Tables.documents(s, d))),
+
+    // kNN confidence calibration: realized accuracy per vote-share
+    // bucket — the check before vote share becomes a quality score.
+    "q174_knn_calibration" -> ((s, d) =>
+      SimilarityOp.knnCalibration(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1534,5 +1539,6 @@ object SparkEntry {
     "q171_skew_audit" -> AuditOps.joinKeySkewOracle(),
     "q172_dpp_stats" -> BucketedOps.dppSourceStatsOracle,
     "q173_dedup_sensitivity" -> DedupOp.dedupSensitivityOracle(),
+    "q174_knn_calibration" -> SimilarityOp.knnCalibrationOracle(),
   )
 }

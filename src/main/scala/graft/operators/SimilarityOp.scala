@@ -1529,6 +1529,88 @@ object SimilarityOp {
     * query sample × one corpus scan, codegen'd cosine); everything
     * after is k-sized per query.
     */
+  /** kNN confidence calibration — accuracy per vote-share bucket: for
+    * each leave-one-out query the winning label's vote count nv (of k)
+    * is its CONFIDENCE; grouping queries by nv and measuring the
+    * realized accuracy per group yields the calibration table ("when
+    * the classifier says 7-of-10, is it right ~70% of the time?") —
+    * the standard check before vote share is used as a pseudo-label
+    * quality score in a data-curation pipeline.
+    *
+    * Same one-shuffle vote pipeline as [[knnLabelAccuracy]]; the only
+    * change is that the rollup keys on the winner's vote count.
+    */
+  def knnCalibration(embeddings: DataFrame, qmod: Int = 7,
+                     k: Int = 10): DataFrame = {
+    val labels = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("lbl"))
+    val votes = exactTopKMulti(embeddings, qmod, k)
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("qid"), col("lbl")).agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("nv").desc, col("lbl"))
+    val majority = votes.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("qid"), col("lbl").as("pred"), col("nv"))
+    labels.select(col("vec_id").as("qid"), col("lbl").as("truth"))
+      .join(majority, Seq("qid"))
+      .groupBy(col("nv"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("truth"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("nv").as("votes"),
+        graft.functions.DetAgg.ratio(col("nv"), lit(k.toLong))
+          .as("confidence"),
+        col("n_queries"), col("n_correct"),
+        graft.functions.DetAgg.ratio(col("n_correct"), col("n_queries"))
+          .as("accuracy"))
+      .orderBy("votes")
+  }
+
+  /** Oracle SQL twin of [[knnCalibration]]. */
+  def knnCalibrationOracle(qmod: Int = 7, k: Int = 10,
+                           dims: Int = 64): String =
+    s"""WITH q AS (SELECT vec_id AS qid FROM embeddings
+       |           WHERE vec_id % $qmod = 0),
+       |pc0 AS (
+       |  SELECT qq.qid, e.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(qe.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM q qq
+       |  JOIN embeddings qe ON qe.vec_id = qq.qid
+       |  JOIN embeddings e ON e.vec_id <> qq.qid, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |  FROM pc0
+       |), ex AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sims) t WHERE rn <= $k
+       |), votes AS (
+       |  SELECT e.qid, CAST(emb.label AS BIGINT) AS lbl, count(*) AS nv
+       |  FROM ex e JOIN embeddings emb ON emb.vec_id = e.vec_id
+       |  GROUP BY 1, 2
+       |), maj AS (
+       |  SELECT qid, lbl AS pred, nv FROM (
+       |    SELECT qid, lbl, nv, row_number() OVER (PARTITION BY qid
+       |      ORDER BY nv DESC, lbl) AS rn
+       |    FROM votes) t WHERE rn = 1
+       |), sc AS (
+       |  SELECT m.nv,
+       |    CASE WHEN m.pred = CAST(emb.label AS BIGINT) THEN 1 ELSE 0 END
+       |      AS ok
+       |  FROM maj m JOIN embeddings emb ON emb.vec_id = m.qid
+       |)
+       |SELECT CAST(nv AS BIGINT) AS votes,
+       |  ${graft.functions.DetAgg.ratioSql("nv", s"$k")} AS confidence,
+       |  count(*) AS n_queries,
+       |  CAST(sum(ok) AS BIGINT) AS n_correct,
+       |  ${graft.functions.DetAgg.ratioSql("sum(ok)", "count(*)")} AS accuracy
+       |FROM sc GROUP BY nv ORDER BY votes""".stripMargin
+
   def knnLabelAccuracy(embeddings: DataFrame, qmod: Int = 7,
                        k: Int = 10): DataFrame = {
     val labels = embeddings.select(col("vec_id"),
