@@ -925,6 +925,11 @@ object SparkEntry {
     // bucket — the check before vote share becomes a quality score.
     "q174_knn_calibration" -> ((s, d) =>
       SimilarityOp.knnCalibration(Tables.embeddings(s, d))),
+
+    // Per-doc drop disposition: which pipeline stage rejected each
+    // document, per source with token mass — q49's aggregate, attributed.
+    "q175_drop_ledger" -> ((s, d) =>
+      DedupOp.dropLedger(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1540,5 +1545,6 @@ object SparkEntry {
     "q172_dpp_stats" -> BucketedOps.dppSourceStatsOracle,
     "q173_dedup_sensitivity" -> DedupOp.dedupSensitivityOracle(),
     "q174_knn_calibration" -> SimilarityOp.knnCalibrationOracle(),
+    "q175_drop_ledger" -> DedupOp.dropLedgerOracle(),
   )
 }

@@ -766,6 +766,92 @@ object DedupOp {
        |  JOIN sizes sb ON sb.doc_id = i.db) t
        |WHERE jaccard >= $minJaccard ORDER BY da, db""".stripMargin
 
+  /** Per-document drop ledger — [[cleanCorpus]]'s aggregate, ATTRIBUTED:
+    * every document gets the verdict of the FIRST pipeline stage that
+    * rejects it (`exact_dup` → `low_quality` → `near_dup` → `kept`,
+    * the production order cleanCorpus documents), rolled up per
+    * (source, verdict) with token mass. This is the disposition table
+    * a corpus owner reads to see WHERE each source's mass went — the
+    * difference between "src7 yields 40%" and "src7 loses 50% to exact
+    * dups and only 10% to quality".
+    *
+    * Scale shape identical to [[cleanCorpus]] (same three stages, same
+    * df-capped pair graph over quality survivors only); the ledger
+    * itself is one row-local CASE over the per-doc frame plus a left
+    * join of the (dup-cluster-sized) roots map.
+    */
+  def dropLedger(docs: DataFrame, minTokens: Int = 30,
+                 minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"), col("source"), col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .persist()
+    val passed = base
+      .where(col("rn") === 1 && col("n_tokens") >= minTokens.toLong &&
+        col("n_uniq") * 2L >= col("n_tokens"))
+      .select(col("doc_id"), col("text"))
+      .persist()
+    val roots = keepSet(ngramJaccard(passed, minJaccard))
+      .select(col("id").as("doc_id"), col("root"))
+    val verdict = when(col("rn") > 1L, lit("exact_dup"))
+      .when(col("n_tokens") < minTokens.toLong ||
+        col("n_uniq") * 2L < col("n_tokens"), lit("low_quality"))
+      .when(col("root").isNotNull && col("root") =!= col("doc_id"),
+        lit("near_dup"))
+      .otherwise(lit("kept"))
+    materializeAndRelease(
+      base.join(roots, Seq("doc_id"), "left")
+        .select(col("source"), verdict.as("verdict"), col("n_tokens"))
+        .groupBy(col("source"), col("verdict"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .orderBy("source", "verdict"),
+      base, passed)
+  }
+
+  /** Oracle SQL twin of [[dropLedger]] — same stage order, same
+    * recursive-CC roots over the quality survivors. */
+  def dropLedgerOracle(minTokens: Int = 30, minJaccard: Double = 0.5,
+                       maxDf: Int = MaxShingleDf): String =
+    s"""WITH RECURSIVE
+       |rncte AS (
+       |  SELECT doc_id, source, text,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM documents
+       |),
+       |tuA AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents),
+       |agA AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |        CAST(count(DISTINCT tok) AS BIGINT) AS n_uniq
+       |        FROM tuA GROUP BY 1),
+       |passed AS (
+       |  SELECT r.doc_id, r.text
+       |  FROM rncte r JOIN agA a USING (doc_id)
+       |  WHERE r.rn = 1 AND a.n_tokens >= $minTokens
+       |    AND 2 * a.n_uniq >= a.n_tokens
+       |),
+       |${shingleCte(from = "passed")},
+       |${pairGraphRootsCtes(minJaccard, maxDf)},
+       |ledger AS (
+       |  SELECT r.source,
+       |    CASE WHEN r.rn > 1 THEN 'exact_dup'
+       |         WHEN a.n_tokens < $minTokens
+       |           OR 2 * a.n_uniq < a.n_tokens THEN 'low_quality'
+       |         WHEN rt.root IS NOT NULL AND rt.root <> r.doc_id
+       |           THEN 'near_dup'
+       |         ELSE 'kept' END AS verdict,
+       |    a.n_tokens
+       |  FROM rncte r
+       |  JOIN agA a USING (doc_id)
+       |  LEFT JOIN roots rt ON rt.id = r.doc_id
+       |)
+       |SELECT source, verdict, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens
+       |FROM ledger GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Dedup threshold sensitivity — the operating table behind the
     * near-dup Jaccard threshold choice (the q85 recall-sweep idea
     * applied to dedup): for each candidate threshold t ∈ {0.5 … 0.9},
