@@ -930,6 +930,16 @@ object SparkEntry {
     // document, per source with token mass — q49's aggregate, attributed.
     "q175_drop_ledger" -> ((s, d) =>
       DedupOp.dropLedger(Tables.documents(s, d))),
+
+    // Mann–Kendall monotone-trend statistic over the hourly mean
+    // series — distribution-free, exact-integer sign counting.
+    "q176_trend_mk" -> ((s, d) =>
+      EventOps.mannKendallTrend(Tables.events(s, d))),
+
+    // CUSUM level-shift monitor in window-closed form (running sum
+    // minus running min — no sequential fold).
+    "q177_cusum" -> ((s, d) =>
+      EventOps.cusumShifts(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1546,5 +1556,7 @@ object SparkEntry {
     "q173_dedup_sensitivity" -> DedupOp.dedupSensitivityOracle(),
     "q174_knn_calibration" -> SimilarityOp.knnCalibrationOracle(),
     "q175_drop_ledger" -> DedupOp.dropLedgerOracle(),
+    "q176_trend_mk" -> EventOps.mannKendallTrendOracle,
+    "q177_cusum" -> EventOps.cusumShiftsOracle(),
   )
 }

@@ -1213,4 +1213,149 @@ object EventOps {
        |WHERE (p.n * e.vc - p.s) * (p.n * e.vc - p.s)
        |  > ${k * k} * (p.n * p.q - p.s * p.s)
        |ORDER BY e.user_id, e.ms, e.event_id""".stripMargin
+
+  /** Per-type hourly mean value in exact centi-cent integers — the
+    * shared series both trend detectors below run on. The mean is
+    * half-up integer division of the exact cent sum (×100 for two
+    * guard digits), so the series is identical cross-engine.
+    */
+  private def hourlySeries(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        floorDivMs("unix_millis(ts)", 3600000L).as("hr"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(graft.functions.DetAgg.halfUpDiv(sum(col("c")) * 100L,
+        count(lit(1))).as("m"))
+
+  private def hourlySeriesSql: String =
+    s"""h AS (
+       |  SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+       |    ${graft.functions.DetAgg.halfUpDivSql(
+              "sum(CAST(round(value * 100) AS BIGINT)) * 100", "count(*)")}
+       |      AS m
+       |  FROM events GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** Mann–Kendall trend statistic per event type — the standard
+    * NONPARAMETRIC monotone-trend test over the hourly mean series:
+    * S = Σ_{i<j} sign(m_j − m_i), reported with the concordant /
+    * discordant / tie counts it decomposes into. Distribution-free
+    * (no float variance model in the query — the caller applies the
+    * normal approximation if they want a p-value), and exact: every
+    * compared value is the integer series above, so S hash-gates.
+    *
+    * Scale shape: the O(n²) pair expansion runs per TYPE over the
+    * HOURLY aggregate (~720 points → ~260 k pairs each), never over
+    * raw events; both join sides are the same aggregated subplan, so
+    * Catalyst's ReusedExchange builds the series once (the q129
+    * lesson: do NOT pre-persist and defeat it). For decade-long
+    * series, switch to the O(n log n) merge-sort inversion count —
+    * noted, not needed at any tested scale.
+    */
+  def mannKendallTrend(events: DataFrame): DataFrame = {
+    val h = hourlySeries(events)
+    val a = h.select(col("event_type"), col("hr").as("hi"), col("m").as("mi"))
+    val b = h.select(col("event_type"), col("hr").as("hj"), col("m").as("mj"))
+    val pairs = a.join(b, Seq("event_type"))
+      .where(col("hi") < col("hj"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("mj") > col("mi"), 1L).otherwise(0L)).as("n_conc"),
+        sum(when(col("mj") < col("mi"), 1L).otherwise(0L)).as("n_disc"),
+        sum(when(col("mj") === col("mi"), 1L).otherwise(0L)).as("n_ties"))
+    val counts = h.groupBy(col("event_type")).agg(count(lit(1)).as("n_hours"))
+    counts.join(pairs, Seq("event_type"))
+      .select(col("event_type"), col("n_hours"), col("n_conc"),
+        col("n_disc"), col("n_ties"),
+        (col("n_conc") - col("n_disc")).as("s_stat"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle SQL twin of [[mannKendallTrend]]. */
+  def mannKendallTrendOracle: String =
+    s"""WITH ${hourlySeriesSql},
+       |p AS (
+       |  SELECT a.event_type,
+       |    CAST(sum(CASE WHEN b.m > a.m THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_conc,
+       |    CAST(sum(CASE WHEN b.m < a.m THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_disc,
+       |    CAST(sum(CASE WHEN b.m = a.m THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_ties
+       |  FROM h a JOIN h b ON a.event_type = b.event_type AND a.hr < b.hr
+       |  GROUP BY 1
+       |), c AS (SELECT event_type, count(*) AS n_hours FROM h GROUP BY 1)
+       |SELECT c.event_type, c.n_hours, p.n_conc, p.n_disc, p.n_ties,
+       |  p.n_conc - p.n_disc AS s_stat
+       |FROM c JOIN p USING (event_type) ORDER BY event_type""".stripMargin
+
+  /** CUSUM level-shift detection per event type — the classic
+    * change-point monitor over the same hourly series, in its
+    * WINDOW-CLOSED form: the textbook recurrence
+    * C_t = max(0, C_{t−1} + (m_t − med)) equals
+    * S_t − min(0, min_{τ≤t} S_τ) for the prefix sums S of (m_t − med),
+    * so the whole detector is one running sum + one running min — no
+    * sequential fold, no recursion, embarrassingly windowable. The
+    * reference level is the exact 1-indexed lower median of the
+    * series ([[OutlierOp]]'s quantile convention), tie-broken by hour
+    * so both engines pick the identical element.
+    *
+    * Output per type: hours observed, the reference median, the peak
+    * CUSUM excursion, and how many hours exceeded `alarm` (in
+    * centi-cents — 10⁷ ≈ a sustained $1 000 of hourly-mean drift).
+    */
+  def cusumShifts(events: DataFrame, alarm: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hourlySeries(events)
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("m"), col("hr"))
+    val wCnt = Window.partitionBy(col("event_type"))
+    val withMed = h
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wCnt))
+      .withColumn("med", max(when(
+        col("rn") === call_function("div", col("n") + 1L, lit(2L)),
+        col("m"))).over(wCnt))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withC = withMed
+      .withColumn("s", sum(col("m") - col("med")).over(wRun))
+      .withColumn("c", col("s") - least(lit(0L), min(col("s")).over(wRun)))
+    withC.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), max(col("med")).as("median_m"),
+        max(col("c")).as("max_cusum"),
+        sum(when(col("c") > alarm, 1L).otherwise(0L)).as("n_alarms"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle SQL twin of [[cusumShifts]]. */
+  def cusumShiftsOracle(alarm: Long = 10000000L): String =
+    s"""WITH ${hourlySeriesSql},
+       |r AS (
+       |  SELECT event_type, hr, m,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY m, hr) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM h
+       |), md AS (
+       |  SELECT event_type,
+       |    max(CASE WHEN rn = (n + 1) // 2 THEN m END)
+       |      OVER (PARTITION BY event_type) AS med,
+       |    hr, m
+       |  FROM r
+       |), cs0 AS (
+       |  SELECT event_type, med, hr,
+       |    sum(m - med) OVER (PARTITION BY event_type ORDER BY hr
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+       |  FROM md
+       |), cs AS (
+       |  SELECT event_type, med,
+       |    s - least(0, min(s) OVER (PARTITION BY event_type ORDER BY hr
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS c
+       |  FROM cs0
+       |)
+       |SELECT event_type, count(*) AS n_hours,
+       |  CAST(max(med) AS BIGINT) AS median_m,
+       |  CAST(max(c) AS BIGINT) AS max_cusum,
+       |  CAST(sum(CASE WHEN c > $alarm THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_alarms
+       |FROM cs GROUP BY 1 ORDER BY event_type""".stripMargin
 }

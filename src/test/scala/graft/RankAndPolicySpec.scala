@@ -157,6 +157,43 @@ class RankAndPolicySpec extends SparkSuite {
     assert(out.size === 2)
   }
 
+  test("mannKendall and cusum on constructed hourly series") {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    // one event per hour → the hourly mean IS the value (centi-cents)
+    def ev(vals: Seq[Double], typ: String) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong * 3600000L, typ, v)
+      }
+    val rows = ev(Seq(1.0, 2.0, 2.0, 3.0), "mk") ++
+      ev(Seq(0.0, 0.0, 0.0, 10.0, 10.0, 10.0), "cu")
+    val events = rows.toDF("ms", "event_type", "value")
+      .select(timestamp_millis(col("ms")).as("ts"), col("event_type"),
+        col("value"))
+    val mk = operators.EventOps.mannKendallTrend(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // [1,2,2,3]: 5 concordant, 0 discordant, 1 tie → S = 5
+    assert(mk("mk") === ((4L, 5L, 0L, 1L, 5L)))
+    // cu: lower median of [0,0,0,10,10,10] = 0 → S = [0,0,0,1e5,2e5,3e5]
+    // (centi-cents), runmin 0 → C = S: peak 3e5, no alarms at 1e7
+    val cu = operators.EventOps.cusumShifts(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(cu("cu") === ((6L, 0L, 300000L, 0L)))
+    // a DOWN-shift first: med 10 → S dips to −3e5 and recovers; the
+    // running-min identity must clamp C at 0 through the dip
+    val events2 = ev(Seq(0.0, 0.0, 0.0, 10.0, 10.0, 10.0, 10.0), "dn")
+      .toDF("ms", "event_type", "value")
+      .select(timestamp_millis(col("ms")).as("ts"), col("event_type"),
+        col("value"))
+    val dn = operators.EventOps.cusumShifts(events2).collect().head
+    // med = 10 (4th of 7 sorted) = 1e5 centi-cents → S walks to −3e5
+    // then stays; C = S − min(0, runmin) = 0 everywhere
+    assert(dn.getLong(2) === 100000L && dn.getLong(3) === 0L &&
+      dn.getLong(4) === 0L)
+  }
+
   test("containmentPairs flags a subset-copy that Jaccard misses") {
     val big = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
     val sub = (1 to 5).map(i => s"w$i").mkString(" ")    // 3 shingles ⊂ big
