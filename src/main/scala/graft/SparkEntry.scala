@@ -940,6 +940,35 @@ object SparkEntry {
     // minus running min — no sequential fold).
     "q177_cusum" -> ((s, d) =>
       EventOps.cusumShifts(Tables.events(s, d))),
+
+    // Association rules with support/confidence/lift in exact ppm —
+    // the metric layer q145's raw repeat weights leave implicit.
+    "q178_assoc_rules" -> ((s, d) =>
+      GraphOps.associationRules(Tables.lineitem(s, d))),
+
+    // Time-decayed popularity via exact integer half-life shifts,
+    // anchored at the data's max date (never wall-clock).
+    "q179_trending" -> ((s, d) =>
+      RelationalOps.trendingParts(Tables.lineitem(s, d))),
+
+    // Order→ship lead-time SLA percentiles as exact order statistics.
+    "q180_leadtime" -> ((s, d) =>
+      RelationalOps.leadTimeQuantiles(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
+
+    // RFM quintile segmentation with rank-rule buckets (tie-safe,
+    // mirrorable — not NTILE).
+    "q181_rfm" -> ((s, d) =>
+      RelationalOps.rfmSegments(Tables.orders(s, d))),
+
+    // Cohort LTV triangle: revenue by acquisition cohort × age with a
+    // per-cohort running cumulative.
+    "q182_ltv_cohorts" -> ((s, d) =>
+      RelationalOps.ltvCohorts(Tables.orders(s, d))),
+
+    // Pareto ABC classification in exact integer revenue units.
+    "q183_abc" -> ((s, d) =>
+      RelationalOps.abcClassification(Tables.lineitem(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1558,5 +1587,11 @@ object SparkEntry {
     "q175_drop_ledger" -> DedupOp.dropLedgerOracle(),
     "q176_trend_mk" -> EventOps.mannKendallTrendOracle,
     "q177_cusum" -> EventOps.cusumShiftsOracle(),
+    "q178_assoc_rules" -> GraphOps.associationRulesOracle(),
+    "q179_trending" -> RelationalOps.trendingPartsOracle(),
+    "q180_leadtime" -> RelationalOps.leadTimeQuantilesOracle,
+    "q181_rfm" -> RelationalOps.rfmSegmentsOracle,
+    "q182_ltv_cohorts" -> RelationalOps.ltvCohortsOracle,
+    "q183_abc" -> RelationalOps.abcClassificationOracle,
   )
 }

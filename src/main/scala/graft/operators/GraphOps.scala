@@ -477,6 +477,74 @@ object GraphOps {
        |GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  /** Association rules over order baskets — support, confidence, and
+    * lift for part pairs, the metrics [[copurchaseRecs]]'s raw repeat
+    * weight leaves implicit: confidence(a→b) = n_ab/n_a and
+    * lift = N·n_ab/(n_a·n_b) separate "bought together because both
+    * are popular" from genuine association. Both directions of each
+    * pair are emitted (confidence is asymmetric). All metrics are
+    * exact integer ratios in ppm ([[graft.functions.DetAgg]]); rules
+    * below `minSupport` baskets are cut before any ratio.
+    *
+    * Scale shape: per-order pair generation is the same order-local
+    * expansion as the edge layouts (one shuffle of id pairs); item
+    * supports are one tiny aggregate broadcast back onto the rule
+    * frame.
+    */
+  def associationRules(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    import graft.functions.DetAgg.{halfUpDiv, ratio}
+    val li = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct().persist()
+    val nOrders = li.select(col("ok")).distinct().count()
+    val item = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val pair = li.as("l").join(li.as("r"),
+        col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+      .groupBy(col("l.pk").as("a"), col("r.pk").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val sym = pair.select(col("a"), col("b"), col("n_ab"))
+      .unionByName(pair.select(col("b").as("a"), col("a").as("b"),
+        col("n_ab")))
+    val out = sym
+      .join(broadcast(item.select(col("pk").as("a"), col("n_item").as("na"))),
+        Seq("a"))
+      .join(broadcast(item.select(col("pk").as("b"), col("n_item").as("nb"))),
+        Seq("b"))
+      .select(col("a"), col("b"), col("n_ab"),
+        ratio(col("n_ab"), lit(nOrders), 6).as("support"),
+        ratio(col("n_ab"), col("na"), 6).as("confidence"),
+        halfUpDiv(col("n_ab") * lit(nOrders) * 1000000L,
+          col("na") * col("nb")).as("lift_ppm"))
+      .orderBy("a", "b")
+    try out.localCheckpoint() finally { li.unpersist(); () }
+  }
+
+  /** Oracle SQL twin of [[associationRules]]. */
+  def associationRulesOracle(minSupport: Long = 2L): String = {
+    import graft.functions.DetAgg.{halfUpDivSql, ratioSql}
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+       |item AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1),
+       |pair AS (
+       |  SELECT a.pk AS x, b.pk AS y, count(*) AS n_ab
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+       |),
+       |sym AS (SELECT x AS a, y AS b, n_ab FROM pair
+       |        UNION ALL SELECT y, x, n_ab FROM pair)
+       |SELECT s.a, s.b, s.n_ab,
+       |  ${ratioSql("s.n_ab", "n.n_orders", 6)} AS support,
+       |  ${ratioSql("s.n_ab", "ia.n_item", 6)} AS confidence,
+       |  ${halfUpDivSql("s.n_ab * n.n_orders * 1000000",
+            "ia.n_item * ib.n_item")} AS lift_ppm
+       |FROM sym s
+       |JOIN item ia ON ia.pk = s.a
+       |JOIN item ib ON ib.pk = s.b
+       |CROSS JOIN n
+       |ORDER BY s.a, s.b""".stripMargin
+  }
+
   /** "Customers also bought" — per part, the top `k` co-purchase
     * partners by repeat weight (ties → smaller partner id): the
     * item-to-item collaborative-filtering serving table, built from

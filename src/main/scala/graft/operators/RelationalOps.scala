@@ -527,6 +527,283 @@ object RelationalOps {
       |  CAST(max(totw) AS BIGINT) AS total_weight, count(*) AS n_parts
       |FROM w GROUP BY 1 ORDER BY p_brand""".stripMargin
 
+  /** RFM customer segmentation — recency / frequency / monetary
+    * quintiles, the standard CRM partitioning, built entirely from
+    * exact integers: recency anchors at the data's max order date
+    * (never wall-clock), monetary sums exact cents, and each metric
+    * buckets by the RANK rule b = ⌊(rn−1)·5/n⌋+1 with a total
+    * (metric, custkey) order — deterministic under ties and
+    * mirrorable, unlike NTILE's arbitrary tie split. Output: one row
+    * per populated (r, f, m) cell with customer count and cell
+    * revenue.
+    *
+    * Scale shape: one groupBy(custkey) over orders, three window
+    * ranks over the |customers| frame, one ≤125-row rollup.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val ms = unix_millis(col("o_orderdate"))
+    val maxMs = orders.agg(max(ms).as("mx"))
+    val per = orders.crossJoin(broadcast(maxMs))
+      .groupBy(col("o_custkey"))
+      .agg(min(call_function("div", col("mx") - ms, lit(86400000L)))
+          .as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mon"))
+    def bucket(metric: String): org.apache.spark.sql.Column = {
+      val w = Window.orderBy(col(metric), col("o_custkey"))
+      val n = count(lit(1)).over(Window.partitionBy())
+      call_function("div", (row_number().over(w) - 1L) * 5L, n) + 1L
+    }
+    per
+      .withColumn("rb", bucket("rec_days"))
+      .withColumn("fb", bucket("freq"))
+      .withColumn("mb", bucket("mon"))
+      .groupBy(col("rb"), col("fb"), col("mb"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("mon")).as("cell_cents"))
+      .orderBy("rb", "fb", "mb")
+  }
+
+  /** Oracle SQL twin of [[rfmSegments]]. */
+  def rfmSegmentsOracle: String =
+    s"""WITH mx AS (SELECT max(epoch_ms(o_orderdate)) AS m FROM orders),
+       |per AS (
+       |  SELECT o_custkey,
+       |    min((mx.m - epoch_ms(o_orderdate)) // 86400000) AS rec_days,
+       |    count(*) AS freq,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS mon
+       |  FROM orders, mx GROUP BY 1, mx.m
+       |), b AS (
+       |  SELECT o_custkey, mon,
+       |    ((row_number() OVER (ORDER BY rec_days, o_custkey) - 1) * 5)
+       |      // (count(*) OVER ()) + 1 AS rb,
+       |    ((row_number() OVER (ORDER BY freq, o_custkey) - 1) * 5)
+       |      // (count(*) OVER ()) + 1 AS fb,
+       |    ((row_number() OVER (ORDER BY mon, o_custkey) - 1) * 5)
+       |      // (count(*) OVER ()) + 1 AS mb
+       |  FROM per
+       |)
+       |SELECT rb, fb, mb, count(*) AS n_customers,
+       |  CAST(sum(mon) AS BIGINT) AS cell_cents
+       |FROM b GROUP BY 1, 2, 3 ORDER BY rb, fb, mb""".stripMargin
+
+  /** Customer-cohort LTV triangle — revenue by (acquisition cohort ×
+    * age), the table a growth team reads cumulative along each row.
+    * Cohort and age are 30-day buckets of integer epoch arithmetic
+    * (locale/calendar-proof, the q146 rule); revenue is exact cents;
+    * the running cumulative per cohort is a ≤|cohorts×ages|-row
+    * window.
+    */
+  def ltvCohorts(orders: DataFrame): DataFrame = {
+    val bucket = call_function("div",
+      call_function("div", unix_millis(col("o_orderdate")), lit(86400000L)),
+      lit(30L))
+    val withB = orders.select(col("o_custkey"), bucket.as("b"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val cohort = withB.groupBy(col("o_custkey")).agg(min(col("b")).as("c0"))
+    val cells = withB.join(cohort, Seq("o_custkey"))
+      .groupBy(col("c0").as("cohort"), (col("b") - col("c0")).as("age"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .orderBy("cohort", "age")
+  }
+
+  /** Oracle SQL twin of [[ltvCohorts]]. */
+  def ltvCohortsOracle: String =
+    s"""WITH wb AS (
+       |  SELECT o_custkey,
+       |    (epoch_ms(o_orderdate) // 86400000) // 30 AS b,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders
+       |), c0 AS (SELECT o_custkey, min(b) AS c0 FROM wb GROUP BY 1),
+       |cells AS (
+       |  SELECT c0.c0 AS cohort, wb.b - c0.c0 AS age,
+       |    count(DISTINCT wb.o_custkey) AS n_active,
+       |    CAST(sum(wb.cents) AS BIGINT) AS rev_cents
+       |  FROM wb JOIN c0 USING (o_custkey)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT cohort, age, n_active, rev_cents,
+       |  CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_rev_cents
+       |FROM cells ORDER BY cohort, age""".stripMargin
+
+  /** ABC (Pareto) part classification — parts ranked by discounted
+    * revenue; class A carries the first 80% of revenue, B to 95%, C
+    * the tail. The classic inventory cut, in exact integer 1e-4
+    * currency units with the share comparisons cross-multiplied
+    * (cum·100 ≤ total·80) so no ratio ever materializes. Per class:
+    * part count, revenue, and exact ppm revenue share.
+    */
+  def abcClassification(lineitem: DataFrame): DataFrame = {
+    val units = expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+      (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))
+    val per = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(units).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    per
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("total", sum(col("rev")).over(tot))
+      .withColumn("cls",
+        when(col("cum") * 100L <= col("total") * 80L, "A")
+          .when(col("cum") * 100L <= col("total") * 95L, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_units"),
+        // the share ratio scales both aggregates to whole currency
+        // units first — ppm × 1e-4-unit sums would pass 2⁶³ (mirrored
+        // identically in the oracle, so the rounding stays hash-equal)
+        graft.functions.DetAgg.ratio(
+          call_function("div", sum(col("rev")), lit(10000L)),
+          call_function("div", max(col("total")), lit(10000L)), 6)
+          .as("rev_share"))
+      .orderBy("cls")
+  }
+
+  /** Oracle SQL twin of [[abcClassification]]. */
+  def abcClassificationOracle: String =
+    s"""WITH per AS (
+       |  SELECT l_partkey,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |      AS rev
+       |  FROM lineitem GROUP BY 1
+       |), c AS (
+       |  SELECT rev,
+       |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(rev) OVER () AS BIGINT) AS total
+       |  FROM per
+       |)
+       |SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+       |            WHEN cum * 100 <= total * 95 THEN 'B'
+       |            ELSE 'C' END AS cls,
+       |  count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS rev_units,
+       |  ${graft.functions.DetAgg.ratioSql(
+            "(CAST(sum(rev) AS BIGINT) // 10000)",
+            "(CAST(max(total) AS BIGINT) // 10000)", 6)}
+       |    AS rev_share
+       |FROM c GROUP BY 1 ORDER BY cls""".stripMargin
+
+  /** Time-decayed item popularity — "what's trending": each lineitem
+    * contributes weight 10⁶ >> (age in 30-day half-lives), anchored at
+    * the corpus's max ship date (data-derived, so the query is
+    * deterministic and cache-stable — never wall-clock). The weights
+    * are exact integer shifts (no float pow), halving per month of
+    * age and bottoming out at 0 past ~20 half-lives, so a burst of
+    * recent sales outranks a long-dead bestseller. Top `k` parts by
+    * decayed weight, ties to the smaller part key.
+    *
+    * Scale shape: one scan with a row-local weight, one map-side-
+    * combined groupBy(part), one top-k sort of the |parts| aggregate.
+    */
+  def trendingParts(lineitem: DataFrame, k: Int = 20,
+                    halfLifeDays: Long = 30L): DataFrame = {
+    val ms = unix_millis(col("l_shipdate"))
+    val maxMs = lineitem.agg(max(ms).as("mx"))
+    // shiftleft's amount must be a column in SQL form (the Scala API
+    // only takes a literal Int shift)
+    val wt = expr(
+      s"""1000000L DIV shiftleft(1L, CAST(least(
+         |  ((mx - unix_millis(l_shipdate)) DIV 86400000L) DIV ${halfLifeDays}L,
+         |  30L) AS INT))""".stripMargin)
+    lineitem.crossJoin(broadcast(maxMs))
+      .select(col("l_partkey"), wt.as("w"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("w")).as("decayed_weight"), count(lit(1)).as("n_lines"))
+      .orderBy(col("decayed_weight").desc, col("l_partkey"))
+      .limit(k)
+  }
+
+  /** Oracle SQL twin of [[trendingParts]]. */
+  def trendingPartsOracle(k: Int = 20, halfLifeDays: Long = 30L): String =
+    s"""WITH mx AS (SELECT max(epoch_ms(l_shipdate)) AS m FROM lineitem),
+       |w AS (
+       |  SELECT l_partkey,
+       |    1000000 // (CAST(1 AS BIGINT) << CAST(least(
+       |      ((mx.m - epoch_ms(l_shipdate)) // 86400000) // $halfLifeDays,
+       |      30) AS INTEGER)) AS w
+       |  FROM lineitem, mx
+       |)
+       |SELECT l_partkey, CAST(sum(w) AS BIGINT) AS decayed_weight,
+       |  count(*) AS n_lines
+       |FROM w GROUP BY 1
+       |ORDER BY decayed_weight DESC, l_partkey LIMIT $k""".stripMargin
+
+  /** Order→ship lead-time distribution per order priority — the SLA
+    * percentile table (p50/p90/p99 of days from order to line
+    * shipment), with every percentile an EXACT 1-indexed order
+    * statistic (idx = ⌈p·n⌉; p50 is the lower median, the
+    * [[OutlierOp]] convention) — percentile_approx would neither
+    * hash-gate nor mean anything auditable.
+    *
+    * Scale shape: ONE fact-to-fact shuffle (lineitem ⋈ orders on the
+    * order key), then a per-priority window sort of the narrow
+    * (priority, lag) projection; the final rollup is 5 rows.
+    */
+  def leadTimeQuantiles(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val lag = call_function("div",
+      unix_millis(col("l_shipdate")) - unix_millis(col("o_orderdate")),
+      lit(86400000L))
+    val base = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"), lag.as("lag_days"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("prio"))
+      .orderBy(col("lag_days"), col("l_orderkey"), col("l_linenumber"))
+    val wc = Window.partitionBy(col("prio"))
+    base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy(col("prio"))
+      .agg(max(col("n")).as("n_lines"),
+        min(col("lag_days")).as("min_days"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("lag_days")))
+          .as("p50_days"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("lag_days")))
+          .as("p90_days"),
+        max(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("lag_days")))
+          .as("p99_days"),
+        max(col("lag_days")).as("max_days"))
+      .select(col("prio").as("o_orderpriority"), col("n_lines"),
+        col("min_days"), col("p50_days"), col("p90_days"), col("p99_days"),
+        col("max_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Oracle SQL twin of [[leadTimeQuantiles]]. */
+  def leadTimeQuantilesOracle: String =
+    s"""WITH b AS (
+       |  SELECT o.o_orderpriority AS prio,
+       |    (epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate)) // 86400000
+       |      AS lag_days,
+       |    l.l_orderkey, l.l_linenumber
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), r AS (
+       |  SELECT prio, lag_days,
+       |    row_number() OVER (PARTITION BY prio
+       |      ORDER BY lag_days, l_orderkey, l_linenumber) AS rn,
+       |    count(*) OVER (PARTITION BY prio) AS n
+       |  FROM b
+       |)
+       |SELECT prio AS o_orderpriority,
+       |  CAST(max(n) AS BIGINT) AS n_lines,
+       |  min(lag_days) AS min_days,
+       |  max(CASE WHEN rn = (n + 1) // 2 THEN lag_days END) AS p50_days,
+       |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_days END) AS p90_days,
+       |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN lag_days END)
+       |    AS p99_days,
+       |  max(lag_days) AS max_days
+       |FROM r GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   /** Equi-depth (equal-frequency) histogram of extended price — the
     * histogram an optimizer or data-profiler keeps when value skew
     * makes equal-WIDTH bins useless (q12's sibling). Ties stay

@@ -24,6 +24,21 @@ class TablesSpec extends SparkSuite {
     }
   }
 
+  test("date columns normalize to TimestampType (lineitem, orders)") {
+    for (d <- sfDirs) {
+      assert(Tables.lineitem(spark, d).schema("l_shipdate").dataType
+        == TimestampType, s"$d: l_shipdate not TimestampType")
+      assert(Tables.orders(spark, d).schema("o_orderdate").dataType
+        == TimestampType, s"$d: o_orderdate not TimestampType")
+    }
+    // and unix_millis analyzes on both
+    val d = sfDirs.head
+    Tables.lineitem(spark, d)
+      .select(unix_millis(col("l_shipdate"))).limit(1).collect()
+    Tables.orders(spark, d)
+      .select(unix_millis(col("o_orderdate"))).limit(1).collect()
+  }
+
   test("unix_millis(ts) analyzes and yields sane epochs") {
     for (d <- sfDirs.take(1)) {
       val row = Tables.events(spark, d)
