@@ -969,6 +969,12 @@ object SparkEntry {
     // Pareto ABC classification in exact integer revenue units.
     "q183_abc" -> ((s, d) =>
       RelationalOps.abcClassification(Tables.lineitem(s, d))),
+
+    // Grid-blocked radius self-join, proven lossless against an
+    // all-pairs oracle — the proximity join the geo tier was missing.
+    "q184_radius_pairs" -> ((s, d) =>
+      GeofenceOp.radiusPairs(
+        GeofenceOp.syntheticPoints(Tables.customer(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1593,5 +1599,6 @@ object SparkEntry {
     "q181_rfm" -> RelationalOps.rfmSegmentsOracle,
     "q182_ltv_cohorts" -> RelationalOps.ltvCohortsOracle,
     "q183_abc" -> RelationalOps.abcClassificationOracle,
+    "q184_radius_pairs" -> GeofenceOp.radiusPairsOracle(),
   )
 }

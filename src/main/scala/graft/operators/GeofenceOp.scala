@@ -87,6 +87,67 @@ object GeofenceOp {
       .orderBy("id", "fence_name")
   }
 
+  /** Radius self-join with GRID-CELL blocking — "which point pairs are
+    * within r of each other", the proximity join the broadcast-NL
+    * geofence shape cannot express at scale: coordinates quantize to
+    * exact micro-degree integers, each point lands in an r-sized grid
+    * cell, and candidates join only a point's 3×3 cell neighborhood —
+    * LOSSLESS by construction (two points within r differ by ≤ 1 cell
+    * per axis) and never all-pairs. Verification is the exact integer
+    * d² ≤ r² test (flat-earth micro-degrees — the synthetic fixture's
+    * geometry; swap in a proper projection for real GIS data).
+    *
+    * The oracle deliberately runs the UNPRUNED all-pairs form, so the
+    * hash gate proves the blocking lossless, not just consistent.
+    *
+    * Scale shape: one narrow shuffle on cell keys with a 9× probe-side
+    * fan-out; pair verification is row-local integer math.
+    */
+  def radiusPairs(points: DataFrame, radiusMicroDeg: Long = 20000L)
+      : DataFrame = {
+    val r = radiusMicroDeg
+    val u = points.select(col("id"),
+        expr("CAST(round(lat * 1000000) AS BIGINT)").as("la"),
+        expr("CAST(round(lng * 1000000) AS BIGINT)").as("lo"))
+      .withColumn("cx", expr(s"la DIV ${r}L"))
+      .withColumn("cy", expr(s"lo DIV ${r}L"))
+    val neighbors = explode(array(
+      (for (dx <- -1 to 1; dy <- -1 to 1) yield
+        struct((col("cx") + dx).as("x"), (col("cy") + dy).as("y"))): _*))
+    val probe = u.select(col("id").as("ida"), col("la").as("la1"),
+      col("lo").as("lo1"), neighbors.as("c"))
+    val build = u.select(col("id").as("idb"), col("la").as("la2"),
+      col("lo").as("lo2"), col("cx"), col("cy"))
+    val d2 = (col("la1") - col("la2")) * (col("la1") - col("la2")) +
+      (col("lo1") - col("lo2")) * (col("lo1") - col("lo2"))
+    probe.join(build,
+        col("c.x") === col("cx") && col("c.y") === col("cy") &&
+          col("ida") < col("idb"))
+      .where(d2 <= r * r)
+      .select(col("ida"), col("idb"), d2.as("d2_microdeg"))
+      .orderBy("ida", "idb")
+  }
+
+  /** Oracle SQL twin of [[radiusPairs]] — all-pairs, no blocking. */
+  def radiusPairsOracle(radiusMicroDeg: Long = 20000L): String =
+    s"""WITH pts AS (
+       |  SELECT c_custkey AS id,
+       |    50.4 + (((c_custkey * 2654435761) % 1000) / 1000.0) * 1.03 AS lat,
+       |    3.32 + (((c_custkey * 40503) % 1000) / 1000.0) * 2.38 AS lng
+       |  FROM customer
+       |), u AS (
+       |  SELECT id, CAST(round(lat * 1000000) AS BIGINT) AS la,
+       |    CAST(round(lng * 1000000) AS BIGINT) AS lo
+       |  FROM pts
+       |)
+       |SELECT a.id AS ida, b.id AS idb,
+       |  (a.la - b.la) * (a.la - b.la) + (a.lo - b.lo) * (a.lo - b.lo)
+       |    AS d2_microdeg
+       |FROM u a JOIN u b ON a.id < b.id
+       |WHERE (a.la - b.la) * (a.la - b.la) + (a.lo - b.lo) * (a.lo - b.lo)
+       |  <= ${radiusMicroDeg * radiusMicroDeg}
+       |ORDER BY ida, idb""".stripMargin
+
   /** DuckDB oracle generated from the same fixture — edge list VALUES +
     * the identical ray-cast parity arithmetic, so both engines run the
     * same algorithm on the same doubles.
