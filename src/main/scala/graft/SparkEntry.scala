@@ -975,6 +975,11 @@ object SparkEntry {
     "q184_radius_pairs" -> ((s, d) =>
       GeofenceOp.radiusPairs(
         GeofenceOp.syntheticPoints(Tables.customer(s, d)))),
+
+    // Modularity of the brand partition over the co-purchase graph —
+    // exact-integer community quality, per-brand contributions in ppm.
+    "q185_brand_modularity" -> ((s, d) =>
+      GraphOps.brandModularity(Tables.lineitem(s, d), Tables.part(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1600,5 +1605,6 @@ object SparkEntry {
     "q182_ltv_cohorts" -> RelationalOps.ltvCohortsOracle,
     "q183_abc" -> RelationalOps.abcClassificationOracle,
     "q184_radius_pairs" -> GeofenceOp.radiusPairsOracle(),
+    "q185_brand_modularity" -> GraphOps.brandModularityOracle,
   )
 }

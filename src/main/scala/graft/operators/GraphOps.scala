@@ -477,6 +477,81 @@ object GraphOps {
        |GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  /** Modularity of the BRAND partition over the co-purchase graph —
+    * "do customers co-buy within brands?": the standard community-
+    * quality score Q = Σ_c [e_c/m − (d_c/2m)²] evaluated for the
+    * partition given by part brand. Exact arithmetic: per-brand
+    * contributions are published in integer units of 1/(4m²·10⁻⁶)
+    * (cross-multiplied, no division until the final ppm), so the
+    * whole table hash-gates. Q > 0 means intra-brand edges beat the
+    * degree-preserving random graph.
+    *
+    * Scale shape: one edge scan joined twice to the broadcast part→
+    * brand map (dimension-sized), one per-brand rollup; m and the
+    * global Q are a 1-row reduction.
+    */
+  def brandModularity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val brands = part.select(col("p_partkey").as("pk"),
+      col("p_brand").as("brand"))
+    val edges = copurchaseEdges(lineitem).persist()
+    val withB = edges
+      .join(broadcast(brands.select(col("pk").as("a"),
+        col("brand").as("ba"))), Seq("a"))
+      .join(broadcast(brands.select(col("pk").as("b"),
+        col("brand").as("bb"))), Seq("b"))
+    val m = edges.count()
+    val intra = withB.where(col("ba") === col("bb"))
+      .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("e_c"))
+    val degrees = withB.select(col("ba").as("brand"))
+      .unionByName(withB.select(col("bb").as("brand")))
+      .groupBy(col("brand")).agg(count(lit(1)).as("d_c"))
+    // contribution in ppm of Q: (4m·e_c − d_c²)/4m² — exact BIGINTs
+    // into one scalar double division + floor (the corrPpm discipline;
+    // a cross-multiplied integer ppm would pass 2⁶³ near 2M edges)
+    val num = (lit(4L * m) * coalesce(col("e_c"), lit(0L)) -
+      col("d_c") * col("d_c")).cast("double")
+    val out = degrees.join(intra, Seq("brand"), "left")
+      .select(col("brand"), coalesce(col("e_c"), lit(0L)).as("e_c"),
+        col("d_c"),
+        floor(num / lit((4L * m * m).toDouble) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("q_contrib_ppm"))
+      .orderBy("brand")
+    try out.localCheckpoint() finally { edges.unpersist(); () }
+  }
+
+  /** Oracle SQL twin of [[brandModularity]]. */
+  def brandModularityOracle: String = {
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.pk AS x, b.pk AS y
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |),
+       |m AS (SELECT count(*) AS m FROM e),
+       |wb AS (
+       |  SELECT e.x, e.y, pa.p_brand AS ba, pb.p_brand AS bb
+       |  FROM e
+       |  JOIN part pa ON pa.p_partkey = e.x
+       |  JOIN part pb ON pb.p_partkey = e.y
+       |),
+       |intra AS (
+       |  SELECT ba AS brand, count(*) AS e_c FROM wb WHERE ba = bb GROUP BY 1
+       |),
+       |deg AS (
+       |  SELECT brand, count(*) AS d_c FROM (
+       |    SELECT ba AS brand FROM wb UNION ALL SELECT bb FROM wb) t
+       |  GROUP BY 1
+       |)
+       |SELECT d.brand, coalesce(i.e_c, 0) AS e_c, d.d_c,
+       |  CAST(floor(
+       |    CAST(4 * m.m * coalesce(i.e_c, 0) - d.d_c * d.d_c AS DOUBLE)
+       |    / CAST(4 * m.m * m.m AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+       |    AS q_contrib_ppm
+       |FROM deg d LEFT JOIN intra i ON i.brand = d.brand
+       |CROSS JOIN m
+       |ORDER BY d.brand""".stripMargin
+  }
+
   /** Association rules over order baskets — support, confidence, and
     * lift for part pairs, the metrics [[copurchaseRecs]]'s raw repeat
     * weight leaves implicit: confidence(a→b) = n_ab/n_a and
