@@ -69,7 +69,11 @@ object Bench {
     // read as an improvement to a totals-only comparison.
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    // Locale.ROOT: a comma-decimal JVM locale would render 104.6 as
+    // "104,600" and corrupt the JSON line
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // The harness keeps only the LAST ~2000 chars of stdout; a JSON line
@@ -86,8 +90,11 @@ object Bench {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // failures are capped like the timings — a mass-failure round
+    // (exactly when the artifact matters most) must not overflow the
+    // tail buffer; the full list is in the stderr/BENCH_LOCAL detail
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
-    val shown = (results.filter(_._2 < 0) ++ worst)
+    val shown = (results.filter(_._2 < 0).take(12) ++ worst)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$shown,"queries_shown":"failed+worst12_of_${results.size}","sf":"$sfDir"}""")

@@ -311,9 +311,12 @@ object AuditOps {
     *
     * Parity: the moment sums over integer doubled ranks are exact
     * BIGINTs fed into [[graft.functions.DetAgg.corrPpm]]'s scalar
-    * double kernel — bit-equal cross-engine. At per-group sizes where
-    * Σ(2r̄)² nears 2⁶³ (≈ 2×10⁹ rows/group), promote the moment sums
-    * to DECIMAL(38,0); the kernel is unchanged.
+    * double kernel — bit-equal cross-engine. The binding bound is the
+    * SQUARED-rank sum Σ(2r̄)² ≈ (4/3)n³, which passes 2⁶³ near
+    * n ≈ 1.9×10⁶ rows per group (≈ sf1, loudly — ANSI mode throws);
+    * past that, promote the moment sums to DECIMAL(38,0) on the Spark
+    * side (DuckDB already sums to HUGEINT) — the double kernel is
+    * unchanged.
     */
   def spearman(lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -420,11 +423,22 @@ object AuditOps {
     perRel.reduce(_.unionByName(_)).orderBy("rel")
   }
 
+  /** The audited (table, key) set — ONE list both [[defaultSkewRels]]
+    * and [[joinKeySkewOracle]] derive from, so the Spark and oracle
+    * sides cannot drift.
+    */
+  private val skewKeys: Seq[(String, String)] = Seq(
+    "events" -> "user_id",
+    "lineitem" -> "l_orderkey",
+    "lineitem" -> "l_partkey",
+    "lineitem" -> "l_suppkey",
+    "orders" -> "o_custkey")
+
   /** Oracle SQL twin of [[joinKeySkew]] for the default audited set. */
   def joinKeySkewOracle(parts: Int = 32): String = {
     import graft.functions.DetAgg.halfUpDivSql
-    def one(name: String, table: String, key: String): String =
-      s"""SELECT '$name' AS rel, n, n_keys, max_cnt,
+    def one(table: String, key: String): String =
+      s"""SELECT '$table.$key' AS rel, n, n_keys, max_cnt,
          |  ${halfUpDivSql("max_cnt * 1000000", "n")} AS top1_ppm,
          |  ${halfUpDivSql("max_cnt * n_keys * 1000000", "n")} AS skew_ppm,
          |  (max_cnt * $parts + n - 1) // n AS salt_$parts
@@ -434,12 +448,7 @@ object AuditOps {
          |  FROM (SELECT CAST($key AS BIGINT) AS k, count(*) AS cnt
          |        FROM $table GROUP BY 1) g
          |) s""".stripMargin
-    Seq(
-      one("events.user_id", "events", "user_id"),
-      one("lineitem.l_orderkey", "lineitem", "l_orderkey"),
-      one("lineitem.l_partkey", "lineitem", "l_partkey"),
-      one("lineitem.l_suppkey", "lineitem", "l_suppkey"),
-      one("orders.o_custkey", "orders", "o_custkey"))
+    skewKeys.map { case (t, k) => one(t, k) }
       .mkString("", "\nUNION ALL\n", "\nORDER BY rel")
   }
 
@@ -447,12 +456,10 @@ object AuditOps {
   def defaultSkewRels(s: SparkSession, d: String)
       : Seq[(String, DataFrame, String)] = {
     import graft.tables.Tables
-    Seq(
-      ("events.user_id", Tables.events(s, d), "user_id"),
-      ("lineitem.l_orderkey", Tables.lineitem(s, d), "l_orderkey"),
-      ("lineitem.l_partkey", Tables.lineitem(s, d), "l_partkey"),
-      ("lineitem.l_suppkey", Tables.lineitem(s, d), "l_suppkey"),
-      ("orders.o_custkey", Tables.orders(s, d), "o_custkey"))
+    val load: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "events" -> (Tables.events _), "lineitem" -> (Tables.lineitem _),
+      "orders" -> (Tables.orders _))
+    skewKeys.map { case (t, k) => (s"$t.$k", load(t)(s, d), k) }
   }
 
   private val benfordExpected: Seq[(Int, Double)] = (1 to 9)

@@ -1519,9 +1519,12 @@ object TextOps {
     * (o·N_g and n_t·N_s stay far under 2⁵³, so their double images are
     * exact); the term (o·N_g − n_t·N_s)²/(N_g·n_t·N_s) is scalar IEEE
     * math on identical integers, floored to ppm per term and summed as
-    * integers — the [[graft.functions.DetAgg.corrPpm]] discipline. At
-    * corpus sizes where o·N_g nears 2⁵³ (≈ 10¹⁰ tokens), promote the
-    * products to DECIMAL(38,0) before the double cast.
+    * integers — the [[graft.functions.DetAgg.corrPpm]] discipline. The
+    * binding bound is the TRIPLE-product denominator N_g·n_t·N_s
+    * (~cubic in corpus size: 3.6×10¹³ measured at sf0.1), which passes
+    * 2⁶³ near N_g ≈ 1.7×10⁷ tokens (≈ sf6, loudly under ANSI); past
+    * that, promote the products to DECIMAL(38,0) before the double
+    * cast.
     *
     * Scale shape: one (source, token) count, one per-token rollup, one
     * co-partitioned join on token, one per-source rollup — all
