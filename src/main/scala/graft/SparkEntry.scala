@@ -980,6 +980,17 @@ object SparkEntry {
     // exact-integer community quality, per-brand contributions in ppm.
     "q185_brand_modularity" -> ((s, d) =>
       GraphOps.brandModularity(Tables.lineitem(s, d), Tables.part(s, d))),
+
+    // Byte-value histogram per media kind — the corrupt-payload audit,
+    // computed in the batched decode loop, independently re-derived by
+    // the oracle from the text stand-in's character codes.
+    "q186_byte_histogram" -> ((s, d) =>
+      MultimodalOp.byteHistogram(MultimodalOp.asMedia(Tables.documents(s, d)))),
+
+    // Overlapping window-energy framing (the audio STFT shape: window
+    // 64, hop 32, full windows only).
+    "q187_window_energy" -> ((s, d) =>
+      MultimodalOp.windowEnergies(MultimodalOp.asMedia(Tables.documents(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1606,5 +1617,7 @@ object SparkEntry {
     "q183_abc" -> RelationalOps.abcClassificationOracle,
     "q184_radius_pairs" -> GeofenceOp.radiusPairsOracle(),
     "q185_brand_modularity" -> GraphOps.brandModularityOracle,
+    "q186_byte_histogram" -> MultimodalOp.byteHistogramOracle,
+    "q187_window_energy" -> MultimodalOp.windowEnergiesOracle(),
   )
 }

@@ -127,6 +127,119 @@ object MultimodalOp {
        |    AS sampled_bytes
        |FROM s GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
 
+  final case class BinRow(kind: String, bin: Int, n: Long)
+
+  /** Byte-value histogram per media kind — the "pixel/sample value
+    * distribution" audit a media pipeline runs to catch corrupt or
+    * mis-encoded payloads (a spike at 0x00, a missing high band). The
+    * 16 bins are computed in the batched partition-local decode loop
+    * (where a real codec would emit sample values); the oracle
+    * re-derives the same counts INDEPENDENTLY from the text stand-in's
+    * character codes — the payload is its UTF-8 bytes and the corpus
+    * is ASCII, so byte values ARE character codes.
+    */
+  def byteHistogram(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bins = new Array[Long](16)
+          var i = 0
+          while (i < r.payload.length) {
+            bins((r.payload(i) & 0xff) >> 4) += 1; i += 1
+          }
+          (0 until 16).iterator.filter(bins(_) > 0)
+            .map(b => BinRow(r.kind, b, bins(b)))
+        }
+      }
+      .toDF()
+      .groupBy(col("kind"), col("bin"))
+      .agg(sum(col("n")).as("n_bytes"))
+      .select(col("kind"), col("bin").cast("long").as("bin"), col("n_bytes"))
+      .orderBy("kind", "bin")
+  }
+
+  /** Oracle SQL twin of [[byteHistogram]] — character codes of the
+    * text stand-in, bucketed the same way. */
+  def byteHistogramOracle: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS kind,
+       |    ascii(substr(text, i, 1)) AS c
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, len(text))) AS i
+       |        FROM documents) t
+       |)
+       |SELECT kind, CAST(c // 16 AS BIGINT) AS bin, count(*) AS n_bytes
+       |FROM ch GROUP BY 1, 2 ORDER BY kind, bin""".stripMargin
+
+  final case class WindowEnergy(doc_id: Long, kind: String, widx: Long,
+                                energy: Long)
+
+  /** Overlapping window-energy framing — the audio STFT framing shape
+    * (window `win`, hop `hop`, FULL windows only), with per-window
+    * energy = sum of byte values computed in the batch decode loop
+    * (stand-in for a real spectral feature). Distinct from
+    * [[sampleFrames]]'s non-overlapping stride: overlap is what makes
+    * framing a row-multiplying transform with shared input bytes, and
+    * the plumbing (typed Dataset, per-partition batch context, one row
+    * per (doc, window)) is exactly a real feature extractor's. Rolled
+    * up per doc for the gate; the oracle re-derives window sums from
+    * character codes.
+    */
+  def windowEnergies(media: DataFrame, win: Int = 64,
+                     hop: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val n = r.payload.length
+          val nw = if (n < win) 0 else (n - win) / hop + 1
+          (0 until nw).iterator.map { w =>
+            var s = 0L
+            var i = w * hop
+            val end = w * hop + win
+            while (i < end) { s += r.payload(i) & 0xff; i += 1 }
+            WindowEnergy(r.doc_id, r.kind, w.toLong, s)
+          }
+        }
+      }
+      .toDF()
+      .groupBy(col("doc_id"), col("kind"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("total_energy"),
+        max(col("energy")).as("max_energy"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[windowEnergies]]. */
+  def windowEnergiesOracle(win: Int = 64, hop: Int = 32): String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS kind,
+       |    text, len(text) AS n
+       |  FROM documents WHERE len(text) >= $win
+       |), w AS (
+       |  SELECT doc_id, kind, text,
+       |    unnest(generate_series(0, CAST((n - $win) // $hop AS BIGINT))) AS wx
+       |  FROM m
+       |), e AS (
+       |  SELECT doc_id, kind, wx,
+       |    (SELECT sum(ascii(substr(w.text, CAST(w.wx * $hop + j.j AS INTEGER), 1)))
+       |     FROM range(1, ${win + 1}) j(j)) AS energy
+       |  FROM w
+       |)
+       |SELECT doc_id, kind, count(*) AS n_windows,
+       |  CAST(sum(energy) AS BIGINT) AS total_energy,
+       |  CAST(max(energy) AS BIGINT) AS max_energy
+       |FROM e GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   /** Batched partition-local "resize": keeps every `factor`-th byte —
     * the stub stand-in for a codec's resample, with the real plumbing
     * (typed Dataset, one batch context per partition, binary-in/
