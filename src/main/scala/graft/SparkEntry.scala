@@ -991,6 +991,22 @@ object SparkEntry {
     // 64, hop 32, full windows only).
     "q187_window_energy" -> ((s, d) =>
       MultimodalOp.windowEnergies(MultimodalOp.asMedia(Tables.documents(s, d)))),
+
+    // Binary-quantization (1-bit/dim) serving recall: Hamming shortlist
+    // over sign-bit signatures + exact rerank — completes the
+    // compression frontier (int8 / PQ / truncation / binary).
+    "q188_binary_recall" -> ((s, d) =>
+      SimilarityOp.binaryQuantRecall(Tables.embeddings(s, d))),
+
+    // Autocorrelation of the hourly mean series per event type at lags
+    // 1/2/3/24 — exact integer moments through the corrPpm kernel.
+    "q189_hourly_acf" -> ((s, d) =>
+      EventOps.hourlyAcf(Tables.events(s, d))),
+
+    // Poisson-bootstrap CI for mean order price per priority class —
+    // deterministic hash-derived resample weights, one-pass.
+    "q190_bootstrap_ci" -> ((s, d) =>
+      AuditOps.bootstrapCi(Tables.orders(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1619,5 +1635,8 @@ object SparkEntry {
     "q185_brand_modularity" -> GraphOps.brandModularityOracle,
     "q186_byte_histogram" -> MultimodalOp.byteHistogramOracle,
     "q187_window_energy" -> MultimodalOp.windowEnergiesOracle(),
+    "q188_binary_recall" -> SimilarityOp.binaryQuantRecallOracle(),
+    "q189_hourly_acf" -> EventOps.hourlyAcfOracle(),
+    "q190_bootstrap_ci" -> AuditOps.bootstrapCiOracle(),
   )
 }

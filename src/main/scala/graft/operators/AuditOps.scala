@@ -616,4 +616,146 @@ object AuditOps {
        |    CAST(n * (least(nr, nc) - 1) AS DOUBLE)) * 10000.0 + 0.5)
        |    AS BIGINT) AS cramers_v_e4
        |FROM s""".stripMargin
+
+  /** Poisson(1) CDF in fixed 10⁻⁶ units — ⌊CDF(k)·10⁶⌋ for k = 0..6
+    * (weight 7 past the last threshold). These LITERALS define the
+    * resampling weight function of [[bootstrapCi]] on both engines, so
+    * cross-engine parity never depends on either engine's `exp`.
+    */
+  private val PoisCdf1e6: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L)
+
+  /** q190: Poisson-bootstrap confidence interval for the mean order
+    * price per priority class — the standard DISTRIBUTED bootstrap
+    * (Poisson(1) approximates multinomial resampling without any
+    * global draw): each of `b` resamples assigns every order a
+    * deterministic pseudo-Poisson weight from the portable hash of
+    * (resample#, reversed order key), so the whole audit is one scan ×
+    * `b` weighted partial sums, embarrassingly parallel and
+    * REPRODUCIBLE run-to-run (a seeded-RNG bootstrap is neither
+    * cross-engine nor cross-partitioning stable).
+    *
+    * Per class: the point mean, the 2.5th/97.5th percentile of the
+    * `b` resample means (exact 1-indexed order statistics at ranks
+    * ⌈0.025·B⌉ / ⌈0.975·B⌉), and the bootstrap SE from exact integer
+    * moments through the corrPpm-style scalar double kernel (IEEE
+    * ·,−,/,sqrt are correctly rounded; only float AGGREGATION leaks
+    * fold order). Resample means are integer CENTS — squared sums stay
+    * ≲ 10¹⁷ at TPC-H price magnitudes, BIGINT-safe with 50× headroom
+    * (ANSI throws loudly past it).
+    *
+    * Scale shape: the b-fold explode rides the map side and combines
+    * into `groups × b` partial rows before the ONLY shuffle; the order
+    * stats + moments then run on 64-row groups. At 100 TB this is the
+    * textbook one-pass bootstrap: no per-resample scan, no driver
+    * randomness, no skew (weights average 1 everywhere).
+    */
+  def bootstrapCi(orders: DataFrame, b: Int = 64): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    import graft.functions.TextFunctions.portableHash
+    import org.apache.spark.sql.expressions.Window
+    require(b >= 40, "bootstrapCi: need b >= 40 for 2.5/97.5 order stats")
+    val base = orders.select(col("o_orderpriority").as("grp"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderkey"))
+    // resample# FIRST in the hash input: PortableHashExpr folds only
+    // the first 8 chars + length, so a suffix position would leave b
+    // outside the folded prefix for long keys (the docHash reversal
+    // lesson, one step further).
+    val rep = base
+      .withColumn("b", explode(array((0 until b).map(i => lit(i.toLong)): _*)))
+      .withColumn("u", portableHash(concat(col("b").cast("string"), lit("#"),
+        reverse(col("o_orderkey").cast("string")))) % 1000000L)
+      .withColumn("w", PoisCdf1e6.tail.zipWithIndex
+        .foldLeft(when(col("u") < PoisCdf1e6.head, 0L)) {
+          case (acc, (thr, i)) => acc.when(col("u") < thr, (i + 1).toLong)
+        }.otherwise(lit(PoisCdf1e6.size.toLong)))
+    val means = rep.groupBy(col("grp"), col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("cents")).as("swc"))
+      .where(col("sw") > 0L)
+      .select(col("grp"), col("b"), halfUpDiv(col("swc"), col("sw")).as("mb"))
+    val ranked = means
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("mb"), col("b"))))
+      .withColumn("nr", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val loIdx = call_function("div", col("nr") * 25L + 999L, lit(1000L))
+    val hiIdx = call_function("div", col("nr") * 975L + 999L, lit(1000L))
+    val boot = ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_resamples"),
+        sum(col("mb")).as("s"), sum(col("mb") * col("mb")).as("q"),
+        max(when(col("rn") === loIdx, col("mb"))).as("boot_lo_cents"),
+        max(when(col("rn") === hiIdx, col("mb"))).as("boot_hi_cents"))
+    val nd = col("n_resamples").cast("double")
+    val sd = col("s").cast("double")
+    val qd = col("q").cast("double")
+    val point = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_orders"),
+        halfUpDiv(sum(col("cents")), count(lit(1))).as("point_mean_cents"))
+    point.join(boot, Seq("grp"))
+      .select(col("grp").as("o_orderpriority"), col("n_orders"),
+        col("point_mean_cents"), col("n_resamples"),
+        col("boot_lo_cents"), col("boot_hi_cents"),
+        when(col("n_resamples") > 1L,
+          floor(sqrt((nd * qd - sd * sd) / (nd * (nd - lit(1.0)))) + 0.5)
+            .cast("long")).as("boot_se_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Oracle SQL twin of [[bootstrapCi]] — same hash, same CDF
+    * literals, same order-statistic ranks, same scalar double SE. */
+  def bootstrapCiOracle(b: Int = 64): String = {
+    import graft.functions.TextFunctions.portableHashSql
+    val wCase = PoisCdf1e6.zipWithIndex
+      .map { case (t, i) => s"WHEN u < $t THEN $i" }
+      .mkString(" ")
+    s"""WITH base AS (
+       |  SELECT o_orderpriority AS grp,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+       |  FROM orders
+       |), bs AS (SELECT CAST(bb AS BIGINT) AS b FROM range($b) t(bb)),
+       |rep AS (
+       |  SELECT grp, cents, b,
+       |    (${portableHashSql(
+             "concat(CAST(b AS VARCHAR), '#', reverse(CAST(o_orderkey AS VARCHAR)))")})
+       |      % 1000000 AS u
+       |  FROM base CROSS JOIN bs
+       |), wt AS (
+       |  SELECT grp, b, cents,
+       |    CAST(CASE $wCase ELSE ${PoisCdf1e6.size} END AS BIGINT) AS w
+       |  FROM rep
+       |), means AS (
+       |  SELECT grp, b,
+       |    ${graft.functions.DetAgg.halfUpDivSql(
+            "CAST(sum(w * cents) AS BIGINT)", "CAST(sum(w) AS BIGINT)")} AS mb
+       |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0
+       |), ranked AS (
+       |  SELECT grp, mb,
+       |    row_number() OVER (PARTITION BY grp ORDER BY mb, b) AS rn,
+       |    count(*) OVER (PARTITION BY grp) AS nr
+       |  FROM means
+       |), boot AS (
+       |  SELECT grp, count(*) AS n_resamples,
+       |    CAST(sum(mb) AS BIGINT) AS s, CAST(sum(mb * mb) AS BIGINT) AS q,
+       |    max(CASE WHEN rn = (nr * 25 + 999) // 1000 THEN mb END)
+       |      AS boot_lo_cents,
+       |    max(CASE WHEN rn = (nr * 975 + 999) // 1000 THEN mb END)
+       |      AS boot_hi_cents
+       |  FROM ranked GROUP BY 1
+       |), pt AS (
+       |  SELECT grp, count(*) AS n_orders,
+       |    ${graft.functions.DetAgg.halfUpDivSql(
+            "CAST(sum(cents) AS BIGINT)", "count(*)")} AS point_mean_cents
+       |  FROM base GROUP BY 1
+       |)
+       |SELECT pt.grp AS o_orderpriority, pt.n_orders, pt.point_mean_cents,
+       |  boot.n_resamples, boot.boot_lo_cents, boot.boot_hi_cents,
+       |  CASE WHEN boot.n_resamples > 1 THEN
+       |    CAST(floor(sqrt((CAST(boot.n_resamples AS DOUBLE) * CAST(boot.q AS DOUBLE)
+       |      - CAST(boot.s AS DOUBLE) * CAST(boot.s AS DOUBLE))
+       |      / (CAST(boot.n_resamples AS DOUBLE)
+       |         * (CAST(boot.n_resamples AS DOUBLE) - 1.0))) + 0.5) AS BIGINT)
+       |  END AS boot_se_cents
+       |FROM pt JOIN boot ON boot.grp = pt.grp
+       |ORDER BY o_orderpriority""".stripMargin
+  }
 }

@@ -1358,4 +1358,70 @@ object EventOps {
        |  CAST(sum(CASE WHEN c > $alarm THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_alarms
        |FROM cs GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** q189: autocorrelation function of the hourly mean series, per
+    * event type — the sample Pearson correlation of (m_t, m_{t+lag})
+    * over every hour pair where BOTH hours are present (hour gaps
+    * simply contribute no pair; no imputation). Lag 1–3 reads the
+    * short-range persistence the EWMA/rolling monitors smooth over;
+    * lag 24 reads daily seasonality (the q146 profile, as one number).
+    *
+    * Exactness: the series is [[hourlySeries]]'s integer centi-cent
+    * means, the moment sums are exact BIGINTs (|m| ≤ 5.6×10⁶ here, so
+    * Σm² ≈ 2.3×10¹⁶ at 720 hours — BIGINT-safe until hourly means
+    * reach ~10⁸ centi-cents, and ANSI mode throws loudly past that),
+    * and [[graft.functions.DetAgg.corrPpm]]'s scalar double kernel is
+    * IEEE-exact cross-engine.
+    *
+    * Scale shape: the pair frame is built from the HOURLY aggregate
+    * (720 rows/type), never raw events, via one equi-join on
+    * (event_type, hr + lag) after a ~4× lag explode — both join sides
+    * are the same aggregated subplan, so ReusedExchange builds the
+    * series once (the q129 rule: no pre-persist). The raw-event scan
+    * contributes one map-side-combined groupBy; everything after is
+    * kilobytes.
+    */
+  def hourlyAcf(events: DataFrame,
+                lags: Seq[Int] = Seq(1, 2, 3, 24)): DataFrame = {
+    import graft.functions.DetAgg.corrPpm
+    val h = hourlySeries(events)
+    val a = h.select(col("event_type"), col("hr"), col("m").as("mx"))
+      .withColumn("lag_h", explode(array(lags.map(l => lit(l.toLong)): _*)))
+    val b = h.select(col("event_type").as("et2"), col("hr").as("hrb"),
+      col("m").as("my"))
+    a.join(b, col("et2") === col("event_type") &&
+        col("hrb") === col("hr") + col("lag_h"))
+      .groupBy(col("event_type"), col("lag_h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("mx")).as("sx"), sum(col("my")).as("sy"),
+        sum(col("mx") * col("mx")).as("sxx"),
+        sum(col("my") * col("my")).as("syy"),
+        sum(col("mx") * col("my")).as("sxy"))
+      .select(col("event_type"), col("lag_h"), col("n").as("n_pairs"),
+        corrPpm(col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy")).as("acf_ppm"))
+      .orderBy("event_type", "lag_h")
+  }
+
+  /** Oracle SQL twin of [[hourlyAcf]]. */
+  def hourlyAcfOracle(lags: Seq[Int] = Seq(1, 2, 3, 24)): String =
+    s"""WITH ${hourlySeriesSql},
+       |l AS (SELECT CAST(lg AS BIGINT) AS lag_h
+       |      FROM (VALUES ${lags.map(l => s"($l)").mkString(", ")}) t(lg)),
+       |p AS (
+       |  SELECT a.event_type, l.lag_h, a.m AS mx, b.m AS my
+       |  FROM h a CROSS JOIN l
+       |  JOIN h b ON b.event_type = a.event_type AND b.hr = a.hr + l.lag_h
+       |), mo AS (
+       |  SELECT event_type, lag_h, count(*) AS n,
+       |    CAST(sum(mx) AS BIGINT) AS sx, CAST(sum(my) AS BIGINT) AS sy,
+       |    CAST(sum(mx * mx) AS BIGINT) AS sxx,
+       |    CAST(sum(my * my) AS BIGINT) AS syy,
+       |    CAST(sum(mx * my) AS BIGINT) AS sxy
+       |  FROM p GROUP BY 1, 2
+       |)
+       |SELECT event_type, lag_h, n AS n_pairs,
+       |  ${graft.functions.DetAgg.corrPpmSql(
+            "n", "sx", "sy", "sxx", "syy", "sxy")} AS acf_ppm
+       |FROM mo ORDER BY event_type, lag_h""".stripMargin
 }

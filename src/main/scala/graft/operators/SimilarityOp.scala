@@ -1781,6 +1781,133 @@ object SimilarityOp {
        |ORDER BY config""".stripMargin
   }
 
+  /** Sign-bit (1-bit-per-dimension) signatures: bit d of the BIGINT
+    * signature is `embedding[d] > 0` — the extreme-compression serving
+    * layout (64 float32 dims → 8 bytes/vector, 32× smaller), the
+    * binary-quantization sibling of int8 (q62), PQ (q123) and
+    * Matryoshka truncation (q139). Built RELATIONALLY (posexplode →
+    * conditional bit-sum) rather than an interpreted HOF fold — the
+    * pqAssign lesson. Bit 63 is the BIGINT sign bit: Spark's
+    * `shiftleft(1L, 63)` wraps to Long.MinValue by JVM shift semantics,
+    * while DuckDB raises on `1::BIGINT << 63`, so the oracle spells
+    * that one bit as the MinValue literal — the summed bit PATTERNS are
+    * identical (distinct powers of two can never overflow a partial
+    * sum, so ANSI mode stays quiet on both engines).
+    */
+  private def signBits(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("v") > 0f,
+        expr("shiftleft(1L, CAST(d AS INT))")).otherwise(0L)).as("sig"))
+
+  /** Hamming-shortlist candidates over the sign-bit signatures: the
+    * whole query sample's signatures broadcast against ONE corpus
+    * signature scan; per query the `c` lowest-Hamming corpus vectors
+    * (ties broken by vec_id) go to the exact rerank. Only (vec_id,
+    * sig) pairs — 16 bytes/row — ride the comparison; float vectors
+    * are fetched afterwards by id inside [[recallArm]], which is the
+    * whole point of serving from a binary index at 100 TB.
+    */
+  private def binCandidatesMulti(embeddings: DataFrame, qmod: Int,
+                                 c: Int): DataFrame = {
+    val sigs = signBits(embeddings)
+    val qsigs = sigs.where(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("ham"), col("vec_id"))
+    sigs.join(broadcast(qsigs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).as("ham"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= c)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** q188: binary-quantization recall audit — recall@k of serving from
+    * 1-bit-per-dimension signatures with a `c`-deep Hamming overfetch +
+    * exact rerank, against the exact ground truth (the q126/q139 audit
+    * pattern). Completes the compression-serving frontier: float exact /
+    * int8 / PQ-ADC / truncation / binary now all have measured
+    * operating points on the same query sample.
+    */
+  def binaryQuantRecall(embeddings: DataFrame, qmod: Int = 7, k: Int = 10,
+                        cs: Seq[Int] = Seq(50, 100)): DataFrame = {
+    val qframe = queryFrame(embeddings, qmod)
+    val exact = exactTopKMulti(embeddings, qmod, k)
+    cs.map(c => recallArm(f"bin1bit_c$c%03d", embeddings, qframe, exact,
+        binCandidatesMulti(embeddings, qmod, c), k))
+      .reduce(_ unionByName _)
+      .orderBy("config")
+  }
+
+  /** Oracle SQL twin of [[binaryQuantRecall]] — identical sign-bit
+    * construction (see [[signBits]] for the bit-63 literal note). */
+  def binaryQuantRecallOracle(qmod: Int = 7, k: Int = 10,
+                              cs: Seq[Int] = Seq(50, 100),
+                              dims: Int = 64): String = {
+    val arms = cs.map { c =>
+      val nm = f"bin1bit_c$c%03d"
+      s"""cand$c AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ham, vec_id) AS rn
+         |    FROM hm) t WHERE rn <= $c
+         |), topk$c AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+         |      ORDER BY s.sim DESC, s.vec_id) AS rn
+         |    FROM sims s JOIN cand$c cc ON cc.qid = s.qid
+         |      AND cc.vec_id = s.vec_id) t WHERE rn <= $k
+         |), arm$c AS (
+         |  SELECT '$nm' AS config,
+         |    (SELECT n FROM nq) AS n_queries,
+         |    ${graft.functions.DetAgg.ratioSql(
+               s"(SELECT count(*) FROM cand$c)", "(SELECT n FROM nq)")}
+         |      AS mean_cand,
+         |    ${graft.functions.DetAgg.ratioSql(
+               s"(SELECT count(*) FROM topk$c tk JOIN ex ON ex.qid = tk.qid AND ex.vec_id = tk.vec_id)",
+               s"(SELECT n FROM nq) * $k")} AS mean_recall
+         |)""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id AS qid FROM embeddings
+       |           WHERE vec_id % $qmod = 0),
+       |pc0 AS (
+       |  SELECT qq.qid, e.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(qe.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM q qq
+       |  JOIN embeddings qe ON qe.vec_id = qq.qid
+       |  JOIN embeddings e ON e.vec_id <> qq.qid, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |  FROM pc0
+       |), ex AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sims) t WHERE rn <= $k
+       |), nq AS (SELECT count(*) AS n FROM q),
+       |sg AS (
+       |  SELECT e.vec_id,
+       |    CAST(sum(CASE WHEN e.embedding[i.i+1] > 0 THEN
+       |        (CASE WHEN i.i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |              ELSE (CAST(1 AS BIGINT) << i.i) END)
+       |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+       |  FROM embeddings e, range($dims) i(i) GROUP BY 1
+       |), hm AS (
+       |  SELECT qq.qid, s.vec_id, bit_count(xor(s.sig, qs.sig)) AS ham
+       |  FROM q qq
+       |  JOIN sg qs ON qs.vec_id = qq.qid
+       |  JOIN sg s ON s.vec_id <> qq.qid
+       |),
+       |${arms.mkString(",\n")}
+       |${cs.map(c => s"SELECT config, n_queries, mean_cand, mean_recall FROM arm$c")
+            .mkString("\nUNION ALL\n")}
+       |ORDER BY config""".stripMargin
+  }
+
   /** One MRR arm: the true nearest neighbour's reciprocal rank inside
     * the arm's exact-cosine-ranked candidate list, in EXACT 1/2520
     * units (2520 = lcm(1..10), so `2520 div rank` is an exact integer
