@@ -1007,6 +1007,30 @@ object SparkEntry {
     // deterministic hash-derived resample weights, one-pass.
     "q190_bootstrap_ci" -> ((s, d) =>
       AuditOps.bootstrapCi(Tables.orders(s, d))),
+
+    // Common-neighbor / Jaccard link prediction over the repeat
+    // co-purchase graph — graph completion with an apex degree cap so
+    // wedge generation can never go quadratic through a hub.
+    "q191_link_prediction" -> ((s, d) =>
+      GraphOps.linkPrediction(GraphOps.repeatEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", inputTag = Some(d)))),
+
+    // First-seen shingle novelty per source — the corpus-freshness /
+    // boilerplate audit; arrival order = doc_id, nothing pairs docs.
+    "q192_novelty" -> ((s, d) =>
+      DedupOp.noveltyBySource(Tables.documents(s, d))),
+
+    // MMR diversified top-k: greedy λ-tradeoff re-rank of the exact
+    // top-m pool in integer 1e-7 score units — the dedup-aware
+    // retrieval step; pool and pairwise frames stay k-bounded.
+    "q193_mmr_rerank" -> ((s, d) =>
+      SimilarityOp.mmrTopK(Tables.embeddings(s, d))),
+
+    // Scene-change detection: adjacent-frame luma-sum diffs thresholded
+    // into cuts, computed in the batched decode loop; oracle re-derives
+    // frame sums from character codes.
+    "q194_scene_changes" -> ((s, d) =>
+      MultimodalOp.sceneChanges(MultimodalOp.asMedia(Tables.documents(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1638,5 +1662,9 @@ object SparkEntry {
     "q188_binary_recall" -> SimilarityOp.binaryQuantRecallOracle(),
     "q189_hourly_acf" -> EventOps.hourlyAcfOracle(),
     "q190_bootstrap_ci" -> AuditOps.bootstrapCiOracle(),
+    "q191_link_prediction" -> GraphOps.linkPredictionOracle(),
+    "q192_novelty" -> DedupOp.noveltyBySourceOracle(),
+    "q193_mmr_rerank" -> SimilarityOp.mmrTopKOracle(),
+    "q194_scene_changes" -> MultimodalOp.sceneChangesOracle(),
   )
 }

@@ -266,6 +266,70 @@ object DedupOp {
       byShingle)
   }
 
+  /** First-seen shingle novelty per source — the corpus-freshness audit
+    * a crawl pipeline runs per ingest slice: a document's novelty is the
+    * fraction of its distinct w-shingles whose FIRST occurrence (min
+    * doc_id over the whole corpus — doc_id is arrival order) is the
+    * document itself. Sources full of boilerplate or re-crawls score
+    * low; `novelty` is the source-level pooled ratio and
+    * `mean_doc_novelty_1e4` the per-doc mean, both exact integers until
+    * the final division.
+    *
+    * Scale shape: one map-side-combined min per shingle hash, one
+    * hash-partitioned join back on the same 8-byte key (no strings past
+    * the scan), one per-doc aggregate, one broadcast-sized join to the
+    * doc→source map. Nothing quadratic — novelty never pairs documents.
+    */
+  def noveltyBySource(docs: DataFrame, w: Int = 3): DataFrame = {
+    import graft.functions.DetAgg
+    val sh = docShingles(docs, w)
+    val firstSeen = sh.groupBy(col("hx")).agg(min(col("doc_id")).as("fs"))
+    val perDoc = sh.join(firstSeen, Seq("hx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("doc_id") === col("fs"), 1L).otherwise(0L))
+          .as("nv"))
+      .withColumn("nov4",
+        DetAgg.halfUpDiv(col("nv") * lit(10000L), col("n_sh")))
+    perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("nv")).as("n_novel"),
+        DetAgg.halfUpDiv(sum(col("nov4")), count(lit(1)))
+          .as("mean_doc_novelty_1e4"))
+      .withColumn("novelty", DetAgg.ratio(col("n_novel"), col("n_shingles")))
+      .select(col("source"), col("n_docs"), col("n_shingles"),
+        col("n_novel"), col("novelty"), col("mean_doc_novelty_1e4"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[noveltyBySource]]. */
+  def noveltyBySourceOracle(w: Int = 3): String = {
+    import graft.functions.DetAgg
+    s"""WITH ${shingleCte(w)},
+       |fs AS (SELECT hx, min(doc_id) AS fs FROM shx GROUP BY 1),
+       |pd AS (
+       |  SELECT s.doc_id, count(*) AS n_sh,
+       |    CAST(sum(CASE WHEN s.doc_id = fs.fs THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nv
+       |  FROM shx s JOIN fs ON s.hx = fs.hx GROUP BY 1
+       |),
+       |pd2 AS (
+       |  SELECT doc_id, n_sh, nv,
+       |    ${DetAgg.halfUpDivSql("nv * 10000", "n_sh")} AS nov4
+       |  FROM pd
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(p.n_sh) AS BIGINT) AS n_shingles,
+       |  CAST(sum(p.nv) AS BIGINT) AS n_novel,
+       |  ${DetAgg.ratioSql("sum(p.nv)", "sum(p.n_sh)")} AS novelty,
+       |  ${DetAgg.halfUpDivSql("sum(p.nov4)", "count(*)")}
+       |    AS mean_doc_novelty_1e4
+       |FROM pd2 p JOIN documents d ON p.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Survivor selection — the step a dedup pipeline actually ends with:
     * connected components over the near-dup pair graph, root = min
     * doc_id per component (the kept canonical).

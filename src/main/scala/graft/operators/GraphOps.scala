@@ -1060,4 +1060,78 @@ object GraphOps {
        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$iters
        |ORDER BY node""".stripMargin
   }
+
+  /** Common-neighbor / Jaccard link prediction over an undirected edge
+    * set (reference workload family: graph completion over the
+    * co-purchase graph — "parts never yet bought together but sharing
+    * many co-purchase partners"). For every NON-adjacent pair (a, b)
+    * reachable through at least one shared neighbor: `common` = number
+    * of shared neighbors, `jaccard_1e4` = ⌊10⁴·|N(a)∩N(b)| /
+    * |N(a)∪N(b)|⌋ — both exact integers. Top `k` by (common, jaccard)
+    * with a full deterministic tie order.
+    *
+    * Scale shape: wedge generation is the [[triangleCount]] self-join
+    * at the apex, but link prediction needs BOTH wedge orientations, so
+    * hub apexes are the quadratic risk — apexes with degree > `maxDeg`
+    * are dropped before pairing (the [[DedupOp.MaxShingleDf]] blocking
+    * stance, mirrored exactly by the oracle; a hub's wedges rank pairs
+    * by popularity, not affinity, so capping is also the better
+    * predictor). Union sizes keep FULL degrees — only the wedge pass is
+    * capped. One groupBy on the wedge pairs, one anti-join against the
+    * edge set, two broadcast-sized degree joins.
+    */
+  def linkPrediction(edges: DataFrame, k: Int = 20,
+                     maxDeg: Long = 1024L): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val apexOk = deg.where(col("dg") <= maxDeg).select(col("u"))
+    val wedgeSrc = sym.join(apexOk, Seq("u"))
+    val cn = wedgeSrc.as("s1").join(wedgeSrc.as("s2"),
+        col("s1.u") === col("s2.u") && col("s1.v") < col("s2.v"))
+      .groupBy(col("s1.v").as("x"), col("s2.v").as("y"))
+      .agg(count(lit(1)).as("common"))
+    val nonAdj = cn.join(
+      edges.select(col("a").as("x"), col("b").as("y")),
+      Seq("x", "y"), "left_anti")
+    nonAdj
+      .join(deg.select(col("u").as("x"), col("dg").as("dx")), Seq("x"))
+      .join(deg.select(col("u").as("y"), col("dg").as("dy")), Seq("y"))
+      .select(col("x").as("a"), col("y").as("b"), col("common"),
+        expr("common * 10000L DIV (dx + dy - common)").as("jaccard_1e4"))
+      .orderBy(col("common").desc, col("jaccard_1e4").desc,
+        col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Oracle SQL twin of [[linkPrediction]] over
+    * [[repeatCopurchaseEdges]] — same apex cap, same integer units.
+    */
+  def linkPredictionOracle(k: Int = 20, maxDeg: Long = 1024L,
+                           minW: Long = 2L): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |e0 AS (
+       |  SELECT a.pk AS x, b.pk AS y
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minW
+       |),
+       |sym AS (SELECT x AS u, y AS v FROM e0 UNION ALL SELECT y, x FROM e0),
+       |deg AS (SELECT u, count(*) AS dg FROM sym GROUP BY 1),
+       |sc AS (SELECT s.u, s.v FROM sym s JOIN deg d
+       |       ON s.u = d.u AND d.dg <= $maxDeg),
+       |cn AS (
+       |  SELECT s1.v AS x, s2.v AS y, count(*) AS common
+       |  FROM sc s1 JOIN sc s2 ON s1.u = s2.u AND s1.v < s2.v
+       |  GROUP BY 1, 2
+       |),
+       |ne AS (
+       |  SELECT cn.x, cn.y, cn.common FROM cn
+       |  LEFT JOIN e0 ON cn.x = e0.x AND cn.y = e0.y
+       |  WHERE e0.x IS NULL
+       |)
+       |SELECT ne.x AS a, ne.y AS b, common,
+       |  common * 10000 // (dx.dg + dy.dg - common) AS jaccard_1e4
+       |FROM ne JOIN deg dx ON ne.x = dx.u JOIN deg dy ON ne.y = dy.u
+       |ORDER BY common DESC, jaccard_1e4 DESC, a, b LIMIT $k""".stripMargin
 }

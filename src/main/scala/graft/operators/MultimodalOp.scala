@@ -240,6 +240,91 @@ object MultimodalOp {
        |  CAST(max(energy) AS BIGINT) AS max_energy
        |FROM e GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  final case class FrameDiff(doc_id: Long, kind: String, fidx: Long,
+                             diff: Long)
+
+  /** Scene-change (cut) detection — the video-segmentation primitive:
+    * frame the payload into FULL `frameBytes` blocks, per-frame
+    * "luma" = exact byte sum (the codec stand-in, computed in the same
+    * batched partition-local decode loop as [[byteHistogram]]), flag a
+    * cut wherever the adjacent-frame absolute difference exceeds
+    * `cutMin`. Real scene detection thresholds exactly this statistic
+    * over decoded luma planes; every Spark-side piece (typed Dataset
+    * batch loop, per-doc transition rows, threshold roll-up) is the
+    * production plumbing. Docs shorter than two full frames have no
+    * transitions and drop out, mirrored by the oracle.
+    */
+  def sceneChanges(media: DataFrame, frameBytes: Int = 256,
+                   cutMin: Long = 300L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val nf = r.payload.length / frameBytes
+          if (nf < 2) Iterator.empty
+          else {
+            val sums = new Array[Long](nf)
+            var f = 0
+            while (f < nf) {
+              var s = 0L
+              var i = f * frameBytes
+              val end = i + frameBytes
+              while (i < end) { s += r.payload(i) & 0xff; i += 1 }
+              sums(f) = s; f += 1
+            }
+            (1 until nf).iterator.map(j =>
+              FrameDiff(r.doc_id, r.kind, j.toLong,
+                math.abs(sums(j) - sums(j - 1))))
+          }
+        }
+      }
+      .toDF()
+      .groupBy(col("doc_id"), col("kind"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when(col("diff") > cutMin, 1L).otherwise(0L)).as("n_cuts"),
+        max(col("diff")).as("max_diff"),
+        sum(col("diff")).as("sum_diff"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[sceneChanges]] — frame sums re-derived
+    * independently from character codes (ASCII corpus: bytes ARE char
+    * codes), adjacent diffs via lag().
+    */
+  def sceneChangesOracle(frameBytes: Int = 256,
+                         cutMin: Long = 300L): String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS kind,
+       |    text, len(text) // $frameBytes AS nf
+       |  FROM documents WHERE len(text) >= ${2 * frameBytes}
+       |), f AS (
+       |  SELECT doc_id, kind, text,
+       |    unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS fx
+       |  FROM m
+       |), s AS (
+       |  SELECT doc_id, kind, fx,
+       |    (SELECT sum(ascii(substr(f.text,
+       |        CAST(f.fx * $frameBytes + j.j AS INTEGER), 1)))
+       |     FROM range(1, ${frameBytes + 1}) j(j)) AS fsum
+       |  FROM f
+       |), d AS (
+       |  SELECT doc_id, kind, fx,
+       |    abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY fx))
+       |      AS diff
+       |  FROM s
+       |)
+       |SELECT doc_id, kind, count(*) AS n_transitions,
+       |  CAST(sum(CASE WHEN diff > $cutMin THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cuts,
+       |  CAST(max(diff) AS BIGINT) AS max_diff,
+       |  CAST(sum(diff) AS BIGINT) AS sum_diff
+       |FROM d WHERE diff IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   /** Batched partition-local "resize": keeps every `factor`-th byte —
     * the stub stand-in for a codec's resample, with the real plumbing
     * (typed Dataset, one batch context per partition, binary-in/

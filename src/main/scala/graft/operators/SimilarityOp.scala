@@ -830,6 +830,130 @@ object SimilarityOp {
        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
        |FROM d ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
 
+  /** Maximal Marginal Relevance re-ranking — diversified top-k out of
+    * the exact top-`m` candidate pool (the dedup-aware retrieval step a
+    * RAG / training-data sampler runs so near-identical chunks don't
+    * crowd the result): greedily pick argmax of λ·rel − (1−λ)·max
+    * sim-to-already-selected, λ = `lamNum`/10, all scores in exact
+    * integer 1e-7 units (rel and pairwise sims are the hash-proven
+    * round-6 cosines scaled to 1e-6).
+    *
+    * Scale shape: candidate scoring is [[topK]]'s single scan; the m
+    * vectors are fetched by ONE broadcast-join; pairwise sims are an
+    * m²-bounded local cross (m=20 → 190 rows). Only the greedy
+    * selection — inherently sequential, k steps over ≤ m rows — runs on
+    * the driver, on collected frames bounded by m and m² (the
+    * query-vector-sized collect rule). At 100 TB the pool still arrives
+    * k-bounded per query; MMR cost never touches corpus size.
+    */
+  def mmrTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+              m: Int = 20, lamNum: Long = 7L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cand = topK(embeddings, queryId, m)
+      .select(col("vec_id"),
+        round(col("sim") * 1e6).cast("long").as("rel6"))
+    val cv = embeddings.join(broadcast(cand), Seq("vec_id"))
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val pairs = cv.as("a").join(cv.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        round(round(cosine(col("a.v"), col("b.v")), 6) * 1e6)
+          .cast("long").as("sim6"))
+    val rel = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sim = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def simOf(a: Long, b: Long): Long =
+      sim(if (a < b) (a, b) else (b, a))
+    val muNum = 10L - lamNum
+    val first = rel.minBy { case (id, r6) => (-r6, id) }
+    var selected = Vector((first._1, first._2, lamNum * first._2, 1L))
+    var remaining = rel.filterNot(_._1 == first._1)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, r6) =>
+        val maxSim = selected.map(s => simOf(id, s._1)).max
+        (id, r6, lamNum * r6 - muNum * maxSim)
+      }
+      val pick = scored.minBy { case (id, _, sc) => (-sc, id) }
+      selected = selected :+ ((pick._1, pick._2, pick._3,
+        selected.size + 1L))
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    selected.map { case (id, r6, sc, rk) => (rk, id, r6, sc) }
+      .toDF("rank", "vec_id", "rel_1e6", "score_1e7")
+  }
+
+  /** Oracle SQL twin of [[mmrTopK]] — the greedy selection unrolled as
+    * k−1 chained CTEs over the same integer scores (the
+    * IncrementalKMeans unroll stance). Every per-step CTE is
+    * MATERIALIZED: DuckDB inlines plain CTEs, and each step references
+    * its predecessor three times (score join, NOT IN, accumulate), so
+    * an inlined chain expands 3^k copies of the whole prefix — the
+    * kCore-lineage problem in SQL form ("too many open files" on the
+    * parquet scan was the symptom).
+    */
+  def mmrTopKOracle(queryId: Long = 0L, k: Int = 10, m: Int = 20,
+                    lamNum: Long = 7L, dims: Int = 64): String = {
+    val muNum = 10L - lamNum
+    val steps = (2 to k).map { i =>
+      s"""sc$i AS (
+         |  SELECT c.vec_id, c.rel6,
+         |    $lamNum * c.rel6 - $muNum * max(p.sim6) AS score
+         |  FROM cand c
+         |  JOIN psym p ON p.x = c.vec_id
+         |  JOIN sel${i - 1} s ON p.y = s.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY 1, 2
+         |), pk$i AS (
+         |  SELECT vec_id, rel6, score FROM sc$i
+         |  ORDER BY score DESC, vec_id LIMIT 1
+         |), sel$i AS MATERIALIZED (
+         |  SELECT vec_id, rel6, score, rnk FROM sel${i - 1}
+         |  UNION ALL SELECT vec_id, rel6, score, CAST($i AS BIGINT)
+         |  FROM pk$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+       |           WHERE vec_id = $queryId),
+       |d AS (
+       |  SELECT e.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * q.qv[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(q.qv[i.i+1]::DOUBLE * q.qv[i.i+1]::DOUBLE) AS nb
+       |  FROM embeddings e, q, range($dims) i(i)
+       |  WHERE e.vec_id <> $queryId
+       |  GROUP BY 1
+       |),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, CAST(round(sim * 1000000) AS BIGINT) AS rel6
+       |  FROM (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |        FROM d ORDER BY sim DESC, vec_id LIMIT $m) t
+       |),
+       |pp AS (
+       |  SELECT a.vec_id AS x, b.vec_id AS y,
+       |    sum(ea.embedding[i.i+1]::DOUBLE * eb.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(ea.embedding[i.i+1]::DOUBLE * ea.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(eb.embedding[i.i+1]::DOUBLE * eb.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), ps AS (
+       |  SELECT x, y,
+       |    CAST(round(round(dot / (sqrt(na) * sqrt(nb)), 6) * 1000000)
+       |      AS BIGINT) AS sim6
+       |  FROM pp
+       |), psym AS MATERIALIZED (SELECT x, y, sim6 FROM ps
+       |            UNION ALL SELECT y, x, sim6 FROM ps),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, rel6, $lamNum * rel6 AS score, CAST(1 AS BIGINT) AS rnk
+       |  FROM cand ORDER BY rel6 DESC, vec_id LIMIT 1
+       |),
+       |$steps
+       |SELECT rnk AS rank, vec_id, rel6 AS rel_1e6, score AS score_1e7
+       |FROM sel$k ORDER BY rnk""".stripMargin
+  }
+
   /** Recall@k audit of BOTH approximate paths against the brute-force
     * ground truth — the accuracy dial an ANN deployment is tuned by
     * (band count for LSH, nProbe for IVF); shipping an ANN index

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{DedupOp, GraphOps, MultimodalOp, SimilarityOp}
+
+/** Constructed-data tests for the round-8 session-4 additions: link
+  * prediction (q191), first-seen novelty (q192), MMR re-ranking
+  * (q193), and scene-change detection (q194). The corpus-level hash
+  * gates prove engine parity; these pin the semantics on cases with
+  * hand-computed exact answers.
+  */
+class LinkNoveltyMmrSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("linkPrediction: wedge-closed non-edges with exact Jaccard; apex cap drops hub wedges") {
+    // Graph: 1-2, 1-3, 2-3 (triangle) + 1-4 (pendant). Non-adjacent
+    // pairs through a shared neighbor: (2,4) and (3,4), both via apex
+    // 1 only. Degrees: d1=3, d2=d3=2, d4=1.
+    // jaccard(2,4) = 1 / (2+1-1) = 0.5 → 5000 in 1e-4 units.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("a", "b")
+    val out = GraphOps.linkPrediction(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((2L, 4L, 1L, 5000L), (3L, 4L, 1L, 5000L)))
+    // Capping apexes at degree ≤ 2 removes node 1 (degree 3) as a
+    // wedge apex; the only surviving apexes (2, 3) close the already-
+    // adjacent pair (1,3)/(1,2), so no predictions remain.
+    assert(GraphOps.linkPrediction(edges, maxDeg = 2L).isEmpty)
+  }
+
+  test("noveltyBySource: first-seen shingle attribution, exact pooled and per-doc means") {
+    // w=3 shingles. doc 1 "a b c d" → {abc, bcd}, both first-seen
+    // here (novelty 1). doc 2 repeats doc 1 exactly (novelty 0).
+    // doc 3 "a b c x" → {abc (seen), bcx (new)} → 1/2.
+    val docs = Seq(
+      (1L, "a b c d", "en", "s1", 7L),
+      (2L, "a b c d", "en", "s2", 7L),
+      (3L, "a b c x", "en", "s1", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOp.noveltyBySource(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5)))).toMap
+    // s1: 2 docs, 4 shingle slots, 3 novel → pooled 0.75; per-doc
+    // mean = (10000 + 5000) / 2 = 7500.
+    assert(out("s1") === ((2L, 4L, 3L, 0.75, 7500L)))
+    // s2: 2 slots, 0 novel.
+    assert(out("s2") === ((1L, 2L, 0L, 0.0, 0L)))
+  }
+
+  test("mmrTopK: diversity term demotes the near-duplicate of the first pick") {
+    // q = x-axis. v1 ≈ q (rel .98) picked first. v2 (rel .93) is
+    // nearly parallel to v1 (sim .9846); v3 (rel .90) is diverse
+    // (sim to v1 .882). Scores at λ=0.7 in 1e-7 units:
+    //   v2: 7·929997 − 3·984550 ≈ 3.556e6
+    //   v3: 7·899957 − 3·881957 ≈ 3.654e6  → v3 beats the higher-rel
+    // near-dup, then v2 closes the set. Relevance-only order would be
+    // v1, v2, v3 — the diversity flip is the point of the operator.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.98f, 0.199f, 0.0f)),
+      (2L, Seq(0.93f, 0.3676f, 0.0f)),
+      (3L, Seq(0.90f, 0.0f, 0.436f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOp.mmrTopK(emb, queryId = 0L, k = 3, m = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("sceneChanges: full-frame luma diffs, threshold cuts, short docs drop") {
+    // doc 1: 12 bytes at frameBytes=4 → frames sums 4, 36, 4 →
+    // diffs 32, 32, both cuts at cutMin=10. doc 2: 7 bytes → a single
+    // full frame → no transitions → absent.
+    val media = Seq(
+      (1L, "video", Array[Byte](1, 1, 1, 1, 9, 9, 9, 9, 1, 1, 1, 1)),
+      (2L, "video", Array[Byte](1, 1, 1, 1, 9, 9, 9))
+    ).toDF("doc_id", "kind", "payload")
+    val out = MultimodalOp.sceneChanges(media, frameBytes = 4,
+      cutMin = 10L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) === ((1L, 2L, 2L, 32L, 64L)))
+  }
+}
