@@ -1031,6 +1031,13 @@ object SparkEntry {
     // frame sums from character codes.
     "q194_scene_changes" -> ((s, d) =>
       MultimodalOp.sceneChanges(MultimodalOp.asMedia(Tables.documents(s, d)))),
+
+    // BPE application: the q119-trained merges run back over the corpus
+    // — per-source token cost and compression, via one broadcast
+    // word→symbol-count join (training's rewrite never repeats per
+    // occurrence).
+    "q195_bpe_apply" -> ((s, d) =>
+      TextOps.bpeApplyStats(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1666,5 +1673,6 @@ object SparkEntry {
     "q192_novelty" -> DedupOp.noveltyBySourceOracle(),
     "q193_mmr_rerank" -> SimilarityOp.mmrTopKOracle(),
     "q194_scene_changes" -> MultimodalOp.sceneChangesOracle(),
+    "q195_bpe_apply" -> TextOps.bpeApplyOracle(),
   )
 }

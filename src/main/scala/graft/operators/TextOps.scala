@@ -977,13 +977,27 @@ object TextOps {
     * lineage rule — each is referenced twice downstream).
     */
   def bpeMerges(docs: DataFrame, k: Int = 3): DataFrame = {
-    require(k >= 1 && k <= 10, s"bpeMerges: k=$k out of range")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrain(docs, k)._1.toDF("iter", "merged", "pair_count")
+      .orderBy("iter")
+  }
+
+  /** Shared BPE training loop — the ordered merge list plus the FINAL
+    * spaced vocabulary `(word, sp, freq)`. [[bpeMerges]] (q119)
+    * projects the merges; [[bpeApplyStats]] (q195) joins the vocab back
+    * onto the corpus. The original word rides along through the rewrite
+    * rounds (row-local selects — costs nothing) so application needs no
+    * re-derivation of the spacing.
+    */
+  private def bpeTrain(docs: DataFrame,
+                       k: Int): (Seq[(Long, String, Long)], DataFrame) = {
+    require(k >= 1 && k <= 10, s"bpe: k=$k out of range")
     val words0 = docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sp"),
+      .select(col("word"),
+        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sp"),
         col("freq"))
     var words = words0.persist(); words.count()
     // Each round's best pair is collected to the driver (ONE row, the
@@ -1018,14 +1032,41 @@ object TextOps {
           concat(lit(" "), col("sp"), lit(" ")), pat, rep)
         val prev = words
         words = words
-          .select(trim(call_function("replace", one, pat, rep)).as("sp"),
+          .select(col("word"),
+            trim(call_function("replace", one, pat, rep)).as("sp"),
             col("freq"))
           .persist()
         words.count()
         prev.unpersist()
       }
     }
-    merges.result().toDF("iter", "merged", "pair_count").orderBy("iter")
+    (merges.result(), words)
+  }
+
+  /** Tokenizer APPLICATION — run the `k` learned merges back over the
+    * corpus and report per-source tokenization stats (the question a
+    * data pipeline actually asks of a tokenizer: how many tokens does
+    * this slice cost, and how well does the vocab compress it). Join is
+    * word→final-symbol-count over the broadcast distinct-word vocab, so
+    * application is one narrow pass over the token stream — the
+    * training loop's per-word rewrite is never repeated per occurrence.
+    */
+  def bpeApplyStats(docs: DataFrame, k: Int = 6): DataFrame = {
+    import graft.functions.DetAgg
+    val vocab = bpeTrain(docs, k)._2
+      .select(col("word"),
+        size(split(col("sp"), " ")).cast("long").as("nt"))
+    docs.select(col("source"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("nt")).as("n_tokens"))
+      .withColumn("tokens_per_word",
+        DetAgg.ratio(col("n_tokens"), col("n_words")))
+      .withColumn("chars_per_token",
+        DetAgg.ratio(col("n_chars"), col("n_tokens")))
+      .orderBy("source")
   }
 
   /** Oracle SQL twin of [[bpeMerges]] — the rounds unrolled as chained
@@ -1033,6 +1074,25 @@ object TextOps {
     * replace.
     */
   def bpeMergesOracle(k: Int = 3): String = {
+    val out = (1 to k).map { i =>
+      s"""SELECT $i AS iter, replace(pair, ' ', '') AS merged,
+         |  c AS pair_count FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(k)}
+       |SELECT * FROM (
+       |$out
+       |) r ORDER BY iter""".stripMargin
+  }
+
+  /** Shared unrolled-BPE CTE prefix (`w0/s0/a_i/p_i/c_i/b_i/s_i`) —
+    * one definition for the training oracle ([[bpeMergesOracle]]) and
+    * the application oracle ([[bpeApplyOracle]]) so the pair count,
+    * tie rule, and two-pass replace can never drift between them. Each
+    * vocab round `s_i` is MATERIALIZED: it is referenced twice per
+    * round (pair count + rewrite), so DuckDB's CTE inlining would
+    * otherwise expand 2^k copies of the scan (the mmr-oracle lesson).
+    */
+  private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""a$i AS (SELECT sp, freq, string_split(sp, ' ') AS a
          |        FROM s${i - 1}),
@@ -1044,8 +1104,8 @@ object TextOps {
          |), c$i AS (
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM p$i GROUP BY 1
          |), b$i AS (SELECT pair, c FROM c$i ORDER BY c DESC, pair LIMIT 1),
-         |s$i AS (
-         |  SELECT trim(replace(replace(' ' || sp || ' ',
+         |s$i AS MATERIALIZED (
+         |  SELECT word, trim(replace(replace(' ' || sp || ' ',
          |      ' ' || b$i.pair || ' ',
          |      ' ' || replace(b$i.pair, ' ', '') || ' '),
          |      ' ' || b$i.pair || ' ',
@@ -1053,22 +1113,36 @@ object TextOps {
          |  FROM s${i - 1}, b$i
          |)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to k).map { i =>
-      s"""SELECT $i AS iter, replace(pair, ' ', '') AS merged,
-         |  c AS pair_count FROM b$i""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
        |  GROUP BY 1
        |), s0 AS (
-       |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sp, freq
+       |  SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sp,
+       |    freq
        |  FROM w0
        |),
-       |$rounds
-       |SELECT * FROM (
-       |$out
-       |) r ORDER BY iter""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  /** Oracle SQL twin of [[bpeApplyStats]] — the shared training CTEs,
+    * then the token stream joined to the final vocab's symbol counts.
+    */
+  def bpeApplyOracle(k: Int = 6): String = {
+    import graft.functions.DetAgg
+    s"""WITH ${bpeCtes(k)},
+       |v AS (SELECT word,
+       |        CAST(len(string_split(sp, ' ')) AS BIGINT) AS nt
+       |      FROM s$k),
+       |t AS (SELECT source, unnest(string_split(text, ' ')) AS word
+       |      FROM documents)
+       |SELECT t.source, count(*) AS n_words,
+       |  CAST(sum(len(t.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(v.nt) AS BIGINT) AS n_tokens,
+       |  ${DetAgg.ratioSql("sum(v.nt)", "count(*)")} AS tokens_per_word,
+       |  ${DetAgg.ratioSql("sum(len(t.word))", "sum(v.nt)")}
+       |    AS chars_per_token
+       |FROM t JOIN v USING (word) GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Minimum vocabulary size for declared token-coverage thresholds —

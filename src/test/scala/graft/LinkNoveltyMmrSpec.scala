@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOp, GraphOps, MultimodalOp, SimilarityOp}
+import graft.operators.{DedupOp, GraphOps, MultimodalOp, SimilarityOp, TextOps}
 
 /** Constructed-data tests for the round-8 session-4 additions: link
   * prediction (q191), first-seen novelty (q192), MMR re-ranking
@@ -80,5 +80,21 @@ class LinkNoveltyMmrSpec extends SparkSuite {
     val r = out.head
     assert((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
       r.getLong(5)) === ((1L, 2L, 2L, 32L, 64L)))
+  }
+
+  test("bpeApplyStats: merged words cost one token, unmerged words stay spelled out") {
+    // k=1 over {ab×2, cd×2}: pair counts tie at 2, lexicographic tie
+    // rule picks 'a b' → only "ab" fuses. Applied: 4 words, 8 chars,
+    // tokens = 2·1 (ab) + 2·2 (c d) = 6.
+    val docs = Seq(
+      (1L, "ab ab cd", "en", "s1", 8L),
+      (2L, "cd", "en", "s1", 2L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.bpeApplyStats(docs, k = 1).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5)) ===
+      (("s1", 4L, 8L, 6L, 1.5, 1.3333)))
   }
 }
