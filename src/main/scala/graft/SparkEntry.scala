@@ -1038,6 +1038,17 @@ object SparkEntry {
     // occurrence).
     "q195_bpe_apply" -> ((s, d) =>
       TextOps.bpeApplyStats(Tables.documents(s, d))),
+
+    // Theil–Sen robust slope per event type — the nonparametric trend
+    // ESTIMATOR pairing with q176's Mann–Kendall test; exact integer
+    // pairwise slopes, exact lower-median selection.
+    "q196_theil_sen" -> ((s, d) =>
+      EventOps.theilSenSlope(Tables.events(s, d))),
+
+    // Per-type inter-arrival time percentiles — exact order statistics
+    // over consecutive same-user gaps.
+    "q197_interarrival" -> ((s, d) =>
+      EventOps.interArrivalQuantiles(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1674,5 +1685,7 @@ object SparkEntry {
     "q193_mmr_rerank" -> SimilarityOp.mmrTopKOracle(),
     "q194_scene_changes" -> MultimodalOp.sceneChangesOracle(),
     "q195_bpe_apply" -> TextOps.bpeApplyOracle(),
+    "q196_theil_sen" -> EventOps.theilSenSlopeOracle,
+    "q197_interarrival" -> EventOps.interArrivalQuantilesOracle,
   )
 }

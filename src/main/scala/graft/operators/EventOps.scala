@@ -1288,6 +1288,132 @@ object EventOps {
        |  p.n_conc - p.n_disc AS s_stat
        |FROM c JOIN p USING (event_type) ORDER BY event_type""".stripMargin
 
+  /** Theil–Sen robust slope per event type — the nonparametric trend
+    * ESTIMATOR that pairs with [[mannKendallTrend]]'s test: the median
+    * of all pairwise slopes (m_j − m_i)/(h_j − h_i) over the hourly
+    * series, which a single outlier hour cannot move (unlike OLS).
+    * Each pairwise slope is half-up integer division into 1e-6
+    * centi-cents/hour units (exact both engines, negatives via the
+    * floor identity), and the median is the exact 1-indexed LOWER
+    * median with a (slope, hi, hj) tie order, so both engines pick the
+    * identical pair.
+    *
+    * Scale shape: [[mannKendallTrend]]'s — the O(n²) pair expansion
+    * runs over the hourly AGGREGATE per type, the median rank window
+    * partitions by type (n² rows per type through one task is fine at
+    * ~260 k; decade-long series would switch to the k-th order
+    * statistic selection noted there).
+    */
+  def theilSenSlope(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hourlySeries(events)
+    val a = h.select(col("event_type"), col("hr").as("hi"), col("m").as("mi"))
+    val b = h.select(col("event_type"), col("hr").as("hj"), col("m").as("mj"))
+    val slopes = a.join(b, Seq("event_type"))
+      .where(col("hi") < col("hj"))
+      .select(col("event_type"), col("hi"), col("hj"),
+        graft.functions.DetAgg.halfUpDiv(
+          (col("mj") - col("mi")) * 1000000L,
+          col("hj") - col("hi")).as("sp"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("sp"), col("hi"), col("hj"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .where(col("rn") === expr("(np + 1L) DIV 2L"))
+      .select(col("event_type"), col("np").as("n_pairs"),
+        col("sp").as("sen_slope_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle SQL twin of [[theilSenSlope]]. */
+  def theilSenSlopeOracle: String =
+    s"""WITH ${hourlySeriesSql},
+       |sl AS (
+       |  SELECT a.event_type, a.hr AS hi, b.hr AS hj,
+       |    ${graft.functions.DetAgg.halfUpDivSql(
+              "(b.m - a.m) * 1000000", "b.hr - a.hr")} AS sp
+       |  FROM h a JOIN h b ON a.event_type = b.event_type AND a.hr < b.hr
+       |), r AS (
+       |  SELECT event_type, sp,
+       |    row_number() OVER (PARTITION BY event_type
+       |                       ORDER BY sp, hi, hj) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS np
+       |  FROM sl
+       |)
+       |SELECT event_type, np AS n_pairs, sp AS sen_slope_ppm
+       |FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""".stripMargin
+
+  /** Per-type inter-arrival time percentiles — the traffic-cadence
+    * profile (how often does a user fire this event?): consecutive
+    * same-user gaps in epoch ms, rolled up per event type of the
+    * LATTER event with exact 1-indexed ceil-rank order statistics
+    * (the [[RelationalOps.leadTimeQuantiles]] convention — never
+    * percentile_approx, which is engine-specific). Both the per-user
+    * lag and the rank window order by (ms, event_id) on BOTH engines,
+    * the shared-sessionize-key lesson.
+    *
+    * Scale shape: one exchange per window key — user for the lag,
+    * event_type for the ranks; gaps ride as 8-byte ints. The rank
+    * window serializes each type's gaps through one task — fine for a
+    * bounded type vocabulary; a million-key variant would switch to
+    * the q158 bounded-sample sketch.
+    */
+  def interArrivalQuantiles(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val base = events.select(col("event_type"), col("user_id"),
+        expr("unix_millis(ts)").as("ms"), col("event_id"))
+      .withColumn("prev", lag(col("ms"), 1).over(wU))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"), (col("ms") - col("prev")).as("gap_ms"),
+        col("event_id"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_ms"), col("event_id"))
+    val wc = Window.partitionBy(col("event_type"))
+    base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        min(col("gap_ms")).as("min_ms"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("gap_ms")))
+          .as("p50_ms"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("gap_ms")))
+          .as("p90_ms"),
+        max(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("gap_ms")))
+          .as("p99_ms"),
+        max(col("gap_ms")).as("max_ms"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle SQL twin of [[interArrivalQuantiles]]. */
+  def interArrivalQuantilesOracle: String =
+    s"""WITH b AS (
+       |  SELECT event_type, user_id, epoch_ms(ts) AS ms, event_id,
+       |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS prev
+       |  FROM events
+       |), g AS (
+       |  SELECT event_type, ms - prev AS gap_ms, event_id
+       |  FROM b WHERE prev IS NOT NULL
+       |), r AS (
+       |  SELECT event_type, gap_ms,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY gap_ms, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM g
+       |)
+       |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+       |  min(gap_ms) AS min_ms,
+       |  max(CASE WHEN rn = (n + 1) // 2 THEN gap_ms END) AS p50_ms,
+       |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_ms END) AS p90_ms,
+       |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_ms END) AS p99_ms,
+       |  max(gap_ms) AS max_ms
+       |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** CUSUM level-shift detection per event type — the classic
     * change-point monitor over the same hourly series, in its
     * WINDOW-CLOSED form: the textbook recurrence

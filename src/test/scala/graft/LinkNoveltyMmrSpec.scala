@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOp, GraphOps, MultimodalOp, SimilarityOp, TextOps}
+import graft.operators.{DedupOp, EventOps, GraphOps, MultimodalOp, SimilarityOp, TextOps}
 
 /** Constructed-data tests for the round-8 session-4 additions: link
   * prediction (q191), first-seen novelty (q192), MMR re-ranking
@@ -96,5 +96,44 @@ class LinkNoveltyMmrSpec extends SparkSuite {
     assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getDouble(4), r.getDouble(5)) ===
       (("s1", 4L, 8L, 6L, 1.5, 1.3333)))
+  }
+
+  private def mkEvents(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    import org.apache.spark.sql.functions.timestamp_millis
+    rows.toDF("event_id", "ms", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_millis($"ms").as("ts"), $"user_id",
+        $"event_type", $"value", org.apache.spark.sql.functions.lit("{}")
+          .as("props"))
+  }
+
+  test("theilSenSlope: outlier hour cannot move the pairwise-slope median") {
+    // Hours 0..4 at value = h dollars except hour 2 spikes to 100:
+    // 10 pairs; the 6 pairs not touching hour 2 all have slope exactly
+    // 1e10 (10000 centi-cents/hour in ppm units); the 4 outlier pairs
+    // split two high, two low — the sorted middle stays 1e10. OLS
+    // would report ~5x that.
+    val ev = mkEvents(Seq(0L -> 0.0, 1L -> 1.0, 2L -> 100.0, 3L -> 3.0,
+      4L -> 4.0).zipWithIndex.map { case ((h, v), i) =>
+      (i.toLong, h * 3600000L, 1L, "a", v)
+    })
+    val out = EventOps.theilSenSlope(ev).collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(1), out.head.getLong(2)) ===
+      ((10L, 10000000000L)))
+  }
+
+  test("interArrivalQuantiles: exact ceil-rank order statistics over same-user gaps") {
+    // One user, type a, events at 0s/1s/3s/4s → gaps 1000, 2000, 1000.
+    // Ranks over sorted (1000, 1000, 2000): p50 = rank 2 → 1000,
+    // p90 = p99 = rank 3 → 2000.
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "a", 1.0), (2L, 1000L, 1L, "a", 1.0),
+      (3L, 3000L, 1L, "a", 1.0), (4L, 4000L, 1L, "a", 1.0)))
+    val out = EventOps.interArrivalQuantiles(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) ===
+      ((3L, 1000L, 1000L, 2000L, 2000L, 2000L)))
   }
 }
