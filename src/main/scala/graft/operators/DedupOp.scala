@@ -58,7 +58,7 @@ object DedupOp {
     * on the hashes so a within-doc collision cannot emit a duplicate
     * (doc, hx) row (which would inflate sizes and create self-pairs).
     */
-  private def docShingles(docs: DataFrame, w: Int = 3): DataFrame =
+  private[graft] def docShingles(docs: DataFrame, w: Int = 3): DataFrame =
     docs.select(col("doc_id"),
       explode(array_distinct(transform(shingles(tokens(col("text")), w),
         s => portableHash(s)))).as("hx"))

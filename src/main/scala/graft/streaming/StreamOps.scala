@@ -608,6 +608,43 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 
+  case class ShingleOcc(hx: Long, docId: Long)
+  case class NovelMark(docId: Long, hx: Long, novel: Boolean)
+  case class SeenState(firstDoc: Long)
+
+  /** Streaming first-seen novelty marks — the streaming form of
+    * [[graft.operators.DedupOp.noveltyBySource]]'s per-shingle
+    * first-seen attribution, for ingest-time freshness scoring: state
+    * per shingle hash is the first document that carried it; a shingle
+    * occurrence is novel iff its doc IS that first carrier. Equal to
+    * the batch min-doc_id semantics when the replay respects doc_id
+    * arrival order (the [[streamingTokenBudget]] ordered-replay
+    * stance — StreamingSpec proves mark-for-mark equality and the
+    * aggregated per-source novelty). State is |shingle vocab| keys of
+    * one long each — vocab-bounded, not corpus-bounded; a pipeline
+    * that can't hold the vocab swaps the state store for the q138
+    * count-min sketch and accepts one-sided error.
+    */
+  def streamingNoveltyMarks(docs: DataFrame, w: Int = 3): Dataset[NovelMark] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val occ = graft.operators.DedupOp.docShingles(docs, w)
+      .select(col("hx"), col("doc_id").as("docId")).as[ShingleOcc]
+    val fn = (hx: Long, it: Iterator[ShingleOcc],
+              state: GroupState[SeenState]) => {
+      val rows = it.toSeq.sortBy(_.docId)
+      val hadState = state.exists
+      val firstNow =
+        if (hadState) state.get.firstDoc else rows.map(_.docId).min
+      state.update(SeenState(math.min(firstNow, rows.map(_.docId).min)))
+      rows.iterator.map(r =>
+        NovelMark(r.docId, hx, !hadState && r.docId == firstNow))
+    }
+    occ.groupByKey(_.hx)
+      .flatMapGroupsWithState[SeenState, NovelMark](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
   case class EeEvent(userId: Long, eventId: Long,
                      ts: java.sql.Timestamp, etype: String) {
     def tsMs: Long = ts.getTime

@@ -496,6 +496,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingNoveltyMarks equals batch first-seen attribution on a doc-ordered replay") {
+    import graft.operators.DedupOp
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    // batch truth: one (doc, hx, novel) mark per shingle occurrence
+    val sh = DedupOp.docShingles(docs)
+    val firstSeen = sh.groupBy($"hx").agg(min($"doc_id").as("fs"))
+    val expected = sh.join(firstSeen, Seq("hx"))
+      .select($"doc_id", $"hx", ($"doc_id" === $"fs").as("novel"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    // replay ordered by doc_id (arrival order IS doc_id — the batch
+    // operator's min-doc semantics), split into two micro-batches
+    val rows = docs.select($"doc_id", $"text", $"source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source")
+    val q = StreamOps.streamingNoveltyMarks(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("novelty_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("novelty_out")
+        .select($"docId", $"hx", $"novel")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(got === expected)
+      assert(got.exists(_._3) && got.exists(!_._3))
+    } finally q.stop()
+  }
+
   test("streamingScd2 equals batch scd2 on closed versions over a replay") {
     import graft.operators.TemporalOps
     implicit val sqlCtx = spark.sqlContext
