@@ -1049,6 +1049,11 @@ object SparkEntry {
     // over consecutive same-user gaps.
     "q197_interarrival" -> ((s, d) =>
       EventOps.interArrivalQuantiles(Tables.events(s, d))),
+
+    // IVF cell-balance audit — per-cell population/share/load factor,
+    // the q171 hot-key stance applied to the vector index.
+    "q198_ivf_balance" -> ((s, d) =>
+      SimilarityOp.ivfCellBalance(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1687,5 +1692,6 @@ object SparkEntry {
     "q195_bpe_apply" -> TextOps.bpeApplyOracle(),
     "q196_theil_sen" -> EventOps.theilSenSlopeOracle,
     "q197_interarrival" -> EventOps.interArrivalQuantilesOracle,
+    "q198_ivf_balance" -> SimilarityOp.ivfCellBalanceOracle(),
   )
 }

@@ -1251,6 +1251,53 @@ object SimilarityOp {
                          centers: Seq[(Long, Seq[Double])]): DataFrame =
     withCell(embeddings, centers, Seq("vec_id"))
 
+  /** IVF cell-balance audit — the index-health check every ANN
+    * deployment runs before trusting its probe-cost model: per coarse
+    * cell, the assigned population, its corpus share in ppm, and the
+    * load factor vs the ideal N/k in 1e-4 units (load 3.0 means
+    * probing that cell costs 3× the uniform estimate — skewed cells
+    * are to IVF what hot keys are to a shuffle, the q171 stance
+    * applied to the vector index). Same literal-centroid assignment
+    * as [[ivfTopK]], one map-side-combined count.
+    */
+  def ivfCellBalance(embeddings: DataFrame,
+                     centerIds: Seq[Long] = Seq(7L, 42L, 123L)): DataFrame = {
+    val asg = cellAssign(embeddings, centerVecs(embeddings, centerIds))
+    val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum(col("n_vecs")).as("nt"),
+      count(lit(1)).as("k"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 1000000L DIV nt").as("share_ppm"),
+        expr("n_vecs * k * 10000L DIV nt").as("load_factor_1e4"))
+      .orderBy("cell")
+  }
+
+  /** Oracle SQL twin of [[ivfCellBalance]] — the [[ivfTopKOracle]]
+    * assignment CTEs, then the same integer shares. */
+  def ivfCellBalanceOracle(centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                           dims: Int = 64): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id IN (${centerIds.sorted.mkString(", ")})),
+       |d AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sqrt(sum((e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE)
+       |                 * (e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE))), 6) AS dist
+       |  FROM embeddings e, c, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), asg AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d) r WHERE rn = 1
+       |), cnt AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS nt,
+       |             CAST(count(*) AS BIGINT) AS k FROM cnt)
+       |SELECT cell, n_vecs,
+       |  n_vecs * 1000000 // nt AS share_ppm,
+       |  n_vecs * k * 10000 // nt AS load_factor_1e4
+       |FROM cnt, t ORDER BY cell""".stripMargin
+
   /** q92: [[ivfTopK]]'s 100 TB claim made real — the corpus is WRITTEN
     * hive-partitioned by its IVF cell (a write-once ingest layout, the
     * [[BucketedOps]] guard), and serving reads ONLY the probed cells'

@@ -136,4 +136,19 @@ class LinkNoveltyMmrSpec extends SparkSuite {
       r.getLong(5), r.getLong(6)) ===
       ((3L, 1000L, 1000L, 2000L, 2000L, 2000L)))
   }
+
+  test("ivfCellBalance: exact shares and load factors over a skewed assignment") {
+    // Centers 0=(0,0), 1=(10,10). Cell 0 gets {0, 2, 4}, cell 1 gets
+    // {1, 3}: shares 3/5 and 2/5, load factors 3·2/5 = 1.2 and 0.8.
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.1f, 0.0f)), (3L, Seq(9.0f, 9.0f)),
+      (4L, Seq(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOp.ivfCellBalance(emb, centerIds = Seq(0L, 1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 3L, 600000L, 12000L),
+      (1L, 2L, 400000L, 8000L)))
+  }
 }
