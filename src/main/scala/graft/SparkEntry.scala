@@ -1054,6 +1054,17 @@ object SparkEntry {
     // the q171 hot-key stance applied to the vector index.
     "q198_ivf_balance" -> ((s, d) =>
       SimilarityOp.ivfCellBalance(Tables.embeddings(s, d))),
+
+    // Index of dispersion of basket sizes per priority — exact-moment
+    // Poissonness check, no float variance.
+    "q199_dispersion" -> ((s, d) =>
+      RelationalOps.basketDispersion(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
+
+    // Near-dup cluster source diversity — intra- vs cross-source
+    // duplication decides whether dedup can shard by source.
+    "q200_cluster_sources" -> ((s, d) =>
+      DedupOp.clusterSourceDiversity(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1693,5 +1704,7 @@ object SparkEntry {
     "q196_theil_sen" -> EventOps.theilSenSlopeOracle,
     "q197_interarrival" -> EventOps.interArrivalQuantilesOracle,
     "q198_ivf_balance" -> SimilarityOp.ivfCellBalanceOracle(),
+    "q199_dispersion" -> RelationalOps.basketDispersionOracle,
+    "q200_cluster_sources" -> DedupOp.clusterSourceDiversityOracle(),
   )
 }

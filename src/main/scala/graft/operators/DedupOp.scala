@@ -812,6 +812,39 @@ object DedupOp {
        |SELECT sz AS cluster_size, count(*) AS n_clusters
        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Near-dup cluster source diversity — is duplication INTRA-source
+    * (re-crawls, boilerplate) or CROSS-source (mirrors, syndication)?
+    * The answer decides which dedup key a pipeline can shard by: if
+    * clusters never span sources, dedup can run per-source partition
+    * with no cross-partition pair generation at all. One row per
+    * distinct per-cluster source count, with how many clusters and
+    * docs sit there. Same pair graph and CC as [[dupClusterSizes]];
+    * everything past `roots` is two tiny aggregates.
+    */
+  def clusterSourceDiversity(docs: DataFrame,
+                             minJaccard: Double = 0.5): DataFrame =
+    keepSet(ngramJaccard(docs, minJaccard))
+      .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("source")).as("nsrc"))
+      .groupBy(col("nsrc").as("n_sources"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .orderBy("n_sources")
+
+  /** Oracle SQL twin of [[clusterSourceDiversity]]. */
+  def clusterSourceDiversityOracle(minJaccard: Double = 0.5,
+                                   maxDf: Int = MaxShingleDf): String =
+    s"""WITH RECURSIVE ${shingleCte()},
+       |${pairGraphRootsCtes(minJaccard, maxDf)},
+       |cs AS (
+       |  SELECT r.root, count(*) AS sz,
+       |    count(DISTINCT d.source) AS nsrc
+       |  FROM roots r JOIN documents d ON d.doc_id = r.id GROUP BY 1
+       |)
+       |SELECT nsrc AS n_sources, count(*) AS n_clusters,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin
+
   def ngramJaccardOracle(minJaccard: Double = 0.5,
                          maxDf: Int = MaxShingleDf): String =
     s"""WITH ${shingleCte()},

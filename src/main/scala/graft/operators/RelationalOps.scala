@@ -804,6 +804,55 @@ object RelationalOps {
        |  max(lag_days) AS max_days
        |FROM r GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** Index of dispersion (variance-to-mean ratio) of order basket
+    * sizes per priority — the Poissonness check a demand model starts
+    * from: D ≈ 1 means item counts arrive Poisson-like, D > 1 means
+    * clumping. Exact integer moments into one closed form,
+    * D_ppm = ⌊10⁶·(n·Σx² − (Σx)²) / (n·Σx)⌉ — no float variance, so
+    * the statistic hash-gates. The n·Σx²·10⁶ product stays inside
+    * BIGINT up to ~3 M orders per group (×10 the tested sf0.1);
+    * beyond that, center the moments per group first (the q183/q185
+    * overflow class — ANSI mode fails loud, not wrong).
+    */
+  def basketDispersion(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    import graft.functions.DetAgg
+    val sizes = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x"))
+    val base = sizes.join(
+      orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority").as("prio")), Seq("l_orderkey"))
+    base.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("x")).as("s"), sum(col("x") * col("x")).as("q"))
+      .select(col("prio").as("o_orderpriority"), col("n_orders"),
+        DetAgg.ratio(col("s"), col("n_orders")).as("mean_items"),
+        DetAgg.halfUpDiv(
+          (col("n_orders") * col("q") - col("s") * col("s"))
+            * lit(1000000L),
+          col("n_orders") * col("s")).as("dispersion_ppm"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Oracle SQL twin of [[basketDispersion]]. */
+  def basketDispersionOracle: String = {
+    import graft.functions.DetAgg
+    s"""WITH s AS (SELECT l_orderkey, count(*) AS x FROM lineitem
+       |           GROUP BY 1),
+       |b AS (
+       |  SELECT o.o_orderpriority AS prio, s.x
+       |  FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey
+       |), m AS (
+       |  SELECT prio, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(x * x) AS BIGINT) AS q
+       |  FROM b GROUP BY 1
+       |)
+       |SELECT prio AS o_orderpriority, n AS n_orders,
+       |  ${DetAgg.ratioSql("sx", "n")} AS mean_items,
+       |  ${DetAgg.halfUpDivSql("(n * q - sx * sx) * 1000000", "n * sx")}
+       |    AS dispersion_ppm
+       |FROM m ORDER BY 1""".stripMargin
+  }
+
   /** Equi-depth (equal-frequency) histogram of extended price — the
     * histogram an optimizer or data-profiler keeps when value skew
     * makes equal-WIDTH bins useless (q12's sibling). Ties stay

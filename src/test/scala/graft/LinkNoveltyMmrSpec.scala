@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOp, EventOps, GraphOps, MultimodalOp, SimilarityOp, TextOps}
+import graft.operators.{DedupOp, EventOps, GraphOps, MultimodalOp, RelationalOps, SimilarityOp, TextOps}
 
 /** Constructed-data tests for the round-8 session-4 additions: link
   * prediction (q191), first-seen novelty (q192), MMR re-ranking
@@ -150,5 +150,30 @@ class LinkNoveltyMmrSpec extends SparkSuite {
         r.getLong(3)))
     assert(out.toSeq === Seq((0L, 3L, 600000L, 12000L),
       (1L, 2L, 400000L, 8000L)))
+  }
+
+  test("basketDispersion: exact variance-to-mean from integer moments") {
+    // One priority, basket sizes 1/2/3: n=3, S=6, Q=14 →
+    // D = (3·14 − 36)/(3·6) = 1/3 → 333333 ppm half-up; mean 2.0.
+    val li = Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("l_orderkey")
+    val ord = Seq((1L, "P"), (2L, "P"), (3L, "P"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val out = RelationalOps.basketDispersion(li, ord).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(1), r.getDouble(2), r.getLong(3)) ===
+      ((3L, 2.0, 333333L)))
+  }
+
+  test("clusterSourceDiversity: intra- vs cross-source clusters counted exactly") {
+    // Docs 1/2 identical across sources s1/s2; docs 3/4 identical
+    // within s1 → one 2-source cluster and one 1-source cluster.
+    val docs = Seq(
+      (1L, "x y z w", "en", "s1", 7L), (2L, "x y z w", "en", "s2", 7L),
+      (3L, "p q r t", "en", "s1", 7L), (4L, "p q r t", "en", "s1", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOp.clusterSourceDiversity(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L, 2L), (2L, 1L, 2L)))
   }
 }
