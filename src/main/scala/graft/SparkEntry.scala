@@ -1065,6 +1065,11 @@ object SparkEntry {
     // duplication decides whether dedup can shard by source.
     "q200_cluster_sources" -> ((s, d) =>
       DedupOp.clusterSourceDiversity(Tables.documents(s, d))),
+
+    // Per-label centroid drift between corpus halves — the embedding
+    // distribution-shift monitor, exact in quantized 1e-4 units.
+    "q201_centroid_drift" -> ((s, d) =>
+      SimilarityOp.centroidDrift(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1706,5 +1711,6 @@ object SparkEntry {
     "q198_ivf_balance" -> SimilarityOp.ivfCellBalanceOracle(),
     "q199_dispersion" -> RelationalOps.basketDispersionOracle,
     "q200_cluster_sources" -> DedupOp.clusterSourceDiversityOracle(),
+    "q201_centroid_drift" -> SimilarityOp.centroidDriftOracle(),
   )
 }

@@ -1251,6 +1251,72 @@ object SimilarityOp {
                          centers: Seq[(Long, Seq[Double])]): DataFrame =
     withCell(embeddings, centers, Seq("vec_id"))
 
+  /** Per-label centroid drift between the corpus' first and second
+    * halves (vec_id midpoint split — vec_id is arrival order) — the
+    * embedding-distribution shift monitor an index owner runs before
+    * deciding whether to retrain the coarse quantizer: if class
+    * centroids move, yesterday's cells mis-assign today's vectors.
+    * Dims are quantized to exact 1e-4 integers BEFORE any aggregation,
+    * so centroids (half-up mean per dim) and the L1/max displacement
+    * are engine-exact. Relational posexplode per dim (the pqAssign
+    * lesson: no interpreted HOF per branch), one (label, half, dim)
+    * aggregate, dims-sized join.
+    */
+  def centroidDrift(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    import graft.functions.DetAgg
+    val mid = embeddings.agg(
+      expr("(min(vec_id) + max(vec_id)) DIV 2").as("mid"))
+    val q = embeddings.crossJoin(broadcast(mid))
+      .select(col("label"),
+        when(col("vec_id") <= col("mid"), 0).otherwise(1).as("half"),
+        posexplode(toDoubleArray(col("embedding"))).as(Seq("d", "v")))
+      .select(col("label"), col("half"), col("d"),
+        expr("CAST(round(v * 10000) AS BIGINT)").as("qv"))
+    val cent = q.groupBy(col("label"), col("half"), col("d"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("c", DetAgg.halfUpDiv(col("sq"), col("n")))
+    val a = cent.where(col("half") === 0)
+      .select(col("label"), col("d"), col("c").as("c0"), col("n").as("n0"))
+    val b = cent.where(col("half") === 1)
+      .select(col("label"), col("d"), col("c").as("c1"), col("n").as("n1"))
+    a.join(b, Seq("label", "d"))
+      .groupBy(col("label"))
+      .agg(max(col("n0")).as("n_first"), max(col("n1")).as("n_second"),
+        sum(abs(col("c1") - col("c0"))).as("l1_drift_1e4"),
+        max(abs(col("c1") - col("c0"))).as("max_dim_drift_1e4"))
+      .orderBy("label")
+  }
+
+  /** Oracle SQL twin of [[centroidDrift]]. */
+  def centroidDriftOracle(dims: Int = 64): String = {
+    import graft.functions.DetAgg
+    s"""WITH mid AS (
+       |  SELECT (min(vec_id) + max(vec_id)) // 2 AS mid FROM embeddings
+       |), x AS (
+       |  SELECT e.label,
+       |    CASE WHEN e.vec_id <= mid.mid THEN 0 ELSE 1 END AS half,
+       |    i.i AS d,
+       |    CAST(round(e.embedding[i.i+1]::DOUBLE * 10000) AS BIGINT) AS qv
+       |  FROM embeddings e, mid, range($dims) i(i)
+       |), c AS (
+       |  SELECT label, half, d, CAST(sum(qv) AS BIGINT) AS sq,
+       |    count(*) AS n
+       |  FROM x GROUP BY 1, 2, 3
+       |), cc AS (
+       |  SELECT label, half, d, ${DetAgg.halfUpDivSql("sq", "n")} AS c, n
+       |  FROM c
+       |), j AS (
+       |  SELECT a.label, a.d, a.c AS c0, b.c AS c1, a.n AS n0, b.n AS n1
+       |  FROM cc a JOIN cc b
+       |    ON a.label = b.label AND a.d = b.d AND a.half = 0 AND b.half = 1
+       |)
+       |SELECT label, CAST(max(n0) AS BIGINT) AS n_first,
+       |  CAST(max(n1) AS BIGINT) AS n_second,
+       |  CAST(sum(abs(c1 - c0)) AS BIGINT) AS l1_drift_1e4,
+       |  CAST(max(abs(c1 - c0)) AS BIGINT) AS max_dim_drift_1e4
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** IVF cell-balance audit — the index-health check every ANN
     * deployment runs before trusting its probe-cost model: per coarse
     * cell, the assigned population, its corpus share in ppm, and the

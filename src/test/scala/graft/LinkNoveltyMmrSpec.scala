@@ -176,4 +176,19 @@ class LinkNoveltyMmrSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq((1L, 1L, 2L), (2L, 1L, 2L)))
   }
+
+  test("centroidDrift: exact quantized L1 displacement per label across halves") {
+    // mid = (0+3)//2 = 1: first half {0,1}, second {2,3}. Label 0
+    // moves (1.0,0.0) → (1.2,−0.4): drift 2000+4000 in 1e-4 units.
+    // Label 1 is stationary.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.5f, 0.5f), 1),
+      (2L, Seq(1.2f, -0.4f), 0), (3L, Seq(0.5f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOp.centroidDrift(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq((0, 1L, 1L, 6000L, 4000L),
+      (1, 1L, 1L, 0L, 0L)))
+  }
 }
