@@ -282,7 +282,11 @@ object DedupOp {
     */
   def noveltyBySource(docs: DataFrame, w: Int = 3): DataFrame = {
     import graft.functions.DetAgg
-    val sh = docShingles(docs, w)
+    // persisted: the shingle stream feeds BOTH the first-seen aggregate
+    // and the occurrence join, and the two consumers' plans differ, so
+    // ReusedExchange cannot collapse them — without the persist the
+    // tokenize+shingle+hash scan (the expensive stage) runs twice
+    val sh = docShingles(docs, w).persist()
     val firstSeen = sh.groupBy(col("hx")).agg(min(col("doc_id")).as("fs"))
     val perDoc = sh.join(firstSeen, Seq("hx"))
       .groupBy(col("doc_id"))
@@ -291,17 +295,20 @@ object DedupOp {
           .as("nv"))
       .withColumn("nov4",
         DetAgg.halfUpDiv(col("nv") * lit(10000L), col("n_sh")))
-    perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_sh")).as("n_shingles"),
-        sum(col("nv")).as("n_novel"),
-        DetAgg.halfUpDiv(sum(col("nov4")), count(lit(1)))
-          .as("mean_doc_novelty_1e4"))
-      .withColumn("novelty", DetAgg.ratio(col("n_novel"), col("n_shingles")))
-      .select(col("source"), col("n_docs"), col("n_shingles"),
-        col("n_novel"), col("novelty"), col("mean_doc_novelty_1e4"))
-      .orderBy("source")
+    materializeAndRelease(
+      perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).as("n_shingles"),
+          sum(col("nv")).as("n_novel"),
+          DetAgg.halfUpDiv(sum(col("nov4")), count(lit(1)))
+            .as("mean_doc_novelty_1e4"))
+        .withColumn("novelty",
+          DetAgg.ratio(col("n_novel"), col("n_shingles")))
+        .select(col("source"), col("n_docs"), col("n_shingles"),
+          col("n_novel"), col("novelty"), col("mean_doc_novelty_1e4"))
+        .orderBy("source"),
+      sh)
   }
 
   /** Oracle SQL twin of [[noveltyBySource]]. */

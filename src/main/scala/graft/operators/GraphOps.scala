@@ -1091,8 +1091,10 @@ object GraphOps {
         col("s1.u") === col("s2.u") && col("s1.v") < col("s2.v"))
       .groupBy(col("s1.v").as("x"), col("s2.v").as("y"))
       .agg(count(lit(1)).as("common"))
-    val nonAdj = cn.join(
-      edges.select(col("a").as("x"), col("b").as("y")),
+    // anti-join against the SYMMETRIZED adjacency: candidate pairs are
+    // id-ordered (x < y), so matching only the raw (a,b) orientation
+    // would "predict" any existing edge stored as (b,a)
+    val nonAdj = cn.join(sym.select(col("u").as("x"), col("v").as("y")),
       Seq("x", "y"), "left_anti")
     nonAdj
       .join(deg.select(col("u").as("x"), col("dg").as("dx")), Seq("x"))

@@ -810,7 +810,8 @@ object RelationalOps {
     * clumping. Exact integer moments into one closed form,
     * D_ppm = ⌊10⁶·(n·Σx² − (Σx)²) / (n·Σx)⌉ — no float variance, so
     * the statistic hash-gates. The n·Σx²·10⁶ product stays inside
-    * BIGINT up to ~3 M orders per group (×10 the tested sf0.1);
+    * BIGINT up to ~1 M orders per group (~3× the tested sf0.1 — the
+    * binding term is 2·n·Σx²·10⁶ with basket variance ~4);
     * beyond that, center the moments per group first (the q183/q185
     * overflow class — ANSI mode fails loud, not wrong).
     */

@@ -839,8 +839,9 @@ object SimilarityOp {
     * round-6 cosines scaled to 1e-6).
     *
     * Scale shape: candidate scoring is [[topK]]'s single scan; the m
-    * vectors are fetched by ONE broadcast-join; pairwise sims are an
-    * m²-bounded local cross (m=20 → 190 rows). Only the greedy
+    * vectors are re-fetched by an IN-list filter pushed into the scan;
+    * pairwise sims are an m²-bounded local cross (m=20 → 190 rows).
+    * Only the greedy
     * selection — inherently sequential, k steps over ≤ m rows — runs on
     * the driver, on collected frames bounded by m and m² (the
     * query-vector-sized collect rule). At 100 TB the pool still arrives
@@ -850,17 +851,25 @@ object SimilarityOp {
               m: Int = 20, lamNum: Long = 7L): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cand = topK(embeddings, queryId, m)
+    // ONE topK scan: the m-row pool is collected once and re-enters the
+    // pairwise pass as an IN-list pushed into the second scan (joining
+    // the un-collected frame back would re-run the topK sort per
+    // consumer).
+    val rel = topK(embeddings, queryId, m)
       .select(col("vec_id"),
         round(col("sim") * 1e6).cast("long").as("rel6"))
-    val cv = embeddings.join(broadcast(cand), Seq("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (rel.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("rank", "vec_id", "rel_1e6", "score_1e7")
+    val cv = embeddings
+      .where(col("vec_id").isin(rel.map(_._1): _*))
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
     val pairs = cv.as("a").join(cv.as("b"),
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
         round(round(cosine(col("a.v"), col("b.v")), 6) * 1e6)
           .cast("long").as("sim6"))
-    val rel = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
     val sim = pairs.collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     def simOf(a: Long, b: Long): Long =
@@ -881,6 +890,7 @@ object SimilarityOp {
     }
     selected.map { case (id, r6, sc, rk) => (rk, id, r6, sc) }
       .toDF("rank", "vec_id", "rel_1e6", "score_1e7")
+      .orderBy("rank")
   }
 
   /** Oracle SQL twin of [[mmrTopK]] — the greedy selection unrolled as
@@ -1269,7 +1279,8 @@ object SimilarityOp {
     val q = embeddings.crossJoin(broadcast(mid))
       .select(col("label"),
         when(col("vec_id") <= col("mid"), 0).otherwise(1).as("half"),
-        posexplode(toDoubleArray(col("embedding"))).as(Seq("d", "v")))
+        posexplode(slice(toDoubleArray(col("embedding")), 1, dims))
+          .as(Seq("d", "v")))
       .select(col("label"), col("half"), col("d"),
         expr("CAST(round(v * 10000) AS BIGINT)").as("qv"))
     val cent = q.groupBy(col("label"), col("half"), col("d"))
@@ -1328,14 +1339,22 @@ object SimilarityOp {
     */
   def ivfCellBalance(embeddings: DataFrame,
                      centerIds: Seq[Long] = Seq(7L, 42L, 123L)): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val asg = cellAssign(embeddings, centerVecs(embeddings, centerIds))
-    val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-    val total = counts.agg(sum(col("n_vecs")).as("nt"),
-      count(lit(1)).as("k"))
-    counts.crossJoin(broadcast(total))
+    // Every CONFIGURED cell gets a row (zero-count for a dead centroid
+    // — the exact pathology a balance audit must surface), and k is the
+    // configured cell count, not the non-empty count.
+    val cells = centerIds.sorted.toDF("cell")
+    val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("nv"))
+    val total = counts.agg(sum(col("nv")).as("nt"))
+    cells.join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("nv"), lit(0L)).as("n_vecs"))
+      .crossJoin(broadcast(total))
       .select(col("cell"), col("n_vecs"),
         expr("n_vecs * 1000000L DIV nt").as("share_ppm"),
-        expr("n_vecs * k * 10000L DIV nt").as("load_factor_1e4"))
+        expr(s"n_vecs * ${centerIds.size}L * 10000L DIV nt")
+          .as("load_factor_1e4"))
       .orderBy("cell")
   }
 
@@ -1356,13 +1375,17 @@ object SimilarityOp {
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM d) r WHERE rn = 1
-       |), cnt AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY 1),
-       |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS nt,
-       |             CAST(count(*) AS BIGINT) AS k FROM cnt)
+       |), cnt AS (SELECT cell, count(*) AS nv FROM asg GROUP BY 1),
+       |cells AS (SELECT cid AS cell FROM c),
+       |t AS (SELECT CAST(sum(nv) AS BIGINT) AS nt FROM cnt),
+       |f AS (
+       |  SELECT cells.cell, CAST(coalesce(cnt.nv, 0) AS BIGINT) AS n_vecs
+       |  FROM cells LEFT JOIN cnt ON cells.cell = cnt.cell
+       |)
        |SELECT cell, n_vecs,
        |  n_vecs * 1000000 // nt AS share_ppm,
-       |  n_vecs * k * 10000 // nt AS load_factor_1e4
-       |FROM cnt, t ORDER BY cell""".stripMargin
+       |  n_vecs * ${centerIds.size} * 10000 // nt AS load_factor_1e4
+       |FROM f, t ORDER BY cell""".stripMargin
 
   /** q92: [[ivfTopK]]'s 100 TB claim made real — the corpus is WRITTEN
     * hive-partitioned by its IVF cell (a write-once ingest layout, the

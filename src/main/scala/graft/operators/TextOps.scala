@@ -1091,6 +1091,11 @@ object TextOps {
     * vocab round `s_i` is MATERIALIZED: it is referenced twice per
     * round (pair count + rewrite), so DuckDB's CTE inlining would
     * otherwise expand 2^k copies of the scan (the mmr-oracle lesson).
+    * A round whose pair table is EMPTY (merges exhausted before k)
+    * carries the vocabulary through unchanged via LEFT JOIN + CASE — a
+    * plain cross join would wipe it, silently emptying
+    * [[bpeApplyOracle]] while the Spark side (bpeTrain's nonEmpty
+    * guard) kept the last vocab.
     */
   private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
@@ -1105,12 +1110,15 @@ object TextOps {
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM p$i GROUP BY 1
          |), b$i AS (SELECT pair, c FROM c$i ORDER BY c DESC, pair LIMIT 1),
          |s$i AS MATERIALIZED (
-         |  SELECT word, trim(replace(replace(' ' || sp || ' ',
-         |      ' ' || b$i.pair || ' ',
-         |      ' ' || replace(b$i.pair, ' ', '') || ' '),
-         |      ' ' || b$i.pair || ' ',
-         |      ' ' || replace(b$i.pair, ' ', '') || ' ')) AS sp, freq
-         |  FROM s${i - 1}, b$i
+         |  SELECT word,
+         |    CASE WHEN b$i.pair IS NULL THEN sp
+         |      ELSE trim(replace(replace(' ' || sp || ' ',
+         |        ' ' || b$i.pair || ' ',
+         |        ' ' || replace(b$i.pair, ' ', '') || ' '),
+         |        ' ' || b$i.pair || ' ',
+         |        ' ' || replace(b$i.pair, ' ', '') || ' '))
+         |    END AS sp, freq
+         |  FROM s${i - 1} LEFT JOIN b$i ON TRUE
          |)""".stripMargin
     }.mkString(",\n")
     s"""w0 AS (
