@@ -1070,6 +1070,42 @@ object SparkEntry {
     // distribution-shift monitor, exact in quantized 1e-4 units.
     "q201_centroid_drift" -> ((s, d) =>
       SimilarityOp.centroidDrift(Tables.embeddings(s, d))),
+
+    // Bigram-LM quality score: per-doc mean conditional bigram
+    // frequency (ppm) vs broadcast-capped corpus counts — the rational
+    // perplexity-filter proxy.
+    "q202_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLmScore(Tables.documents(s, d))),
+
+    // Exact phrase search over a positional inverted index: term
+    // postings equi-joined on (doc, pos+1).
+    "q203_phrase_search" -> ((s, d) =>
+      TextOps.phraseSearch(Tables.documents(s, d))),
+
+    // Token-balanced serpentine shard assignment with per-shard ppm
+    // shares — the training-shard balancer.
+    "q204_shard_balance" -> ((s, d) =>
+      ScaleOps.shardAssign(Tables.documents(s, d))),
+
+    // Exact per-hour p50/p90/p99 of event value (ceil-rank order
+    // statistics) — the telemetry SLO rollup.
+    "q205_hourly_percentiles" -> ((s, d) =>
+      EventOps.hourlyPercentiles(Tables.events(s, d))),
+
+    // Reciprocal-kNN pairs over the qmod audit sample — the mutual
+    // membership near-dup signal.
+    "q206_mutual_knn" -> ((s, d) =>
+      SimilarityOp.mutualKnn(Tables.embeddings(s, d))),
+
+    // Gaps-and-islands per-user activity streaks (consecutive active
+    // hours, zero self-joins).
+    "q207_activity_streaks" -> ((s, d) =>
+      EventOps.activityStreaks(Tables.events(s, d))),
+
+    // Per-dimension quantile (rank) normalization audit of the
+    // embedding corpus.
+    "q208_quantile_norm" -> ((s, d) =>
+      SimilarityOp.quantileNormAudit(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1712,5 +1748,12 @@ object SparkEntry {
     "q199_dispersion" -> RelationalOps.basketDispersionOracle,
     "q200_cluster_sources" -> DedupOp.clusterSourceDiversityOracle(),
     "q201_centroid_drift" -> SimilarityOp.centroidDriftOracle(),
+    "q202_bigram_lm" -> TextOps.bigramLmScoreOracle(),
+    "q203_phrase_search" -> TextOps.phraseSearchOracle(),
+    "q204_shard_balance" -> ScaleOps.shardAssignOracle(),
+    "q205_hourly_percentiles" -> EventOps.hourlyPercentilesOracle,
+    "q206_mutual_knn" -> SimilarityOp.mutualKnnOracle(),
+    "q207_activity_streaks" -> EventOps.activityStreaksOracle,
+    "q208_quantile_norm" -> SimilarityOp.quantileNormAuditOracle(),
   )
 }

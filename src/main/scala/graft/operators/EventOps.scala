@@ -1550,4 +1550,96 @@ object EventOps {
        |  ${graft.functions.DetAgg.corrPpmSql(
             "n", "sx", "sy", "sxx", "syy", "sxy")} AS acf_ppm
        |FROM mo ORDER BY event_type, lag_h""".stripMargin
+
+  /** Exact per-hour latency-style percentiles (p50/p90/p99) of the
+    * event value — the telemetry SLO rollup, done with EXACT order
+    * statistics (the repo's 1-indexed ceil-rank convention, never
+    * percentile_approx): value at rank ⌈q·n⌉ in cents order. Tie rows
+    * may permute under row_number, but the CENTS VALUE at a fixed rank
+    * is the order statistic — engine-independent by construction.
+    *
+    * Scale shape: ONE shuffle keyed by hour; the rank and count windows
+    * share that partitioning so Catalyst plans a single Exchange+Sort.
+    * Hours are the parallelism unit (fine for telemetry rollups; a
+    * single giga-hour would call for the q158 sampled-quantiles path).
+    */
+  def hourlyPercentiles(events: DataFrame): DataFrame = {
+    val base = events.select(
+      floorDivMs("unix_millis(ts)", 3600000L).as("hr"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val wr = Window.partitionBy(col("hr")).orderBy(col("c"))
+    val wn = Window.partitionBy(col("hr"))
+    base.withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(when(col("rn") === expr("(n + 1) DIV 2"), col("c")))
+          .cast("double") / 100.0).as("p50"),
+        (max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("c")))
+          .cast("double") / 100.0).as("p90"),
+        (max(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("c")))
+          .cast("double") / 100.0).as("p99"))
+      .orderBy("hr")
+  }
+
+  /** Oracle SQL twin of [[hourlyPercentiles]]. */
+  def hourlyPercentilesOracle: String =
+    s"""WITH b AS (
+       |  SELECT epoch_ms(ts) // 3600000 AS hr,
+       |    CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events
+       |), r AS (
+       |  SELECT hr, c,
+       |    row_number() OVER (PARTITION BY hr ORDER BY c) AS rn,
+       |    count(*) OVER (PARTITION BY hr) AS n
+       |  FROM b
+       |)
+       |SELECT CAST(hr AS BIGINT) AS hr, count(*) AS n_events,
+       |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS DOUBLE)
+       |    / 100.0 AS p50,
+       |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN c END) AS DOUBLE)
+       |    / 100.0 AS p90,
+       |  CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN c END) AS DOUBLE)
+       |    / 100.0 AS p99
+       |FROM r GROUP BY hr ORDER BY hr""".stripMargin
+
+  /** Per-user activity streaks — the gaps-and-islands rollup: an
+    * island is a maximal run of CONSECUTIVE active hours (hour index
+    * minus the per-user rank of that hour is constant within a run —
+    * the classic trick, zero self-joins). Emits active-hour count,
+    * island count, and the longest streak per user.
+    *
+    * Scale shape: the distinct and both groupBys are all keyed by
+    * user (the window rides the same hash partitioning), so the whole
+    * op is one user-keyed shuffle + map-side distinct partials.
+    */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val hrs = events.select(col("user_id"),
+      floorDivMs("unix_millis(ts)", 3600000L).as("hr")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    hrs.withColumn("grp", col("hr") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_hours"),
+        count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_streak"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle SQL twin of [[activityStreaks]]. */
+  def activityStreaksOracle: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT user_id, epoch_ms(ts) // 3600000 AS hr
+       |  FROM events
+       |), g AS (
+       |  SELECT user_id,
+       |    hr - row_number() OVER (PARTITION BY user_id ORDER BY hr) AS grp
+       |  FROM h
+       |), i AS (
+       |  SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2
+       |)
+       |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_hours,
+       |  count(*) AS n_islands, max(len) AS longest_streak
+       |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin
 }

@@ -600,4 +600,67 @@ object ScaleOps {
        |    AS err_ppm
        |FROM est ORDER BY source""".stripMargin
   }
+
+  /** Token-balanced training-shard assignment — serpentine (boustro-
+    * phedon) deal: docs ordered by (token count desc, doc_id) are dealt
+    * round-robin with the direction REVERSED every round, so each shard
+    * gets one doc per round and alternating rounds cancel the
+    * within-round size gradient (the classic LPT-style balancer that
+    * stays a pure rank function — no greedy state). Emits per-shard doc
+    * and token totals plus each shard's token share in ppm; a training
+    * run reading one shard per worker gets near-equal token budgets.
+    *
+    * Scale shape: ONE global sort shuffle on (n_tokens, doc_id) — the
+    * same range-partitioned TeraSort shape any global ordering costs —
+    * then the 8-row rollup. The ppm share is a window over `shards`
+    * aggregate rows, not over docs.
+    */
+  def shardAssign(docs: DataFrame, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetAgg.halfUpDiv
+    val n = size(TextFunctions.tokens(col("text"))).cast("long")
+    val rn = row_number().over(
+      Window.orderBy(col("n_tokens").desc, col("doc_id"))) - 1
+    val base = docs.select(col("doc_id"), n.as("n_tokens"))
+      .withColumn("rn", rn)
+      .withColumn("k", col("rn") % shards)
+      .withColumn("shard",
+        when(expr(s"rn DIV $shards") % 2 === 0, col("k"))
+          .otherwise(lit(shards - 1) - col("k")))
+    val agg = base.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    agg.withColumn("share_ppm",
+        halfUpDiv(col("total_tokens") * 1000000L,
+          sum(col("total_tokens")).over(Window.partitionBy())))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("total_tokens"), col("share_ppm"))
+      .orderBy("shard")
+  }
+
+  /** Oracle SQL twin of [[shardAssign]]. */
+  def shardAssignOracle(shards: Int = 8): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, n_tokens,
+       |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+       |  FROM d
+       |), a AS (
+       |  SELECT CASE WHEN (rn // $shards) % 2 = 0 THEN rn % $shards
+       |              ELSE ${shards - 1} - (rn % $shards) END AS shard,
+       |    n_tokens
+       |  FROM r
+       |), g AS (
+       |  SELECT shard, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM a GROUP BY 1
+       |)
+       |SELECT CAST(shard AS BIGINT) AS shard, n_docs, total_tokens,
+       |  ${halfUpDivSql("total_tokens * 1000000", "sum(total_tokens) OVER ()")}
+       |    AS share_ppm
+       |FROM g ORDER BY shard""".stripMargin
+  }
 }

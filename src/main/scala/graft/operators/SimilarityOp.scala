@@ -2628,4 +2628,122 @@ object SimilarityOp {
        |FROM agg0 a CROSS JOIN rc CROSS JOIN LATERAL (
        |  SELECT (a.diag * a.n - rc.rowcol) * 1000000 AS kn,
        |         a.n * a.n - rc.rowcol AS kd) kv""".stripMargin
+
+  /** Reciprocal-kNN pairs — the high-precision near-duplicate signal:
+    * (a, b) is emitted iff b is in a's exact top-k AND a is in b's
+    * (mutual membership filters out hub vectors that appear in many
+    * top-k lists asymmetrically — the standard hubness fix). Runs over
+    * the deterministic `qmod` audit sample, so the exact all-pairs arm
+    * is |Q|² not |N|²; on 100 TB the same mutual test runs over
+    * LSH/IVF candidate lists (the [[recallArm]] pattern) — the exact
+    * form here IS the ground-truth arm a production run audits against.
+    * Cosine is symmetric at the bit level (dot, ‖a‖·‖b‖ commute), so
+    * both directions carry the identical rounded sim.
+    */
+  def mutualKnn(embeddings: DataFrame, qmod: Int = 3, k: Int = 5): DataFrame = {
+    val sub = embeddings.where(col("vec_id") % qmod === 0)
+    val q = sub.select(col("vec_id").as("qid"),
+      toDoubleArray(col("embedding")).as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val topk = corpusVecs(sub)
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    topk.as("x").join(topk.as("y"),
+        col("x.qid") === col("y.vec_id") && col("x.vec_id") === col("y.qid")
+          && col("x.qid") < col("x.vec_id"))
+      .select(col("x.qid").as("vec_a"), col("x.vec_id").as("vec_b"),
+        col("x.sim").as("sim"), col("x.rn").cast("long").as("rank_ab"),
+        col("y.rn").cast("long").as("rank_ba"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Oracle SQL twin of [[mutualKnn]]. */
+  def mutualKnnOracle(qmod: Int = 3, k: Int = 5, dims: Int = 64): String =
+    s"""WITH q AS (SELECT vec_id AS qid FROM embeddings
+       |           WHERE vec_id % $qmod = 0),
+       |pc0 AS (
+       |  SELECT qq.qid, e.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(qe.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM q qq
+       |  JOIN embeddings qe ON qe.vec_id = qq.qid
+       |  JOIN embeddings e ON e.vec_id <> qq.qid AND e.vec_id % $qmod = 0,
+       |    range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |  FROM pc0
+       |), t AS (
+       |  SELECT qid, vec_id, sim, rn FROM (
+       |    SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sims) z WHERE rn <= $k
+       |)
+       |SELECT x.qid AS vec_a, x.vec_id AS vec_b, x.sim AS sim,
+       |  CAST(x.rn AS BIGINT) AS rank_ab, CAST(y.rn AS BIGINT) AS rank_ba
+       |FROM t x JOIN t y ON x.qid = y.vec_id AND x.vec_id = y.qid
+       |  AND x.qid < x.vec_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Per-dimension quantile (rank) normalization audit — the feature
+    * preprocessing step that maps each embedding component to its rank
+    * position in [0, 1e6] ppm within its dimension (min-rank ties, so
+    * equal floats normalize equally), then scores each VECTOR by how
+    * far its normalized components sit from the uniform midpoint:
+    * `mean |norm − 500000|` ≈ 250000 for a typical vector; extremes
+    * flag vectors living in every dimension's tails.
+    *
+    * Scale shape: ONE shuffle keyed by dimension (dims × |N| rows of
+    * three longs) — per-dim rank+count windows share the partitioning —
+    * then a vec-keyed rollup. On 100 TB the per-dim rank map would be
+    * computed on a sample ([[ScaleOps.sampledQuantiles]]) and applied
+    * as a broadcast lookup; the exact form is the audit.
+    */
+  def quantileNormAudit(embeddings: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.{halfUpDiv, ratio}
+    val base = embeddings.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+    val wr = Window.partitionBy(col("dim")).orderBy(col("v"))
+    val wn = Window.partitionBy(col("dim"))
+    base
+      .withColumn("rk", rank().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(col("vec_id"),
+        halfUpDiv((col("rk") - 1L) * 1000000L, col("n") - 1L).as("norm_ppm"))
+      .groupBy(col("vec_id"))
+      .agg(ratio(sum(abs(col("norm_ppm") - 500000L)), count(lit(1)))
+          .as("mean_dev_ppm"),
+        min(col("norm_ppm")).as("min_ppm"),
+        max(col("norm_ppm")).as("max_ppm"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle SQL twin of [[quantileNormAudit]]. */
+  def quantileNormAuditOracle(dims: Int = 64): String = {
+    import graft.functions.DetAgg.{halfUpDivSql, ratioSql}
+    s"""WITH p AS (
+       |  SELECT e.vec_id, i.i AS dim, e.embedding[i.i + 1] AS v
+       |  FROM embeddings e, range($dims) i(i)
+       |), r AS (
+       |  SELECT vec_id,
+       |    rank() OVER (PARTITION BY dim ORDER BY v) AS rk,
+       |    count(*) OVER (PARTITION BY dim) AS n
+       |  FROM p
+       |), s AS (
+       |  SELECT vec_id,
+       |    ${halfUpDivSql("(rk - 1) * 1000000", "n - 1")} AS norm_ppm
+       |  FROM r
+       |)
+       |SELECT vec_id,
+       |  ${ratioSql("sum(abs(norm_ppm - 500000))", "count(*)")}
+       |    AS mean_dev_ppm,
+       |  CAST(min(norm_ppm) AS BIGINT) AS min_ppm,
+       |  CAST(max(norm_ppm) AS BIGINT) AS max_ppm
+       |FROM s GROUP BY 1 ORDER BY vec_id""".stripMargin
+  }
 }

@@ -1783,4 +1783,125 @@ object TextOps {
             "count(*)")} AS pass_ppm
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** Bigram-LM quality score — the classic perplexity-filter proxy
+    * (reference use: corpus quality gating before pretraining) kept
+    * fully rational so it hash-gates: each adjacent token pair scores
+    * the corpus conditional frequency P(w₂|w₁) in ppm
+    * (`1e6·c(w₁w₂) div c(w₁)`, round-half-up), and a document's score
+    * is the exact mean over its bigram instances. Low score = improbable
+    * word sequences = likely junk; `log` would make it a true
+    * cross-entropy but is libm-territory (the [[tokenCommonness]] /
+    * q101-PMI monotone-surrogate rule).
+    *
+    * Scale shape: bigram adjacency is ROW-LOCAL (two slices zipped —
+    * no per-token window shuffle), and both count tables are capped at
+    * `topK` by (count desc, key) and BROADCAST, so the scoring pass is
+    * one scan + map-side joins no matter how wide the corpus; pairs
+    * outside the cap score 0 (the OOV convention shared with
+    * [[tokenCommonness]]). Two bounded count shuffles total.
+    */
+  def bigramLmScore(docs: DataFrame, topK: Int = 64000): DataFrame = {
+    import graft.functions.DetAgg.{halfUpDiv, ratio}
+    val tk = tokens(col("text"))
+    val tu = docs.select(explode(tk).as("w1"))
+    val uni = tu.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("w1")).limit(topK)
+    val bgi = docs
+      .select(col("doc_id"), tk.as("tk")).where(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1))).as("p"))
+      .select(col("doc_id"), col("p.`0`").as("w1"), col("p.`1`").as("w2"))
+    val big = bgi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("w1"), col("w2")).limit(topK)
+    val condPpm = when(col("c1").isNull || col("c2").isNull, lit(0L))
+      .otherwise(halfUpDiv(col("c2") * 1000000L, col("c1")))
+    bgi.join(broadcast(uni), Seq("w1"), "left")
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .select(col("doc_id"), condPpm.as("cond_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        ratio(sum(col("cond_ppm")), count(lit(1))).as("avg_cond_ppm"),
+        min(col("cond_ppm")).as("min_cond_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[bigramLmScore]]. */
+  def bigramLmScoreOracle(topK: Int = 64000): String = {
+    import graft.functions.DetAgg.{halfUpDivSql, ratioSql}
+    s"""WITH tu AS (SELECT unnest(string_split(text, ' ')) AS w1
+       |            FROM documents),
+       |uni AS (SELECT w1, count(*) AS c1 FROM tu GROUP BY 1
+       |        ORDER BY c1 DESC, w1 LIMIT $topK),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |      WHERE len(string_split(text, ' ')) >= 2),
+       |bgi AS (
+       |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       |  FROM (SELECT doc_id, tk,
+       |          unnest(generate_series(1, len(tk) - 1)) AS i FROM t)
+       |),
+       |big AS (SELECT w1, w2, count(*) AS c2 FROM bgi GROUP BY 1, 2
+       |        ORDER BY c2 DESC, w1, w2 LIMIT $topK),
+       |sc AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN u.c1 IS NULL OR g.c2 IS NULL THEN 0
+       |         ELSE ${halfUpDivSql("g.c2 * 1000000", "u.c1")} END AS cond_ppm
+       |  FROM bgi b
+       |  LEFT JOIN uni u ON u.w1 = b.w1
+       |  LEFT JOIN big g ON g.w1 = b.w1 AND g.w2 = b.w2
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  ${ratioSql("sum(cond_ppm)", "count(*)")} AS avg_cond_ppm,
+       |  CAST(min(cond_ppm) AS BIGINT) AS min_cond_ppm
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Exact phrase search over a positional inverted index — the
+    * retrieval-serving shape: postings are (term, doc_id, pos) rows,
+    * the query's terms SELECT their posting lists first (term
+    * selectivity is the pushed-down filter — only the phrase's terms
+    * ever shuffle, never the corpus), and adjacency is an equi-join on
+    * `(doc_id, pos+1)`. Emits per-doc match counts and the first match
+    * position (1-based).
+    *
+    * Scale shape: on 100 TB the postings frame is a pre-built table
+    * partitioned/bucketed by term (the q54/q58 write-once layout
+    * precedent); the in-query derivation here keeps the oracle
+    * independent. Join traffic is |postings(w₁)| + |postings(w₂)| rows
+    * of three longs each.
+    */
+  def phraseSearch(docs: DataFrame, w1: String = "data",
+                   w2: String = "table"): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .where(col("term").isin(w1, w2))
+    val p1 = postings.where(col("term") === w1)
+      .select(col("doc_id"), col("pos"))
+    val p2 = postings.where(col("term") === w2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    p1.join(p2, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("pos")) + 1).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[phraseSearch]] (1-based list indexing mirrors
+    * the operator's `pos + 1`).
+    */
+  def phraseSearchOracle(w1: String = "data", w2: String = "table"): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |           FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 2),
+       |m AS (
+       |  SELECT doc_id, i
+       |  FROM (SELECT doc_id, tk,
+       |          unnest(generate_series(1, len(tk) - 1)) AS i FROM t)
+       |  WHERE tk[i] = '$w1' AND tk[i+1] = '$w2'
+       |)
+       |SELECT doc_id, count(*) AS n_matches,
+       |  CAST(min(i) AS BIGINT) AS first_pos
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 }
