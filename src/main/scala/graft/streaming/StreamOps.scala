@@ -973,4 +973,41 @@ object StreamOps {
       .flatMapGroupsWithState[AttrState, AttrRow](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /** Watermarked STREAM-STREAM inner interval join — the one join shape
+    * the stream-static forms above can't express: both sides arrive
+    * live, and a (left, right) match is emitted when a right event for
+    * the same key lands within `[l_ts, l_ts + horizon]`. The range
+    * condition plus BOTH watermarks is what bounds the join state:
+    * Spark retains left rows only until `watermark + horizon` and right
+    * rows until `watermark`, then drops them — without the time bound
+    * the state would grow forever and the planner rejects append mode.
+    *
+    * Works identically on batch frames (withWatermark is a no-op
+    * there), which is exactly how StreamingSpec proves replay equality:
+    * same code path, streamed vs static inputs.
+    *
+    * Scale shape: state is hash-partitioned by join key across
+    * executors; per-key state is (arrival rate × horizon) rows. The
+    * output column set keeps only ids/timestamps — payload re-attach is
+    * a downstream stream-static join, so wide columns never sit in
+    * join state.
+    */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+                            key: String = "user_id",
+                            horizon: String = "30 minutes",
+                            watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("l_key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("l_key").as(key), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
+  }
 }

@@ -1094,4 +1094,47 @@ class StreamingSpec extends SparkSuite {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-stream interval join equals the batch join under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, user_id, ts_sec); horizon 30 s, watermark 20 s
+    val clicks = Seq((1L, 7L, 100L), (2L, 7L, 200L), (3L, 8L, 100L),
+      (4L, 9L, 500L))
+    val buys = Seq((11L, 7L, 120L), (12L, 7L, 131L), (13L, 7L, 215L),
+      (14L, 8L, 125L), (15L, 9L, 100L)) // 12 just past horizon; 15 precedes
+    def frame(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("event_id", "user_id", "ts_sec")
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val expected = StreamOps.streamingIntervalJoin(
+        frame(clicks), frame(buys), horizon = "30 seconds",
+        watermark = "20 seconds")
+      .select($"l_id", $"r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // sanity: the batch form matches the hand-derived pairs
+    assert(expected === Set((1L, 11L), (2L, 13L), (3L, 14L)))
+
+    val memL = MemoryStream[(Long, Long, Long)]
+    val memR = MemoryStream[(Long, Long, Long)]
+    def sframe(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("event_id", "user_id", "ts_sec")
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val joined = StreamOps.streamingIntervalJoin(
+      sframe(memL), sframe(memR), horizon = "30 seconds",
+      watermark = "20 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      // out-of-order across batches: right events for user 7 land a
+      // batch BEFORE and a batch AFTER their matching left events
+      memR.addData((11L, 7L, 120L)); q.processAllAvailable()
+      memL.addData(clicks.take(3).toIndexedSeq); q.processAllAvailable()
+      memR.addData((12L, 7L, 131L), (13L, 7L, 215L), (14L, 8L, 125L))
+      q.processAllAvailable()
+      memL.addData((4L, 9L, 500L)); memR.addData((15L, 9L, 100L))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select($"l_id", $"r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
 }
