@@ -1106,6 +1106,29 @@ object SparkEntry {
     // embedding corpus.
     "q208_quantile_norm" -> ((s, d) =>
       SimilarityOp.quantileNormAudit(Tables.embeddings(s, d))),
+
+    // Robust per-dimension median/MAD scaling audit with 3-MAD
+    // outlier counts (exact order statistics).
+    "q209_robust_scale" -> ((s, d) =>
+      SimilarityOp.robustScaleAudit(Tables.embeddings(s, d))),
+
+    // Column-level change attribution between corpus snapshots — the
+    // drill-down of q97's `changed` bucket (md5 for wide columns).
+    "q210_column_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      AuditOps.columnDrift(docs, AuditOps.demoV2(docs),
+        Seq("lang", "n_chars", "source", "text"))
+    }),
+
+    // Golden-record selection: token-set canonical part names, min-id
+    // keeper, cross-brand duplicate spans.
+    "q211_golden_record" -> ((s, d) =>
+      DedupOp.goldenRecord(Tables.part(s, d))),
+
+    // Redundant-dimension audit: exact Pearson corr (ppm) between
+    // embedding dimension pairs, top-k by |corr|.
+    "q212_dim_corr" -> ((s, d) =>
+      SimilarityOp.dimCorrTopK(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1755,5 +1778,9 @@ object SparkEntry {
     "q206_mutual_knn" -> SimilarityOp.mutualKnnOracle(),
     "q207_activity_streaks" -> EventOps.activityStreaksOracle,
     "q208_quantile_norm" -> SimilarityOp.quantileNormAuditOracle(),
+    "q209_robust_scale" -> SimilarityOp.robustScaleAuditOracle(),
+    "q210_column_drift" -> AuditOps.columnDriftOracle,
+    "q211_golden_record" -> DedupOp.goldenRecordOracle,
+    "q212_dim_corr" -> SimilarityOp.dimCorrTopKOracle(),
   )
 }

@@ -769,4 +769,82 @@ object AuditOps {
        |FROM pt JOIN boot ON boot.grp = pt.grp
        |ORDER BY o_orderpriority""".stripMargin
   }
+
+  /** Column-level change attribution between two corpus snapshots —
+    * the drill-down [[snapshotDiff]]'s `changed` bucket needs: for
+    * every column, how many ids present in BOTH versions differ on
+    * that column (null-safe compare). A `text`-only drift means a
+    * re-crawl; an `n_chars` drift WITHOUT a text drift means a broken
+    * derived column — exactly the inconsistency [[demoV2]] plants (it
+    * edits text but never recomputes n_chars).
+    *
+    * Scale shape: one inner key join; columns named in `wide` ride the
+    * shuffle as 32-byte md5s, never as content (the [[snapshotDiff]]
+    * rule). All per-column counts come from ONE aggregate pass over the
+    * joined frame, exploded to a row per column at the end — the
+    * [[columnProfile]] shape.
+    */
+  def columnDrift(v1: DataFrame, v2: DataFrame, cols: Seq[String],
+                  wide: Set[String] = Set("text")): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    require(cols.nonEmpty, "columnDrift needs at least one column")
+    def side(df: DataFrame, p: String) = df.select(col("doc_id") +:
+      cols.map { c =>
+        val v = if (wide(c)) md5(col(c).cast("string")) else col(c)
+        v.as(s"${p}_$c")
+      }: _*)
+    val j = side(v1, "a").join(side(v2, "b"), Seq("doc_id"))
+    val aggs = count(lit(1)).as("__n") +: cols.map(c =>
+      sum(when(not(col(s"a_$c") <=> col(s"b_$c")), 1L).otherwise(0L))
+        .as(s"__ch_$c"))
+    j.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("__n").as("n_common"),
+        col(s"__ch_$c").as("n_changed"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_common"), col("p.n_changed"),
+        halfUpDiv(col("p.n_changed") * 1000000L, col("p.n_common"))
+          .as("changed_ppm"))
+      .orderBy("col_name")
+  }
+
+  /** Oracle SQL twin of [[columnDrift]] over [[demoV2]]'s documents
+    * snapshot (cols: lang, n_chars, source, text).
+    */
+  def columnDriftOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    val cols = Seq("lang" -> "l", "n_chars" -> "c", "source" -> "s",
+      "text" -> "t")
+    val arms = cols.map { case (c, a) =>
+      s"""SELECT '$c' AS col_name, n_common, ch_$a AS n_changed FROM p"""
+    }
+    s"""WITH v2 AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 17 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, lang, source, n_chars, text
+       |  FROM documents WHERE doc_id % 19 = 0
+       |), j AS (
+       |  SELECT d.lang AS l1, v.lang AS l2, d.n_chars AS c1, v.n_chars AS c2,
+       |    d.source AS s1, v.source AS s2,
+       |    md5(CAST(d.text AS VARCHAR)) AS t1,
+       |    md5(CAST(v.text AS VARCHAR)) AS t2
+       |  FROM documents d JOIN v2 v USING (doc_id)
+       |), p AS (
+       |  SELECT count(*) AS n_common,
+       |    CAST(sum(CASE WHEN l1 IS DISTINCT FROM l2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ch_l,
+       |    CAST(sum(CASE WHEN c1 IS DISTINCT FROM c2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ch_c,
+       |    CAST(sum(CASE WHEN s1 IS DISTINCT FROM s2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ch_s,
+       |    CAST(sum(CASE WHEN t1 IS DISTINCT FROM t2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ch_t
+       |  FROM j
+       |)
+       |SELECT col_name, n_common, n_changed,
+       |  ${halfUpDivSql("n_changed * 1000000", "n_common")} AS changed_ppm
+       |FROM (${arms.mkString(" UNION ALL ")})
+       |ORDER BY col_name""".stripMargin
+  }
 }

@@ -1836,4 +1836,44 @@ object DedupOp {
        |  CAST(max(tj_u) AS DOUBLE) / 10000.0 AS max_true_j
        |FROM tj GROUP BY hamming ORDER BY hamming""".stripMargin
   }
+
+  /** Entity canonicalization / golden-record selection over the part
+    * catalog — the exact-ER baseline every MDM pipeline starts from:
+    * entities whose names are the same TOKEN SET ("small ring" ≡
+    * "ring small", word order and repeats ignored) collapse to one
+    * canonical key, and the cluster's golden record is the min id (the
+    * same keeper rule as [[exact]] text dedup). Emits only clusters
+    * with actual duplicates: canonical key, golden id, member count,
+    * and how many distinct brands the duplicate spans (cross-brand
+    * duplication = catalog pollution, the interesting case).
+    *
+    * Scale shape: the canonical key is computed ROW-LOCALLY (sort the
+    * token array, rejoin) so the whole op is one count-aggregate keyed
+    * by an ~entity-sized string — the [[exact]] dedup shape; fuzzier
+    * matching (q60/q26) feeds the same keeper rule via [[keepSet]].
+    */
+  def goldenRecord(part: DataFrame): DataFrame = {
+    val canon = concat_ws(" ",
+      array_sort(array_distinct(split(col("p_name"), " "))))
+    part.select(col("p_partkey"), col("p_brand"), canon.as("canon_key"))
+      .groupBy(col("canon_key"))
+      .agg(min(col("p_partkey")).as("golden_id"),
+        count(lit(1)).as("n_parts"),
+        count_distinct(col("p_brand")).as("n_brands"))
+      .where(col("n_parts") >= 2)
+      .orderBy("canon_key")
+  }
+
+  /** Oracle SQL twin of [[goldenRecord]]. */
+  def goldenRecordOracle: String =
+    """WITH c AS (
+      |  SELECT p_partkey, p_brand,
+      |    array_to_string(list_sort(list_distinct(string_split(p_name, ' '))),
+      |      ' ') AS canon_key
+      |  FROM part
+      |)
+      |SELECT canon_key, min(p_partkey) AS golden_id,
+      |  count(*) AS n_parts, count(DISTINCT p_brand) AS n_brands
+      |FROM c GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY canon_key""".stripMargin
 }

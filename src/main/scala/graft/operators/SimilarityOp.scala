@@ -2746,4 +2746,143 @@ object SimilarityOp {
        |  CAST(max(norm_ppm) AS BIGINT) AS max_ppm
        |FROM s GROUP BY 1 ORDER BY vec_id""".stripMargin
   }
+
+  /** Robust per-dimension scaling audit — median / MAD (the
+    * outlier-insensitive (x−μ)/σ replacement) for every embedding
+    * dimension, plus the count of |v − med| > 3·MAD outliers. Both
+    * statistics are EXACT ceil-rank order statistics over doubles
+    * (float→double widening is exact; subtraction/abs/compare are
+    * correctly-rounded IEEE — the q130 scalar rule — so both engines
+    * see identical medians, deviations, and outlier sets).
+    *
+    * Scale shape: two rank windows keyed by dimension (dims-wide
+    * parallelism) and two broadcast joins of the 64-row stats frame;
+    * nothing vector-sized ever sits on the driver. On 100 TB the rank
+    * windows become per-dim sampled quantiles ([[ScaleOps.sampledQuantiles]]);
+    * the exact form is the audit arm.
+    */
+  def robustScaleAudit(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("vec_id"), col("dim"), col("vf").cast("double").as("v"))
+    def medianOf(df: DataFrame, vc: String, out: String): DataFrame = {
+      val wr = Window.partitionBy(col("dim")).orderBy(col(vc))
+      df.withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("dim"))))
+        .groupBy(col("dim"))
+        .agg(max(when(col("rn") === expr("(n + 1) DIV 2"), col(vc))).as(out))
+    }
+    val med = medianOf(base, "v", "med")
+    val dev = base.join(broadcast(med), Seq("dim"))
+      .withColumn("d", abs(col("v") - col("med")))
+    val mad = medianOf(dev.select(col("dim"), col("d")), "d", "mad")
+    dev.join(broadcast(mad), Seq("dim"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("d") > col("mad") * 3.0, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("dim").cast("long").as("dim"), col("n"), col("med"),
+        col("mad"), col("n_outliers"))
+      .orderBy("dim")
+  }
+
+  /** Oracle SQL twin of [[robustScaleAudit]]. */
+  def robustScaleAuditOracle(dims: Int = 64): String =
+    s"""WITH p AS (
+       |  SELECT e.vec_id, i.i AS dim, e.embedding[i.i + 1]::DOUBLE AS v
+       |  FROM embeddings e, range($dims) i(i)
+       |), rm AS (
+       |  SELECT dim, v,
+       |    row_number() OVER (PARTITION BY dim ORDER BY v) AS rn,
+       |    count(*) OVER (PARTITION BY dim) AS n
+       |  FROM p
+       |), med AS (
+       |  SELECT dim, max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+       |  FROM rm GROUP BY 1
+       |), dv AS (
+       |  SELECT p.dim, abs(p.v - med.med) AS d, med.med
+       |  FROM p JOIN med USING (dim)
+       |), rd AS (
+       |  SELECT dim, d,
+       |    row_number() OVER (PARTITION BY dim ORDER BY d) AS rn,
+       |    count(*) OVER (PARTITION BY dim) AS n
+       |  FROM dv
+       |), mad AS (
+       |  SELECT dim, max(CASE WHEN rn = (n + 1) // 2 THEN d END) AS mad
+       |  FROM rd GROUP BY 1
+       |)
+       |SELECT CAST(dv.dim AS BIGINT) AS dim, count(*) AS n,
+       |  max(dv.med) AS med, max(mad.mad) AS mad,
+       |  CAST(sum(CASE WHEN dv.d > mad.mad * 3.0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers
+       |FROM dv JOIN mad USING (dim)
+       |GROUP BY 1 ORDER BY dim""".stripMargin
+
+  /** Redundant-dimension audit — exact Pearson correlation (in ppm)
+    * between every PAIR of embedding dimensions, top-k by |corr|:
+    * near-±1 pairs mean the representation wastes capacity (and an
+    * IVF/PQ index built on it wastes cells). Components quantize to
+    * 1e-4 integer units BEFORE aggregation (the centroid-drift
+    * precedent) so all five moments are exact BIGINTs and the
+    * [[graft.functions.DetAgg.corrPpm]] kernel — shared with q130's
+    * feature-correlation and q141's assortativity — is engine-exact.
+    *
+    * Scale shape: the d²/2 pair frame comes from ONE self-join keyed
+    * by vec_id (each side is the posexploded scan — |N|·d rows of
+    * three longs), partial-aggregated to d²/2 moment rows. d is the
+    * embedding width, so the output is corpus-size-independent; at
+    * 100 TB the same query runs on a row sample first.
+    */
+  def dimCorrTopK(embeddings: DataFrame, k: Int = 20): DataFrame = {
+    import graft.functions.DetAgg.corrPpm
+    val base = embeddings.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("vf").cast("double") * 10000.0 + 0.5).cast("long").as("q"))
+    val pairs = base.as("x").join(base.as("y"),
+        col("x.vec_id") === col("y.vec_id") && col("x.dim") < col("y.dim"))
+      .select(col("x.dim").as("dim_a"), col("y.dim").as("dim_b"),
+        col("x.q").as("qa"), col("y.q").as("qb"))
+    pairs.groupBy(col("dim_a"), col("dim_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qa")).as("sx"), sum(col("qb")).as("sy"),
+        sum(col("qa") * col("qa")).as("sxx"),
+        sum(col("qb") * col("qb")).as("syy"),
+        sum(col("qa") * col("qb")).as("sxy"))
+      .select(col("dim_a").cast("long").as("dim_a"),
+        col("dim_b").cast("long").as("dim_b"),
+        corrPpm(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+          col("sxy")).as("corr_ppm"))
+      .where(col("corr_ppm").isNotNull)
+      .orderBy(abs(col("corr_ppm")).desc, col("dim_a"), col("dim_b"))
+      .limit(k)
+  }
+
+  /** Oracle SQL twin of [[dimCorrTopK]]. */
+  def dimCorrTopKOracle(k: Int = 20, dims: Int = 64): String = {
+    import graft.functions.DetAgg.corrPpmSql
+    s"""WITH p AS (
+       |  SELECT e.vec_id, i.i AS dim,
+       |    CAST(floor(e.embedding[i.i + 1]::DOUBLE * 10000.0 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM embeddings e, range($dims) i(i)
+       |), m AS (
+       |  SELECT x.dim AS dim_a, y.dim AS dim_b, count(*) AS n,
+       |    CAST(sum(x.q) AS BIGINT) AS sx, CAST(sum(y.q) AS BIGINT) AS sy,
+       |    CAST(sum(x.q * x.q) AS BIGINT) AS sxx,
+       |    CAST(sum(y.q * y.q) AS BIGINT) AS syy,
+       |    CAST(sum(x.q * y.q) AS BIGINT) AS sxy
+       |  FROM p x JOIN p y ON x.vec_id = y.vec_id AND x.dim < y.dim
+       |  GROUP BY 1, 2
+       |), c AS (
+       |  SELECT CAST(dim_a AS BIGINT) AS dim_a, CAST(dim_b AS BIGINT) AS dim_b,
+       |    ${corrPpmSql("n", "sx", "sy", "sxx", "syy", "sxy")} AS corr_ppm
+       |  FROM m
+       |)
+       |SELECT dim_a, dim_b, corr_ppm FROM c
+       |WHERE corr_ppm IS NOT NULL
+       |ORDER BY abs(corr_ppm) DESC, dim_a, dim_b LIMIT $k""".stripMargin
+  }
 }

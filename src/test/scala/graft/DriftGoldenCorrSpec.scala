@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{AuditOps, DedupOp, SimilarityOp}
+
+/** Crafted-fixture semantics for the q209–q212 tier: robust
+  * median/MAD scaling, column-level snapshot drift (null-safe),
+  * golden-record canonicalization, and dimension-pair correlation.
+  */
+class DriftGoldenCorrSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("robustScaleAudit: exact median/MAD and 3-MAD outlier count") {
+    val emb = Seq(1.0f, 2.0f, 3.0f, 4.0f, 100.0f).zipWithIndex.map {
+      case (v, i) => (i.toLong, Array(v), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = SimilarityOp.robustScaleAudit(emb).collect().head
+    assert(r.getLong(1) === 5L)      // n
+    assert(r.getDouble(2) === 3.0)   // med (rank ⌈5/2⌉ = 3)
+    // devs sorted: 0,1,1,2,97 → mad at rank 3 = 1
+    assert(r.getDouble(3) === 1.0)
+    assert(r.getLong(4) === 1L)      // only |100−3|=97 > 3·1
+  }
+
+  test("columnDrift attributes changes per column, null-safe") {
+    val v1 = Seq(
+      (0L, "alpha text", "en", "s0", 10L),
+      (1L, "beta text", "en", "s1", 9L),
+      (2L, "gamma text", null.asInstanceOf[String], "s2", 10L),
+      (3L, "delta text", "en", "s3", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v2 = Seq(
+      (0L, "alpha text CHANGED", "en", "s0", 10L), // text only
+      (1L, "beta text", "en", "s1", 99L),          // n_chars only
+      (2L, "gamma text", null.asInstanceOf[String], "s2", 10L), // null==null
+      (4L, "added", "en", "s4", 5L)                // not common
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = AuditOps.columnDrift(v1, v2,
+        Seq("lang", "n_chars", "source", "text")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      "lang" -> ((3L, 0L)), "n_chars" -> ((3L, 1L)),
+      "source" -> ((3L, 0L)), "text" -> ((3L, 1L))))
+  }
+
+  test("columnDrift flags null-to-value transitions as changes") {
+    val v1 = Seq((0L, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v2 = Seq((0L, "t", null.asInstanceOf[String], "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = AuditOps.columnDrift(v1, v2, Seq("lang")).collect().head
+    assert(out.getLong(2) === 1L)
+  }
+
+  test("goldenRecord clusters token-set-equal names under the min id") {
+    val parts = Seq(
+      (10L, "small ring", "Brand#1"),
+      (7L, "ring small", "Brand#2"),   // permuted — same entity
+      (8L, "ring ring small", "Brand#1"), // repeats collapse
+      (9L, "blue bolt", "Brand#1")     // singleton — excluded
+    ).toDF("p_partkey", "p_name", "p_brand")
+    val out = DedupOp.goldenRecord(parts).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "ring small")
+    assert(r.getLong(1) === 7L)  // golden = min id
+    assert(r.getLong(2) === 3L)  // members
+    assert(r.getLong(3) === 2L)  // brands spanned
+  }
+
+  test("dimCorrTopK ranks perfect correlation by |corr| with dim ties") {
+    // dim1 = dim0 (corr 1e6), dim2 = −dim0 (corr −1e6), dim3 noise-free
+    // constant (zero variance → NULL, filtered)
+    val emb = Seq(1.0f, 2.0f, 3.0f, 5.0f).zipWithIndex.map { case (v, i) =>
+      (i.toLong, Array(v, v, -v, 7.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = SimilarityOp.dimCorrTopK(emb, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 1L, 1000000L), (0L, 2L, -1000000L),
+      (1L, 2L, -1000000L)))
+  }
+}
