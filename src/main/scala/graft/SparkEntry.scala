@@ -1129,6 +1129,16 @@ object SparkEntry {
     // embedding dimension pairs, top-k by |corr|.
     "q212_dim_corr" -> ((s, d) =>
       SimilarityOp.dimCorrTopK(Tables.embeddings(s, d))),
+
+    // Split-balance χ² audit per source against the declared 90/5/5 —
+    // catches a split hash that correlates with ids.
+    "q213_split_balance" -> ((s, d) =>
+      ScaleOps.splitBalanceAudit(Tables.documents(s, d))),
+
+    // PII redaction with detection flags and an md5 receipt of the
+    // scrubbed text (deterministically planted fixtures).
+    "q214_pii_scrub" -> ((s, d) =>
+      TextOps.piiScrub(TextOps.plantPii(Tables.documents(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1782,5 +1792,7 @@ object SparkEntry {
     "q210_column_drift" -> AuditOps.columnDriftOracle,
     "q211_golden_record" -> DedupOp.goldenRecordOracle,
     "q212_dim_corr" -> SimilarityOp.dimCorrTopKOracle(),
+    "q213_split_balance" -> ScaleOps.splitBalanceAuditOracle(),
+    "q214_pii_scrub" -> TextOps.piiScrubOracle,
   )
 }

