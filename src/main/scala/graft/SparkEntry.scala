@@ -1139,6 +1139,25 @@ object SparkEntry {
     // scrubbed text (deterministically planted fixtures).
     "q214_pii_scrub" -> ((s, d) =>
       TextOps.piiScrub(TextOps.plantPii(Tables.documents(s, d)))),
+
+    // Per-type Fano factor of hourly arrival counts — Poisson vs
+    // bursty vs clockwork traffic, exact integer rationals.
+    "q215_burstiness" -> ((s, d) =>
+      EventOps.burstiness(Tables.events(s, d))),
+
+    // LSH vs IVF candidate-set Jaccard per audit query — is a hybrid
+    // union retrieval worth it?
+    "q216_candidate_overlap" -> ((s, d) =>
+      SimilarityOp.annCandidateOverlap(Tables.embeddings(s, d))),
+
+    // Packing-efficiency rollup over q74's contiguous layout: fill,
+    // padding waste, boundary-cut documents per source.
+    "q217_packing_efficiency" -> ((s, d) =>
+      ScaleOps.packingEfficiency(Tables.documents(s, d))),
+
+    // Language-ID confusion matrix (label × prediction counts).
+    "q218_lang_confusion" -> ((s, d) =>
+      TextOps.langConfusion(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1794,5 +1813,9 @@ object SparkEntry {
     "q212_dim_corr" -> SimilarityOp.dimCorrTopKOracle(),
     "q213_split_balance" -> ScaleOps.splitBalanceAuditOracle(),
     "q214_pii_scrub" -> TextOps.piiScrubOracle,
+    "q215_burstiness" -> EventOps.burstinessOracle,
+    "q216_candidate_overlap" -> SimilarityOp.annCandidateOverlapOracle(),
+    "q217_packing_efficiency" -> ScaleOps.packingEfficiencyOracle(),
+    "q218_lang_confusion" -> TextOps.langConfusionOracle,
   )
 }

@@ -1603,6 +1603,56 @@ object EventOps {
        |    / 100.0 AS p99
        |FROM r GROUP BY hr ORDER BY hr""".stripMargin
 
+  /** Per-type burstiness — the Fano factor (variance-to-mean ratio of
+    * hourly arrival counts) that separates Poisson-like traffic
+    * (fano ≈ 1) from bursty (≫ 1) or clockwork (≪ 1) types, in exact
+    * integer rationals: over the observed hourly counts x of a type,
+    * `fano_ppm = 1e6 · (n·Σx² − S²) / (n·S)` (population variance over
+    * mean, half-up) — every moment a BIGINT, so the ratio hash-gates.
+    * Hours with zero events of the type are NOT part of the sample
+    * (the observed-profile convention of [[rollingWau]]); a dense
+    * calendar version would left-join a generated grid.
+    *
+    * Scale shape: two cascaded count-aggregates, both map-side-partial
+    * (events → (type, hr) counts → per-type moments); nothing wider
+    * than 4 longs ever shuffles.
+    */
+  def burstiness(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val hourly = events.select(col("event_type"),
+        floorDivMs("unix_millis(ts)", 3600000L).as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("x"))
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("x")).as("total"),
+        sum(col("x") * col("x")).as("sq"))
+      .select(col("event_type"), col("n_hours"), col("total"),
+        halfUpDiv(
+          (col("n_hours") * col("sq") - col("total") * col("total")) *
+            1000000L,
+          col("n_hours") * col("total")).as("fano_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle SQL twin of [[burstiness]]. */
+  def burstinessOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, count(*) AS x
+       |  FROM events GROUP BY 1, 2
+       |), m AS (
+       |  SELECT event_type, count(*) AS n_hours,
+       |    CAST(sum(x) AS BIGINT) AS total,
+       |    CAST(sum(x * x) AS BIGINT) AS sq
+       |  FROM h GROUP BY 1
+       |)
+       |SELECT event_type, n_hours, total,
+       |  ${halfUpDivSql("(n_hours * sq - total * total) * 1000000",
+                         "n_hours * total")} AS fano_ppm
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   /** Per-user activity streaks — the gaps-and-islands rollup: an
     * island is a maximal run of CONSECUTIVE active hours (hour index
     * minus the per-user rank of that hour is constant within a run —

@@ -422,8 +422,11 @@ object ScaleOps {
       .orderBy("source", "doc_id")
   }
 
-  /** Oracle SQL twin of [[sequencePack]]. */
-  def sequencePackOracle(seqLen: Long = 512L): String = {
+  /** The [[sequencePack]] SQL sans presentation sort — shared by the
+    * q74 oracle and the q217 packing-efficiency rollup (ONE definition
+    * of the layout both audit).
+    */
+  private def sequencePackSqlCore(seqLen: Long): String = {
     val h = docHashSql
     s"""SELECT doc_id, source, n_tokens,
        |  strt // $seqLen AS bin,
@@ -437,8 +440,65 @@ object ScaleOps {
        |  FROM (SELECT doc_id, source,
        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |          $h AS hk
-       |        FROM documents) b) t
+       |        FROM documents) b) t""".stripMargin
+  }
+
+  /** Oracle SQL twin of [[sequencePack]]. */
+  def sequencePackOracle(seqLen: Long = 512L): String =
+    s"""${sequencePackSqlCore(seqLen)}
        |ORDER BY source, doc_id""".stripMargin
+
+  /** Packing-efficiency rollup over [[sequencePack]]'s layout — the
+    * training-cost dashboard for contiguous packing: per source, the
+    * bin count, padding waste (only the final partial bin pads in a
+    * contiguous pack — the metric that explodes if packing ever
+    * switches to doc-aligned), and how many documents the fixed
+    * sequence boundary CUTS (the quality cost contiguous packing pays
+    * instead of padding). fill/cut as exact ppm rationals.
+    *
+    * Scale shape: one groupBy(source) over the pack layout; the layout
+    * itself is q74's single source-keyed window sort.
+    */
+  def packingEfficiency(docs: DataFrame, seqLen: Long = 512L): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    sequencePack(docs, seqLen)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("spans_cut")).as("n_cut_docs"))
+      // bins = ceil(total/seqLen): the LAST doc may spill past the max
+      // START bin, so deriving bins from `max(bin)` would undercount
+      .withColumn("n_bins",
+        expr(s"(total_tokens + ${seqLen - 1}) DIV $seqLen"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_bins"),
+        (col("n_bins") * seqLen - col("total_tokens")).as("pad_tokens"),
+        halfUpDiv(col("total_tokens") * 1000000L, col("n_bins") * seqLen)
+          .as("fill_ppm"),
+        halfUpDiv(col("n_cut_docs") * 1000000L, col("n_docs"))
+          .as("cut_ppm"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[packingEfficiency]]. */
+  def packingEfficiencyOracle(seqLen: Long = 512L): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH sp AS (
+       |${sequencePackSqlCore(seqLen)}
+       |), g AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    (CAST(sum(n_tokens) AS BIGINT) + ${seqLen - 1}) // $seqLen
+       |      AS n_bins,
+       |    CAST(sum(spans_cut) AS BIGINT) AS n_cut_docs
+       |  FROM sp GROUP BY 1
+       |)
+       |SELECT source, n_docs, total_tokens, n_bins,
+       |  n_bins * $seqLen - total_tokens AS pad_tokens,
+       |  ${halfUpDivSql("total_tokens * 1000000", s"n_bins * $seqLen")}
+       |    AS fill_ppm,
+       |  ${halfUpDivSql("n_cut_docs * 1000000", "n_docs")} AS cut_ppm
+       |FROM g ORDER BY source""".stripMargin
   }
 
   /** Oracle SQL twin of [[quotaSample]]. */

@@ -2885,4 +2885,109 @@ object SimilarityOp {
        |WHERE corr_ppm IS NOT NULL
        |ORDER BY abs(corr_ppm) DESC, dim_a, dim_b LIMIT $k""".stripMargin
   }
+
+  /** Serving-path complementarity audit — per audit query, how much do
+    * the LSH and IVF CANDIDATE SETS overlap (Jaccard, ppm)? Low overlap
+    * at comparable recall (q84) means the two retrievals fail on
+    * DIFFERENT queries and a hybrid union buys real recall for little
+    * extra cost; high overlap means pick one. This is the measurement
+    * behind the q85 frontier's "union arm worth it?" question.
+    *
+    * Scale shape: both candidate generators are the bounded one-scan /
+    * equi-join forms the recall audits already use; the overlap adds
+    * three qid-keyed count-aggregates and a candidate-set equi-join —
+    * all |candidates|-sized, never corpus².
+    */
+  def annCandidateOverlap(embeddings: DataFrame, qmod: Int = 7,
+                          centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                          nProbe: Int = 2,
+                          conf: LshConf = AnnDefault): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val ivf = ivfCandidatesMulti(embeddings, qmod,
+      centerVecs(embeddings, centerIds), nProbe)
+    val lsh = lshCandidatesMulti(embeddings, qmod, conf)
+    val a = ivf.groupBy(col("qid")).agg(count(lit(1)).as("n_ivf"))
+    val b = lsh.groupBy(col("qid")).agg(count(lit(1)).as("n_lsh"))
+    val i = ivf.join(lsh, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_both"))
+    val u = coalesce(col("n_ivf"), lit(0L)) + coalesce(col("n_lsh"), lit(0L)) -
+      coalesce(col("n_both"), lit(0L))
+    queryFrame(embeddings, qmod).select(col("qid"))
+      .join(a, Seq("qid"), "left").join(b, Seq("qid"), "left")
+      .join(i, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        when(u > 0L,
+          halfUpDiv(coalesce(col("n_both"), lit(0L)) * 1000000L, u))
+          .otherwise(lit(0L)).as("jacc_ppm"))
+      .orderBy("qid")
+  }
+
+  /** Oracle SQL twin of [[annCandidateOverlap]] — composes the q84
+    * oracle's IVF cell and LSH band CTEs.
+    */
+  def annCandidateOverlapOracle(qmod: Int = 7,
+                                centerIds: Seq[Long] = Seq(7L, 42L, 123L),
+                                nProbe: Int = 2,
+                                conf: LshConf = AnnDefault,
+                                dims: Int = 64): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH q AS (SELECT vec_id AS qid FROM embeddings
+       |           WHERE vec_id % $qmod = 0),
+       |cc AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id IN (${centerIds.sorted.mkString(", ")})),
+       |cd AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sqrt(sum((e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE)
+       |               * (e.embedding[i.i+1]::DOUBLE - c.cv[i.i+1]::DOUBLE))), 6) AS dist
+       |  FROM embeddings e, cc c, range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), cell AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rn FROM cd) t WHERE rn = 1
+       |), qc AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qq.qid, cd.cid AS cell, row_number() OVER (
+       |      PARTITION BY qq.qid ORDER BY cd.dist, cd.cid) AS rn
+       |    FROM q qq JOIN cd ON cd.vec_id = qq.qid) t WHERE rn <= $nProbe
+       |), civf AS (
+       |  SELECT qp.qid, ce.vec_id
+       |  FROM qc qp JOIN cell ce USING (cell)
+       |  WHERE ce.vec_id <> qp.qid
+       |),
+       |${bandCte(dims, conf.bands, conf.bits, conf.mulJ, conf.mulD,
+                  conf.mod, "_ov")},
+       |clsh AS (
+       |  SELECT DISTINCT qb.vec_id AS qid, b.vec_id
+       |  FROM q qq
+       |  JOIN bands_ov qb ON qb.vec_id = qq.qid
+       |  JOIN bands_ov b ON b.band = qb.band
+       |    AND bit_count(xor(b.bval, qb.bval)) <= ${conf.radius}
+       |  WHERE b.vec_id <> qq.qid
+       |), na AS (SELECT qid, count(*) AS n_ivf FROM civf GROUP BY 1),
+       |nb AS (SELECT qid, count(*) AS n_lsh FROM clsh GROUP BY 1),
+       |ni AS (
+       |  SELECT c1.qid, count(*) AS n_both
+       |  FROM civf c1 JOIN clsh c2 ON c1.qid = c2.qid
+       |    AND c1.vec_id = c2.vec_id
+       |  GROUP BY 1
+       |)
+       |SELECT q.qid,
+       |  coalesce(na.n_ivf, 0) AS n_ivf,
+       |  coalesce(nb.n_lsh, 0) AS n_lsh,
+       |  coalesce(ni.n_both, 0) AS n_both,
+       |  CASE WHEN coalesce(na.n_ivf, 0) + coalesce(nb.n_lsh, 0)
+       |            - coalesce(ni.n_both, 0) > 0
+       |    THEN ${halfUpDivSql("coalesce(ni.n_both, 0) * 1000000",
+                   "coalesce(na.n_ivf, 0) + coalesce(nb.n_lsh, 0) - coalesce(ni.n_both, 0)")}
+       |    ELSE 0 END AS jacc_ppm
+       |FROM q
+       |LEFT JOIN na ON na.qid = q.qid
+       |LEFT JOIN nb ON nb.qid = q.qid
+       |LEFT JOIN ni ON ni.qid = q.qid
+       |ORDER BY q.qid""".stripMargin
+  }
 }

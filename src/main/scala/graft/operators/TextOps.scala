@@ -64,6 +64,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix — [[langId]]'s per-doc predictions
+    * rolled up against the labeled `lang` column: one (label, pred)
+    * cell per combination with counts, the standard classifier eval
+    * view (diagonal = hits; a hot off-diagonal cell = a marker list
+    * that bleeds into a neighbour language).
+    *
+    * Scale shape: prediction is row-local ([[langId]]); the rollup is
+    * one |langs|²-bounded groupBy with map-side partials.
+    */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  /** Oracle SQL twin of [[langConfusion]] — wraps the [[langIdOracle]]
+    * per-doc view (one definition of the argmax tie-break).
+    */
+  def langConfusionOracle: String =
+    s"""WITH li AS (
+       |${langIdOracle}
+       |)
+       |SELECT lang, pred_lang, count(*) AS n
+       |FROM li GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Token counting, whitespace vs regex ("BPE-ish" alphanumeric-run)
     * tokenizations side by side (north-star text-analysis surface). Both
     * are row-local array ops — no shuffle.
@@ -1941,11 +1966,13 @@ object TextOps {
     val scrubbed = regexp_replace(
       regexp_replace(col("text"), EmailRe, "<email>"),
       PhoneRe, "<phone>")
-    docs.select(col("doc_id"),
+    val base = docs.select(col("doc_id"),
       col("text").rlike(EmailRe).cast("long").as("had_email"),
       col("text").rlike(PhoneRe).cast("long").as("had_phone"),
       md5(scrubbed).as("scrub_md5"))
-      .orderBy("doc_id")
+    // the sort is presentation-only; an append-mode stream cannot (and
+    // need not) sort, which is also the proof the op is stateless
+    if (docs.isStreaming) base else base.orderBy("doc_id")
   }
 
   /** Oracle SQL twin of [[piiScrub]] over [[plantPii]]'s documents. */

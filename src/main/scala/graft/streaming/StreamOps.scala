@@ -974,6 +974,70 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  case class HpObs(hr: Long, ts: java.sql.Timestamp, vc: Long)
+
+  /** Per-hour buffered cents awaiting the hour's close. */
+  case class HpState(cents: Seq[Long])
+
+  case class HpRow(hr: Long, nEvents: Long, p50: Double, p90: Double,
+                   p99: Double)
+
+  /** Streaming form of [[graft.operators.EventOps.hourlyPercentiles]]:
+    * exact per-hour p50/p90/p99, emitted ONCE per hour when the
+    * watermark passes the hour's end (an event-time timer at hour-end
+    * closes the group even if no later event for that hour arrives).
+    * Exact percentiles are holistic — they cannot stream incrementally
+    * — so the state is the hour's full cents buffer, bounded by one
+    * hour of arrivals per key; the final fold sorts once and reads the
+    * same ceil-ranks as the batch operator, so replay equality is
+    * exact (StreamingSpec proves it).
+    *
+    * Scale: keys are (hour) here to mirror q205; a production rollup
+    * shards the buffer as (hour, metric/host) keys so no single group
+    * holds a giga-hour — the q158 sampled-quantile path is the
+    * fallback when even that is too wide.
+    */
+  def streamingHourlyPercentiles(events: DataFrame,
+                                 watermark: String = "10 minutes"): Dataset[HpRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(
+        expr("CAST((unix_millis(ts) - pmod(unix_millis(ts), 3600000)) " +
+          "DIV 3600000 AS BIGINT)").as("hr"),
+        col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .as[HpObs]
+    def close(hr: Long, cents: Seq[Long]): HpRow = {
+      val s = cents.sorted.toIndexedSeq
+      val n = s.size.toLong
+      def at(rank: Long) = s((rank - 1).toInt) / 100.0
+      HpRow(hr, n, at((n + 1) / 2), at((9 * n + 9) / 10),
+        at((99 * n + 99) / 100))
+    }
+    val fn = (hr: Long, arrivals: Iterator[HpObs],
+              state: GroupState[HpState]) => {
+      if (state.hasTimedOut) {
+        val cents = state.get.cents
+        state.remove()
+        if (cents.nonEmpty) Iterator.single(close(hr, cents))
+        else Iterator.empty
+      } else {
+        val st = state.getOption.getOrElse(HpState(Nil))
+        state.update(HpState(st.cents ++ arrivals.map(_.vc)))
+        val hourEnd = (hr + 1) * 3600000L
+        state.setTimeoutTimestamp(
+          math.max(hourEnd, state.getCurrentWatermarkMs() + 1L))
+        Iterator.empty
+      }
+    }
+    typed.groupByKey(_.hr)
+      .flatMapGroupsWithState[HpState, HpRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** Watermarked STREAM-STREAM inner interval join — the one join shape
     * the stream-static forms above can't express: both sides arrive
     * live, and a (left, right) match is emitted when a right event for

@@ -1137,4 +1137,66 @@ class StreamingSpec extends SparkSuite {
       assert(got === expected)
     } finally q.stop()
   }
+
+  test("streaming hourly percentiles equal the batch q205 rollup on closed hours") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, ts_sec, value): two hours of data + a far-future
+    // sentinel that advances the watermark past both hour ends
+    val h = 3600L
+    val rows = Seq(
+      (1L, 10L, 1.07), (2L, 600L, 0.55), (3L, 3599L, 2.31),
+      (4L, h + 5L, 9.99), (5L, h + 100L, 0.01), (6L, 20L, 0.55))
+    val sentinel = (99L, 10 * h, 1.0)
+    def frame(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("view"))
+      .withColumn("props", lit("{}"))
+    val all = frame((rows :+ sentinel).toDF("event_id", "ts_sec", "value"))
+    val expected = EventOps.hourlyPercentiles(all)
+      .collect().map(_.toString).filterNot(_.startsWith("[10,")).sorted
+
+    val mem = MemoryStream[(Long, Long, Double)]
+    val out = graft.streaming.StreamOps.streamingHourlyPercentiles(
+      frame(mem.toDF().toDF("event_id", "ts_sec", "value")),
+      watermark = "2 hours") // wider than the replay's max disorder
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("shp_out").start()
+    try {
+      // out-of-order within and across hours
+      mem.addData(rows(0), rows(3)); q.processAllAvailable()
+      mem.addData(rows(1), rows(4), rows(2)); q.processAllAvailable()
+      mem.addData(rows(5)); q.processAllAvailable()
+      mem.addData(sentinel); q.processAllAvailable()
+      mem.addData((100L, 11 * h, 1.0)); q.processAllAvailable() // fire timers
+      val got = spark.table("shp_out")
+        .select($"hr", $"nEvents".as("n_events"), $"p50", $"p90", $"p99")
+        .collect().map(_.toString).sorted
+      assert(got.toSeq === expected.toSeq)
+      assert(got.length === 2)
+    } finally q.stop()
+  }
+
+  test("piiScrub is stateless: identical receipts under streaming") {
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val expected = TextOps.piiScrub(TextOps.plantPii(docs)).collect()
+      .map(_.toString).sorted
+    val rows = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("doc_id", "text")
+    val q = TextOps.piiScrub(TextOps.plantPii(sdf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pii_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("pii_out").collect().map(_.toString).sorted
+      assert(got.toSeq === expected.toSeq)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
