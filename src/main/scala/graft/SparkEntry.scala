@@ -1158,6 +1158,16 @@ object SparkEntry {
     // Language-ID confusion matrix (label × prediction counts).
     "q218_lang_confusion" -> ((s, d) =>
       TextOps.langConfusion(Tables.documents(s, d))),
+
+    // Temporal train/test split audit: per boundary-crossing user,
+    // volumes and the last-train→first-test gap.
+    "q219_time_split" -> ((s, d) =>
+      EventOps.timeSplitAudit(Tables.events(s, d))),
+
+    // Incremental ingest dedup: new batch vs existing corpus via
+    // old×new MinHash band probes — corpus never re-pairs itself.
+    "q220_delta_dedup" -> ((s, d) =>
+      DedupOp.deltaDedup(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1817,5 +1827,7 @@ object SparkEntry {
     "q216_candidate_overlap" -> SimilarityOp.annCandidateOverlapOracle(),
     "q217_packing_efficiency" -> ScaleOps.packingEfficiencyOracle(),
     "q218_lang_confusion" -> TextOps.langConfusionOracle,
+    "q219_time_split" -> EventOps.timeSplitAuditOracle(),
+    "q220_delta_dedup" -> DedupOp.deltaDedupOracle(),
   )
 }

@@ -1864,6 +1864,99 @@ object DedupOp {
       .orderBy("canon_key")
   }
 
+  /** Incremental (delta) dedup — the production ingest shape: a NEW
+    * batch of documents is deduped against the EXISTING corpus without
+    * ever re-pairing the corpus with itself. Candidates come from the
+    * same MinHash band buckets as [[minhashLsh]], but the band join is
+    * strictly old × new (corpus-side self-pairs never form), and each
+    * new doc reports its best existing match (highest estimated
+    * Jaccard, min-id tie) at `minSim`. Membership here is a
+    * deterministic id-mod split standing in for the ingest timestamp.
+    *
+    * Scale shape: on 100 TB the old side's band table is the
+    * WRITE-ONCE index (the q92 layout precedent) — per delta batch
+    * only |new|·bands rows build and probe it; the verification join
+    * ships 16-long signatures for candidate ids only.
+    */
+  def deltaDedup(docs: DataFrame, newMod: Long = 10L,
+                 minSim: Double = 0.5): DataFrame = {
+    val isNew = pmod(col("doc_id"), lit(newMod)) >= newMod - 2L
+    val sigs = minhashSignatures(docs).persist()
+    val bands = sigs
+      .withColumn("band", expr(s"i DIV $BandRows"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("minv")))),
+        x => x.getField("minv").cast("string")), ",").as("sig"))
+      .withColumn("is_new", isNew)
+    val cand = bands.where(!col("is_new"))
+      .select(col("doc_id").as("da"), col("band"), col("sig"))
+      .join(bands.where(col("is_new"))
+        .select(col("doc_id").as("db"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("da"), col("db")).distinct()
+    val sa = sigs.select(col("doc_id").as("da"), col("i"), col("minv").as("ma"))
+    val sb = sigs.select(col("doc_id").as("db"), col("i"), col("minv").as("mb"))
+    import org.apache.spark.sql.expressions.Window
+    val verified = cand.join(sa, Seq("da")).join(sb, Seq("db", "i"))
+      .groupBy(col("da"), col("db"))
+      .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
+        .cast("double") / NumPerms.toDouble).as("est_jaccard"))
+      .where(col("est_jaccard") >= minSim)
+    val w = Window.partitionBy(col("db"))
+      .orderBy(col("est_jaccard").desc, col("da"))
+    materializeAndRelease(
+      verified
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_matches",
+          count(lit(1)).over(Window.partitionBy(col("db"))))
+        .where(col("rn") === 1)
+        .select(col("db").as("new_doc"), col("da").as("matched_old"),
+          col("est_jaccard"), col("n_matches"))
+        .orderBy("new_doc"),
+      sigs)
+  }
+
+  /** Oracle SQL twin of [[deltaDedup]]. */
+  def deltaDedupOracle(newMod: Long = 10L, minSim: Double = 0.5): String = {
+    val permRows = (0 until NumPerms)
+      .map(i => s"(${i}, ${permA(i)}::BIGINT, ${permB(i)}::BIGINT)")
+      .mkString(", ")
+    s"""WITH ${shingleCte()},
+       |perms(i, a, b) AS (VALUES $permRows),
+       |sigs AS (
+       |  SELECT s.doc_id, p.i, min((p.a * s.hx + p.b) % $HashMod) AS minv
+       |  FROM shx s, perms p GROUP BY 1, 2
+       |), bands AS (
+       |  SELECT doc_id, i // $BandRows AS band,
+       |    string_agg(minv::VARCHAR, ',' ORDER BY i) AS sig
+       |  FROM sigs GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig
+       |  WHERE a.doc_id % $newMod < ${newMod - 2}
+       |    AND b.doc_id % $newMod >= ${newMod - 2}
+       |), v AS (
+       |  SELECT c.da, c.db,
+       |    CAST(sum(CASE WHEN sa.minv = sb.minv THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / $NumPerms.0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.da
+       |  JOIN sigs sb ON sb.doc_id = c.db AND sb.i = sa.i
+       |  GROUP BY 1, 2
+       |), f AS (
+       |  SELECT da, db, est_jaccard,
+       |    row_number() OVER (PARTITION BY db
+       |      ORDER BY est_jaccard DESC, da) AS rn,
+       |    count(*) OVER (PARTITION BY db) AS n_matches
+       |  FROM v WHERE est_jaccard >= $minSim
+       |)
+       |SELECT db AS new_doc, da AS matched_old, est_jaccard,
+       |  CAST(n_matches AS BIGINT) AS n_matches
+       |FROM f WHERE rn = 1 ORDER BY new_doc""".stripMargin
+  }
+
   /** Oracle SQL twin of [[goldenRecord]]. */
   def goldenRecordOracle: String =
     """WITH c AS (

@@ -1653,6 +1653,53 @@ object EventOps {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  /** Temporal train/test split audit — the eval-hygiene check for any
+    * time-ordered model: split the event log at `splitMs` (train
+    * strictly before, test at-or-after) and report, per user appearing
+    * on BOTH sides, the train/test volumes and the gap between their
+    * last train and first test event. A tiny (or negative-looking) gap
+    * distribution means features windowed near the boundary leak test
+    * signal into training — the check runs BEFORE the feature job, not
+    * after the metric looks suspicious.
+    *
+    * Scale shape: one user-keyed aggregate with conditional partials
+    * (no self-join of the two sides); the boundary literal prunes
+    * nothing here by design — both sides are inputs.
+    */
+  def timeSplitAudit(events: DataFrame,
+                     splitMs: Long = 1705276800000L /* 2024-01-15 */): DataFrame = {
+    val ms = expr("unix_millis(ts)")
+    events.select(col("user_id"), ms.as("ms"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ms") < splitMs, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("ms") >= splitMs, 1L).otherwise(0L)).as("n_test"),
+        max(when(col("ms") < splitMs, col("ms"))).as("last_train_ms"),
+        min(when(col("ms") >= splitMs, col("ms"))).as("first_test_ms"))
+      .where(col("n_train") > 0L && col("n_test") > 0L)
+      .select(col("user_id"), col("n_train"), col("n_test"),
+        (col("first_test_ms") - col("last_train_ms")).as("gap_ms"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle SQL twin of [[timeSplitAudit]]. */
+  def timeSplitAuditOracle(splitMs: Long = 1705276800000L): String =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+       |g AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN ms < $splitMs THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_train,
+       |    CAST(sum(CASE WHEN ms >= $splitMs THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_test,
+       |    max(CASE WHEN ms < $splitMs THEN ms END) AS last_train_ms,
+       |    min(CASE WHEN ms >= $splitMs THEN ms END) AS first_test_ms
+       |  FROM e GROUP BY 1
+       |)
+       |SELECT user_id, n_train, n_test,
+       |  first_test_ms - last_train_ms AS gap_ms
+       |FROM g WHERE n_train > 0 AND n_test > 0
+       |ORDER BY user_id""".stripMargin
+
   /** Per-user activity streaks — the gaps-and-islands rollup: an
     * island is a maximal run of CONSECUTIVE active hours (hour index
     * minus the per-user rank of that hour is constant within a run —

@@ -54,6 +54,41 @@ class DedupAndTextSpec extends SparkSuite {
     assert(ham(sigs(0L), sigs(2L)) < ham(sigs(0L), sigs(3L)))
   }
 
+  test("deltaDedup reports only old×new matches, best-match ranked") {
+    // ids chosen so id % 10 >= 8 marks NEW: 8, 9, 18 are new; 0-3 old.
+    // 8 == base (exact old dup), 9 == distinct1 (dups old doc 3),
+    // 18 == nearDup (near-dups 0/1/2). New×new and old×old pairs
+    // (0,1 exact dups; none among new) must NOT be reported.
+    val delta = Seq(
+      (8L, base, "en", "srcC", base.length.toLong),
+      (9L, distinct1, "en", "srcC", distinct1.length.toLong),
+      (18L, nearDup, "en", "srcC", nearDup.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOp.deltaDedup(docs.unionByName(delta)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(8L)._1 === 0L && out(8L)._2 === 1.0) // min-id tie on 0/1
+    assert(out(9L) === ((3L, 1.0)))
+    assert(out.get(18L).forall(m => Set(0L, 1L, 2L)(m._1)))
+    assert(out.keySet.subsetOf(Set(8L, 9L, 18L))) // never an old doc
+  }
+
+  test("timeSplitAudit keeps only boundary-crossing users") {
+    import java.sql.Timestamp
+    val t0 = 1705276800000L // the default boundary
+    val evs = Seq(
+      (1L, t0 - 5000L, 1L), (2L, t0 + 1000L, 1L),  // user 1 crosses
+      (3L, t0 - 9000L, 2L), (4L, t0 - 1L, 2L),     // user 2 train-only
+      (5L, t0, 3L)                                 // user 3 test-only
+    ).map { case (eid, ms, uid) =>
+      (eid, new Timestamp(ms), uid, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.EventOps.timeSplitAudit(evs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 1L && r.getLong(2) === 1L)
+    assert(r.getLong(3) === 6000L) // (t0+1000) − (t0−5000)
+  }
+
   test("portable hash: Column form equals the recipe computed in Scala") {
     // independently fold the documented recipe
     def ref(s: String): Long = {
