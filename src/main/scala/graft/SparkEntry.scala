@@ -1168,6 +1168,12 @@ object SparkEntry {
     // old×new MinHash band probes — corpus never re-pairs itself.
     "q220_delta_dedup" -> ((s, d) =>
       DedupOp.deltaDedup(Tables.documents(s, d))),
+
+    // Perceptual-hash media dedup: window-energy fingerprints bucket
+    // payloads per kind; min-id keeper (multimodal twin of q21).
+    "q221_media_dedup" -> ((s, d) =>
+      MultimodalOp.mediaFingerprintDedup(
+        MultimodalOp.asMedia(Tables.documents(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1829,5 +1835,6 @@ object SparkEntry {
     "q218_lang_confusion" -> TextOps.langConfusionOracle,
     "q219_time_split" -> EventOps.timeSplitAuditOracle(),
     "q220_delta_dedup" -> DedupOp.deltaDedupOracle(),
+    "q221_media_dedup" -> MultimodalOp.mediaFingerprintDedupOracle(),
   )
 }

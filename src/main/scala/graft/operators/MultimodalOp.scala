@@ -190,8 +190,12 @@ object MultimodalOp {
     * up per doc for the gate; the oracle re-derives window sums from
     * character codes.
     */
-  def windowEnergies(media: DataFrame, win: Int = 64,
-                     hop: Int = 32): DataFrame = {
+  /** The shared batched partition-local window-energy extractor —
+    * ONE definition of the framing + energy fold for [[windowEnergies]]
+    * and [[mediaFingerprintDedup]].
+    */
+  private def windowEnergyRows(media: DataFrame, win: Int,
+                               hop: Int): Dataset[WindowEnergy] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("kind"), col("payload"))
@@ -209,6 +213,11 @@ object MultimodalOp {
           }
         }
       }
+  }
+
+  def windowEnergies(media: DataFrame, win: Int = 64,
+                     hop: Int = 32): DataFrame = {
+    windowEnergyRows(media, win, hop)
       .toDF()
       .groupBy(col("doc_id"), col("kind"))
       .agg(count(lit(1)).as("n_windows"),
@@ -239,6 +248,61 @@ object MultimodalOp {
        |  CAST(sum(energy) AS BIGINT) AS total_energy,
        |  CAST(max(energy) AS BIGINT) AS max_energy
        |FROM e GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  /** Perceptual-hash media dedup — the multimodal twin of q21's exact
+    * text dedup: each payload's fingerprint is the md5 of its ordered
+    * [[windowEnergyRows]] energy sequence (the stand-in for a
+    * chromaprint/PDQ-style spectral hash; a real codec would feed
+    * decoded samples through the same fold), and payloads sharing a
+    * (kind, fingerprint) bucket collapse under the min-id keeper.
+    * Payloads shorter than one window carry no fingerprint and are
+    * skipped — a real pipeline routes those to a byte-exact md5 tier.
+    *
+    * Scale shape: feature extraction is partition-local; only
+    * (doc_id, kind, 32-byte fp) rows shuffle into the bucket count —
+    * the [[graft.operators.DedupOp.exact]] shape on a derived key.
+    */
+  def mediaFingerprintDedup(media: DataFrame, win: Int = 64,
+                            hop: Int = 32): DataFrame = {
+    windowEnergyRows(media, win, hop)
+      .toDF()
+      .groupBy(col("doc_id"), col("kind"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("widx"), col("energy")))),
+        x => x.getField("energy").cast("string")), ",")).as("fp_md5"))
+      .groupBy(col("kind"), col("fp_md5"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .where(col("n_copies") >= 2L)
+      .orderBy("kind", "fp_md5")
+  }
+
+  /** Oracle SQL twin of [[mediaFingerprintDedup]] (reuses the
+    * [[windowEnergiesOracle]] energy derivation).
+    */
+  def mediaFingerprintDedupOracle(win: Int = 64, hop: Int = 32): String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS kind,
+       |    text, len(text) AS n
+       |  FROM documents WHERE len(text) >= $win
+       |), w AS (
+       |  SELECT doc_id, kind, text,
+       |    unnest(generate_series(0, CAST((n - $win) // $hop AS BIGINT))) AS wx
+       |  FROM m
+       |), e AS (
+       |  SELECT doc_id, kind, wx,
+       |    (SELECT sum(ascii(substr(w.text, CAST(w.wx * $hop + j.j AS INTEGER), 1)))
+       |     FROM range(1, ${win + 1}) j(j)) AS energy
+       |  FROM w
+       |), fp AS (
+       |  SELECT doc_id, kind,
+       |    md5(string_agg(energy::VARCHAR, ',' ORDER BY wx)) AS fp_md5
+       |  FROM e GROUP BY 1, 2
+       |)
+       |SELECT kind, fp_md5, min(doc_id) AS keeper, count(*) AS n_copies
+       |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY kind, fp_md5""".stripMargin
 
   final case class FrameDiff(doc_id: Long, kind: String, fidx: Long,
                              diff: Long)
