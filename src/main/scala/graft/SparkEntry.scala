@@ -1174,6 +1174,16 @@ object SparkEntry {
     "q221_media_dedup" -> ((s, d) =>
       MultimodalOp.mediaFingerprintDedup(
         MultimodalOp.asMedia(Tables.documents(s, d)))),
+
+    // Recency-decayed engagement score: exact half-life halving decay
+    // (integer shifts), per user.
+    "q222_decay_score" -> ((s, d) =>
+      EventOps.decayScore(Tables.events(s, d))),
+
+    // Per-user Simpson diversity over event types (no-log entropy
+    // stand-in), exact ppm.
+    "q223_user_diversity" -> ((s, d) =>
+      EventOps.userTypeDiversity(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1836,5 +1846,7 @@ object SparkEntry {
     "q219_time_split" -> EventOps.timeSplitAuditOracle(),
     "q220_delta_dedup" -> DedupOp.deltaDedupOracle(),
     "q221_media_dedup" -> MultimodalOp.mediaFingerprintDedupOracle(),
+    "q222_decay_score" -> EventOps.decayScoreOracle(),
+    "q223_user_diversity" -> EventOps.userTypeDiversityOracle,
   )
 }

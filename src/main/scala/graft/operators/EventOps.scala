@@ -1653,6 +1653,93 @@ object EventOps {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  /** Recency-decayed engagement score — the CRM/feature-store scoring
+    * op, with the exponential decay kept EXACT: instead of
+    * `exp(−age/τ)` (libm, never in a gated query), age quantizes to
+    * half-lives (`k = age_hours div halflife`, capped) and each event
+    * contributes `cents · 2^(cap−k)` — pure integer shifts, so the
+    * aggregate is a BIGINT sum and the final score (divide by 2^cap
+    * once, a dyadic-exact double) hash-gates. Halving decay is the
+    * standard industrial approximation of exponential decay, not a
+    * parity workaround only.
+    *
+    * Scale shape: one user-keyed aggregate, map-side partials; the
+    * reference instant is a fixed literal so the score is reproducible
+    * across runs (a `now()` would not be).
+    */
+  def decayScore(events: DataFrame, refMs: Long = 1706745600000L /* 2024-02-01 */,
+                 halfLifeH: Long = 72L, cap: Int = 20): DataFrame = {
+    val cents = expr("CAST(round(value * 100) AS BIGINT)")
+    // k = min(cap, age_halflives); weight = 2^(cap−k) as a bit shift
+    val term = cents * expr(
+      s"shiftleft(1L, CAST($cap - least($cap, " +
+        s"(($refMs - unix_millis(ts)) DIV 3600000) DIV $halfLifeH) AS INT))")
+    events.select(col("user_id"), cents.as("c"), term.as("t"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("t")).cast("double") / (1L << cap).toDouble)
+          .as("decayed_score"),
+        (sum(col("c")).cast("double") / 100.0).as("raw_sum"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle SQL twin of [[decayScore]]. */
+  def decayScoreOracle(refMs: Long = 1706745600000L, halfLifeH: Long = 72L,
+                       cap: Int = 20): String =
+    s"""WITH e AS (
+       |  SELECT user_id,
+       |    CAST(round(value * 100) AS BIGINT) AS c,
+       |    least($cap, (($refMs - epoch_ms(ts)) // 3600000) // $halfLifeH)
+       |      AS k
+       |  FROM events
+       |)
+       |SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(c * (1::BIGINT << CAST($cap - k AS INTEGER))) AS DOUBLE)
+       |    / ${(1L << cap).toDouble} AS decayed_score,
+       |  CAST(sum(c) AS DOUBLE) / 100.0 AS raw_sum
+       |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Per-user behavioral diversity — Simpson's index over event types
+    * (`1 − Σ pᵢ²`, the no-log diversity measure; entropy is
+    * libm-territory), in exact ppm: `1e6 − (Σnₜ²·1e6) div n²`. 0 =
+    * monomaniac user, → 1 − 1/|types| = maximally spread.
+    *
+    * Scale shape: two cascaded keyed aggregates (events → (user, type)
+    * counts → per-user moments), both map-side-partial.
+    */
+  def userTypeDiversity(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    events.select(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("nt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("nt")).as("n_events"),
+        sum(col("nt") * col("nt")).as("sq"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (lit(1000000L) - halfUpDiv(col("sq") * 1000000L,
+          col("n_events") * col("n_events"))).as("simpson_ppm"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle SQL twin of [[userTypeDiversity]]. */
+  def userTypeDiversityOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH t AS (
+       |  SELECT user_id, event_type, count(*) AS nt
+       |  FROM events GROUP BY 1, 2
+       |), m AS (
+       |  SELECT user_id, count(*) AS n_types,
+       |    CAST(sum(nt) AS BIGINT) AS n_events,
+       |    CAST(sum(nt * nt) AS BIGINT) AS sq
+       |  FROM t GROUP BY 1
+       |)
+       |SELECT user_id, n_events, n_types,
+       |  1000000 - ${halfUpDivSql("sq * 1000000", "n_events * n_events")}
+       |    AS simpson_ppm
+       |FROM m ORDER BY user_id""".stripMargin
+  }
+
   /** Temporal train/test split audit — the eval-hygiene check for any
     * time-ordered model: split the event log at `splitMs` (train
     * strictly before, test at-or-after) and report, per user appearing

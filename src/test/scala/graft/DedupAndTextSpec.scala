@@ -89,6 +89,29 @@ class DedupAndTextSpec extends SparkSuite {
     assert(r.getLong(3) === 6000L) // (t0+1000) − (t0−5000)
   }
 
+  test("decayScore halves exactly per half-life; diversity ppm exact") {
+    import java.sql.Timestamp
+    import graft.operators.EventOps
+    val ref = 1706745600000L
+    val evs = Seq(
+      // user 1: one event now-ish (k=0 → weight 1) and one 72h old (k=1 → ½)
+      (1L, ref - 1000L, 1L, "view", 1.00),
+      (2L, ref - 72L * 3600000L, 1L, "click", 1.00),
+      // user 2: very old event → capped at 2^-20
+      (3L, ref - 10000L * 3600000L, 2L, "view", 1.00)
+    ).map { case (eid, ms, uid, t, v) =>
+      (eid, new Timestamp(ms), uid, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sc = EventOps.decayScore(evs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc(1L) === 150.0)                  // 100 + 100/2 cents
+    assert(sc(2L) === 100.0 / (1 << 20))      // capped tail
+    val dv = EventOps.userTypeDiversity(evs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(dv(1L) === ((2L, 500000L)))        // 1 − 2·(1/2)² = 0.5
+    assert(dv(2L) === ((1L, 0L)))             // single type → 0
+  }
+
   test("portable hash: Column form equals the recipe computed in Scala") {
     // independently fold the documented recipe
     def ref(s: String): Long = {
