@@ -1184,6 +1184,17 @@ object SparkEntry {
     // stand-in), exact ppm.
     "q223_user_diversity" -> ((s, d) =>
       EventOps.userTypeDiversity(Tables.events(s, d))),
+
+    // Static inverted-index build: per-term top-3 docs by single-term
+    // BM25 (the offline twin of q104's online retrieval).
+    "q224_term_index" -> ((s, d) =>
+      TextOps.bm25TermIndex(Tables.documents(s, d))),
+
+    // Partition-pruned term-index serving: write-once term-partitioned
+    // postings; a term query reads only its directory (q92 precedent).
+    "q225_term_serve" -> ((s, d) =>
+      TextOps.termIndexServe(Tables.documents(s, d), "/tmp/graft_warehouse",
+        inputTag = Some(d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1848,5 +1859,7 @@ object SparkEntry {
     "q221_media_dedup" -> MultimodalOp.mediaFingerprintDedupOracle(),
     "q222_decay_score" -> EventOps.decayScoreOracle(),
     "q223_user_diversity" -> EventOps.userTypeDiversityOracle,
+    "q224_term_index" -> TextOps.bm25TermIndexOracle(),
+    "q225_term_serve" -> TextOps.termIndexServeOracle(),
   )
 }

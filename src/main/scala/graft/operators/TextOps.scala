@@ -864,12 +864,7 @@ object TextOps {
       sum(size(tokens(col("text"))).cast("long")).as("tot_tok"))
     tf.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(corpus))
-      .select(col("doc_id"),
-        expr("""((2*n_docs - 2*df + 1) * 10000L DIV (2*df + 1)) *
-                |(2200L * tf * 1000 DIV
-                |  (1000*tf + 300 +
-                |   (9 * (dl * n_docs * 1000 DIV tot_tok)) DIV 10))
-                |""".stripMargin.replace("\n", " ")).as("sc"))
+      .select(col("doc_id"), expr(Bm25ScoreExpr).as("sc"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_matched"), sum(col("sc")).as("score"))
       .where(col("n_matched") === qTerms.size.toLong)
@@ -898,11 +893,7 @@ object TextOps {
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot_tok
        |  FROM documents),
        |sc AS (
-       |  SELECT doc_id,
-       |    ((2*n_docs - 2*df + 1) * 10000 // (2*df + 1)) *
-       |      (2200 * tf * 1000 //
-       |        (1000*tf + 300 +
-       |         (9 * (dl * n_docs * 1000 // tot_tok)) // 10)) AS sc
+       |  SELECT doc_id, $Bm25ScoreSql AS sc
        |  FROM tf JOIN dfreq USING (term), corpus
        |), g AS (
        |  SELECT doc_id, count(*) AS n_matched,
@@ -913,6 +904,132 @@ object TextOps {
        |WHERE n_matched = ${qTerms.size}
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** The all-integer BM25 term score (k1 = 1.2, b = 0.75 folded into
+    * one rational denominator; Robertson idf with the +0.5s cleared by
+    * doubling) — ONE definition shared by [[bm25Retrieval]],
+    * [[bm25TermIndex]], and [[termIndexServe]]; `Bm25ScoreSql` is its
+    * DuckDB twin (`//` floor ≡ `DIV`, all operands non-negative).
+    * Expects columns n_docs, df, tf, dl, tot_tok in scope.
+    */
+  private val Bm25ScoreExpr: String =
+    "((2*n_docs - 2*df + 1) * 10000L DIV (2*df + 1)) * " +
+      "(2200L * tf * 1000 DIV (1000*tf + 300 + " +
+      "(9 * (dl * n_docs * 1000 DIV tot_tok)) DIV 10))"
+  private val Bm25ScoreSql: String =
+    "((2*n_docs - 2*df + 1) * 10000 // (2*df + 1)) * " +
+      "(2200 * tf * 1000 // (1000*tf + 300 + " +
+      "(9 * (dl * n_docs * 1000 // tot_tok)) // 10))"
+
+  /** Per-(term, doc) BM25 scores over the WHOLE vocabulary — the
+    * materialization pass behind [[bm25TermIndex]] and
+    * [[termIndexServe]] (one definition of tf/df/corpus stats).
+    */
+  private def bm25TermScores(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val tf = docs
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("tot_tok"))
+    // document-frequency table is vocab-sized — broadcastable far past
+    // this corpus (10M terms ≈ a few hundred MB would switch this to a
+    // shuffle join; the cap convention of tokenCommonness applies)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .select(col("term"), col("doc_id"), expr(Bm25ScoreExpr).as("sc"))
+  }
+
+  /** Static inverted-index build — for EVERY vocabulary term, the
+    * top-k documents by the single-term BM25 score (ties → doc_id):
+    * the precomputed posting heads a retrieval serving tier answers
+    * single-term queries from without touching the corpus. [[bm25Retrieval]]
+    * is the multi-term online form; this is its offline index twin.
+    *
+    * Scale shape: one token-stream aggregate for tf, a vocab-sized
+    * broadcast for df, then ONE term-keyed rank window over the
+    * posting rows — output is |vocab|·k, corpus-size-independent.
+    */
+  def bm25TermIndex(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("sc").desc, col("doc_id"))
+    bm25TermScores(docs)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("term"), col("rank"), col("doc_id"), col("sc").as("score"))
+      .orderBy("term", "rank")
+  }
+
+  /** The shared tf/df/score CTE chain of the index oracles. */
+  private def bm25IndexCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    unnest(string_split(text, ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+       |), dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), corpus AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot_tok
+       |  FROM documents),
+       |sc AS (
+       |  SELECT term, doc_id, $Bm25ScoreSql AS sc
+       |  FROM tf JOIN dfreq USING (term), corpus
+       |), rk AS (
+       |  SELECT term, doc_id, sc,
+       |    row_number() OVER (PARTITION BY term
+       |      ORDER BY sc DESC, doc_id) AS rank
+       |  FROM sc
+       |)""".stripMargin
+
+  /** Oracle SQL twin of [[bm25TermIndex]]. */
+  def bm25TermIndexOracle(k: Int = 3): String =
+    s"""WITH $bm25IndexCtes
+       |SELECT term, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  CAST(sc AS BIGINT) AS score
+       |FROM rk WHERE rank <= $k ORDER BY term, rank""".stripMargin
+
+  /** Partition-pruned term-index SERVING — the q92 write-once layout
+    * precedent applied to text retrieval: the per-(term, doc) score
+    * table is written ONCE hive-partitioned by term, and a single-term
+    * query reads ONLY that term's directory (PartitionFilters, plan-
+    * asserted in spec) and ranks its posting list. The oracle
+    * re-derives the same rows from the corpus independently, so the
+    * layout cannot silently change a value.
+    */
+  def termIndexServe(docs: DataFrame, warehouse: String,
+                     term: String = "data", k: Int = 3,
+                     inputTag: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val table = s"g_term_idx${BucketedOps.tagOf(inputTag)}"
+    BucketedOps.writeOnce(spark, table, inputTag.isDefined) {
+      BucketedOps.writePartitioned(bm25TermScores(docs), table, "term",
+        warehouse)
+    }
+    prunedTermScan(spark, table, term)
+      .orderBy(col("sc").desc, col("doc_id"))
+      .limit(k)
+      .select(lit(term).as("term"), col("doc_id"), col("sc").as("score"))
+  }
+
+  /** The pruned term scan (exposed for the plan assertion). */
+  def prunedTermScan(spark: org.apache.spark.sql.SparkSession, table: String,
+                     term: String): DataFrame =
+    spark.table(table).where(col("term") === term)
+
+  /** Oracle SQL twin of [[termIndexServe]] — the independent corpus
+    * derivation restricted to the served term.
+    */
+  def termIndexServeOracle(term: String = "data", k: Int = 3): String =
+    s"""WITH $bm25IndexCtes
+       |SELECT term, doc_id, CAST(sc AS BIGINT) AS score
+       |FROM rk WHERE term = '$term' AND rank <= $k
+       |ORDER BY rank""".stripMargin
 
   /** Per-source Gini coefficient of document token counts — the
     * corpus-skew audit ("is source X a few giant documents or many

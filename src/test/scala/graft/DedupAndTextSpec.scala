@@ -112,6 +112,35 @@ class DedupAndTextSpec extends SparkSuite {
     assert(dv(2L) === ((1L, 0L)))             // single type → 0
   }
 
+  test("termIndexServe equals the in-memory index head and prunes to the term partition") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val wh = java.nio.file.Files.createTempDirectory("term_wh").toString
+    val direct = TextOps.bm25TermIndex(corpus)
+      .where($"term" === "data").select($"term", $"doc_id", $"score")
+      .collect().map(_.toString).toSeq
+    val served = TextOps.termIndexServe(corpus, wh)
+      .collect().map(_.toString).toSeq
+    assert(served === direct) // layout-invariant
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val table = spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("g_term_idx")).head
+      val scan = TextOps.prunedTermScan(spark, table, "data")
+      val scans = scan.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        s"term filter did not reach PartitionFilters:\n${scan.queryExecution}")
+      assert(scans.forall(_.dataFilters.isEmpty),
+        s"term filter leaked into per-row dataFilters:\n${scan.queryExecution}")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("portable hash: Column form equals the recipe computed in Scala") {
     // independently fold the documented recipe
     def ref(s: String): Long = {
