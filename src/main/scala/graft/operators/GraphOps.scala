@@ -398,30 +398,43 @@ object GraphOps {
   def landmarkCloseness(edges: DataFrame, nLandmarks: Int = 4,
                         maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1 && maxHops <= 12, "landmarkCloseness: maxHops")
+    // hash-partition the symmetrized edges by the join key ONCE: every
+    // BFS level joins on u, so the persisted layout already matches the
+    // join's required distribution and only the (tiny) frontier side
+    // shuffles per level — the iterative-join co-partitioning rule
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u"))
       .persist()
     val lms = und.select(col("u").as("node")).distinct()
       .orderBy("node").limit(nLandmarks)
-    var visited = lms.select(col("node"), col("node").as("lm"),
-      lit(0L).as("hops")).persist()
-    visited.count()
-    var frontier = visited.select(col("node"), col("lm"))
+    // Min-level-wins BFS: each level is the DISTINCT (node, lm)
+    // reachable in exactly i steps from the previous reach set — no
+    // per-level anti-join against visited and no eager counts; the
+    // true hop distance falls out as min(level) at the end (a level
+    // re-finding an already-seen pair loses the min). Reach sets are
+    // bounded by |V|·|landmarks| (the per-level distinct), so the
+    // pruning the anti-join bought is only the re-expansion of seen
+    // pairs — cheaper to re-expand than to barrier 3× per level.
+    val cached = Seq.newBuilder[DataFrame]
+    var reach = lms.select(col("node"), col("node").as("lm")).persist()
+    cached += reach
+    val levels = Seq.newBuilder[DataFrame]
     for (i <- 1 to maxHops) {
       val next = und
-        .join(frontier.select(col("node").as("u"), col("lm")), Seq("u"))
+        .join(reach.select(col("node").as("u"), col("lm")), Seq("u"))
         .select(col("v").as("node"), col("lm")).distinct()
-        .join(visited.select(col("node"), col("lm")),
-          Seq("node", "lm"), "left_anti")
         .persist()
-      next.count()
-      visited = visited
-        .unionByName(next.select(col("node"), col("lm"),
-          lit(i.toLong).as("hops")))
-        .persist()
-      visited.count()
-      frontier = next.select(col("node"), col("lm"))
+      next.count() // eager: each level feeds the next AND the final
+      cached += next // union — a lazy cache would race its two readers
+      levels += next.select(col("node"), col("lm"),
+        lit(i.toLong).as("hops"))
+      reach = next
     }
+    val visited = levels.result().reduce(_.unionByName(_))
+      .groupBy(col("node"), col("lm"))
+      .agg(min(col("hops")).as("hops"))
+      .where(col("node") =!= col("lm"))
     val wts: Seq[(Int, Long)] =
       (1 to maxHops).map(d => d -> Math.round(1000000.0 / d))
     val wcol = wts.foldRight(lit(0L)) { case ((d, w), other) =>
@@ -434,7 +447,10 @@ object GraphOps {
         min(col("hops")).as("min_hops"),
         sum(wcol).as("closeness_1e6"))
       .orderBy("node")
-    try out.localCheckpoint() finally und.unpersist()
+    try out.localCheckpoint() finally {
+      und.unpersist()
+      cached.result().foreach(_.unpersist())
+    }
   }
 
   /** Oracle SQL twin of [[landmarkCloseness]] — the multi-source BFS
