@@ -1195,6 +1195,16 @@ object SparkEntry {
     "q225_term_serve" -> ((s, d) =>
       TextOps.termIndexServe(Tables.documents(s, d), "/tmp/graft_warehouse",
         inputTag = Some(d))),
+
+    // Model-free quality ensemble: rank-average of three independent
+    // signals, top-k consensus documents.
+    "q226_quality_ensemble" -> ((s, d) =>
+      TextOps.qualityEnsemble(Tables.documents(s, d))),
+
+    // Two-proportion A/B conversion test with the pooled z² statistic
+    // in exact integer ppm.
+    "q227_ab_test" -> ((s, d) =>
+      EventOps.abConversionTest(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1861,5 +1871,7 @@ object SparkEntry {
     "q223_user_diversity" -> EventOps.userTypeDiversityOracle,
     "q224_term_index" -> TextOps.bm25TermIndexOracle(),
     "q225_term_serve" -> TextOps.termIndexServeOracle(),
+    "q226_quality_ensemble" -> TextOps.qualityEnsembleOracle(),
+    "q227_ab_test" -> EventOps.abConversionTestOracle,
   )
 }

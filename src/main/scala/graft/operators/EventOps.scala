@@ -1653,6 +1653,76 @@ object EventOps {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  /** Two-proportion A/B conversion test — the experimentation
+    * primitive: users bucket into arms by id parity (the deterministic
+    * stand-in for an assignment hash), convert on their first
+    * `purchase`, and the arms compare through the pooled two-proportion
+    * z² statistic kept EXACT:
+    * `z² = (c₁n₂ − c₂n₁)²·(n₁+n₂) / (n₁n₂·(c₁+c₂)·(n₁+n₂−c₁−c₂))` —
+    * every factor a BIGINT product, one half-up division to ppm
+    * (z² ≈ 3.84e6 ppm ↔ p < 0.05). At planet-scale user counts the
+    * integer products outgrow 2⁶³ — there the same formula runs in
+    * doubles (correctly-rounded ·,/ keep IT deterministic too); the
+    * integer form is the audit-grade arm.
+    *
+    * Scale shape: one user-keyed aggregate → two arm rows → a 1×1
+    * cross of broadcast scalars. Nothing wider than counts shuffles.
+    */
+  def abConversionTest(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val a = arms.where(col("arm") === 0L)
+      .select(col("n").as("n_a"), col("c").as("c_a"))
+    val b = arms.where(col("arm") === 1L)
+      .select(col("n").as("n_b"), col("c").as("c_b"))
+    val num = (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
+      (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
+      (col("n_a") + col("n_b"))
+    val den = col("n_a") * col("n_b") * (col("c_a") + col("c_b")) *
+      (col("n_a") + col("n_b") - col("c_a") - col("c_b"))
+    a.crossJoin(b).select(
+      col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      halfUpDiv(col("c_a") * 1000000L, col("n_a")).as("conv_a_ppm"),
+      halfUpDiv(col("c_b") * 1000000L, col("n_b")).as("conv_b_ppm"),
+      when(den > 0L, halfUpDiv(num * 1000000L, den))
+        .otherwise(lit(0L)).as("z2_ppm"))
+  }
+
+  /** Oracle SQL twin of [[abConversionTest]]. */
+  def abConversionTestOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    val d = "(c_a * n_b - c_b * n_a)"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1
+       |), arms AS (
+       |  SELECT user_id % 2 AS arm, count(*) AS n,
+       |    CAST(sum(conv) AS BIGINT) AS c
+       |  FROM u GROUP BY 1
+       |), w AS (
+       |  SELECT
+       |    (SELECT n FROM arms WHERE arm = 0) AS n_a,
+       |    (SELECT c FROM arms WHERE arm = 0) AS c_a,
+       |    (SELECT n FROM arms WHERE arm = 1) AS n_b,
+       |    (SELECT c FROM arms WHERE arm = 1) AS c_b
+       |)
+       |SELECT n_a, c_a, n_b, c_b,
+       |  ${halfUpDivSql("c_a * 1000000", "n_a")} AS conv_a_ppm,
+       |  ${halfUpDivSql("c_b * 1000000", "n_b")} AS conv_b_ppm,
+       |  CASE WHEN n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b) > 0
+       |    THEN ${halfUpDivSql(
+                s"$d * $d * (n_a + n_b) * 1000000",
+                "n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)")}
+       |    ELSE 0 END AS z2_ppm
+       |FROM w""".stripMargin
+  }
+
   /** Recency-decayed engagement score — the CRM/feature-store scoring
     * op, with the exponential decay kept EXACT: instead of
     * `exp(−age/τ)` (libm, never in a gated query), age quantizes to

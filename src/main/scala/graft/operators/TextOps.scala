@@ -73,6 +73,68 @@ object TextOps {
     * Scale shape: prediction is row-local ([[langId]]); the rollup is
     * one |langs|²-bounded groupBy with map-side partials.
     */
+  /** Model-free quality ENSEMBLE — the rank-average combiner: each doc
+    * is ranked (ascending, doc_id ties) on three independent signals
+    * (unique-token ratio, stopword ratio, length), and the composite
+    * is the rank sum — the standard way to fuse incomparable quality
+    * scores without learned weights (the curation twin of q113's RRF).
+    * Top-k by composite = the "best documents by consensus" sample a
+    * curation pass reviews first.
+    *
+    * Scale shape: the per-doc signals are row-local; the three global
+    * rank windows are single-sort each (fine for an audit sample — on
+    * the full 100 TB corpus the ranks come from [[ScaleOps.sampledQuantiles]]
+    * binning, same downstream composite).
+    */
+  def qualityEnsemble(docs: DataFrame, k: Int = 20): DataFrame = {
+    import graft.functions.DetAgg.ratio
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    val base = docs.select(col("doc_id"), n.as("n_tokens"),
+      ratio(countIn(toks, EnStop), n).as("stop_ratio"),
+      ratio(size(array_distinct(toks)), n).as("uniq_ratio"))
+    def rk(c: String) = row_number()
+      .over(Window.orderBy(col(c), col("doc_id"))).cast("long")
+    base
+      .withColumn("r_uniq", rk("uniq_ratio"))
+      .withColumn("r_stop", rk("stop_ratio"))
+      .withColumn("r_len", rk("n_tokens"))
+      .withColumn("composite", col("r_uniq") + col("r_stop") + col("r_len"))
+      .orderBy(col("composite").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"), col("r_uniq"), col("r_stop"),
+        col("r_len"), col("composite"))
+  }
+
+  /** Oracle SQL twin of [[qualityEnsemble]]. */
+  def qualityEnsembleOracle(k: Int = 20): String = {
+    import graft.functions.DetAgg.ratioSql
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |           FROM documents),
+       |t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+       |ag AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    sum(CASE WHEN tok IN ${inList(EnStop)} THEN 1 ELSE 0 END) AS stops,
+       |    count(DISTINCT tok) AS uniq
+       |  FROM t GROUP BY 1
+       |), b AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    ${ratioSql("stops", "n_tokens")} AS stop_ratio,
+       |    ${ratioSql("uniq", "n_tokens")} AS uniq_ratio
+       |  FROM ag
+       |), r AS (
+       |  SELECT doc_id, n_tokens,
+       |    row_number() OVER (ORDER BY uniq_ratio, doc_id) AS r_uniq,
+       |    row_number() OVER (ORDER BY stop_ratio, doc_id) AS r_stop,
+       |    row_number() OVER (ORDER BY n_tokens, doc_id) AS r_len
+       |  FROM b
+       |)
+       |SELECT doc_id, n_tokens, r_uniq, r_stop, r_len,
+       |  r_uniq + r_stop + r_len AS composite
+       |FROM r ORDER BY composite DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   def langConfusion(docs: DataFrame): DataFrame =
     langId(docs)
       .groupBy(col("lang"), col("pred_lang"))
