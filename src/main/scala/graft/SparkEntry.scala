@@ -1205,6 +1205,15 @@ object SparkEntry {
     // in exact integer ppm.
     "q227_ab_test" -> ((s, d) =>
       EventOps.abConversionTest(Tables.events(s, d))),
+
+    // Hourly bounce rate off the shared sessionize definition.
+    "q228_bounce_rate" -> ((s, d) =>
+      EventOps.bounceRate(Tables.events(s, d))),
+
+    // Repeat-purchase cadence: exact median + half-up mean
+    // inter-purchase gap per returning user.
+    "q229_purchase_cadence" -> ((s, d) =>
+      EventOps.repeatPurchaseCadence(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1873,5 +1882,7 @@ object SparkEntry {
     "q225_term_serve" -> TextOps.termIndexServeOracle(),
     "q226_quality_ensemble" -> TextOps.qualityEnsembleOracle(),
     "q227_ab_test" -> EventOps.abConversionTestOracle,
+    "q228_bounce_rate" -> EventOps.bounceRateOracle(),
+    "q229_purchase_cadence" -> EventOps.repeatPurchaseCadenceOracle,
   )
 }

@@ -1653,6 +1653,97 @@ object EventOps {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  /** Hourly bounce rate — single-event sessions over total sessions by
+    * session START hour, off the ONE [[sessionize]] definition (gap
+    * 30 min, the q14/q45 tie discipline). The canonical engagement KPI,
+    * exact ppm.
+    *
+    * Scale shape: sessionize's user-keyed window, then one hour-keyed
+    * rollup of |sessions| narrow rows.
+    */
+  def bounceRate(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    sessionize(events, gapMs)
+      .select(floorDivMs("start_ms", 3600000L).as("hr"),
+        when(col("n_events") === 1L, 1L).otherwise(0L).as("bounce"))
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("bounce")).as("n_bounces"))
+      .select(col("hr"), col("n_sessions"), col("n_bounces"),
+        halfUpDiv(col("n_bounces") * 1000000L, col("n_sessions"))
+          .as("bounce_ppm"))
+      .orderBy("hr")
+  }
+
+  /** Oracle SQL twin of [[bounceRate]] (composes [[sessionCtesSql]]). */
+  def bounceRateOracle(gapMs: Long = 30 * 60 * 1000L): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH ${sessionCtesSql(gapMs)},
+       |s AS (
+       |  SELECT user_id, sid, count(*) AS n_events, min(ms) AS start_ms
+       |  FROM y GROUP BY 1, 2
+       |), h AS (
+       |  SELECT start_ms // 3600000 AS hr,
+       |    CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS bounce
+       |  FROM s
+       |)
+       |SELECT CAST(hr AS BIGINT) AS hr, count(*) AS n_sessions,
+       |  CAST(sum(bounce) AS BIGINT) AS n_bounces,
+       |  ${halfUpDivSql("sum(bounce) * 1000000", "count(*)")} AS bounce_ppm
+       |FROM h GROUP BY 1 ORDER BY hr""".stripMargin
+  }
+
+  /** Per-user repeat-purchase cadence — the retention metric: for
+    * users with ≥ 2 purchases, the exact MEDIAN inter-purchase gap
+    * (ceil-rank over the lag differences, the [[hourlyPercentiles]]
+    * convention) plus purchase count and mean gap (half-up ms).
+    *
+    * Scale shape: purchases filter first (selectivity pushdown), then
+    * two user-keyed windows sharing one Exchange+Sort.
+    */
+  def repeatPurchaseCadence(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val gaps = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_millis(ts)").as("ms"))
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .where(col("gap").isNotNull)
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("gap"))
+    gaps
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("gap")))
+          .as("median_gap_ms"),
+        halfUpDiv(sum(col("gap")), count(lit(1))).as("mean_gap_ms"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle SQL twin of [[repeatPurchaseCadence]]. */
+  def repeatPurchaseCadenceOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH p AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms
+       |  FROM events WHERE event_type = 'purchase'
+       |), g AS (
+       |  SELECT user_id,
+       |    ms - lag(ms) OVER (PARTITION BY user_id
+       |      ORDER BY ms, event_id) AS gap
+       |  FROM p
+       |), r AS (
+       |  SELECT user_id, gap,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM g WHERE gap IS NOT NULL
+       |)
+       |SELECT user_id, count(*) AS n_gaps,
+       |  max(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS median_gap_ms,
+       |  ${halfUpDivSql("sum(gap)", "count(*)")} AS mean_gap_ms
+       |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin
+  }
+
   /** Two-proportion A/B conversion test — the experimentation
     * primitive: users bucket into arms by id parity (the deterministic
     * stand-in for an assignment hash), convert on their first
