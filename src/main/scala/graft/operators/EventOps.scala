@@ -1761,27 +1761,36 @@ object EventOps {
     */
   def abConversionTest(events: DataFrame): DataFrame = {
     import graft.functions.DetAgg.halfUpDiv
+    // "converted" = buyer-dominant (more purchases than views): a
+    // per-user comparison of two like-rate counts, so the conversion
+    // rate sits mid-range at EVERY scale factor — an any-purchase
+    // definition saturates to 100% as soon as sf makes purchases
+    // per user ≳ 1 and the z² denominator degenerates to 0.
     val perUser = events.groupBy(col("user_id"))
-      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-        .as("conv"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)))
+        .cast("long").as("conv"))
       .withColumn("arm", pmod(col("user_id"), lit(2L)))
-    val arms = perUser.groupBy(col("arm"))
-      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
-    val a = arms.where(col("arm") === 0L)
-      .select(col("n").as("n_a"), col("c").as("c_a"))
-    val b = arms.where(col("arm") === 1L)
-      .select(col("n").as("n_b"), col("c").as("c_b"))
+    // ONE conditional aggregate row (not a per-arm crossJoin): an
+    // empty arm yields n=0 counts and NULL rates/z² — the same single
+    // row with the same NULLs the oracle produces.
+    val w = perUser.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("c_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("c_b"))
     val num = (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
       (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
       (col("n_a") + col("n_b"))
     val den = col("n_a") * col("n_b") * (col("c_a") + col("c_b")) *
       (col("n_a") + col("n_b") - col("c_a") - col("c_b"))
-    a.crossJoin(b).select(
+    w.select(
       col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-      halfUpDiv(col("c_a") * 1000000L, col("n_a")).as("conv_a_ppm"),
-      halfUpDiv(col("c_b") * 1000000L, col("n_b")).as("conv_b_ppm"),
-      when(den > 0L, halfUpDiv(num * 1000000L, den))
-        .otherwise(lit(0L)).as("z2_ppm"))
+      when(col("n_a") > 0L, halfUpDiv(col("c_a") * 1000000L, col("n_a")))
+        .as("conv_a_ppm"),
+      when(col("n_b") > 0L, halfUpDiv(col("c_b") * 1000000L, col("n_b")))
+        .as("conv_b_ppm"),
+      when(den > 0L, halfUpDiv(num * 1000000L, den)).as("z2_ppm"))
   }
 
   /** Oracle SQL twin of [[abConversionTest]]. */
@@ -1790,27 +1799,29 @@ object EventOps {
     val d = "(c_a * n_b - c_b * n_a)"
     s"""WITH u AS (
        |  SELECT user_id,
-       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |            > sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |         THEN 1 ELSE 0 END AS conv,
+       |    user_id % 2 AS arm
        |  FROM events GROUP BY 1
-       |), arms AS (
-       |  SELECT user_id % 2 AS arm, count(*) AS n,
-       |    CAST(sum(conv) AS BIGINT) AS c
-       |  FROM u GROUP BY 1
        |), w AS (
        |  SELECT
-       |    (SELECT n FROM arms WHERE arm = 0) AS n_a,
-       |    (SELECT c FROM arms WHERE arm = 0) AS c_a,
-       |    (SELECT n FROM arms WHERE arm = 1) AS n_b,
-       |    (SELECT c FROM arms WHERE arm = 1) AS c_b
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+       |  FROM u
        |)
        |SELECT n_a, c_a, n_b, c_b,
-       |  ${halfUpDivSql("c_a * 1000000", "n_a")} AS conv_a_ppm,
-       |  ${halfUpDivSql("c_b * 1000000", "n_b")} AS conv_b_ppm,
+       |  CASE WHEN n_a > 0
+       |    THEN ${halfUpDivSql("c_a * 1000000", "n_a")} END AS conv_a_ppm,
+       |  CASE WHEN n_b > 0
+       |    THEN ${halfUpDivSql("c_b * 1000000", "n_b")} END AS conv_b_ppm,
        |  CASE WHEN n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b) > 0
        |    THEN ${halfUpDivSql(
                 s"$d * $d * (n_a + n_b) * 1000000",
                 "n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)")}
-       |    ELSE 0 END AS z2_ppm
+       |  END AS z2_ppm
        |FROM w""".stripMargin
   }
 
@@ -1831,10 +1842,15 @@ object EventOps {
   def decayScore(events: DataFrame, refMs: Long = 1706745600000L /* 2024-02-01 */,
                  halfLifeH: Long = 72L, cap: Int = 20): DataFrame = {
     val cents = expr("CAST(round(value * 100) AS BIGINT)")
-    // k = min(cap, age_halflives); weight = 2^(cap−k) as a bit shift
+    // k = min(cap, max(0, age_halflives)); weight = 2^(cap−k) as a bit
+    // shift. The greatest(0, ·) clamp keeps the DIVs on non-negative
+    // ground (Spark DIV truncates, DuckDB // floors — they only agree
+    // ≥ 0; the floorDivMs lesson) AND caps post-refMs events at
+    // weight 1 instead of a >cap shift, whose overflow masking differs
+    // between the engines.
     val term = cents * expr(
-      s"shiftleft(1L, CAST($cap - least($cap, " +
-        s"(($refMs - unix_millis(ts)) DIV 3600000) DIV $halfLifeH) AS INT))")
+      s"shiftleft(1L, CAST($cap - least($cap, greatest(0L, " +
+        s"($refMs - unix_millis(ts)) DIV 3600000) DIV $halfLifeH) AS INT))")
     events.select(col("user_id"), cents.as("c"), term.as("t"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -1850,8 +1866,8 @@ object EventOps {
     s"""WITH e AS (
        |  SELECT user_id,
        |    CAST(round(value * 100) AS BIGINT) AS c,
-       |    least($cap, (($refMs - epoch_ms(ts)) // 3600000) // $halfLifeH)
-       |      AS k
+       |    least($cap, greatest(0, ($refMs - epoch_ms(ts)) // 3600000)
+       |      // $halfLifeH) AS k
        |  FROM events
        |)
        |SELECT user_id, count(*) AS n_events,

@@ -64,15 +64,6 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Language-ID confusion matrix — [[langId]]'s per-doc predictions
-    * rolled up against the labeled `lang` column: one (label, pred)
-    * cell per combination with counts, the standard classifier eval
-    * view (diagonal = hits; a hot off-diagonal cell = a marker list
-    * that bleeds into a neighbour language).
-    *
-    * Scale shape: prediction is row-local ([[langId]]); the rollup is
-    * one |langs|²-bounded groupBy with map-side partials.
-    */
   /** Model-free quality ENSEMBLE — the rank-average combiner: each doc
     * is ranked (ascending, doc_id ties) on three independent signals
     * (unique-token ratio, stopword ratio, length), and the composite
@@ -135,6 +126,15 @@ object TextOps {
        |FROM r ORDER BY composite DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Language-ID confusion matrix — [[langId]]'s per-doc predictions
+    * rolled up against the labeled `lang` column: one (label, pred)
+    * cell per combination with counts, the standard classifier eval
+    * view (diagonal = hits; a hot off-diagonal cell = a marker list
+    * that bleeds into a neighbour language).
+    *
+    * Scale shape: prediction is row-local ([[langId]]); the rollup is
+    * one |langs|²-bounded groupBy with map-side partials.
+    */
   def langConfusion(docs: DataFrame): DataFrame =
     langId(docs)
       .groupBy(col("lang"), col("pred_lang"))

@@ -141,6 +141,53 @@ class DedupAndTextSpec extends SparkSuite {
     }
   }
 
+  test("abConversionTest: exact pooled z² on hand-computed arms") {
+    import java.sql.Timestamp
+    import graft.operators.EventOps
+    // arm A (even ids): u0 buyer-dominant, u2 tied (no), u4 views-only
+    // arm B (odd ids):  u1 buyer-dominant, u3 no, u5 buyer-dominant
+    val rows = Seq(
+      (0L, "purchase"), (0L, "purchase"), (0L, "view"),
+      (2L, "purchase"), (2L, "view"),
+      (4L, "view"),
+      (1L, "purchase"), (1L, "purchase"), (1L, "purchase"),
+      (3L, "purchase"), (3L, "view"), (3L, "view"),
+      (5L, "purchase"), (5L, "purchase"), (5L, "view"))
+    val evs = rows.zipWithIndex.map { case ((uid, t), i) =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), uid, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.abConversionTest(evs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 1L, 3L, 2L)))
+    assert(r.getLong(4) === 333333L) // 1/3
+    assert(r.getLong(5) === 666667L) // 2/3
+    // z² = (1·3 − 2·3)²·6 / (3·3·3·3) = 54/81 → 666667 ppm half-up
+    assert(r.getLong(6) === 666667L)
+  }
+
+  test("abConversionTest: empty arm yields one row with NULL rates") {
+    import java.sql.Timestamp
+    import graft.operators.EventOps
+    val evs = Seq((1L, new Timestamp(1704067200000L), 2L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.abConversionTest(evs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L && r.getLong(2) === 0L)
+    assert(r.isNullAt(5) && r.isNullAt(6)) // conv_b_ppm, z2_ppm
+  }
+
+  test("decayScore clamps post-reference events to full weight") {
+    import java.sql.Timestamp
+    import graft.operators.EventOps
+    val ref = 1706745600000L
+    val evs = Seq(
+      (1L, new Timestamp(ref + 5000L), 9L, "view", 2.50, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.decayScore(evs).collect().head
+    assert(r.getDouble(2) === 250.0) // weight 1 → the raw cents
+  }
+
   test("portable hash: Column form equals the recipe computed in Scala") {
     // independently fold the documented recipe
     def ref(s: String): Long = {
