@@ -1214,6 +1214,11 @@ object SparkEntry {
     // inter-purchase gap per returning user.
     "q229_purchase_cadence" -> ((s, d) =>
       EventOps.repeatPurchaseCadence(Tables.events(s, d))),
+
+    // Audience-overlap matrix: Jaccard of user bases per event-type
+    // pair via inclusion-exclusion (one join).
+    "q230_audience_overlap" -> ((s, d) =>
+      EventOps.audienceOverlap(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1884,5 +1889,6 @@ object SparkEntry {
     "q227_ab_test" -> EventOps.abConversionTestOracle,
     "q228_bounce_rate" -> EventOps.bounceRateOracle(),
     "q229_purchase_cadence" -> EventOps.repeatPurchaseCadenceOracle,
+    "q230_audience_overlap" -> EventOps.audienceOverlapOracle,
   )
 }

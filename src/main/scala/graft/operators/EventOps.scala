@@ -1653,6 +1653,61 @@ object EventOps {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  /** Audience-overlap matrix — for every PAIR of event types, the
+    * Jaccard overlap of their user bases in exact ppm (plus both set
+    * sizes and the intersection): the segmentation view that says
+    * "error-users are a subset of click-users" vs "signup and purchase
+    * audiences barely meet". Union via inclusion–exclusion — never a
+    * second join (the q143 vocabulary-Jaccard rule).
+    *
+    * Scale shape: one distinct on (type, user), one user-keyed
+    * self-join bounded by |types|² per user, one |types|²-row rollup.
+    */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val tu = events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = tu.as("x").join(tu.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.select(col("event_type").as("type_a"), col("n").as("n_a")),
+        Seq("type_a"))
+      .join(sizes.select(col("event_type").as("type_b"), col("n").as("n_b")),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        halfUpDiv(col("n_both") * 1000000L,
+          col("n_a") + col("n_b") - col("n_both")).as("jacc_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Oracle SQL twin of [[audienceOverlap]]. */
+  def audienceOverlapOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH tu AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |), sz AS (
+       |  SELECT event_type, count(*) AS n FROM tu GROUP BY 1
+       |), iv AS (
+       |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |    count(*) AS n_both
+       |  FROM tu x JOIN tu y ON x.user_id = y.user_id
+       |    AND x.event_type < y.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT type_a, type_b, a.n AS n_a, b.n AS n_b, iv.n_both,
+       |  ${halfUpDivSql("iv.n_both * 1000000", "a.n + b.n - iv.n_both")}
+       |    AS jacc_ppm
+       |FROM iv
+       |JOIN sz a ON a.event_type = iv.type_a
+       |JOIN sz b ON b.event_type = iv.type_b
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
   /** Hourly bounce rate — single-event sessions over total sessions by
     * session START hour, off the ONE [[sessionize]] definition (gap
     * 30 min, the q14/q45 tie discipline). The canonical engagement KPI,
