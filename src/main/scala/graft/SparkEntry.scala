@@ -1219,6 +1219,16 @@ object SparkEntry {
     // pair via inclusion-exclusion (one join).
     "q230_audience_overlap" -> ((s, d) =>
       EventOps.audienceOverlap(Tables.events(s, d))),
+
+    // Stationary behavior profile: integer-ppb power iteration of the
+    // q117 transition chain.
+    "q231_markov_stationary" -> ((s, d) =>
+      EventOps.markovStationary(Tables.events(s, d))),
+
+    // One-way ANOVA F (ppm) of embedding L1 magnitude by label —
+    // completes the exact classic-stats family (corr/χ²/z²/F).
+    "q232_label_anova" -> ((s, d) =>
+      SimilarityOp.labelAnova(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1890,5 +1900,7 @@ object SparkEntry {
     "q228_bounce_rate" -> EventOps.bounceRateOracle(),
     "q229_purchase_cadence" -> EventOps.repeatPurchaseCadenceOracle,
     "q230_audience_overlap" -> EventOps.audienceOverlapOracle,
+    "q231_markov_stationary" -> EventOps.markovStationaryOracle(),
+    "q232_label_anova" -> SimilarityOp.labelAnovaOracle(),
   )
 }

@@ -1653,6 +1653,85 @@ object EventOps {
        |FROM m ORDER BY event_type""".stripMargin
   }
 
+  /** Stationary behavior profile — fixed-count power iteration of the
+    * [[typeTransitions]] Markov chain in exact integer ppb (the
+    * pageRank superstep discipline): v starts uniform at 1e9/|types|,
+    * and each step routes `(v_src · c_src→dst) div c_src` mass along
+    * every observed transition (per-term truncating division — the
+    * update is DEFINED operationally, so both engines fold the same
+    * integers; lost remainder mass is the documented quantization).
+    * Three supersteps ≈ the long-run share of each event type — the
+    * "where does user attention settle" summary the raw transition
+    * matrix doesn't directly show.
+    *
+    * Scale shape: |types|²-sized transition frame, |types|-sized state
+    * vector, joins broadcast — the iteration cost is supersteps ×
+    * matrix size, corpus-independent after the one counting pass.
+    */
+  def markovStationary(events: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, "markovStationary: iters")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+    val cnt = pairs.groupBy(col("prev_type").as("src"),
+        col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val outTot = cnt.groupBy(col("src")).agg(sum(col("n")).as("out_n"))
+    val trans = cnt.join(broadcast(outTot), Seq("src")).persist()
+    val types = outTot.select(col("src").as("event_type"))
+    val nTypes = types.count()
+    var v = types.withColumn("val", lit(1000000000L / nTypes))
+    for (_ <- 1 to iters) {
+      v = trans.join(broadcast(v.select(col("event_type").as("src"),
+          col("val"))), Seq("src"))
+        .select(col("dst").as("event_type"),
+          expr("(val * n) DIV out_n").as("m"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("m")).as("val"))
+    }
+    val out = v.select(col("event_type"), col("val").as("stat_ppb"))
+      .orderBy("event_type")
+    try out.localCheckpoint() finally trans.unpersist()
+  }
+
+  /** Oracle SQL twin of [[markovStationary]] — the supersteps unrolled
+    * as chained CTEs (1 reference per step, inlining-safe).
+    */
+  def markovStationaryOracle(iters: Int = 3): String = {
+    val steps = (1 to iters).map { i =>
+      s"""v$i AS (
+         |  SELECT t.dst AS event_type,
+         |    CAST(sum((p.val * t.n) // t.out_n) AS BIGINT) AS val
+         |  FROM trans t JOIN v${i - 1} p ON p.event_type = t.src
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_type
+       |  FROM events
+       |), cnt AS (
+       |  SELECT prev_type AS src, event_type AS dst, count(*) AS n
+       |  FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       |), ot AS (
+       |  SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM cnt GROUP BY 1
+       |), trans AS (
+       |  SELECT cnt.src, cnt.dst, cnt.n, ot.out_n
+       |  FROM cnt JOIN ot USING (src)
+       |), v0 AS (
+       |  SELECT src AS event_type,
+       |    1000000000 // (SELECT count(*) FROM ot) AS val
+       |  FROM ot
+       |),
+       |$steps
+       |SELECT event_type, val AS stat_ppb FROM v$iters
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** Audience-overlap matrix — for every PAIR of event types, the
     * Jaccard overlap of their user bases in exact ppm (plus both set
     * sizes and the intersection): the segmentation view that says

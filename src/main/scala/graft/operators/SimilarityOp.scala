@@ -2886,6 +2886,86 @@ object SimilarityOp {
        |ORDER BY abs(corr_ppm) DESC, dim_a, dim_b LIMIT $k""".stripMargin
   }
 
+  /** One-way ANOVA screen — does the embedding's L1 magnitude differ
+    * by label? The classic F-test kept in integers end-to-end: each
+    * vector's feature is `x = Σ|qᵢ|` over 1e-2-quantized components
+    * (exact BIGINT); group moments (n_g, Σx, Σx²) are exact; the
+    * between/within sum-of-squares use the computational forms with a
+    * per-group `S_g² div n_g` truncating division (operationally
+    * defined, summed as integers — fold-order-proof, the q131/q213
+    * discipline), and `F·1e6 = (SSB div (k−1))·1e6 halfUpDiv
+    * (SSW div (N−k))` — mean squares first, so no product outgrows
+    * BIGINT.
+    * Completes the exact classic-stats family: corr (q130), χ²
+    * (q131/q213), z² (q227) — now F.
+    *
+    * Scale shape: one scan → per-label moments (map-side partials) →
+    * a |labels|-row rollup.
+    */
+  def labelAnova(embeddings: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val q = posexplode(col("embedding")).as(Seq("dim", "vf"))
+    // 1e-2 component quantization (not the usual 1e-4): x ≈ dims·1e2,
+    // so sg² and s² stay ≲1e17 through sf≈100 — every product below is
+    // overflow-audited; DuckDB raises loudly on BIGINT overflow while
+    // Spark wraps silently, so headroom is a parity requirement
+    val x = embeddings.select(col("vec_id"), col("label"), q)
+      .select(col("vec_id"), col("label"),
+        abs(floor(col("vf").cast("double") * 100.0 + 0.5).cast("long"))
+          .as("aq"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("aq")).as("x"))
+    val g = x.groupBy(col("label"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+        sum(col("x") * col("x")).as("qg"))
+    g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+        sum(expr("(sg * sg) DIV ng")).as("sb_part"))
+      .select(col("n"), col("k"),
+        (col("sb_part") - expr("(s * s) DIV n")).as("ssb"),
+        (col("q") - col("sb_part")).as("ssw"))
+      .select(col("n"), col("k"), col("ssb"), col("ssw"),
+        when(col("ssb") > 0L && col("ssw") > 0L && col("k") > 1L &&
+            col("n") > col("k"),
+          halfUpDiv(expr("ssb DIV (k - 1)") * 1000000L,
+            expr("ssw DIV (n - k)")))
+          .as("f_ppm"))
+  }
+
+  /** Oracle SQL twin of [[labelAnova]]. */
+  def labelAnovaOracle(dims: Int = 64): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH p AS (
+       |  SELECT e.vec_id, e.label,
+       |    abs(CAST(floor(e.embedding[i.i + 1]::DOUBLE * 100.0 + 0.5)
+       |      AS BIGINT)) AS aq
+       |  FROM embeddings e, range($dims) i(i)
+       |), x AS (
+       |  SELECT vec_id, label, CAST(sum(aq) AS BIGINT) AS x
+       |  FROM p GROUP BY 1, 2
+       |), g AS (
+       |  SELECT label, count(*) AS ng, CAST(sum(x) AS BIGINT) AS sg,
+       |    CAST(sum(x * x) AS BIGINT) AS qg
+       |  FROM x GROUP BY 1
+       |), m AS (
+       |  SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+       |    CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS BIGINT) AS q,
+       |    CAST(sum((sg * sg) // ng) AS BIGINT) AS sb_part
+       |  FROM g
+       |), u AS (
+       |  SELECT n, k,
+       |    sb_part - (s * s) // n AS ssb,
+       |    q - sb_part AS ssw
+       |  FROM m
+       |)
+       |SELECT n, k, ssb, ssw,
+       |  CASE WHEN ssb > 0 AND ssw > 0 AND k > 1 AND n > k
+       |    THEN ${halfUpDivSql("(ssb // (k - 1)) * 1000000",
+                                "ssw // (n - k)")}
+       |  END AS f_ppm
+       |FROM u""".stripMargin
+  }
+
   /** Serving-path complementarity audit — per audit query, how much do
     * the LSH and IVF CANDIDATE SETS overlap (Jaccard, ppm)? Low overlap
     * at comparable recall (q84) means the two retrievals fail on

@@ -79,6 +79,33 @@ class DriftGoldenCorrSpec extends SparkSuite {
       (1L, 2L, -1000000L)))
   }
 
+  test("markovStationary: hand-computed asymmetric 2-state chain") {
+    import java.sql.Timestamp
+    import graft.operators.EventOps
+    // one user, sequence a,a,b,a → trans a→a, a→b, b→a; out(a)=2, out(b)=1
+    val seq = Seq("a", "a", "b", "a")
+    val evs = seq.zipWithIndex.map { case (t, i) =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), 1L, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.markovStationary(evs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // v0=(5e8,5e8); v1=(7.5e8,2.5e8); v2=(6.25e8,3.75e8); v3=(6.875e8,…)
+    assert(out === Map("a" -> 687500000L, "b" -> 312500000L))
+  }
+
+  test("labelAnova: hand-computed F on separated 1-dim groups") {
+    import graft.operators.SimilarityOp
+    val emb = Seq(
+      (1L, Array(1.00f), 0), (2L, Array(1.02f), 0),
+      (3L, Array(3.00f), 1), (4L, Array(3.02f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = SimilarityOp.labelAnova(emb).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 2L)))
+    assert(r.getLong(2) === 40000L) // ssb
+    assert(r.getLong(3) === 4L)     // ssw
+    assert(r.getLong(4) === 20000000000L) // F = 20000 → 2e10 ppm
+  }
+
   test("splitBalanceAudit: splits partition every source; χ² ≥ 0") {
     import graft.operators.ScaleOps
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
