@@ -1229,6 +1229,10 @@ object SparkEntry {
     // completes the exact classic-stats family (corr/χ²/z²/F).
     "q232_label_anova" -> ((s, d) =>
       SimilarityOp.labelAnova(Tables.embeddings(s, d))),
+
+    // Dedup ROI: per-source bytes reclaimed by exact dedup, exact ppm.
+    "q233_dedup_savings" -> ((s, d) =>
+      DedupOp.dedupSavings(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1902,5 +1906,6 @@ object SparkEntry {
     "q230_audience_overlap" -> EventOps.audienceOverlapOracle,
     "q231_markov_stationary" -> EventOps.markovStationaryOracle(),
     "q232_label_anova" -> SimilarityOp.labelAnovaOracle(),
+    "q233_dedup_savings" -> DedupOp.dedupSavingsOracle,
   )
 }

@@ -1864,6 +1864,57 @@ object DedupOp {
       .orderBy("canon_key")
   }
 
+  /** Dedup ROI — per source, the bytes exact dedup would reclaim:
+    * within each identical-text group ([[exact]]'s md5 key, min-id
+    * keeper) every NON-keeper doc attributes its `n_chars` to its own
+    * source. The "is dedup worth running on this feed?" planning
+    * number, as exact ppm of the source's bytes.
+    *
+    * Scale shape: one hash-keyed rank window (32-byte keys — text
+    * never shuffles) and one source rollup.
+    */
+  def dedupSavings(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetAgg.halfUpDiv
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("rn") > 1, col("n_chars")).otherwise(0L))
+          .as("dup_chars"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("n_dup_docs"), col("dup_chars"),
+        halfUpDiv(col("dup_chars") * 1000000L, col("total_chars"))
+          .as("savings_ppm"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[dedupSavings]]. */
+  def dedupSavingsOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH r AS (
+       |  SELECT source, n_chars,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM documents
+       |), g AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_docs,
+       |    CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+       |      AS dup_chars
+       |  FROM r GROUP BY 1
+       |)
+       |SELECT source, n_docs, total_chars, n_dup_docs, dup_chars,
+       |  ${halfUpDivSql("dup_chars * 1000000", "total_chars")}
+       |    AS savings_ppm
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   /** Incremental (delta) dedup — the production ingest shape: a NEW
     * batch of documents is deduped against the EXISTING corpus without
     * ever re-pairing the corpus with itself. Candidates come from the
