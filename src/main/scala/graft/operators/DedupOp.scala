@@ -1130,31 +1130,46 @@ object DedupOp {
     * simple ⌊n/2⌋+1 prefix stays complete for any per-doc shingle
     * count this side of the [[TextOps.chunkDocs]] boundary (asserted).
     *
-    * Scale shape: one df count + one per-doc rank window build the
-    * prefix index; candidates are a (prefix × postings) equi-join on
-    * the shingle hash — rare shingles dominate prefixes, so high-df
-    * postings rows meet only the few docs where a common shingle
-    * ranks early; verification joins candidate ids back through the
-    * (doc, hx) frame, never the text. Output is the TRUE uncapped
-    * pair set — its own oracle derives it with no pruning at all, so
-    * the hash gate checks the filter's completeness claim, not just
-    * its precision.
+    * Scale shape: one df count + ONE per-doc groupBy build both the
+    * prefix index (a posexplode over the array's ⌊n/2⌋+1 slice) and
+    * the verification arrays — the array position is the rank, so no
+    * row_number window and no second pass over the shingle stream;
+    * candidates are a (prefix × prefix) equi-join on the shingle
+    * hash — rare shingles dominate prefixes, so high-df postings rows
+    * meet only the few docs where a common shingle ranks early;
+    * verification intersects the cached per-doc arrays, never the
+    * text. Output is the TRUE uncapped pair set — its own oracle
+    * derives it with no pruning at all, so the hash gate checks the
+    * filter's completeness claim, not just its precision.
     */
   def prefixJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     require(minJaccard == 0.5,
       "prefixJaccard: the prefix bound is derived for t = 1/2")
-    import org.apache.spark.sql.expressions.Window
     val d = docShingles(docs).persist()
     val dfc = d.groupBy(col("hx")).agg(count(lit(1)).as("df"))
-    val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("hx"))
-    val prefix = d.join(dfc, Seq("hx"))
-      .join(sizes, Seq("doc_id"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= call_function("div", col("n"), lit(2L)) + 1L)
-      .select(col("hx"), col("doc_id").as("pd"), col("n").as("pn"),
-        col("rk").as("prk"))
+    // ONE groupBy builds both halves of the pipeline: per doc, the
+    // shingles sorted in the global (df asc, hx asc) order as a single
+    // array. Its first ⌊n/2⌋+1 slice IS the prefix (array position =
+    // the old row_number rank) and the full array IS the verification
+    // side — this replaces the former df-join + sizes-join +
+    // row_number window + separate docArr collect (two extra passes
+    // over the shingle stream and a per-doc sort window) with one
+    // shuffle. (df, hx) is unique per doc (hx distinct per doc), so
+    // the sort order is total and identical to the window's.
+    val darr = d.join(dfc, Seq("hx"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("hx"))))
+        .as("sarr"))
+      .select(col("doc_id"),
+        transform(col("sarr"), s => s.getField("hx")).as("arr"),
+        size(col("sarr")).cast("long").as("n"))
       .persist()
+    val prefix = darr
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(col("arr"), lit(1),
+          (call_function("div", col("n"), lit(2L)) + 1L).cast("int"))))
+      .select(col("col").as("hx"), col("doc_id").as("pd"),
+        col("n").as("pn"), (col("pos") + 1L).as("prk"))
     // PPJoin prefix-intersection: a J ≥ t pair's intersection I ≥
     // ⌈t·max(nₐ,n_b)⌉ =: α, and by the prefix-filtering lemma the
     // (n − α + 1)-prefixes of BOTH sides must then share an element —
@@ -1183,22 +1198,23 @@ object DedupOp {
           call_function("div", col("pn") + col("fn") + lit(2L), lit(3L)))
       .select(col("pd").as("da"), col("fd").as("db"))
       .distinct()
-    // Verification by per-doc sorted shingle ARRAYS instead of
-    // re-joining candidates through the (doc, hx) stream: the exploded
-    // form shuffles |cand|·n̄ rows (33 M at sf0.1, measured 6.5 s);
-    // each candidate row here carries its two ~n̄-element arrays once
-    // and intersects them in-expression (0.5 s). Join deliberately
+    // Verification by per-doc shingle ARRAYS instead of re-joining
+    // candidates through the (doc, hx) stream: the exploded form
+    // shuffles |cand|·n̄ rows (33 M at sf0.1, measured 6.5 s); each
+    // candidate row here carries its two ~n̄-element arrays once and
+    // intersects them in-expression (0.5 s; array_intersect is
+    // hash-based, so the (df, hx) array order is fine as-is). The
+    // arrays are the SAME cached darr frame the prefix exploded from —
+    // no second pass over the shingle stream. Join deliberately
     // UNHINTED: the doc-array frame auto-broadcasts at test scale and
     // degrades to a by-id shuffle join at corpus scale — both are the
     // right plan, and candidate pairs never explode either way. na/nb
     // fall out of the array lengths, dropping the two sizes joins.
-    val docArr = d.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("hx"))).as("arr"))
     materializeAndRelease(
       cand
-        .join(docArr.select(col("doc_id").as("da"), col("arr").as("aa")),
+        .join(darr.select(col("doc_id").as("da"), col("arr").as("aa")),
           Seq("da"))
-        .join(docArr.select(col("doc_id").as("db"), col("arr").as("ab")),
+        .join(darr.select(col("doc_id").as("db"), col("arr").as("ab")),
           Seq("db"))
         .select(col("da"), col("db"),
           size(array_intersect(col("aa"), col("ab"))).cast("long")
@@ -1210,7 +1226,7 @@ object DedupOp {
             col("na") + col("nb") - col("inter")).as("jaccard"))
         .where(col("jaccard") >= minJaccard)
         .orderBy("da", "db"),
-      d, prefix)
+      d, darr)
   }
 
   /** Oracle SQL twin of [[prefixJaccard]] — deliberately UNPRUNED

@@ -44,6 +44,52 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming SLIDING stats (slide < window) replay-equal to the batch form") {
+    // The reference's actual W2 configuration is 30 s window / 2 s
+    // slide (process/MetricStatsProducer.scala:23-24, application
+    // .conf:6-7) — slide < window, so each event fans out into
+    // window/slide overlapping windows. The tumbling tests above never
+    // exercise that fan-out; this one proves the streaming result at
+    // 30 s/10 s (3 windows per event), fed across TWO micro-batches,
+    // is row-identical to the same transform run as one batch.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CelltowerEvent]
+    val events = mem.toDF().withColumn("ts", Model.eventTime(col("ts")))
+    val agg = StreamOps.metricStats(events, Seq("bearerId"),
+      windowSize = "30 seconds", slide = "10 seconds",
+      watermark = "10 seconds")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out").start()
+    val batch1 = Seq(ct("b1", 3, 10.0, 0.1), ct("b1", 15, 30.0, 0.3),
+      ct("b2", 22, 7.0, 0.0))
+    val batch2 = Seq(ct("b1", 28, 50.0, 0.5), ct("b2", 41, 9.0, 0.2))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("slide_out")
+        .select($"window.start".cast("long"), $"window.end".cast("long"),
+          $"bearerId", $"metric", $"n", $"mean", $"stdev", $"max", $"min")
+        .as[(Long, Long, String, String, Long, Double, Double, Double, Double)]
+        .collect().sortBy(t => (t._1, t._3, t._4))
+      val batchDf = (batch1 ++ batch2).toDF()
+        .withColumn("ts", Model.eventTime(col("ts")))
+      val batched = StreamOps.metricStats(batchDf, Seq("bearerId"),
+        windowSize = "30 seconds", slide = "10 seconds",
+        watermark = "10 seconds")
+        .select($"window.start".cast("long"), $"window.end".cast("long"),
+          $"bearerId", $"metric", $"n", $"mean", $"stdev", $"max", $"min")
+        .as[(Long, Long, String, String, Long, Double, Double, Double, Double)]
+        .collect().sortBy(t => (t._1, t._3, t._4))
+      assert(streamed.nonEmpty)
+      assert(streamed === batched)
+      // the fan-out really happened: an event at t=3 belongs to the
+      // [-20,10) [-10,20) [0,30) windows → 3 rows for (b1, rtt) there
+      assert(streamed.count(t => t._3 == "b1" && t._4 == "rtt") >= 3)
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[CelltowerEvent]
