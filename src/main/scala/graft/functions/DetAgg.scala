@@ -51,6 +51,18 @@ object DetAgg {
     s"(($x - ((($x % $d) + $d) % $d)) // $d)"
   }
 
+  /** [[halfUpDivSql]] computed in int128: for numerators that pass 2⁶³
+    * (the q199 variance-numerator class, mirrored by DECIMAL(38,0) on
+    * the Spark side). The quotient is expected small (ppm-sized), so
+    * the result casts back to BIGINT — loudly, if that expectation is
+    * ever violated.
+    */
+  def halfUpDivHugeSql(numE: String, denE: String): String = {
+    val x = s"(CAST($numE AS HUGEINT) * 2 + CAST($denE AS HUGEINT))"
+    val d = s"(CAST($denE AS HUGEINT) * 2)"
+    s"CAST((($x - ((($x % $d) + $d) % $d)) // $d) AS BIGINT)"
+  }
+
   private def pow10(n: Int): Long = math.pow(10, n).toLong
 
   /** Mean of 2-decimal data, `scale` output decimals. */

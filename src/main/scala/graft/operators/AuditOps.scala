@@ -310,13 +310,16 @@ object AuditOps {
     * IS ρ on r̄.
     *
     * Parity: the moment sums over integer doubled ranks are exact
-    * BIGINTs fed into [[graft.functions.DetAgg.corrPpm]]'s scalar
-    * double kernel — bit-equal cross-engine. The binding bound is the
-    * SQUARED-rank sum Σ(2r̄)² ≈ (4/3)n³, which passes 2⁶³ near
-    * n ≈ 1.9×10⁶ rows per group (≈ sf1, loudly — ANSI mode throws);
-    * past that, promote the moment sums to DECIMAL(38,0) on the Spark
-    * side (DuckDB already sums to HUGEINT) — the double kernel is
-    * unchanged.
+    * integers fed into [[graft.functions.DetAgg.corrPpm]]'s scalar
+    * double kernel — bit-equal cross-engine. The sums accumulate in
+    * DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB (the old
+    * BIGINT sums hit 2⁶³ on Σ(2r̄)² ≈ (4/3)n³ near n ≈ 1.9×10⁶ rows
+    * per group ≈ sf1), so the binding bound is now the per-ROW product
+    * (2r̄)² ≤ 4n² < 2⁶³ at n ≈ 1.5×10⁹ rows PER GROUP (≈ sf250 for the
+    * biggest return-flag group; ANSI throws loudly past it). Both
+    * engines convert the identical integer to double with one
+    * round-to-nearest, so the kernel stays bit-equal even past 2⁵³
+    * (AuditSpec property-checks the decimal path at the old bound).
     */
   def spearman(lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -340,10 +343,11 @@ object AuditOps {
       .select(col("grp"), rank2("x").as("rx"), rank2("y").as("ry"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),
-        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-        sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("ry") * col("ry")).as("syy"),
-        sum(col("rx") * col("ry")).as("sxy"))
+        sum(col("rx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry").cast("decimal(38,0)")).as("sy"),
+        sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"),
+        sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"))
       .select(col("grp").as("l_returnflag"), col("n"),
         corrPpm(col("n"), col("sx"), col("sy"),
           col("sxx"), col("syy"), col("sxy")).as("rho_ppm"))
@@ -377,10 +381,10 @@ object AuditOps {
        |  JOIN ry ON b.grp = ry.grp AND b.y = ry.y
        |), m AS (
        |  SELECT grp, count(*) AS n,
-       |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-       |    CAST(sum(rx * rx) AS BIGINT) AS sxx,
-       |    CAST(sum(ry * ry) AS BIGINT) AS syy,
-       |    CAST(sum(rx * ry) AS BIGINT) AS sxy
+       |    sum(rx) AS sx, sum(ry) AS sy,
+       |    sum(rx * rx) AS sxx,
+       |    sum(ry * ry) AS syy,
+       |    sum(rx * ry) AS sxy
        |  FROM j GROUP BY 1
        |)
        |SELECT grp AS l_returnflag, n,

@@ -809,11 +809,15 @@ object RelationalOps {
     * from: D ≈ 1 means item counts arrive Poisson-like, D > 1 means
     * clumping. Exact integer moments into one closed form,
     * D_ppm = ⌊10⁶·(n·Σx² − (Σx)²) / (n·Σx)⌉ — no float variance, so
-    * the statistic hash-gates. The n·Σx²·10⁶ product stays inside
-    * BIGINT up to ~1 M orders per group (~3× the tested sf0.1 — the
-    * binding term is 2·n·Σx²·10⁶ with basket variance ~4);
-    * beyond that, center the moments per group first (the q183/q185
-    * overflow class — ANSI mode fails loud, not wrong).
+    * the statistic hash-gates. The variance numerator n·Σx²·10⁶ passed
+    * 2⁶³ near ~1 M orders per group, so it is computed in
+    * DECIMAL(38,0) on the Spark side and HUGEINT in the oracle
+    * ([[graft.functions.DetAgg.halfUpDivHugeSql]]) — the binding bound
+    * moves out to ~1e15 orders per group (the 10⁶-scaled numerator
+    * reaching 1e38), far past any real scale factor; the quotient
+    * itself is ppm-sized, so the output stays BIGINT both sides
+    * (StatsAndIqrSpec checks the promoted path against BigInt
+    * arithmetic past 2⁶³).
     */
   def basketDispersion(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     import graft.functions.DetAgg
@@ -828,9 +832,11 @@ object RelationalOps {
       .select(col("prio").as("o_orderpriority"), col("n_orders"),
         DetAgg.ratio(col("s"), col("n_orders")).as("mean_items"),
         DetAgg.halfUpDiv(
-          (col("n_orders") * col("q") - col("s") * col("s"))
+          (col("n_orders").cast("decimal(38,0)") * col("q")
+            - col("s").cast("decimal(38,0)") * col("s"))
             * lit(1000000L),
-          col("n_orders") * col("s")).as("dispersion_ppm"))
+          (col("n_orders") * col("s")).cast("decimal(38,0)"))
+          .cast("long").as("dispersion_ppm"))
       .orderBy("o_orderpriority")
   }
 
@@ -844,12 +850,14 @@ object RelationalOps {
        |  FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey
        |), m AS (
        |  SELECT prio, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-       |    CAST(sum(x * x) AS BIGINT) AS q
+       |    sum(x * x) AS q
        |  FROM b GROUP BY 1
        |)
        |SELECT prio AS o_orderpriority, n AS n_orders,
        |  ${DetAgg.ratioSql("sx", "n")} AS mean_items,
-       |  ${DetAgg.halfUpDivSql("(n * q - sx * sx) * 1000000", "n * sx")}
+       |  ${DetAgg.halfUpDivHugeSql(
+            "(CAST(n AS HUGEINT) * q - CAST(sx AS HUGEINT) * sx) * 1000000",
+            "n * sx")}
        |    AS dispersion_ppm
        |FROM m ORDER BY 1""".stripMargin
   }

@@ -2907,8 +2907,10 @@ object SimilarityOp {
     val q = posexplode(col("embedding")).as(Seq("dim", "vf"))
     // 1e-2 component quantization (not the usual 1e-4): x ≈ dims·1e2,
     // so sg² and s² stay ≲1e17 through sf≈100 — every product below is
-    // overflow-audited; DuckDB raises loudly on BIGINT overflow while
-    // Spark wraps silently, so headroom is a parity requirement
+    // overflow-audited; past the bound BOTH engines fail loud (DuckDB
+    // raises on BIGINT overflow, Spark on ANSI arithmetic overflow —
+    // asserted in StatsAndIqrSpec), never wrong. Past sf≈100, promote
+    // sg·sg and s·s to DECIMAL(38,0)/HUGEINT (the q199 recipe).
     val x = embeddings.select(col("vec_id"), col("label"), q)
       .select(col("vec_id"), col("label"),
         abs(floor(col("vf").cast("double") * 100.0 + 0.5).cast("long"))

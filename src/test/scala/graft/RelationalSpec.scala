@@ -27,6 +27,38 @@ class RelationalSpec extends SparkSuite {
     assert(plain.size === 5000)
   }
 
+  test("J1 enrichment join plans as a broadcast-hash join (no shuffle)") {
+    // Plan-shape regression guard (the q58/q92/q225 pruning-assert
+    // stance applied to the §2 joins): the reference's enrichment join
+    // is per-event against a live-bearer-bounded dimension — a shuffle
+    // of the fact side would be the 100 TB scale bug. Asserts the hint
+    // actually lands as BroadcastHashJoin and the fact side sees no
+    // hashpartitioning Exchange.
+    val events = (1 to 500).map(i => (i.toLong % 50L, s"e$i"))
+      .toDF("user_id", "payload")
+    val dim = (0 until 50).map(i => (i.toLong, s"c$i"))
+      .toDF("c_custkey", "name")
+    val joined = RelationalOps.enrich(events, dim)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"J1 should plan as BroadcastHashJoin:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"J1 fact side should not shuffle:\n$plan")
+    assert(joined.count() === 500)
+  }
+
+  test("J4 geofence plans as a broadcast nested-loop join") {
+    import graft.operators.GeofenceOp
+    val points = Seq((1L, 50.85, 4.35), (2L, 0.0, 0.0))
+      .toDF("id", "lat", "lng")
+    val joined = GeofenceOp.geofence(points)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"J4 should plan as BroadcastNestedLoopJoin:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"J4 must never plan as a CartesianProduct:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")

@@ -91,4 +91,111 @@ class StatsAndIqrSpec extends SparkSuite {
     assert(math.abs(exact.getAs[Double]("lo") - approx.getAs[Double]("lo")) < 0.1)
     assert(math.abs(exact.getAs[Double]("hi") - approx.getAs[Double]("hi")) < 0.1)
   }
+
+  test("q32 error band: approx thresholds within the accuracy-implied " +
+       "rank band of q07's exact quartiles on the events table") {
+    // q32 is rows-only in the driver gate (percentile_approx has no
+    // exact cross-engine oracle); this spec value-bounds it against its
+    // exact twin q07. percentile_approx at accuracy a has rank error
+    // ≤ n/a, so each approx quartile must fall between the exact values
+    // at ranks floor/ceil(q·(n−1)) ∓ ceil(n/a) — a distribution-free
+    // band, checked per event_type on real data.
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val approx = OutlierOp.thresholdsApprox(ev, "event_type", "value")
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val groups = ev.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("vs"))
+      .collect()
+    assert(groups.nonEmpty)
+    groups.foreach { r =>
+      val vs = r.getSeq[Double](1)
+      val n = vs.size
+      val slack = math.max(1, math.ceil(n / 10000.0).toInt)
+      def bandOf(q: Double): (Double, Double) = {
+        val loIdx = math.max(0, math.floor(q * (n - 1)).toInt - slack)
+        val hiIdx = math.min(n - 1, math.ceil(q * (n - 1)).toInt + slack)
+        (vs(loIdx), vs(hiIdx))
+      }
+      val row = approx(r.getAs[String]("event_type"))
+      // recover the approx quartiles from lo/hi: lo = 2.5·q1 − 1.5·q3,
+      // hi = 2.5·q3 − 1.5·q1 ⇒ q1 = (5·lo + 3·hi)/8, q3 = (3·lo + 5·hi)/8
+      val lo = row.getAs[Double]("lo"); val hi = row.getAs[Double]("hi")
+      val q1 = (5 * lo + 3 * hi) / 8; val q3 = (3 * lo + 5 * hi) / 8
+      val (b1l, b1h) = bandOf(0.25); val (b3l, b3h) = bandOf(0.75)
+      assert(q1 >= b1l - 1e-9 && q1 <= b1h + 1e-9,
+        s"${r.get(0)}: approx q1 $q1 outside exact band [$b1l, $b1h]")
+      assert(q3 >= b3l - 1e-9 && q3 <= b3h + 1e-9,
+        s"${r.get(0)}: approx q3 $q3 outside exact band [$b3l, $b3h]")
+    }
+  }
+
+  test("overflow guards: ANSI is on, long overflow fails loud, and the " +
+       "promoted decimal paths stay exact past 2^63") {
+    // The q232 mean-squares class stays in BIGINT with documented
+    // headroom; its guard is ANSI failing LOUD, never wrapping —
+    // assert both the config and the behavior.
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
+    val thrown = intercept[Exception] {
+      Seq(Long.MaxValue).toDF("x").select($"x" + 1L).collect()
+    }
+    assert(thrown.getMessage.toLowerCase.contains("overflow"))
+
+    // Spearman's promoted moment path (q164): corrPpm over
+    // DECIMAL(38,0) sums past 2^63 must equal the same kernel computed
+    // in BigInt→double on the driver. Moments are a valid rank triple
+    // scaled to push sxx/syy/sxy beyond long range.
+    import graft.functions.DetAgg
+    val n = BigInt(4000000)                       // past the 1.9M bound
+    val sx = n * n                                // Σ2r̄ for distinct ranks = n(n+1) ≈ n²
+    val sxx = n * n * n * 4 / 3                   // ≈ (4/3)n³ > 2^63
+    val sxy = sxx - n * 1000                      // slightly off-diagonal
+    val row = Seq(1).toDF("one").select(
+      DetAgg.corrPpm(lit(n.toString).cast("decimal(38,0)"),
+        lit(sx.toString).cast("decimal(38,0)"),
+        lit(sx.toString).cast("decimal(38,0)"),
+        lit(sxx.toString).cast("decimal(38,0)"),
+        lit(sxx.toString).cast("decimal(38,0)"),
+        lit(sxy.toString).cast("decimal(38,0)")).as("rho"))
+      .collect().head
+    assert(sxx > BigInt(Long.MaxValue))
+    val nd = n.toDouble; val sxd = sx.toDouble
+    val sxxd = sxx.toDouble; val sxyd = sxy.toDouble
+    val num = nd * sxyd - sxd * sxd
+    val den = nd * sxxd - sxd * sxd
+    val expected = math.floor(num / math.sqrt(den * den) * 1e6 + 0.5).toLong
+    assert(row.getAs[Long]("rho") === expected)
+
+    // q199's promoted variance numerator: halfUpDiv over DECIMAL(38,0)
+    // past 2^63 must equal BigInt floor((2num+den)/(2den)).
+    val bigNum = BigInt("92233720368547758080123")   // ~1e22 > 2^63
+    val bigDen = BigInt("12345678901234567")
+    val got = Seq(1).toDF("one").select(
+      DetAgg.halfUpDiv(lit(bigNum.toString).cast("decimal(38,0)"),
+        lit(bigDen.toString).cast("decimal(38,0)")).cast("long").as("d"))
+      .collect().head.getAs[Long]("d")
+    val x = bigNum * 2 + bigDen; val d2 = bigDen * 2
+    val expectedDiv = ((x - (((x % d2) + d2) % d2)) / d2).toLong
+    assert(got === expectedDiv)
+  }
+
+  test("q57-style HLL counts within the rsd-implied band of q33's exact " +
+       "distinct users") {
+    // q57 is rows-only in the driver gate (the HLL sketch is
+    // engine-specific); this value-bounds the same approx_count_distinct
+    // at rsd = 0.02 against q33's exact countDistinct on the events
+    // table: |approx − exact| ≤ 3·rsd·exact (≈3σ of the HLL estimator).
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, countDistinct}
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val both = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val e = r.getAs[Long]("exact"); val a = r.getAs[Long]("approx")
+      assert(math.abs(a - e) <= math.max(1.0, 3 * 0.02 * e),
+        s"${r.get(0)}: approx $a vs exact $e outside 3-sigma band")
+    }
+  }
 }
