@@ -798,15 +798,20 @@ object AuditOps {
         v.as(s"${p}_$c")
       }: _*)
     val j = side(v1, "a").join(side(v2, "b"), Seq("doc_id"))
+    // coalesce: snapshots sharing NO doc_ids make the join empty, so
+    // the global agg emits one row with n = 0 and NULL sums — the
+    // counts pin to 0 and the ratio guards the zero denominator
+    // (NULL changed_ppm per column), mirroring the oracle's arms
     val aggs = count(lit(1)).as("__n") +: cols.map(c =>
-      sum(when(not(col(s"a_$c") <=> col(s"b_$c")), 1L).otherwise(0L))
-        .as(s"__ch_$c"))
+      coalesce(sum(when(not(col(s"a_$c") <=> col(s"b_$c")), 1L)
+        .otherwise(0L)), lit(0L)).as(s"__ch_$c"))
     j.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map(c => struct(
         lit(c).as("col_name"), col("__n").as("n_common"),
         col(s"__ch_$c").as("n_changed"))): _*)).as("p"))
       .select(col("p.col_name"), col("p.n_common"), col("p.n_changed"),
-        halfUpDiv(col("p.n_changed") * 1000000L, col("p.n_common"))
+        when(col("p.n_common") > 0L,
+          halfUpDiv(col("p.n_changed") * 1000000L, col("p.n_common")))
           .as("changed_ppm"))
       .orderBy("col_name")
   }
@@ -836,18 +841,20 @@ object AuditOps {
        |  FROM documents d JOIN v2 v USING (doc_id)
        |), p AS (
        |  SELECT count(*) AS n_common,
-       |    CAST(sum(CASE WHEN l1 IS DISTINCT FROM l2 THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS ch_l,
-       |    CAST(sum(CASE WHEN c1 IS DISTINCT FROM c2 THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS ch_c,
-       |    CAST(sum(CASE WHEN s1 IS DISTINCT FROM s2 THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS ch_s,
-       |    CAST(sum(CASE WHEN t1 IS DISTINCT FROM t2 THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS ch_t
+       |    CAST(coalesce(sum(CASE WHEN l1 IS DISTINCT FROM l2
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS ch_l,
+       |    CAST(coalesce(sum(CASE WHEN c1 IS DISTINCT FROM c2
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS ch_c,
+       |    CAST(coalesce(sum(CASE WHEN s1 IS DISTINCT FROM s2
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS ch_s,
+       |    CAST(coalesce(sum(CASE WHEN t1 IS DISTINCT FROM t2
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS ch_t
        |  FROM j
        |)
        |SELECT col_name, n_common, n_changed,
-       |  ${halfUpDivSql("n_changed * 1000000", "n_common")} AS changed_ppm
+       |  CASE WHEN n_common > 0
+       |    THEN ${halfUpDivSql("n_changed * 1000000", "n_common")}
+       |  END AS changed_ppm
        |FROM (${arms.mkString(" UNION ALL ")})
        |ORDER BY col_name""".stripMargin
   }

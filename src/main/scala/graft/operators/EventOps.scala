@@ -1683,6 +1683,16 @@ object EventOps {
     val trans = cnt.join(broadcast(outTot), Seq("src")).persist()
     val types = outTot.select(col("src").as("event_type"))
     val nTypes = types.count()
+    if (nTypes == 0) {
+      // no same-user consecutive pair anywhere (empty or singleton-
+      // per-user input): the chain has no states; mirror the oracle's
+      // empty result instead of dividing by zero below
+      trans.unpersist()
+      return events.sparkSession.emptyDataFrame
+        .withColumn("event_type", lit("").cast("string"))
+        .withColumn("stat_ppb", lit(0L))
+        .limit(0)
+    }
     var v = types.withColumn("val", lit(1000000000L / nTypes))
     for (_ <- 1 to iters) {
       v = trans.join(broadcast(v.select(col("event_type").as("src"),

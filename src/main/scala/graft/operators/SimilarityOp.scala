@@ -1341,11 +1341,16 @@ object SimilarityOp {
                      centerIds: Seq[Long] = Seq(7L, 42L, 123L)): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val asg = cellAssign(embeddings, centerVecs(embeddings, centerIds))
-    // Every CONFIGURED cell gets a row (zero-count for a dead centroid
-    // — the exact pathology a balance audit must surface), and k is the
-    // configured cell count, not the non-empty count.
-    val cells = centerIds.sorted.toDF("cell")
+    val centers = centerVecs(embeddings, centerIds)
+    val asg = cellAssign(embeddings, centers)
+    // Every PRESENT centroid gets a row (zero-count for a dead cell —
+    // the exact pathology a balance audit must surface), and k is the
+    // present-centroid count. Derived from centers, not centerIds: a
+    // configured id absent from the corpus has no vector to assign
+    // anything to, and the oracle's cells CTE likewise only sees
+    // centroids found in embeddings — deriving from the config here
+    // would emit a phantom zero row the oracle cannot produce.
+    val cells = centers.map(_._1).sorted.toDF("cell")
     val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("nv"))
     val total = counts.agg(sum(col("nv")).as("nt"))
     cells.join(counts, Seq("cell"), "left")
@@ -1353,7 +1358,7 @@ object SimilarityOp {
       .crossJoin(broadcast(total))
       .select(col("cell"), col("n_vecs"),
         expr("n_vecs * 1000000L DIV nt").as("share_ppm"),
-        expr(s"n_vecs * ${centerIds.size}L * 10000L DIV nt")
+        expr(s"n_vecs * ${centers.size}L * 10000L DIV nt")
           .as("load_factor_1e4"))
       .orderBy("cell")
   }
@@ -1384,7 +1389,8 @@ object SimilarityOp {
        |)
        |SELECT cell, n_vecs,
        |  n_vecs * 1000000 // nt AS share_ppm,
-       |  n_vecs * ${centerIds.size} * 10000 // nt AS load_factor_1e4
+       |  n_vecs * (SELECT count(*) FROM c) * 10000 // nt
+       |    AS load_factor_1e4
        |FROM f, t ORDER BY cell""".stripMargin
 
   /** q92: [[ivfTopK]]'s 100 TB claim made real — the corpus is WRITTEN
@@ -2714,7 +2720,11 @@ object SimilarityOp {
       .withColumn("rk", rank().over(wr).cast("long"))
       .withColumn("n", count(lit(1)).over(wn))
       .select(col("vec_id"),
-        halfUpDiv((col("rk") - 1L) * 1000000L, col("n") - 1L).as("norm_ppm"))
+        // greatest(n-1, 1): a single-vector corpus (n = 1) would make
+        // the rank denominator 0 and fail the ANSI division; the clamp
+        // maps its one rank to 0 ppm, mirrored exactly by the oracle
+        halfUpDiv((col("rk") - 1L) * 1000000L,
+          greatest(col("n") - 1L, lit(1L))).as("norm_ppm"))
       .groupBy(col("vec_id"))
       .agg(ratio(sum(abs(col("norm_ppm") - 500000L)), count(lit(1)))
           .as("mean_dev_ppm"),
@@ -2736,7 +2746,8 @@ object SimilarityOp {
        |  FROM p
        |), s AS (
        |  SELECT vec_id,
-       |    ${halfUpDivSql("(rk - 1) * 1000000", "n - 1")} AS norm_ppm
+       |    ${halfUpDivSql("(rk - 1) * 1000000", "greatest(n - 1, 1)")}
+       |      AS norm_ppm
        |  FROM r
        |)
        |SELECT vec_id,

@@ -73,9 +73,13 @@ object TextOps {
     * curation pass reviews first.
     *
     * Scale shape: the per-doc signals are row-local; the three global
-    * rank windows are single-sort each (fine for an audit sample — on
-    * the full 100 TB corpus the ranks come from [[ScaleOps.sampledQuantiles]]
-    * binning, same downstream composite).
+    * rank windows are UNPARTITIONED (`Window.orderBy`) — each
+    * serializes the corpus through ONE task, which is the deliberate
+    * audit-sample constraint, not an oversight: this operator must
+    * only ever run on a bounded sample. On the full 100 TB corpus the
+    * ranks come from [[ScaleOps.sampledQuantiles]] binning (same
+    * downstream composite, no global sort); wiring that swap is the
+    * contract for any caller feeding an unbounded frame.
     */
   def qualityEnsemble(docs: DataFrame, k: Int = 20): DataFrame = {
     import graft.functions.DetAgg.ratio

@@ -132,4 +132,17 @@ class AuditSpec extends SparkSuite {
     assert(a.getLong(4) === 8000L)
     assert(a.getLong(5) === 10000L)
   }
+
+  test("columnDrift: snapshots with no shared doc_ids emit zero counts, " +
+       "null ratio — not a division failure") {
+    val v1 = Seq((1L, "en", "a")).toDF("doc_id", "lang", "text")
+    val v2 = Seq((2L, "en", "a")).toDF("doc_id", "lang", "text")
+    val out = AuditOps.columnDrift(v1, v2, Seq("lang", "text")).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_common") === 0L)
+      assert(r.getAs[Long]("n_changed") === 0L)
+      assert(r.isNullAt(r.fieldIndex("changed_ppm")))
+    }
+  }
 }

@@ -93,6 +93,21 @@ class DriftGoldenCorrSpec extends SparkSuite {
     assert(out === Map("a" -> 687500000L, "b" -> 312500000L))
   }
 
+  test("markovStationary: no same-user consecutive pairs returns an " +
+       "empty frame, not a division failure") {
+    import java.sql.Timestamp
+    import graft.operators.EventOps
+    // every user has exactly one event → lag() is NULL everywhere →
+    // the chain has no states (nTypes = 0)
+    val evs = Seq(
+      (1L, new Timestamp(1704067200000L), 1L, "a", 1.0, "{}"),
+      (2L, new Timestamp(1704067201000L), 2L, "b", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.markovStationary(evs)
+    assert(out.columns.toSeq === Seq("event_type", "stat_ppb"))
+    assert(out.count() === 0L)
+  }
+
   test("labelAnova: hand-computed F on separated 1-dim groups") {
     import graft.operators.SimilarityOp
     val emb = Seq(

@@ -210,7 +210,7 @@ class LinkNoveltyMmrSpec extends SparkSuite {
       Seq("rank", "vec_id", "rel_1e6", "score_1e7"))
   }
 
-  test("ivfCellBalance: a dead centroid still gets a zero-count row and k stays configured") {
+  test("ivfCellBalance: a dead centroid still gets a zero-count row and k counts present centroids") {
     // Center 9 at (100,100) attracts nothing: its row must exist with
     // share 0, and load factors must divide by k=3, not 2.
     val emb = Seq(
@@ -231,6 +231,22 @@ class LinkNoveltyMmrSpec extends SparkSuite {
     // 7 vecs: cell0 {0,2,4} load 3·3/7, cell1 {1,3,5} 9/7, cell9 {9} 3/7
     assert(out.toSeq === Seq((0L, 3L, 12857L), (1L, 3L, 12857L),
       (9L, 1L, 4285L)))
+  }
+
+  test("ivfCellBalance: a configured id ABSENT from the corpus emits no " +
+       "phantom row and k is the present-centroid count") {
+    // id 99 has no vector anywhere: it cannot attract assignments and
+    // the oracle's cells CTE cannot see it — the Spark side must agree
+    // (no zero row) and load factors must divide by k=2, not 3.
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.1f, 0.0f)), (3L, Seq(9.0f, 9.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOp.ivfCellBalance(emb,
+      centerIds = Seq(0L, 1L, 99L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // 4 vecs: cell0 {0,2} load 2·2/4 = 1.0, cell1 {1,3} 1.0; no 99 row
+    assert(out.toSeq === Seq((0L, 2L, 10000L), (1L, 2L, 10000L)))
   }
 
   test("bpeApplyStats: merges exhausting before k keep the last vocabulary") {

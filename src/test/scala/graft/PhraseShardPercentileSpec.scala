@@ -116,4 +116,16 @@ class PhraseShardPercentileSpec extends SparkSuite {
     assert(out(2L) === ((250000.0, 0L, 500000L)))
     assert(out(3L) === ((500000.0, 1000000L, 1000000L)))
   }
+
+  test("quantileNormAudit: a single-vector corpus normalizes to 0 ppm " +
+       "instead of dividing by n-1 = 0") {
+    val emb = Seq((1L, Array(1.0f, 5.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOp.quantileNormAudit(emb).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // n = 1: every rank is 1, the clamped denominator maps it to 0 ppm
+    assert((r.getDouble(1), r.getLong(2), r.getLong(3)) ===
+      ((500000.0, 0L, 0L)))
+  }
 }
