@@ -774,7 +774,8 @@ object SparkEntry {
     // "Customers also bought": per-part top-3 co-purchase partners by
     // repeat weight — the item-item CF serving table.
     "q145_copurchase_recs" -> ((s, d) =>
-      GraphOps.copurchaseRecs(Tables.lineitem(s, d))),
+      GraphOps.copurchaseRecs(GraphOps.weightedEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", inputTag = Some(d)))),
 
     // Hour-of-day x day-of-week seasonality matrix from pure integer
     // epoch arithmetic (no calendar functions).
@@ -944,7 +945,9 @@ object SparkEntry {
     // Association rules with support/confidence/lift in exact ppm —
     // the metric layer q145's raw repeat weights leave implicit.
     "q178_assoc_rules" -> ((s, d) =>
-      GraphOps.associationRules(Tables.lineitem(s, d))),
+      GraphOps.associationRules(Tables.lineitem(s, d),
+        GraphOps.weightedEdgesTable(Tables.lineitem(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
 
     // Time-decayed popularity via exact integer half-life shifts,
     // anchored at the data's max date (never wall-clock).
@@ -979,7 +982,9 @@ object SparkEntry {
     // Modularity of the brand partition over the co-purchase graph —
     // exact-integer community quality, per-brand contributions in ppm.
     "q185_brand_modularity" -> ((s, d) =>
-      GraphOps.brandModularity(Tables.lineitem(s, d), Tables.part(s, d))),
+      GraphOps.brandModularity(GraphOps.copurchaseEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", Some(d)),
+        Tables.part(s, d))),
 
     // Byte-value histogram per media kind — the corrupt-payload audit,
     // computed in the batched decode loop, independently re-derived by

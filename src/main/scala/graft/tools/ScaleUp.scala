@@ -1,0 +1,90 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: build an N×-scaled rehearsal dir from an sf dir, for
+  * empirically validating the dedup/ANN tier's documented scale shapes
+  * (the "would this hold at 10×?" question, measured instead of
+  * argued). Not part of the driver contract.
+  *
+  * Construction — the point is that the WORKLOAD scales linearly, not
+  * just the row count:
+  *   - `documents`: N copies; copy i > 0 suffixes every token with
+  *     `_i`, so each copy is a DISJOINT corpus (no cross-copy shingle
+  *     collisions) with internal near-dup structure identical to the
+  *     original. True pair/candidate counts therefore grow exactly
+  *     ×N — the honest construction for checking near-linear
+  *     candidate-generation cost. (Naive replication with distinct ids
+  *     but identical text would grow pairs ×N², by construction, and
+  *     prove nothing about the operators.)
+  *   - `embeddings`: N copies; copy i circularly shifts the dimension
+  *     order by i. The synthetic dims are identically distributed, so
+  *     the marginal distribution is preserved while cross-copy cosine
+  *     behaves like an independent pair — cells/buckets grow ×N in
+  *     population, not in near-duplicate pathology.
+  *   - every other table: symlinked from the source dir unchanged.
+  *
+  * Usage: ScaleUp <srcSfDir> <outDir> [factor=10]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val n = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val idStride = 1000000L
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val copies = spark.range(0, n).select(col("id").as("copy"))
+    val scaledDocs = docs.crossJoin(copies)
+      .select(
+        (col("doc_id") + col("copy") * idStride).as("doc_id"),
+        when(col("copy") === 0L, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("_"), col("copy"))), " "))
+          .as("text"),
+        col("lang"), col("source"), col("copy"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("copy")
+    scaledDocs.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = 64
+    val scaledEmb = emb.crossJoin(copies)
+      .select(
+        (col("vec_id") + col("copy") * idStride).as("vec_id"),
+        when(col("copy") === 0L, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), (col("copy") % dim + 1).cast("int"),
+              lit(dim)),
+            slice(col("embedding"), lit(1),
+              (col("copy") % dim).cast("int"))))
+          .as("embedding"),
+        col("label"))
+    scaledEmb.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events")) {
+      val link = Paths.get(s"$out/$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(s"$src/$t.parquet"))
+    }
+    println(s"[scaleup] wrote $out at factor $n: " +
+      s"docs=${spark.read.parquet(s"$out/documents.parquet").count()}, " +
+      s"emb=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+    spark.stop()
+  }
+}
