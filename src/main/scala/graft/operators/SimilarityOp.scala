@@ -1591,6 +1591,12 @@ object SimilarityOp {
   def annRecallSweep(embeddings: DataFrame, qmod: Int = 29, k: Int = 10,
                      centerIds: Seq[Long] = Seq(7L, 42L, 123L),
                      nSub: Int = 8): DataFrame = {
+    // Scan-sharing A/B'd a THIRD time (round 9, RunOne x4 steady):
+    // persisting the shared qframe+exact ground truth measured 5.8 s vs
+    // 5.6 s recomputed — the 9 arms' redundant subtrees overlap across
+    // cores while a persist serializes materialization and breaks
+    // codegen fusion. Recompute stays the shipped shape (same verdict
+    // as the round-7 sims-sharing and round-8 shared-frame trials).
     val qframe = queryFrame(embeddings, qmod)
     val exact = exactTopKMulti(embeddings, qmod, k)
     val centers = centerVecs(embeddings, centerIds)
