@@ -1238,6 +1238,19 @@ object SparkEntry {
     // Dedup ROI: per-source bytes reclaimed by exact dedup, exact ppm.
     "q233_dedup_savings" -> ((s, d) =>
       DedupOp.dedupSavings(Tables.documents(s, d))),
+
+    // Cross-modality alignment: per-source embedding coverage over the
+    // shared doc_id/vec_id id space — the audit that catches a partial
+    // embedding job before the ANN tier silently under-retrieves.
+    "q234_embedding_coverage" -> ((s, d) =>
+      AuditOps.embeddingCoverage(Tables.documents(s, d),
+        Tables.embeddings(s, d))),
+
+    // Re-sharding stability: fraction of keys that move when k -> k+1
+    // shards, modulo vs rendezvous placement — the consistent-hashing
+    // rebalance argument measured exactly on this corpus.
+    "q235_reshard_stability" -> ((s, d) =>
+      AuditOps.reshardStability(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1912,5 +1925,7 @@ object SparkEntry {
     "q231_markov_stationary" -> EventOps.markovStationaryOracle(),
     "q232_label_anova" -> SimilarityOp.labelAnovaOracle(),
     "q233_dedup_savings" -> DedupOp.dedupSavingsOracle,
+    "q234_embedding_coverage" -> AuditOps.embeddingCoverageOracle,
+    "q235_reshard_stability" -> AuditOps.reshardStabilityOracle(),
   )
 }

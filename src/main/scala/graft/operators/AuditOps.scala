@@ -858,4 +858,141 @@ object AuditOps {
        |FROM (${arms.mkString(" UNION ALL ")})
        |ORDER BY col_name""".stripMargin
   }
+
+  /** q234: cross-modality coverage — per source, how many documents
+    * have an embedding row (shared id space: `vec_id` keys the vector
+    * for `doc_id`). The alignment audit a multimodal corpus runs
+    * before any text↔vector join: a source whose coverage quietly
+    * drops is an upstream embedding-job failure, caught here before
+    * the ANN tier silently under-retrieves it.
+    *
+    * Scale shape: the embedding side projects to its DISTINCT id
+    * column only (nothing vector-shaped rides the join), one id-keyed
+    * equi-join against documents, one per-source map-side-combined
+    * rollup. At 100 TB both sides shuffle-partition on the shared id —
+    * the same co-partitioning every enrichment join here uses.
+    */
+  def embeddingCoverage(documents: DataFrame,
+                        embeddings: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val vecIds = embeddings.select(col("vec_id").as("doc_id")).distinct()
+      .withColumn("__hasv", lit(1L))
+    documents.select(col("doc_id"), col("source"))
+      .join(vecIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__hasv")), lit(0L)).as("n_with_vec"))
+      .select(col("source"), col("n_docs"), col("n_with_vec"),
+        halfUpDiv(col("n_with_vec") * 1000000L, col("n_docs"))
+          .as("coverage_ppm"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[embeddingCoverage]]. */
+  def embeddingCoverageOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH v AS (SELECT DISTINCT vec_id FROM embeddings)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(coalesce(sum(CASE WHEN v.vec_id IS NOT NULL
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_vec,
+       |  ${halfUpDivSql(
+            "coalesce(sum(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1000000",
+            "count(*)")} AS coverage_ppm
+       |FROM documents d LEFT JOIN v ON v.vec_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q235: re-sharding stability — when a corpus layout grows from `k`
+    * to `k+1` shards, what fraction of keys MOVE? Modulo placement
+    * (`id % k`) moves ~k/(k+1) of the corpus — a full rewrite;
+    * rendezvous (highest-random-weight) hashing moves only the ~1/(k+1)
+    * that the NEW shard wins, the minimal possible. Both schemes are
+    * measured on the same keys and published side by side — the
+    * integer-exact version of the consistent-hashing argument, measured
+    * on this corpus instead of assumed. At 100 TB this is the
+    * difference between a full-corpus rewrite and an incremental
+    * rebalance on every capacity change.
+    *
+    * Per (key, shard) weight = the portable string hash of
+    * `"s#" + reverse(id)` — the reversed id puts the high-entropy low
+    * digits inside the hash's 8-char fold (exact for ids < 10⁷; wider
+    * ids would need a wider fold, loudly visible here as weight
+    * collisions). One generate of k+1 weight rows per key, one
+    * groupBy: both placements fall out of the same pass — the k-shard
+    * argmax simply ignores the candidate row of the new shard. Ties
+    * (never observed; the rule is still total) break to the smaller
+    * shard id on BOTH engines.
+    */
+  def reshardStability(documents: DataFrame, k: Int = 8): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    import graft.functions.TextFunctions.portableHash
+    require(k >= 1, "reshardStability: k must be positive")
+    val keys = documents.select(col("doc_id"))
+    val cands = keys.select(col("doc_id"),
+        explode(sequence(lit(0), lit(k))).as("s"))
+      .select(col("doc_id"), col("s"),
+        portableHash(concat(col("s").cast("string"), lit("#"),
+          reverse(col("doc_id").cast("string")))).as("h"))
+    // argmax weight, ties to the smaller shard id == min over
+    // (-h, s) struct ordering; the k-shard placement ignores s = k
+    val placed = cands.groupBy(col("doc_id"))
+      .agg(
+        min(struct((lit(0L) - col("h")).as("nh"), col("s").as("s")))
+          .getField("s").as("shard_new"),
+        min(when(col("s") < k,
+          struct((lit(0L) - col("h")).as("nh"), col("s").as("s"))))
+          .getField("s").as("shard_old"))
+    val rendezvous = placed.agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(when(col("shard_new") =!= col("shard_old"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_moved"))
+      .select(lit("rendezvous").as("scheme"), col("n_keys"), col("n_moved"))
+    val modulo = keys.agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(when(pmod(col("doc_id"), lit(k.toLong)) =!=
+          pmod(col("doc_id"), lit(k.toLong + 1L)), 1L).otherwise(0L)),
+          lit(0L)).as("n_moved"))
+      .select(lit("mod").as("scheme"), col("n_keys"), col("n_moved"))
+    modulo.unionByName(rendezvous)
+      .select(col("scheme"), col("n_keys"), col("n_moved"),
+        halfUpDiv(col("n_moved") * 1000000L, col("n_keys"))
+          .as("moved_ppm"))
+      .orderBy("scheme")
+  }
+
+  /** Oracle SQL twin of [[reshardStability]]. */
+  def reshardStabilityOracle(k: Int = 8): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    import graft.functions.TextFunctions.portableHashSql
+    val h = portableHashSql(
+      "CAST(s AS VARCHAR) || '#' || reverse(CAST(doc_id AS VARCHAR))")
+    s"""WITH cands AS (
+       |  SELECT doc_id, s, $h AS h
+       |  FROM documents, range(${k + 1}) r(s)
+       |), placed AS (
+       |  SELECT doc_id,
+       |    min(CASE WHEN rn = 1 THEN s END) AS shard_new,
+       |    min(CASE WHEN rno = 1 THEN s END) AS shard_old
+       |  FROM (
+       |    SELECT doc_id, s,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY h DESC, s) AS rn,
+       |      CASE WHEN s < $k THEN row_number() OVER (
+       |        PARTITION BY doc_id, (s < $k)
+       |        ORDER BY h DESC, s) END AS rno
+       |    FROM cands) t
+       |  GROUP BY 1
+       |), arms AS (
+       |  SELECT 'mod' AS scheme, count(*) AS n_keys,
+       |    CAST(coalesce(sum(CASE WHEN doc_id % $k <> doc_id % ${k + 1}
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_moved
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'rendezvous', count(*),
+       |    CAST(coalesce(sum(CASE WHEN shard_new <> shard_old
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |  FROM placed
+       |)
+       |SELECT scheme, n_keys, n_moved,
+       |  ${halfUpDivSql("n_moved * 1000000", "n_keys")} AS moved_ppm
+       |FROM arms ORDER BY scheme""".stripMargin
+  }
 }

@@ -145,4 +145,47 @@ class AuditSpec extends SparkSuite {
       assert(r.isNullAt(r.fieldIndex("changed_ppm")))
     }
   }
+
+  test("embeddingCoverage counts per-source vector coverage, absent and duplicate vec rows handled") {
+    val docs = Seq(
+      (0L, "a"), (1L, "a"), (2L, "a"),
+      (3L, "b"), (4L, "b")
+    ).toDF("doc_id", "source")
+    // vec 1 duplicated (must not double-count doc 1); vec 99 orphan
+    // (no doc row — must not appear anywhere)
+    val vecs = Seq(0L, 1L, 1L, 3L, 99L).toDF("vec_id")
+    val out = AuditOps.embeddingCoverage(docs, vecs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") === ((3L, 2L, 666667L)))
+    assert(out("b") === ((2L, 1L, 500000L)))
+  }
+
+  test("reshardStability: rendezvous movement is exactly the keys won by the NEW shard (minimal disruption)") {
+    import org.apache.spark.sql.functions._
+    val k = 8
+    val docs = spark.range(0, 300).select(col("id").as("doc_id"))
+    val out = AuditOps.reshardStability(docs.toDF(), k).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent derivation of the rendezvous winners with the same
+    // hash: a key moves iff candidate k outweighs every 0..k-1 weight —
+    // the defining minimal-disruption property of HRW placement
+    val moved = docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(k))).as("s"))
+      .select(col("doc_id"), col("s"),
+        graft.functions.TextFunctions.portableHash(
+          concat(col("s").cast("string"), lit("#"),
+            reverse(col("doc_id").cast("string")))).as("h"))
+      .groupBy("doc_id")
+      .agg(min(struct((lit(0L) - col("h")).as("nh"), col("s").as("s")))
+        .getField("s").as("win"))
+      .where(col("win") === k).count()
+    assert(out("rendezvous")._1 === 300L)
+    assert(out("rendezvous")._2 === moved)
+    // modulo: derived directly from the residues
+    val modMoved = (0L until 300L).count(i => i % k != i % (k + 1)).toLong
+    assert(out("mod") === ((300L, modMoved,
+      Math.floorDiv(modMoved * 2000000L + 300L, 600L))))
+  }
 }
