@@ -1251,6 +1251,18 @@ object SparkEntry {
     // rebalance argument measured exactly on this corpus.
     "q235_reshard_stability" -> ((s, d) =>
       AuditOps.reshardStability(Tables.documents(s, d))),
+
+    // Exact two-sample KS distance per language vs the rest of the
+    // corpus — the distribution-free length-drift test, computed at
+    // the distinct-value level.
+    "q236_ks_by_lang" -> ((s, d) =>
+      AuditOps.ksByLang(Tables.documents(s, d))),
+
+    // Kendall τ-b on a deterministic bottom-k-by-hash sample — the
+    // concordance member of the correlation family, exact on the
+    // hash-derived sample so the statistic fully hash-gates.
+    "q237_kendall_tau" -> ((s, d) =>
+      AuditOps.kendallTau(Tables.lineitem(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1927,5 +1939,7 @@ object SparkEntry {
     "q233_dedup_savings" -> DedupOp.dedupSavingsOracle,
     "q234_embedding_coverage" -> AuditOps.embeddingCoverageOracle,
     "q235_reshard_stability" -> AuditOps.reshardStabilityOracle(),
+    "q236_ks_by_lang" -> AuditOps.ksByLangOracle,
+    "q237_kendall_tau" -> AuditOps.kendallTauOracle(),
   )
 }

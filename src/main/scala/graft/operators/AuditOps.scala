@@ -995,4 +995,197 @@ object AuditOps {
        |  ${halfUpDivSql("n_moved * 1000000", "n_keys")} AS moved_ppm
        |FROM arms ORDER BY scheme""".stripMargin
   }
+
+  /** q237: Kendall τ-b (quantity vs price cents per return flag) on a
+    * DETERMINISTIC bottom-k-by-hash sample — the concordance-based
+    * third member of the correlation family (Pearson q130 / Spearman
+    * q164 / Kendall here): τ counts pairwise order agreements, so it
+    * reads association strength directly as a probability and is the
+    * standard agreement statistic for comparing rankers. Exact τ is
+    * inherently O(n²)-pair (or a merge-sort inversion count that
+    * serializes each group), so the operator computes τ EXACTLY ON A
+    * SAMPLE whose membership is a pure function of the portable hash —
+    * the q158 sampling stance: the hash is the PRNG, both engines
+    * re-derive the identical k rows per group, and the whole statistic
+    * hash-gates with no error bound.
+    *
+    * Scale shape: the rank window sorts narrow (grp, hx, id) rows once
+    * (the Spearman exchange); the pair expansion runs on k·|groups|
+    * rows — bounded at k=128 to 8 128 pairs per group regardless of
+    * corpus size. Category counts are exact integers; τ-b's
+    * tie-corrected denominator √((nc+nd+t_y)(nc+nd+t_x)) is one scalar
+    * IEEE expression on exact integers, embedded textually identically
+    * in both engines (mult/div/sqrt/floor are correctly rounded — the
+    * q130 rule). A group that is all-ties on either variable has no
+    * defined τ and yields NULL on both engines.
+    */
+  def kendallTau(lineitem: DataFrame, k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.portableHash
+    val id = (col("l_orderkey").cast("long") * 16L +
+      col("l_linenumber").cast("long"))
+    val base = lineitem.select(col("l_returnflag").as("grp"),
+      id.as("id"),
+      col("l_quantity").cast("long").as("x"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"),
+      portableHash(reverse(id.cast("string"))).as("hx"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("hx"), col("id"))
+    val samp = base.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("grp"), col("id"), col("x"), col("y"))
+    val a = samp.select(col("grp"), col("id").as("id1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val b = samp.select(col("grp"), col("id").as("id2"),
+      col("x").as("x2"), col("y").as("y2"))
+    val cats = a.join(b, Seq("grp"))
+      .filter(col("id1") < col("id2"))
+      .select(col("grp"),
+        ((col("x2") - col("x1")) * (col("y2") - col("y1"))).as("p"),
+        (col("x1") === col("x2")).as("tx"),
+        (col("y1") === col("y2")).as("ty"))
+    cats.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("p") > 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("p") < 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("tx") && !col("ty"), 1L).otherwise(0L)).as("tox"),
+        sum(when(col("ty") && !col("tx"), 1L).otherwise(0L)).as("toy"))
+      .select(col("grp").as("l_returnflag"), col("n_pairs"),
+        col("nc"), col("nd"),
+        expr(kendallTauPpmSql("nc", "nd", "tox", "toy")).as("tau_ppm"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The shared τ-b scalar kernel — ONE expression string embedded in
+    * both engines so the IEEE arithmetic is textually identical. */
+  private def kendallTauPpmSql(nc: String, nd: String,
+                               tox: String, toy: String): String =
+    s"CASE WHEN ($nc + $nd + $toy) > 0 AND ($nc + $nd + $tox) > 0 THEN " +
+      s"CAST(floor(($nc - $nd) * 1000000.0 / " +
+      s"sqrt(CAST(($nc + $nd + $toy) AS DOUBLE) * ($nc + $nd + $tox)) " +
+      s"+ 0.5) AS BIGINT) END"
+
+  /** Oracle SQL twin of [[kendallTau]] — identical hash-derived
+    * sample, identical category counts, identical scalar kernel. */
+  def kendallTauOracle(k: Int = 128): String = {
+    import graft.functions.TextFunctions.portableHashSql
+    val idE = "(CAST(l_orderkey AS BIGINT) * 16 + l_linenumber)"
+    val h = portableHashSql(s"reverse(CAST($idE AS VARCHAR))")
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS grp, $idE AS id,
+       |    CAST(l_quantity AS BIGINT) AS x,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+       |    $h AS hx
+       |  FROM lineitem
+       |), samp AS (
+       |  SELECT grp, id, x, y FROM (
+       |    SELECT grp, id, x, y,
+       |      row_number() OVER (PARTITION BY grp ORDER BY hx, id) AS rk
+       |    FROM base) t
+       |  WHERE rk <= $k
+       |), cats AS (
+       |  SELECT a.grp,
+       |    (b.x - a.x) * (b.y - a.y) AS p,
+       |    (a.x = b.x) AS tx, (a.y = b.y) AS ty
+       |  FROM samp a JOIN samp b ON a.grp = b.grp AND a.id < b.id
+       |), m AS (
+       |  SELECT grp, count(*) AS n_pairs,
+       |    CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |    CAST(sum(CASE WHEN p < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+       |    CAST(sum(CASE WHEN tx AND NOT ty THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tox,
+       |    CAST(sum(CASE WHEN ty AND NOT tx THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS toy
+       |  FROM cats GROUP BY 1
+       |)
+       |SELECT grp AS l_returnflag, n_pairs, nc, nd,
+       |  ${kendallTauPpmSql("nc", "nd", "tox", "toy")} AS tau_ppm
+       |FROM m ORDER BY grp""".stripMargin
+  }
+
+  /** q236: exact two-sample Kolmogorov–Smirnov distance per language —
+    * each language's doc-length distribution against the rest of the
+    * corpus, the distribution-free drift test that catches a shifted
+    * length profile χ² binning smooths over (one stratum of a corpus
+    * suddenly shipping truncated or concatenated docs moves its whole
+    * CDF, not any single bin). D = sup|F₁−F₂| is computed EXACTLY:
+    * the sup is attained at an observed value, so
+    * D·n₁·n₂ = max over distinct v of |cum₁(v)·n₂ − cum₂(v)·n₁| in
+    * pure integers, published as ks_ppm = ⌊10⁶·D⌉.
+    *
+    * Scale shape: ONE groupBy collapses the corpus to the distinct
+    * (lang, value) level; everything after — the lang×value grid, the
+    * per-lang cumulative windows, the max — runs on that value-level
+    * frame (the q169 stance: windows over distinct values, never over
+    * rows). The |langs|-sized dimension broadcasts; cross-multiplied
+    * CDF terms promote to DECIMAL(38,0)/HUGEINT, so the binding bound
+    * is cum·n ≈ 10³⁸, far past any corpus. A lang that IS the whole
+    * corpus has no complement; its ks_ppm is NULL on both engines.
+    */
+  def ksByLang(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetAgg.halfUpDiv
+    val counts = documents.groupBy(col("lang"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("v")).agg(sum(col("c")).as("tv"))
+    val langs = counts.select(col("lang")).distinct()
+    val perLang = counts.groupBy(col("lang")).agg(sum(col("c")).as("n1"))
+    val nAll = tot.agg(sum(col("tv")).as("nn"))
+    val grid = tot.crossJoin(broadcast(langs))
+      .join(counts, Seq("lang", "v"), "left")
+      .select(col("lang"), col("v"), col("tv"),
+        coalesce(col("c"), lit(0L)).as("c1"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("v"))
+    val cum = grid.select(col("lang"), col("v"),
+      sum(col("c1")).over(w).as("f1"),
+      sum(col("tv") - col("c1")).over(w).as("f2"))
+    cum.join(broadcast(perLang), Seq("lang"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("n2", col("nn") - col("n1"))
+      .groupBy(col("lang"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("f1").cast("decimal(38,0)") * col("n2")
+          - col("f2").cast("decimal(38,0)") * col("n1"))).as("dmax"))
+      .select(col("lang"), col("n1"), col("n2"),
+        when(col("n2") > 0,
+          halfUpDiv(col("dmax") * lit(1000000L),
+            col("n1").cast("decimal(38,0)") * col("n2")).cast("long"))
+          .as("ks_ppm"))
+      .orderBy("lang")
+  }
+
+  /** Oracle SQL twin of [[ksByLang]] — same distinct-value CDF grid,
+    * HUGEINT cross-multiplication. */
+  def ksByLangOracle: String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    s"""WITH c AS (
+       |  SELECT lang, n_chars AS v, count(*) AS c
+       |  FROM documents GROUP BY 1, 2
+       |), t AS (SELECT v, CAST(sum(c) AS BIGINT) AS tv FROM c GROUP BY 1),
+       |l AS (SELECT DISTINCT lang FROM c),
+       |n1s AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n1 FROM c GROUP BY 1),
+       |nn AS (SELECT CAST(sum(tv) AS BIGINT) AS nn FROM t),
+       |g AS (
+       |  SELECT l.lang, t.v, t.tv, coalesce(c.c, 0) AS c1
+       |  FROM l CROSS JOIN t
+       |  LEFT JOIN c ON c.lang = l.lang AND c.v = t.v
+       |), cum AS (
+       |  SELECT lang, v,
+       |    CAST(sum(c1) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS f1,
+       |    CAST(sum(tv - c1) OVER (PARTITION BY lang ORDER BY v) AS BIGINT)
+       |      AS f2
+       |  FROM g
+       |), d AS (
+       |  SELECT cum.lang, n1s.n1, nn.nn - n1s.n1 AS n2,
+       |    max(abs(CAST(f1 AS HUGEINT) * (nn.nn - n1s.n1)
+       |      - CAST(f2 AS HUGEINT) * n1s.n1)) AS dmax
+       |  FROM cum
+       |  JOIN n1s ON n1s.lang = cum.lang
+       |  CROSS JOIN nn
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT lang, n1, n2,
+       |  CASE WHEN n2 > 0 THEN ${halfUpDivHugeSql("dmax * 1000000",
+            "CAST(n1 AS HUGEINT) * n2")} END AS ks_ppm
+       |FROM d ORDER BY lang""".stripMargin
+  }
 }
