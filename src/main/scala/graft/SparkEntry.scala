@@ -1263,6 +1263,17 @@ object SparkEntry {
     // hash-derived sample so the statistic fully hash-gates.
     "q237_kendall_tau" -> ((s, d) =>
       AuditOps.kendallTau(Tables.lineitem(s, d))),
+
+    // Top principal component by 8 integer power-method supersteps on
+    // the exact scatter matrix — the hash-gating eigensolver.
+    "q238_principal_component" -> ((s, d) =>
+      SimilarityOp.principalComponent(Tables.embeddings(s, d))),
+
+    // Silence-segment detection over the window-energy framing —
+    // gaps-and-islands on silent windows, the audio trimming audit.
+    "q239_silence_segments" -> ((s, d) =>
+      MultimodalOp.silenceSegments(
+        MultimodalOp.asMedia(Tables.documents(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1941,5 +1952,7 @@ object SparkEntry {
     "q235_reshard_stability" -> AuditOps.reshardStabilityOracle(),
     "q236_ks_by_lang" -> AuditOps.ksByLangOracle,
     "q237_kendall_tau" -> AuditOps.kendallTauOracle(),
+    "q238_principal_component" -> SimilarityOp.principalComponentOracle(),
+    "q239_silence_segments" -> MultimodalOp.silenceSegmentsOracle(),
   )
 }

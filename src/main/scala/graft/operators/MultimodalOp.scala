@@ -389,6 +389,99 @@ object MultimodalOp {
        |FROM d WHERE diff IS NOT NULL
        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  /** q239: silence-segment detection — the audio-preprocessing
+    * primitive that trims dead air before a corpus is packed: windows
+    * whose energy falls below `silMax` are "silent", and CONSECUTIVE
+    * silent windows coalesce into segments via gaps-and-islands on the
+    * window index (the q207 streaks kernel applied to the
+    * [[windowEnergyRows]] framing). Per payload: window/silence
+    * counts, the segment count, the longest segment, and the silent
+    * fraction in ppm — the numbers a trimming pass needs to decide
+    * what to cut and whether a source is mostly dead air. `silMax`
+    * defaults to ≈ p15 of the corpus energy distribution (measured, so
+    * the branch is non-degenerate at every sf — the q227 rule).
+    *
+    * Scale shape: the decode loop emits (doc, widx, energy) rows once;
+    * the lag/row_number windows partition BY PAYLOAD (windows per doc
+    * are payload-length-bounded, never corpus-sized); the island
+    * rollup is two map-side-combined groupBys. Payloads shorter than
+    * one window drop out (the q187 contract).
+    */
+  def silenceSegments(media: DataFrame, win: Int = 64, hop: Int = 32,
+                      silMax: Long = 5940L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetAgg.halfUpDiv
+    val e = windowEnergyRows(media, win, hop).toDF()
+      .withColumn("silent", col("energy") < silMax)
+    val totals = e.groupBy(col("doc_id"), col("kind"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"))
+    val sil = e.filter(col("silent"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("widx"))))
+      .groupBy(col("doc_id"), col("kind"), (col("widx") - col("rn")).as("g"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"), col("kind"))
+      .agg(count(lit(1)).as("n_segments"), max(col("run_len")).as("max_run"))
+    totals.join(sil, Seq("doc_id", "kind"), "left")
+      .select(col("doc_id"), col("kind"), col("n_windows"), col("n_silent"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        halfUpDiv(col("n_silent") * 1000000L, col("n_windows"))
+          .as("silent_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[silenceSegments]] — energies re-derived from
+    * character codes (the [[windowEnergiesOracle]] derivation), islands
+    * via row_number difference.
+    */
+  def silenceSegmentsOracle(win: Int = 64, hop: Int = 32,
+                            silMax: Long = 5940L): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS kind,
+       |    text, len(text) AS n
+       |  FROM documents WHERE len(text) >= $win
+       |), w AS (
+       |  SELECT doc_id, kind, text,
+       |    unnest(generate_series(0, CAST((n - $win) // $hop AS BIGINT)))
+       |      AS wx
+       |  FROM m
+       |), e AS (
+       |  SELECT doc_id, kind, wx,
+       |    (SELECT sum(ascii(substr(w.text,
+       |        CAST(w.wx * $hop + j.j AS INTEGER), 1)))
+       |     FROM range(1, ${win + 1}) j(j)) < $silMax AS silent
+       |  FROM w
+       |), tot AS (
+       |  SELECT doc_id, kind, count(*) AS n_windows,
+       |    CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_silent
+       |  FROM e GROUP BY 1, 2
+       |), runs AS (
+       |  SELECT doc_id, kind, g, count(*) AS run_len FROM (
+       |    SELECT doc_id, kind, wx,
+       |      wx - row_number() OVER (PARTITION BY doc_id ORDER BY wx) AS g
+       |    FROM e WHERE silent) t
+       |  GROUP BY 1, 2, 3
+       |), segs AS (
+       |  SELECT doc_id, kind, count(*) AS n_segments,
+       |    CAST(max(run_len) AS BIGINT) AS max_run
+       |  FROM runs GROUP BY 1, 2
+       |)
+       |SELECT t.doc_id, t.kind, t.n_windows, t.n_silent,
+       |  CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
+       |  coalesce(s.max_run, 0) AS max_run,
+       |  ${halfUpDivSql("t.n_silent * 1000000", "t.n_windows")}
+       |    AS silent_ppm
+       |FROM tot t
+       |LEFT JOIN segs s ON s.doc_id = t.doc_id AND s.kind = t.kind
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** Batched partition-local "resize": keeps every `factor`-th byte —
     * the stub stand-in for a codec's resample, with the real plumbing
     * (typed Dataset, one batch context per partition, binary-in/

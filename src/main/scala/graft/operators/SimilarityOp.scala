@@ -3089,4 +3089,151 @@ object SimilarityOp {
        |LEFT JOIN ni ON ni.qid = q.qid
        |ORDER BY q.qid""".stripMargin
   }
+
+  /** q238: top principal component of the embedding cloud by a FIXED
+    * number of integer power-method supersteps — the PCA direction an
+    * embedding pipeline reads before choosing truncation (q139),
+    * whitening, or a low-rank index: a corpus whose leading component
+    * eats most of the variance (`ev_share_ppm` high) truncates well
+    * and clusters badly, and a drifting component between snapshots is
+    * an upstream encoder change. Everything is exact integer
+    * arithmetic end-to-end: components quantize to 1e-4 units (the
+    * q201 precedent), the d×d scatter matrix is exact BIGINT moments
+    * (C = n·Σxxᵀ − (Σx)(Σx)ᵀ — covariance scaled by n², which leaves
+    * the DIRECTION unchanged), and each superstep renormalizes by the
+    * max-|component| in ppm via the shared half-up floor-division
+    * identity — so the whole eigenvector hash-gates, which a float
+    * eigensolver never could. Fixed iteration count (not a convergence
+    * test) IS the operator's definition; the scatter matrix is PSD, so
+    * iterates can't oscillate in sign.
+    *
+    * Scale shape: one posexplode scan → the i ≤ j triangle self-join
+    * keyed by vec_id, partial-aggregated to d(d+1)/2 moment rows (the
+    * q212 pair plan). The iteration runs DRIVER-SIDE on the collected
+    * d²-sized matrix — model-sized state, the [[graft.streaming
+    * .IncrementalKMeans]] rule: d² integers, corpus-size-independent.
+    * The oracle unrolls the identical supersteps as chained
+    * MATERIALIZED CTEs in HUGEINT (the q193 rule).
+    */
+  def principalComponent(embeddings: DataFrame, iters: Int = 8,
+                         dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("vf").cast("double") * 10000.0 + 0.5).cast("long").as("q"))
+    val tri = base.as("x").join(base.as("y"),
+        col("x.vec_id") === col("y.vec_id") && col("x.dim") <= col("y.dim"))
+      .groupBy(col("x.dim").as("i"), col("y.dim").as("j"))
+      .agg(sum(col("x.q") * col("y.q")).as("s"))
+    val sums = base.groupBy(col("dim"))
+      .agg(sum(col("q")).as("s1"), count(lit(1)).as("cnt"))
+    // Bounded collects: d(d+1)/2 moment rows + d sum rows — the
+    // documented model-sized-collect rule.
+    val triRows = tri.collect()
+    val sumRows = sums.collect()
+    if (sumRows.isEmpty)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("dim", "v_ppm", "ev_share_ppm")
+    val n = BigInt(sumRows.map(_.getLong(2)).max)
+    val s1 = Array.fill(dims)(BigInt(0))
+    sumRows.foreach(r => s1(r.getInt(0)) = BigInt(r.getLong(1)))
+    val c = Array.fill(dims, dims)(BigInt(0))
+    triRows.foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(2)))
+      val cij = n * s - s1(i) * s1(j)
+      c(i)(j) = cij
+      c(j)(i) = cij
+    }
+    // The same half-up floor-division identity as DetAgg.halfUpDiv /
+    // halfUpDivHugeSql (BigInt `/` truncates toward zero; `mod` is the
+    // non-negative remainder, which makes this floor division).
+    def halfUp(num: BigInt, den: BigInt): BigInt = {
+      val x = num * 2 + den
+      val d = den * 2
+      (x - x.mod(d)) / d
+    }
+    def matVec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dims)(i =>
+        (0 until dims).foldLeft(BigInt(0))((a, j) => a + c(i)(j) * v(j)))
+    var v = Array.fill(dims)(BigInt(1000000))
+    for (_ <- 0 until iters) {
+      val w = matVec(v)
+      val m = w.map(_.abs).max
+      v = if (m == 0) Array.fill(dims)(BigInt(0))
+          else w.map(x => halfUp(x * 1000000, m))
+    }
+    val wf = matVec(v)
+    val num = (0 until dims).foldLeft(BigInt(0))((a, i) => a + v(i) * wf(i))
+    val den = (0 until dims).foldLeft(BigInt(0))((a, i) => a + v(i) * v(i))
+    val trace = (0 until dims).foldLeft(BigInt(0))((a, i) => a + c(i)(i))
+    val share =
+      if (den > 0 && trace > 0) halfUp((num / den) * 1000000, trace)
+      else BigInt(0)
+    (0 until dims).map(i => (i.toLong, v(i).toLong, share.toLong))
+      .toDF("dim", "v_ppm", "ev_share_ppm")
+      .orderBy("dim")
+  }
+
+  /** Oracle SQL twin of [[principalComponent]] — the identical
+    * supersteps unrolled as chained MATERIALIZED CTEs in HUGEINT. */
+  def principalComponentOracle(iters: Int = 8, dims: Int = 64): String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    val steps = (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT c.i AS dim, CAST(sum(c.cij * v${t - 1}.v) AS HUGEINT) AS w
+         |  FROM c JOIN v${t - 1} ON v${t - 1}.dim = c.j GROUP BY 1
+         |), m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT w$t.dim,
+         |    CASE WHEN m$t.m > 0
+         |      THEN ${halfUpDivHugeSql(s"w$t.w * 1000000", s"m$t.m")}
+         |      ELSE 0 END AS v
+         |  FROM w$t, m$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT e.vec_id, i.i AS dim,
+       |    CAST(floor(e.embedding[i.i + 1]::DOUBLE * 10000.0 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM embeddings e, range($dims) i(i)
+       |), mm AS (
+       |  SELECT x.dim AS i, y.dim AS j, CAST(sum(x.q * y.q) AS BIGINT) AS s
+       |  FROM p x JOIN p y ON x.vec_id = y.vec_id GROUP BY 1, 2
+       |), s1 AS (
+       |  SELECT dim, CAST(sum(q) AS BIGINT) AS s1 FROM p GROUP BY 1
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |c AS MATERIALIZED (
+       |  SELECT mm.i, mm.j,
+       |    CAST(nn.n AS HUGEINT) * mm.s
+       |      - CAST(a.s1 AS HUGEINT) * b.s1 AS cij
+       |  FROM mm, nn, s1 a, s1 b WHERE a.dim = mm.i AND b.dim = mm.j
+       |), v0 AS (
+       |  SELECT i.i AS dim, CAST(1000000 AS BIGINT) AS v
+       |  FROM range($dims) i(i)
+       |),
+       |$steps,
+       |wf AS (
+       |  SELECT c.i AS dim, CAST(sum(c.cij * v$iters.v) AS HUGEINT) AS w
+       |  FROM c JOIN v$iters ON v$iters.dim = c.j GROUP BY 1
+       |), r AS (
+       |  SELECT CAST(sum(CAST(v$iters.v AS HUGEINT) * wf.w) AS HUGEINT)
+       |      AS num,
+       |    CAST(sum(CAST(v$iters.v AS HUGEINT) * v$iters.v) AS HUGEINT)
+       |      AS den
+       |  FROM v$iters JOIN wf ON wf.dim = v$iters.dim
+       |), tr AS (
+       |  SELECT CAST(sum(cij) AS HUGEINT) AS trace FROM c WHERE i = j
+       |), sh AS (
+       |  SELECT CASE WHEN r.den > 0 AND tr.trace > 0
+       |    THEN ${halfUpDivHugeSql("(r.num // r.den) * 1000000",
+                                    "tr.trace")}
+       |    ELSE 0 END AS ev_share_ppm
+       |  FROM r, tr
+       |)
+       |SELECT CAST(v$iters.dim AS BIGINT) AS dim,
+       |  CAST(v$iters.v AS BIGINT) AS v_ppm, sh.ev_share_ppm
+       |FROM v$iters, sh ORDER BY dim""".stripMargin
+  }
 }
