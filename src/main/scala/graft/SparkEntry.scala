@@ -1274,6 +1274,17 @@ object SparkEntry {
     "q239_silence_segments" -> ((s, d) =>
       MultimodalOp.silenceSegments(
         MultimodalOp.asMedia(Tables.documents(s, d)))),
+
+    // Zone-map skipping audit: row-group min/max pruning for a range
+    // predicate under arrival-order vs date-sorted layouts.
+    "q240_zonemap_skipping" -> ((s, d) =>
+      BucketedOps.zoneMapSkipping(Tables.orders(s, d))),
+
+    // Pseudo-relevance-feedback query expansion: seed retrieval →
+    // top-terms-of-feedback-docs → OR re-retrieval, all integer-scored.
+    "q241_prf_expansion" -> ((s, d) =>
+      TextOps.prfExpandedRetrieval(Tables.documents(s, d),
+        Seq("spark", "merge"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1954,5 +1965,8 @@ object SparkEntry {
     "q237_kendall_tau" -> AuditOps.kendallTauOracle(),
     "q238_principal_component" -> SimilarityOp.principalComponentOracle(),
     "q239_silence_segments" -> MultimodalOp.silenceSegmentsOracle(),
+    "q240_zonemap_skipping" -> BucketedOps.zoneMapSkippingOracle(),
+    "q241_prf_expansion" -> TextOps.prfExpandedRetrievalOracle(
+      Seq("spark", "merge")),
   )
 }

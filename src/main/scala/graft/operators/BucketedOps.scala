@@ -292,6 +292,96 @@ object BucketedOps {
       .orderBy("layout")
   }
 
+  /** q240: zone-map (min/max) skipping audit — the data-skipping
+    * measurement behind "sort before you write": chunk orders into
+    * row-group-sized "files" under two layouts — arrival order
+    * (orderkey blocks, the layout an unsorted ingest produces) and
+    * date-sorted (30-day epoch blocks, what a
+    * `repartitionByRange(date)` write produces) — record each chunk's
+    * min/max order date (exactly what parquet footers carry), and
+    * measure how many chunks a half-year date predicate skips and how
+    * many rows the unskipped chunks force through the scan. Arrival
+    * blocks span nearly the full date range, so min/max prunes almost
+    * nothing; date-sorted blocks prune to the predicate's months. The
+    * matching row count is layout-invariant and published from both
+    * arms — the self-check that skipping never changed the answer.
+    * Complements [[zorderAudit]]: that one prices multi-dimensional
+    * point probes, this one prices a single range predicate in rows
+    * actually scanned.
+    *
+    * Scale shape: chunk assignment is row-local integer division
+    * (value-range chunking — no global sort or row_number); one
+    * map-side-combined groupBy per layout over (chunk, day) pairs,
+    * then a 1-row rollup each. Predicate bounds are epoch-day literals
+    * computed at plan build and embedded identically in both engines
+    * (the q157 rule), so no calendar function runs at execution time.
+    */
+  def zoneMapSkipping(orders: DataFrame, rowsPerChunk: Int = 1024,
+                      daysPerChunk: Int = 30): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val lo = java.time.LocalDate.parse("1997-01-01").toEpochDay
+    val hi = java.time.LocalDate.parse("1997-06-30").toEpochDay
+    val base = orders.select(
+      col("o_orderkey").cast("long").as("k"),
+      expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+        .cast("long").as("d"))
+    def arm(chunkCol: org.apache.spark.sql.Column, name: String) =
+      base.withColumn("c", chunkCol)
+        .groupBy(col("c"))
+        .agg(min(col("d")).as("mn"), max(col("d")).as("mx"),
+          count(lit(1)).as("n"),
+          sum(when(col("d").between(lo, hi), 1L).otherwise(0L))
+            .as("nmatch"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("mx") < lo || col("mn") > hi, 1L).otherwise(0L))
+            .as("n_skipped"),
+          sum(when(col("mx") >= lo && col("mn") <= hi, col("n"))
+            .otherwise(0L)).as("rows_scanned"),
+          sum(col("nmatch")).as("n_match"))
+        .select(lit(name).as("layout"), col("n_chunks"), col("n_skipped"),
+          halfUpDiv(col("n_skipped") * 1000000L, col("n_chunks"))
+            .as("skip_ppm"),
+          col("rows_scanned"), col("n_match"))
+    arm(expr(s"k DIV $rowsPerChunk"), "arrival")
+      .unionByName(arm(expr(s"d DIV $daysPerChunk"), "datesorted"))
+      .orderBy("layout")
+  }
+
+  /** Oracle SQL twin of [[zoneMapSkipping]] — same chunk assignment,
+    * same embedded epoch-day literals. */
+  def zoneMapSkippingOracle(rowsPerChunk: Int = 1024,
+                            daysPerChunk: Int = 30): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    val lo = java.time.LocalDate.parse("1997-01-01").toEpochDay
+    val hi = java.time.LocalDate.parse("1997-06-30").toEpochDay
+    def arm(chunkE: String, name: String) =
+      s"""SELECT '$name' AS layout, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN mx < $lo OR mn > $hi THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_skipped,
+         |  ${halfUpDivSql(
+              s"sum(CASE WHEN mx < $lo OR mn > $hi THEN 1 ELSE 0 END) " +
+                "* 1000000", "count(*)")} AS skip_ppm,
+         |  CAST(sum(CASE WHEN mx >= $lo AND mn <= $hi THEN n ELSE 0 END)
+         |    AS BIGINT) AS rows_scanned,
+         |  CAST(sum(nmatch) AS BIGINT) AS n_match
+         |FROM (
+         |  SELECT $chunkE AS c, min(d) AS mn, max(d) AS mx, count(*) AS n,
+         |    sum(CASE WHEN d BETWEEN $lo AND $hi THEN 1 ELSE 0 END)
+         |      AS nmatch
+         |  FROM base GROUP BY 1) g""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+       |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+       |      AS d
+       |  FROM orders
+       |)
+       |SELECT * FROM (
+       |${arm(s"k // $rowsPerChunk", "arrival")}
+       |UNION ALL
+       |${arm(s"d // $daysPerChunk", "datesorted")}
+       |) r ORDER BY layout""".stripMargin
+  }
+
   /** Oracle SQL twin of [[zorderAudit]] — same morton formula with
     * `//` division.
     */

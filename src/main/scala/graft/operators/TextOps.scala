@@ -971,6 +971,98 @@ object TextOps {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** q241: pseudo-relevance-feedback (Rocchio-style) query expansion —
+    * the classic two-stage retrieval that lifts recall when the
+    * original query undersamples the topic's vocabulary: stage 1 runs
+    * the seed query ([[rankedRetrieval]]'s AND semantics) and takes the
+    * top `fb` documents as the feedback set; the top `expand` non-seed
+    * terms by summed tf-idf INSIDE that set become expansion terms;
+    * stage 2 re-retrieves with OR semantics over seed ∪ expansion,
+    * ranked by the same integer score. Every ranking is the linear
+    * integer tf-idf (`tf·N·10⁴ DIV df` — the q98 convention), so both
+    * stages and the expansion choice are fold-order-proof and the whole
+    * pipeline hash-gates.
+    *
+    * Scale shape: ONE token scan builds the (doc, term) tf frame (the
+    * q224 index shape — a serving deployment reads the prebuilt index
+    * instead); df and N broadcast. The feedback set is `fb` rows and
+    * the expansion set `expand` rows — both broadcast-sized by
+    * construction, so stage 2 is one more broadcast-filtered pass over
+    * the same tf frame, never a corpus rescan per term.
+    */
+  def prfExpandedRetrieval(docs: DataFrame, terms: Seq[String],
+                           fb: Int = 5, expand: Int = 3,
+                           k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "need at least one seed term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = terms.distinct
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("sc", expr("tf * n_docs * 10000L DIV df"))
+    val seed = scored.where(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nm"), sum(col("sc")).as("s0"))
+      .where(col("nm") === qTerms.size.toLong)
+      .orderBy(col("s0").desc, col("doc_id")).limit(fb)
+      .select(col("doc_id"))
+    val expTerms = scored.join(broadcast(seed), Seq("doc_id"))
+      .where(!col("term").isin(qTerms: _*))
+      .groupBy(col("term")).agg(sum(col("sc")).as("esc"))
+      .orderBy(col("esc").desc, col("term")).limit(expand)
+      .select(col("term"))
+    val allTerms = expTerms.unionByName(qTerms.toDF("term"))
+    scored.join(broadcast(allTerms), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("sc")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("n_matched"), col("score"))
+  }
+
+  /** Oracle SQL twin of [[prfExpandedRetrieval]] — the same two
+    * stages as chained CTEs. */
+  def prfExpandedRetrievalOracle(terms: Seq[String], fb: Int = 5,
+                                 expand: Int = 3, k: Int = 10): String = {
+    val qTerms = terms.distinct
+    val inList = qTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val seedVals = qTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT doc_id, term, (tf * n_docs * 10000) // df AS sc
+       |  FROM tf JOIN dfreq USING (term), n
+       |), seed AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, count(*) AS nm, CAST(sum(sc) AS BIGINT) AS s0
+       |    FROM sc WHERE term IN $inList GROUP BY 1) g
+       |  WHERE nm = ${qTerms.size} ORDER BY s0 DESC, doc_id LIMIT $fb
+       |), ex AS (
+       |  SELECT term FROM (
+       |    SELECT s.term, CAST(sum(s.sc) AS BIGINT) AS esc
+       |    FROM sc s JOIN seed USING (doc_id)
+       |    WHERE s.term NOT IN $inList GROUP BY 1) e
+       |  ORDER BY esc DESC, term LIMIT $expand
+       |), qt AS (
+       |  SELECT term FROM ex
+       |  UNION ALL SELECT * FROM (VALUES $seedVals) v(term)
+       |)
+       |SELECT doc_id, count(*) AS n_matched,
+       |  CAST(sum(sc) AS BIGINT) AS score
+       |FROM sc JOIN qt USING (term)
+       |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** The all-integer BM25 term score (k1 = 1.2, b = 0.75 folded into
     * one rational denominator; Robertson idf with the +0.5s cleared by
     * doubling) — ONE definition shared by [[bm25Retrieval]],
