@@ -1285,6 +1285,11 @@ object SparkEntry {
     "q241_prf_expansion" -> ((s, d) =>
       TextOps.prfExpandedRetrieval(Tables.documents(s, d),
         Seq("spark", "merge"))),
+
+    // Cross-modal dup-detector agreement: text-hash pairs vs
+    // perceptual-fingerprint pairs, overlap in ppm.
+    "q242_crossmodal_dup_agreement" -> ((s, d) =>
+      MultimodalOp.crossModalDupAgreement(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1968,5 +1973,7 @@ object SparkEntry {
     "q240_zonemap_skipping" -> BucketedOps.zoneMapSkippingOracle(),
     "q241_prf_expansion" -> TextOps.prfExpandedRetrievalOracle(
       Seq("spark", "merge")),
+    "q242_crossmodal_dup_agreement" ->
+      MultimodalOp.crossModalDupAgreementOracle(),
   )
 }

@@ -636,11 +636,15 @@ object DedupOp {
        |  WHERE f.df <= $maxDf
        |)""".stripMargin
 
-  def minhashLshOracle(minSim: Double = 0.5): String = {
+  /** CTE chain ending in `mhp(da, db, est_jaccard)` — the verified
+    * MinHash-LSH near-dup pairs, composable by other oracles
+    * (q242's cross-modal agreement). ONE definition with
+    * [[minhashLshOracle]]. */
+  private[operators] def minhashPairCtes(minSim: Double): String = {
     val permRows = (0 until NumPerms)
       .map(i => s"(${i}, ${permA(i)}::BIGINT, ${permB(i)}::BIGINT)")
       .mkString(", ")
-    s"""WITH ${shingleCte()},
+    s"""${shingleCte()},
        |perms(i, a, b) AS (VALUES $permRows),
        |sigs AS (
        |  SELECT s.doc_id, p.i, min((p.a * s.hx + p.b) % $HashMod) AS minv
@@ -653,17 +657,22 @@ object DedupOp {
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-       |)
-       |SELECT da, db, est_jaccard FROM (
-       |  SELECT c.da, c.db,
-       |    CAST(sum(CASE WHEN sa.minv = sb.minv THEN 1 ELSE 0 END) AS DOUBLE)
-       |      / $NumPerms.0 AS est_jaccard
-       |  FROM cand c
-       |  JOIN sigs sa ON sa.doc_id = c.da
-       |  JOIN sigs sb ON sb.doc_id = c.db AND sb.i = sa.i
-       |  GROUP BY 1, 2) t
-       |WHERE est_jaccard >= $minSim ORDER BY da, db""".stripMargin
+       |), mhp AS (
+       |  SELECT da, db, est_jaccard FROM (
+       |    SELECT c.da, c.db,
+       |      CAST(sum(CASE WHEN sa.minv = sb.minv THEN 1 ELSE 0 END)
+       |        AS DOUBLE) / $NumPerms.0 AS est_jaccard
+       |    FROM cand c
+       |    JOIN sigs sa ON sa.doc_id = c.da
+       |    JOIN sigs sb ON sb.doc_id = c.db AND sb.i = sa.i
+       |    GROUP BY 1, 2) t
+       |  WHERE est_jaccard >= $minSim
+       |)""".stripMargin
   }
+
+  def minhashLshOracle(minSim: Double = 0.5): String =
+    s"""WITH ${minhashPairCtes(minSim)}
+       |SELECT da, db, est_jaccard FROM mhp ORDER BY da, db""".stripMargin
 
   def simhashOracle(maxHamming: Int = 3): String = {
     val permRows = (0 until SimBits)

@@ -263,18 +263,24 @@ object MultimodalOp {
     * the [[graft.operators.DedupOp.exact]] shape on a derived key.
     */
   def mediaFingerprintDedup(media: DataFrame, win: Int = 64,
-                            hop: Int = 32): DataFrame = {
+                            hop: Int = 32): DataFrame =
+    mediaFingerprints(media, win, hop)
+      .groupBy(col("kind"), col("fp_md5"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .where(col("n_copies") >= 2L)
+      .orderBy("kind", "fp_md5")
+
+  /** ONE definition of the per-payload perceptual fingerprint
+    * (md5 of the ordered [[windowEnergyRows]] energy sequence), shared
+    * by [[mediaFingerprintDedup]] and [[crossModalDupAgreement]]. */
+  private def mediaFingerprints(media: DataFrame, win: Int,
+                                hop: Int): DataFrame =
     windowEnergyRows(media, win, hop)
       .toDF()
       .groupBy(col("doc_id"), col("kind"))
       .agg(md5(array_join(transform(
         array_sort(collect_list(struct(col("widx"), col("energy")))),
         x => x.getField("energy").cast("string")), ",")).as("fp_md5"))
-      .groupBy(col("kind"), col("fp_md5"))
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
-      .where(col("n_copies") >= 2L)
-      .orderBy("kind", "fp_md5")
-  }
 
   /** Oracle SQL twin of [[mediaFingerprintDedup]] (reuses the
     * [[windowEnergiesOracle]] energy derivation).
@@ -303,6 +309,120 @@ object MultimodalOp {
        |SELECT kind, fp_md5, min(doc_id) AS keeper, count(*) AS n_copies
        |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY kind, fp_md5""".stripMargin
+
+  /** q242: cross-modal NEAR-DUP detector agreement — do the token-space
+    * tier (MinHash-LSH verified pairs, the q26 detector) and a
+    * perceptual media tier flag the SAME near-duplicate pairs? The
+    * media detector here is the partial-match form a real pipeline
+    * runs (chromaprint/PDQ segment matching): two payloads pair when
+    * they share at least `minShared` POSITION-ALIGNED window energies —
+    * the exact-sequence fingerprint of q221 cannot see near-dups at
+    * all (one changed token breaks the md5), while position-aligned
+    * windows survive localized edits. Measured on this corpus the two
+    * tiers agree on most pairs with small one-sided residues — the
+    * routing evidence a layered dedup pipeline needs (which modality's
+    * detector to trust where), measured instead of assumed.
+    *
+    * Scale shape: the MinHash side is the existing banded one-scan
+    * plan; the media side blocks on (window-index, energy) keys —
+    * high-entropy by construction (position-qualified), df-capped at
+    * `maxDf` (the MaxShingleDf stance, mirrored in the oracle) so no
+    * key can go quadratic — then counts shared keys per candidate
+    * pair. Three 1-row aggregates broadcast-join into the output row.
+    * Deliberately kind-agnostic: perceptual fingerprints match across
+    * container modalities.
+    */
+  def crossModalDupAgreement(docs: DataFrame, win: Int = 64,
+                             hop: Int = 32, minShared: Int = 6,
+                             maxDf: Int = 64): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val textPairs = graft.operators.DedupOp.minhashLsh(docs)
+      .select(col("da").as("a"), col("db").as("b"))
+    val e = windowEnergyRows(asMedia(docs), win, hop).toDF()
+      .select(col("doc_id"), col("widx"), col("energy"))
+    val keys = e.groupBy(col("widx"), col("energy"))
+      .agg(count(lit(1)).as("kdf"))
+      .where(col("kdf") <= maxDf.toLong)
+      .select(col("widx"), col("energy"))
+    val capped = e.join(keys, Seq("widx", "energy"))
+    val mediaPairs = capped
+      .select(col("widx"), col("energy"), col("doc_id").as("a"))
+      .join(capped.select(col("widx"), col("energy"),
+        col("doc_id").as("b")), Seq("widx", "energy"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared.toLong)
+      .select(col("a"), col("b"))
+    val nt = textPairs.agg(count(lit(1)).as("n_text_pairs"))
+    val nm = mediaPairs.agg(count(lit(1)).as("n_media_pairs"))
+    val nb = textPairs.join(mediaPairs, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_both"))
+    nt.crossJoin(nm).crossJoin(nb)
+      .select(col("n_text_pairs"), col("n_media_pairs"), col("n_both"),
+        (col("n_text_pairs") - col("n_both")).as("text_only"),
+        (col("n_media_pairs") - col("n_both")).as("media_only"),
+        when(col("n_text_pairs") + col("n_media_pairs") - col("n_both") > 0,
+          halfUpDiv(col("n_both") * 1000000L,
+            col("n_text_pairs") + col("n_media_pairs") - col("n_both")))
+          .otherwise(0L).as("agree_jacc_ppm"))
+  }
+
+  /** Oracle SQL twin of [[crossModalDupAgreement]] — the MinHash pair
+    * chain composed from [[graft.operators.DedupOp.minhashPairCtes]]
+    * (one definition with q26), the media tier re-derived from
+    * character codes with the same df cap and share threshold. */
+  def crossModalDupAgreementOracle(win: Int = 64, hop: Int = 32,
+                                   minShared: Int = 6,
+                                   maxDf: Int = 64): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH ${graft.operators.DedupOp.minhashPairCtes(0.5)},
+       |tp AS (SELECT da AS a, db AS b FROM mhp),
+       |m AS (
+       |  SELECT doc_id, text, len(text) AS n
+       |  FROM documents WHERE len(text) >= $win
+       |), w AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, CAST((n - $win) // $hop AS BIGINT)))
+       |      AS wx
+       |  FROM m
+       |), e AS (
+       |  SELECT doc_id, wx,
+       |    (SELECT sum(ascii(substr(w.text,
+       |        CAST(w.wx * $hop + j.j AS INTEGER), 1)))
+       |     FROM range(1, ${win + 1}) j(j)) AS energy
+       |  FROM w
+       |), kdf AS (
+       |  SELECT wx, energy FROM e GROUP BY 1, 2
+       |  HAVING count(*) <= $maxDf
+       |), ec AS (
+       |  SELECT e.doc_id, e.wx, e.energy
+       |  FROM e JOIN kdf ON kdf.wx = e.wx AND kdf.energy = e.energy
+       |), mp AS (
+       |  SELECT a, b FROM (
+       |    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+       |    FROM ec x JOIN ec y
+       |      ON x.wx = y.wx AND x.energy = y.energy
+       |        AND x.doc_id < y.doc_id
+       |    GROUP BY 1, 2) t
+       |  WHERE shared >= $minShared
+       |), nt AS (SELECT count(*) AS n_text_pairs FROM tp),
+       |nm AS (SELECT count(*) AS n_media_pairs FROM mp),
+       |nb AS (
+       |  SELECT count(*) AS n_both
+       |  FROM tp JOIN mp ON tp.a = mp.a AND tp.b = mp.b
+       |)
+       |SELECT CAST(n_text_pairs AS BIGINT) AS n_text_pairs,
+       |  CAST(n_media_pairs AS BIGINT) AS n_media_pairs,
+       |  CAST(n_both AS BIGINT) AS n_both,
+       |  CAST(n_text_pairs - n_both AS BIGINT) AS text_only,
+       |  CAST(n_media_pairs - n_both AS BIGINT) AS media_only,
+       |  CASE WHEN n_text_pairs + n_media_pairs - n_both > 0
+       |    THEN ${halfUpDivSql("n_both * 1000000",
+                 "n_text_pairs + n_media_pairs - n_both")}
+       |    ELSE 0 END AS agree_jacc_ppm
+       |FROM nt, nm, nb""".stripMargin
+  }
 
   final case class FrameDiff(doc_id: Long, kind: String, fidx: Long,
                              diff: Long)
