@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.{AuditOps, BucketedOps, MultimodalOp, SimilarityOp, TextOps}
+
+/** Constructed-data tests for the round-9 session-3 additions: KS
+  * drift (q236), sampled Kendall τ-b (q237), integer power-method PCA
+  * (q238), silence segments (q239), zone-map skipping (q240), PRF
+  * expansion (q241), and cross-modal dup agreement (q242). The
+  * corpus-level hash gates prove engine parity; these pin the
+  * semantics on cases with hand-computed exact answers.
+  */
+class KsTauPcaSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String, lang: String, src: String) =
+    (id, text, lang, src, text.length.toLong)
+
+  test("ksByLang: exact sup of the CDF cross-multiplication") {
+    // lang A lengths {1,1,2} (n1=3), lang B lengths {2,3} (n2=2).
+    // D·n1·n2 = max(|2·2−0·3|, |3·2−1·3|, |3·2−2·3|) = 4 →
+    // ks_ppm = round(4e6/6) = 666667, symmetric for the complement.
+    val docs = Seq(
+      doc(1, "a", "A", "s"), doc(2, "b", "A", "s"),
+      doc(3, "cc", "A", "s"), doc(4, "dd", "B", "s"),
+      doc(5, "eee", "B", "s")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = AuditOps.ksByLang(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("A", 3L, 2L, 666667L), ("B", 2L, 3L, 666667L)))
+  }
+
+  test("ksByLang: single-lang corpus has no complement -> NULL ks") {
+    val docs = Seq(doc(1, "a", "A", "s"), doc(2, "bb", "A", "s"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = AuditOps.ksByLang(docs).collect()
+    assert(r.length === 1 && r(0).isNullAt(3))
+  }
+
+  private def li(flag: String, ok: Long, ln: Long, qty: Long,
+                 price: Double) =
+    (flag, ok, ln, qty, price)
+
+  test("kendallTau: perfect concordance, reversal, and tie correction") {
+    // k (128) exceeds every group, so the sample is the whole group.
+    // A: (1,10),(2,20),(3,30) → τ = +1. B reversed → −1.
+    // C: (1,10),(1,20),(2,20) → nc=1, tox=1, toy=1 →
+    //    τ = 1/√(2·2) = 0.5 → 500000.
+    val rows = Seq(
+      li("A", 1, 1, 1, 10.0), li("A", 2, 1, 2, 20.0), li("A", 3, 1, 3, 30.0),
+      li("B", 4, 1, 1, 30.0), li("B", 5, 1, 2, 20.0), li("B", 6, 1, 3, 10.0),
+      li("C", 7, 1, 1, 10.0), li("C", 8, 1, 1, 20.0), li("C", 9, 1, 2, 20.0)
+    ).toDF("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice")
+    val out = AuditOps.kendallTau(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out === Seq(("A", 3L, 3L, 0L, 1000000L),
+      ("B", 3L, 0L, 3L, -1000000L), ("C", 3L, 1L, 0L, 500000L)))
+  }
+
+  test("principalComponent: rank-1 cloud recovers its direction exactly") {
+    // Vectors t·(1,2,0,0): direction (1,2,0,0), max-normalized →
+    // v_ppm = (500000, 1000000, 0, 0); rank-1 scatter → the leading
+    // eigenvalue IS the trace → ev_share_ppm = 1000000.
+    val emb = Seq(
+      (1L, Seq(1f, 2f, 0f, 0f), 0),
+      (2L, Seq(2f, 4f, 0f, 0f), 0),
+      (3L, Seq(3f, 6f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOp.principalComponent(emb, dims = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((0L, 500000L, 1000000L), (1L, 1000000L, 1000000L),
+      (2L, 0L, 1000000L), (3L, 0L, 1000000L)))
+  }
+
+  test("principalComponent: empty input -> empty frame") {
+    val emb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(SimilarityOp.principalComponent(emb, dims = 4).isEmpty)
+  }
+
+  test("silenceSegments: islands, longest run, and sub-window drop") {
+    // win=4, hop=2, silMax=200; 'a'=97, ' '=32.
+    // doc 1 "aaaa    aaaa": energies 388,258,128,258,388 → one silent
+    // window → 1 segment, run 1, ppm 200000.
+    // doc 2 8 spaces: 3 windows all 128 → 1 segment, run 3, ppm 1e6.
+    // doc 3 "abc": shorter than one window → dropped.
+    val media = Seq(
+      (1L, "audio", "aaaa    aaaa".getBytes("UTF-8")),
+      (2L, "audio", "        ".getBytes("UTF-8")),
+      (3L, "video", "abc".getBytes("UTF-8"))
+    ).toDF("doc_id", "kind", "payload")
+    val out = MultimodalOp.silenceSegments(media, win = 4, hop = 2,
+        silMax = 200L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(out === Seq((1L, 5L, 1L, 1L, 1L, 200000L),
+      (2L, 3L, 3L, 1L, 3L, 1000000L)))
+  }
+
+  test("zoneMapSkipping: per-chunk min/max pruning, layout-invariant match count") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // rowsPerChunk=2: arrival chunks {0,1}, {2,3}, {4,5}.
+    // chunk0 straddles the 1997-H1 predicate (scan, 0 matches),
+    // chunk1 is entirely 1996 (skip), chunk2 inside (scan, 2 matches).
+    val orders = Seq(
+      (0L, ts("1996-01-01")), (1L, ts("1998-01-01")),
+      (2L, ts("1996-05-01")), (3L, ts("1996-06-01")),
+      (4L, ts("1997-02-01")), (5L, ts("1997-03-01"))
+    ).toDF("o_orderkey", "o_orderdate")
+    val arr = BucketedOps.zoneMapSkipping(orders, rowsPerChunk = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))) // (n_chunks, n_skipped, scanned, match)
+      .toMap
+    assert(arr("arrival") === ((3L, 1L, 4L, 2L)))
+    // date-sorted: six distinct 30-day chunks, only the two 1997 ones
+    // scanned — and the SAME match count (the layout-invariance check).
+    assert(arr("datesorted") === ((6L, 4L, 2L, 2L)))
+  }
+
+  test("prfExpandedRetrieval: feedback terms widen the match set") {
+    // Seed {q}, fb=2, expand=1. AND stage ranks d1 > d2 (tie with d4
+    // broken by id). Expansion scores e=53332 > x=20000 inside
+    // {d1,d2} → expand with "e"; OR stage then reaches d3, which has
+    // no seed term at all.
+    val docs = Seq(
+      doc(1, "q q e e", "en", "s"), doc(2, "q e e x", "en", "s"),
+      doc(3, "e e y y", "en", "s"), doc(4, "q x x x", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.prfExpandedRetrieval(docs, Seq("q"), fb = 2,
+        expand = 1, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 2L, 53332L), (2L, 2L, 39999L),
+      (3L, 1L, 26666L), (4L, 1L, 13333L)))
+  }
+
+  test("crossModalDupAgreement: identical docs pair in both tiers") {
+    // Two identical long docs (text pair via MinHash est=1.0, media
+    // pair via all-windows alignment) + one unrelated doc.
+    val t1 = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val t2 = (0 until 50).map(i => s"other$i").mkString(" ")
+    val docs = Seq(doc(1, t1, "en", "s"), doc(2, t1, "en", "s"),
+      doc(3, t2, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = MultimodalOp.crossModalDupAgreement(docs).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((1L, 1L, 1L, 0L, 0L, 1000000L)))
+  }
+}
