@@ -1290,6 +1290,16 @@ object SparkEntry {
     // perceptual-fingerprint pairs, overlap in ppm.
     "q242_crossmodal_dup_agreement" -> ((s, d) =>
       MultimodalOp.crossModalDupAgreement(Tables.documents(s, d))),
+
+    // Heaps-law vocabulary growth over shingle types, value-range
+    // ingest deciles — sizes all type-keyed dedup state.
+    "q243_vocab_growth" -> ((s, d) =>
+      DedupOp.vocabGrowth(Tables.documents(s, d))),
+
+    // Principal-direction drift between corpus halves — exact-integer
+    // signed cos² between the two power-method directions.
+    "q244_pca_drift" -> ((s, d) =>
+      SimilarityOp.pcaDrift(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1975,5 +1985,7 @@ object SparkEntry {
       Seq("spark", "merge")),
     "q242_crossmodal_dup_agreement" ->
       MultimodalOp.crossModalDupAgreementOracle(),
+    "q243_vocab_growth" -> DedupOp.vocabGrowthOracle(),
+    "q244_pca_drift" -> SimilarityOp.pcaDriftOracle(),
   )
 }

@@ -2045,4 +2045,65 @@ object DedupOp {
       |  count(*) AS n_parts, count(DISTINCT p_brand) AS n_brands
       |FROM c GROUP BY 1 HAVING count(*) >= 2
       |ORDER BY canon_key""".stripMargin
+
+  /** q243: Heaps-law vocabulary growth over SHINGLE types — how fast
+    * does the 3-gram type inventory grow as the corpus is ingested?
+    * The curve a dedup/decontamination planner reads before sizing
+    * anything keyed by type (MinHash permutation tables, Bloom bits,
+    * df caps): sub-linear growth (Heaps) means type-keyed state
+    * saturates; linear growth means it scales with the corpus forever.
+    * Computed over shingles, not tokens — this synthetic corpus's
+    * ~31-token vocabulary saturates inside the first bucket (a
+    * degenerate curve, the q227 rule), while the 3-gram space keeps
+    * growing like real text.
+    *
+    * "Ingest order" = doc_id order, bucketed by VALUE-RANGE deciles of
+    * the id span (row-local integer rule — no global row_number rides
+    * the audit, the q111 stance; uniform ids make the buckets ≈ equal
+    * and the bucket of a type's min-id doc is the min of its buckets,
+    * so first-seen attribution is one groupBy). `n_slots` counts
+    * (doc, type) incidences per bucket, `n_new_types` the types first
+    * seen there, `cum_types` the running inventory (a window over ≤
+    * `buckets` rows).
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docShingles(docs)
+    val bounds = docs.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val wb = sh.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("hx"),
+        expr(s"((doc_id - lo) * $buckets) DIV (hi - lo + 1)").as("b"))
+    val occ = wb.groupBy(col("b")).agg(count(lit(1)).as("n_slots"))
+    val firsts = wb.groupBy(col("hx")).agg(min(col("b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_new_types"))
+    occ.join(firsts, Seq("b"), "left")
+      .select(col("b").as("bucket"), col("n_slots"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_types",
+        sum(col("n_new_types")).over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("bucket")
+  }
+
+  /** Oracle SQL twin of [[vocabGrowth]] — same value-range deciles,
+    * same min-bucket first-seen attribution. */
+  def vocabGrowthOracle(buckets: Int = 10): String =
+    s"""WITH ${shingleCte()},
+       |bounds AS (
+       |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+       |), wb AS (
+       |  SELECT s.doc_id, s.hx,
+       |    ((s.doc_id - b.lo) * $buckets) // (b.hi - b.lo + 1) AS b
+       |  FROM shx s, bounds b
+       |), occ AS (SELECT b, count(*) AS n_slots FROM wb GROUP BY 1),
+       |fs AS (SELECT hx, min(b) AS b FROM wb GROUP BY 1),
+       |nt AS (SELECT b, count(*) AS n_new_types FROM fs GROUP BY 1)
+       |SELECT occ.b AS bucket, CAST(occ.n_slots AS BIGINT) AS n_slots,
+       |  CAST(coalesce(nt.n_new_types, 0) AS BIGINT) AS n_new_types,
+       |  CAST(sum(coalesce(nt.n_new_types, 0)) OVER (
+       |    ORDER BY occ.b ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    CURRENT ROW) AS BIGINT) AS cum_types
+       |FROM occ LEFT JOIN nt USING (b) ORDER BY bucket""".stripMargin
 }

@@ -3115,10 +3115,25 @@ object SimilarityOp {
     * The oracle unrolls the identical supersteps as chained
     * MATERIALIZED CTEs in HUGEINT (the q193 rule).
     */
-  def principalComponent(embeddings: DataFrame, iters: Int = 8,
-                         dims: Int = 64): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+  /** The same half-up floor-division identity as DetAgg.halfUpDiv /
+    * halfUpDivHugeSql (BigInt `/` truncates toward zero; `mod` is the
+    * non-negative remainder, which makes this floor division).
+    */
+  private def bigHalfUp(num: BigInt, den: BigInt): BigInt = {
+    val x = num * 2 + den
+    val d = den * 2
+    (x - x.mod(d)) / d
+  }
+
+  /** The shared PCA power-iteration core: exact-integer scatter-matrix
+    * moments (one triangle self-join, d(d+1)/2 + d bounded collects —
+    * the documented model-sized-collect rule), then `iters` driver-side
+    * BigInt supersteps. Returns None on an empty frame; otherwise the
+    * ppm direction vector and the leading-eigenvalue share of trace.
+    * ONE definition for [[principalComponent]] and [[pcaDrift]].
+    */
+  private def pcaIterate(embeddings: DataFrame, iters: Int,
+                         dims: Int): Option[(Array[BigInt], BigInt)] = {
     val base = embeddings.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("dim", "vf")))
       .select(col("vec_id"), col("dim"),
@@ -3129,13 +3144,9 @@ object SimilarityOp {
       .agg(sum(col("x.q") * col("y.q")).as("s"))
     val sums = base.groupBy(col("dim"))
       .agg(sum(col("q")).as("s1"), count(lit(1)).as("cnt"))
-    // Bounded collects: d(d+1)/2 moment rows + d sum rows — the
-    // documented model-sized-collect rule.
     val triRows = tri.collect()
     val sumRows = sums.collect()
-    if (sumRows.isEmpty)
-      return Seq.empty[(Long, Long, Long)]
-        .toDF("dim", "v_ppm", "ev_share_ppm")
+    if (sumRows.isEmpty) return None
     val n = BigInt(sumRows.map(_.getLong(2)).max)
     val s1 = Array.fill(dims)(BigInt(0))
     sumRows.foreach(r => s1(r.getInt(0)) = BigInt(r.getLong(1)))
@@ -3146,14 +3157,6 @@ object SimilarityOp {
       c(i)(j) = cij
       c(j)(i) = cij
     }
-    // The same half-up floor-division identity as DetAgg.halfUpDiv /
-    // halfUpDivHugeSql (BigInt `/` truncates toward zero; `mod` is the
-    // non-negative remainder, which makes this floor division).
-    def halfUp(num: BigInt, den: BigInt): BigInt = {
-      val x = num * 2 + den
-      val d = den * 2
-      (x - x.mod(d)) / d
-    }
     def matVec(v: Array[BigInt]): Array[BigInt] =
       Array.tabulate(dims)(i =>
         (0 until dims).foldLeft(BigInt(0))((a, j) => a + c(i)(j) * v(j)))
@@ -3162,58 +3165,87 @@ object SimilarityOp {
       val w = matVec(v)
       val m = w.map(_.abs).max
       v = if (m == 0) Array.fill(dims)(BigInt(0))
-          else w.map(x => halfUp(x * 1000000, m))
+          else w.map(x => bigHalfUp(x * 1000000, m))
     }
     val wf = matVec(v)
     val num = (0 until dims).foldLeft(BigInt(0))((a, i) => a + v(i) * wf(i))
     val den = (0 until dims).foldLeft(BigInt(0))((a, i) => a + v(i) * v(i))
     val trace = (0 until dims).foldLeft(BigInt(0))((a, i) => a + c(i)(i))
     val share =
-      if (den > 0 && trace > 0) halfUp((num / den) * 1000000, trace)
+      if (den > 0 && trace > 0) bigHalfUp((num / den) * 1000000, trace)
       else BigInt(0)
-    (0 until dims).map(i => (i.toLong, v(i).toLong, share.toLong))
-      .toDF("dim", "v_ppm", "ev_share_ppm")
-      .orderBy("dim")
+    Some((v, share))
   }
 
-  /** Oracle SQL twin of [[principalComponent]] — the identical
-    * supersteps unrolled as chained MATERIALIZED CTEs in HUGEINT. */
-  def principalComponentOracle(iters: Int = 8, dims: Int = 64): String = {
+  def principalComponent(embeddings: DataFrame, iters: Int = 8,
+                         dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    pcaIterate(embeddings, iters, dims) match {
+      case None =>
+        Seq.empty[(Long, Long, Long)].toDF("dim", "v_ppm", "ev_share_ppm")
+      case Some((v, share)) =>
+        (0 until dims).map(i => (i.toLong, v(i).toLong, share.toLong))
+          .toDF("dim", "v_ppm", "ev_share_ppm")
+          .orderBy("dim")
+    }
+  }
+
+  /** The [[pcaIterate]] supersteps unrolled as chained MATERIALIZED
+    * CTEs in HUGEINT, name-spaced by `tag` and restricted by
+    * `whereSql` — composable so [[pcaDriftOracle]] can run two chains
+    * in one statement. The final direction lives in `v$tag$iters`. */
+  private def pcaChainCtes(tag: String, whereSql: String, iters: Int,
+                           dims: Int): String = {
     import graft.functions.DetAgg.halfUpDivHugeSql
     val steps = (1 to iters).map { t =>
-      s"""w$t AS MATERIALIZED (
-         |  SELECT c.i AS dim, CAST(sum(c.cij * v${t - 1}.v) AS HUGEINT) AS w
-         |  FROM c JOIN v${t - 1} ON v${t - 1}.dim = c.j GROUP BY 1
-         |), m$t AS (SELECT max(abs(w)) AS m FROM w$t),
-         |v$t AS MATERIALIZED (
-         |  SELECT w$t.dim,
-         |    CASE WHEN m$t.m > 0
-         |      THEN ${halfUpDivHugeSql(s"w$t.w * 1000000", s"m$t.m")}
+      s"""w$tag$t AS MATERIALIZED (
+         |  SELECT c$tag.i AS dim,
+         |    CAST(sum(c$tag.cij * v$tag${t - 1}.v) AS HUGEINT) AS w
+         |  FROM c$tag JOIN v$tag${t - 1} ON v$tag${t - 1}.dim = c$tag.j
+         |  GROUP BY 1
+         |), m$tag$t AS (SELECT max(abs(w)) AS m FROM w$tag$t),
+         |v$tag$t AS MATERIALIZED (
+         |  SELECT w$tag$t.dim,
+         |    CASE WHEN m$tag$t.m > 0
+         |      THEN ${halfUpDivHugeSql(s"w$tag$t.w * 1000000",
+                                        s"m$tag$t.m")}
          |      ELSE 0 END AS v
-         |  FROM w$t, m$t
+         |  FROM w$tag$t, m$tag$t
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH p AS (
+    s"""p$tag AS (
        |  SELECT e.vec_id, i.i AS dim,
        |    CAST(floor(e.embedding[i.i + 1]::DOUBLE * 10000.0 + 0.5)
        |      AS BIGINT) AS q
        |  FROM embeddings e, range($dims) i(i)
-       |), mm AS (
+       |  WHERE $whereSql
+       |), mm$tag AS (
        |  SELECT x.dim AS i, y.dim AS j, CAST(sum(x.q * y.q) AS BIGINT) AS s
-       |  FROM p x JOIN p y ON x.vec_id = y.vec_id GROUP BY 1, 2
-       |), s1 AS (
-       |  SELECT dim, CAST(sum(q) AS BIGINT) AS s1 FROM p GROUP BY 1
-       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-       |c AS MATERIALIZED (
-       |  SELECT mm.i, mm.j,
-       |    CAST(nn.n AS HUGEINT) * mm.s
+       |  FROM p$tag x JOIN p$tag y ON x.vec_id = y.vec_id GROUP BY 1, 2
+       |), s1$tag AS (
+       |  SELECT dim, CAST(sum(q) AS BIGINT) AS s1 FROM p$tag GROUP BY 1
+       |), nn$tag AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings e
+       |  WHERE $whereSql
+       |),
+       |c$tag AS MATERIALIZED (
+       |  SELECT mm$tag.i, mm$tag.j,
+       |    CAST(nn$tag.n AS HUGEINT) * mm$tag.s
        |      - CAST(a.s1 AS HUGEINT) * b.s1 AS cij
-       |  FROM mm, nn, s1 a, s1 b WHERE a.dim = mm.i AND b.dim = mm.j
-       |), v0 AS (
+       |  FROM mm$tag, nn$tag, s1$tag a, s1$tag b
+       |  WHERE a.dim = mm$tag.i AND b.dim = mm$tag.j
+       |), v${tag}0 AS (
        |  SELECT i.i AS dim, CAST(1000000 AS BIGINT) AS v
        |  FROM range($dims) i(i)
        |),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  /** Oracle SQL twin of [[principalComponent]]. */
+  def principalComponentOracle(iters: Int = 8, dims: Int = 64): String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    s"""WITH ${pcaChainCtes("", "TRUE", iters, dims)},
        |wf AS (
        |  SELECT c.i AS dim, CAST(sum(c.cij * v$iters.v) AS HUGEINT) AS w
        |  FROM c JOIN v$iters ON v$iters.dim = c.j GROUP BY 1
@@ -3235,5 +3267,84 @@ object SimilarityOp {
        |SELECT CAST(v$iters.dim AS BIGINT) AS dim,
        |  CAST(v$iters.v AS BIGINT) AS v_ppm, sh.ev_share_ppm
        |FROM v$iters, sh ORDER BY dim""".stripMargin
+  }
+
+  /** q244: principal-direction DRIFT between corpus halves — the
+    * spectral-level drift check (q201 is per-label centroid drift,
+    * this is the whole cloud's dominant axis): run [[pcaIterate]] on
+    * the even-id and odd-id halves and publish the squared cosine
+    * between the two ppm directions, signed by the dot product —
+    * cos²·sign stays in EXACT integers (num²·10⁶ div (‖a‖²·‖b‖²),
+    * BigInt/HUGEINT — no sqrt, so the whole statistic hash-gates; the
+    * headroom argument: |v| ≤ 10⁶·d per side keeps num² ≤ 4·10²⁷ and
+    * the 10⁶-scaled numerator ≤ 4·10³³, inside int128). Aligned
+    * snapshots give cos² → 1; a flat-spectrum corpus (q238 measures
+    * ev_share ≈ 2.6 % here) gives an unstable axis and a LOW cos² —
+    * which is itself the finding: don't key anything on this corpus's
+    * top component. An empty or degenerate half reports cos² = 0.
+    */
+  def pcaDrift(embeddings: DataFrame, iters: Int = 8,
+               dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val even = embeddings.where(pmod(col("vec_id"), lit(2L)) === 0L)
+    val odd = embeddings.where(pmod(col("vec_id"), lit(2L)) === 1L)
+    val counts = embeddings.agg(
+      sum(when(pmod(col("vec_id"), lit(2L)) === 0L, 1L).otherwise(0L))
+        .as("n_a"),
+      sum(when(pmod(col("vec_id"), lit(2L)) === 1L, 1L).otherwise(0L))
+        .as("n_b")).collect()(0)
+    val (na, nb) =
+      (Option(counts.get(0)).fold(0L)(_ => counts.getLong(0)),
+        Option(counts.get(1)).fold(0L)(_ => counts.getLong(1)))
+    val va = pcaIterate(even, iters, dims)
+    val vb = pcaIterate(odd, iters, dims)
+    val cos2 = (va, vb) match {
+      case (Some((a, _)), Some((b, _))) =>
+        val num = (0 until dims).foldLeft(BigInt(0))((s, i) =>
+          s + a(i) * b(i))
+        val qa = (0 until dims).foldLeft(BigInt(0))((s, i) =>
+          s + a(i) * a(i))
+        val qb = (0 until dims).foldLeft(BigInt(0))((s, i) =>
+          s + b(i) * b(i))
+        if (qa > 0 && qb > 0)
+          (if (num < 0) BigInt(-1) else BigInt(1)) *
+            bigHalfUp(num * num * 1000000, qa * qb)
+        else BigInt(0)
+      case _ => BigInt(0)
+    }
+    Seq((na, nb, cos2.toLong)).toDF("n_a", "n_b", "cos2_ppm")
+  }
+
+  /** Oracle SQL twin of [[pcaDrift]] — two [[pcaChainCtes]] chains in
+    * one statement, exact-integer signed cos². */
+  def pcaDriftOracle(iters: Int = 8, dims: Int = 64): String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    s"""WITH ${pcaChainCtes("a", "e.vec_id % 2 = 0", iters, dims)},
+       |${pcaChainCtes("b", "e.vec_id % 2 = 1", iters, dims)},
+       |d AS (
+       |  SELECT
+       |    coalesce(CAST(sum(CAST(va.v AS HUGEINT) * vb.v) AS HUGEINT),
+       |      0) AS num,
+       |    coalesce(CAST(sum(CAST(va.v AS HUGEINT) * va.v) AS HUGEINT),
+       |      0) AS qa,
+       |    coalesce(CAST(sum(CAST(vb.v AS HUGEINT) * vb.v) AS HUGEINT),
+       |      0) AS qb
+       |  FROM va$iters va JOIN vb$iters vb ON vb.dim = va.dim
+       |), cnt AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_b
+       |  FROM embeddings
+       |)
+       |SELECT coalesce(cnt.n_a, 0) AS n_a, coalesce(cnt.n_b, 0) AS n_b,
+       |  CASE WHEN d.qa > 0 AND d.qb > 0
+       |    THEN (CASE WHEN d.num < 0 THEN -1 ELSE 1 END) *
+       |      ${halfUpDivHugeSql("(d.num * d.num) * 1000000",
+                                 "d.qa * d.qb")}
+       |    ELSE 0 END AS cos2_ppm
+       |FROM cnt, d""".stripMargin
   }
 }

@@ -135,6 +135,37 @@ class KsTauPcaSpec extends SparkSuite {
       (3L, 1L, 26666L), (4L, 1L, 13333L)))
   }
 
+  test("vocabGrowth: first-seen attribution across value-range buckets") {
+    // ids 0..9, buckets=2 → ids 0-4 in bucket 0, 5-9 in bucket 1.
+    // Every doc "a b c d" ({abc, bcd}) except doc 7 "a b c x" adds
+    // {bcx}. New types: bucket0 = 2, bucket1 = 1; slots 10 each.
+    import graft.operators.DedupOp
+    val docs = (0L until 10L).map(i =>
+        doc(i, if (i == 7) "a b c x" else "a b c d", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOp.vocabGrowth(docs, buckets = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 10L, 2L, 2L), (1L, 10L, 1L, 3L)))
+  }
+
+  test("pcaDrift: aligned halves give cos2 = 1e6, orthogonal halves 0") {
+    def half(ids: Seq[Long], dir: (Float, Float)) =
+      ids.flatMap(id => Seq((id,
+        Seq(dir._1 * (id / 2 + 1), dir._2 * (id / 2 + 1), 0f, 0f), 0)))
+    val aligned = (half(Seq(0L, 2L, 4L), (1f, 2f)) ++
+      half(Seq(1L, 3L, 5L), (1f, 2f)))
+      .toDF("vec_id", "embedding", "label")
+    val r1 = SimilarityOp.pcaDrift(aligned, dims = 4).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) ===
+      ((3L, 3L, 1000000L)))
+    // (1,2) vs (2,−1): dot = 0 → cos² exactly 0.
+    val ortho = (half(Seq(0L, 2L, 4L), (1f, 2f)) ++
+      half(Seq(1L, 3L, 5L), (2f, -1f)))
+      .toDF("vec_id", "embedding", "label")
+    assert(SimilarityOp.pcaDrift(ortho, dims = 4).collect()(0)
+      .getLong(2) === 0L)
+  }
+
   test("crossModalDupAgreement: identical docs pair in both tiers") {
     // Two identical long docs (text pair via MinHash est=1.0, media
     // pair via all-windows alignment) + one unrelated doc.
