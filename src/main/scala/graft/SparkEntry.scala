@@ -1300,6 +1300,11 @@ object SparkEntry {
     // signed cos² between the two power-method directions.
     "q244_pca_drift" -> ((s, d) =>
       SimilarityOp.pcaDrift(Tables.embeddings(s, d))),
+
+    // Split-conformal coverage: hash-split calibration threshold,
+    // held-out coverage in ppm — the threshold-rule guarantee check.
+    "q245_conformal_coverage" -> ((s, d) =>
+      EventOps.conformalCoverage(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1987,5 +1992,6 @@ object SparkEntry {
       MultimodalOp.crossModalDupAgreementOracle(),
     "q243_vocab_growth" -> DedupOp.vocabGrowthOracle(),
     "q244_pca_drift" -> SimilarityOp.pcaDriftOracle(),
+    "q245_conformal_coverage" -> EventOps.conformalCoverageOracle(),
   )
 }

@@ -2147,4 +2147,108 @@ object EventOps {
        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_hours,
        |  count(*) AS n_islands, max(len) AS longest_streak
        |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** q245: split-conformal coverage audit — the distribution-free
+    * guarantee check behind every "flag values above the p90
+    * threshold" rule this engine ships (q07/q17/q63): calibrate the
+    * per-type threshold as the exact ceil-rank 90th percentile on a
+    * DETERMINISTIC hash-split calibration slice (the q158 stance: the
+    * portable hash is the PRNG, so both engines derive the identical
+    * split), then measure the fraction of HELD-OUT events at or under
+    * the threshold. Split conformal says coverage ≈ 90 % regardless of
+    * the value distribution; a type whose measured coverage drifts
+    * from its nominal level is the audit's finding (threshold went
+    * stale, or the split leaked). Everything is exact integers —
+    * cents, 1-indexed ceil ranks ([[interArrivalQuantiles]]'s
+    * convention), ppm coverage — so the audit hash-gates.
+    *
+    * Scale shape: one rank window over the calibration slice (narrow
+    * (type, cents, id) rows, the Spearman exchange), a |types|-sized
+    * broadcast of thresholds, one counting pass over the held-out
+    * side. Types with no held-out rows drop on both engines.
+    */
+  private def conformalBase(events: DataFrame, calibMod: Long): DataFrame =
+    events.select(col("event_type"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("vc"),
+      (pmod(ScaleOps.eventHash, lit(calibMod)) === 0L).as("is_calib"))
+
+  /** The calibration half of [[conformalCoverage]] — the exact
+    * ceil-rank p90 per type over the hash-split calibration slice.
+    * Batch-only (rank window); in deployment this is the OFFLINE
+    * artifact the streaming scorer broadcasts. */
+  def conformalThresholds(events: DataFrame,
+                          calibMod: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("vc"), col("event_id"))
+    val wc = Window.partitionBy(col("event_type"))
+    conformalBase(events, calibMod).where(col("is_calib"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_calib"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("vc")))
+          .as("thr_cents"))
+  }
+
+  /** The scoring half of [[conformalCoverage]]: held-out events
+    * against a broadcast threshold frame. Row-local filter +
+    * stream-static join + one aggregation — runs UNCHANGED on a
+    * streaming frame in complete mode (StreamingSpec proves replay
+    * equality), which is the production shape: thresholds are an
+    * offline artifact, coverage is monitored live. */
+  def conformalCoverageAgainst(events: DataFrame, thr: DataFrame,
+                               calibMod: Long = 5L): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    conformalBase(events, calibMod).where(!col("is_calib"))
+      .join(broadcast(thr), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_calib")).as("n_calib"),
+        max(col("thr_cents")).as("thr_cents"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("vc") <= col("thr_cents"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("event_type"), col("n_calib"), col("thr_cents"),
+        col("n_eval"), col("n_covered"),
+        halfUpDiv(col("n_covered") * 1000000L, col("n_eval"))
+          .as("coverage_ppm"))
+      .orderBy("event_type")
+  }
+
+  def conformalCoverage(events: DataFrame, calibMod: Long = 5L): DataFrame =
+    conformalCoverageAgainst(events,
+      conformalThresholds(events, calibMod), calibMod)
+
+  /** Oracle SQL twin of [[conformalCoverage]] — identical hash split,
+    * ceil rank, and counting pass. */
+  def conformalCoverageOracle(calibMod: Long = 5L): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    val h = ScaleOps.eventHashSql
+    s"""WITH b AS (
+       |  SELECT event_type, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS vc,
+       |    ((($h % $calibMod) + $calibMod) % $calibMod) = 0 AS is_calib
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, vc,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY vc, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM b WHERE is_calib
+       |), t AS (
+       |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_calib,
+       |    max(CASE WHEN rn = (9 * n + 9) // 10 THEN vc END) AS thr_cents
+       |  FROM r GROUP BY 1
+       |)
+       |SELECT b.event_type, t.n_calib, t.thr_cents,
+       |  count(*) AS n_eval,
+       |  CAST(sum(CASE WHEN b.vc <= t.thr_cents THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_covered,
+       |  ${halfUpDivSql(
+            "sum(CASE WHEN b.vc <= t.thr_cents THEN 1 ELSE 0 END) " +
+              "* 1000000", "count(*)")} AS coverage_ppm
+       |FROM b JOIN t ON t.event_type = b.event_type
+       |WHERE NOT b.is_calib
+       |GROUP BY 1, 2, 3 ORDER BY b.event_type""".stripMargin
+  }
 }

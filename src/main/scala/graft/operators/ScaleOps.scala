@@ -514,9 +514,9 @@ object ScaleOps {
 
   /** Event-row sampling hash — reversed id so consecutive ids spread
     * across the hash space (the [[docHash]] convention). */
-  private def eventHash: Column =
+  private[operators] def eventHash: Column =
     TextFunctions.portableHash(reverse(col("event_id").cast("string")))
-  private def eventHashSql: String =
+  private[operators] def eventHashSql: String =
     TextFunctions.portableHashSql("reverse(CAST(event_id AS VARCHAR))")
 
   /** q158: per-group value quantiles from a BOUNDED bottom-k-by-hash

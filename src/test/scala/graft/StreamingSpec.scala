@@ -1119,6 +1119,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming conformal coverage equals the batch q245 rollup (static thresholds)") {
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    // thresholds are the offline artifact; the stream only scores
+    val thr = EventOps.conformalThresholds(ev)
+    val expected = EventOps.conformalCoverage(ev).collect()
+      .map(_.toString).sorted
+    val rows = ev.select($"event_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String, Double)]
+    val sdf = mem.toDF().toDF("event_id", "event_type", "value")
+    val q = EventOps.conformalCoverageAgainst(sdf, thr)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("conf_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("conf_out").collect().map(_.toString).sorted
+      assert(got.toSeq == expected.toSeq)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming ngramDiversity equals the batch q165 rollup (complete-mode agg)") {
     import graft.operators.TextOps
     implicit val sqlCtx = spark.sqlContext
