@@ -1305,6 +1305,11 @@ object SparkEntry {
     // held-out coverage in ppm — the threshold-rule guarantee check.
     "q245_conformal_coverage" -> ((s, d) =>
       EventOps.conformalCoverage(Tables.events(s, d))),
+
+    // Kaplan-Meier weekly survival with right-censoring — the classic
+    // time-to-churn curve in integer ppb, step-fold hash-gated.
+    "q246_kaplan_meier" -> ((s, d) =>
+      EventOps.kaplanMeier(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1993,5 +1998,6 @@ object SparkEntry {
     "q243_vocab_growth" -> DedupOp.vocabGrowthOracle(),
     "q244_pca_drift" -> SimilarityOp.pcaDriftOracle(),
     "q245_conformal_coverage" -> EventOps.conformalCoverageOracle(),
+    "q246_kaplan_meier" -> EventOps.kaplanMeierOracle(),
   )
 }

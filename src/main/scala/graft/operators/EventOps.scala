@@ -2219,6 +2219,117 @@ object EventOps {
     conformalCoverageAgainst(events,
       conformalThresholds(events, calibMod), calibMod)
 
+  /** q246: Kaplan–Meier survival of the purchase-to-next-purchase
+    * wait — the classic right-censored repeat-purchase curve (q229
+    * reports median/mean gaps; KM is the censoring-CORRECT version:
+    * each user's LAST purchase has no observed next, and dropping or
+    * truncating those waits — the naive mistake — biases retention
+    * high). Each purchase contributes one subject: duration in hours
+    * to the user's next purchase ("death" = repurchase observed) or
+    * to the corpus's last event (censored). S(t) = Π_{u ≤ t}
+    * (1 − d_u/n_u), kept in integer ppb with one half-up rounding per
+    * death step — the sequential rounding IS the operational
+    * definition (both engines fold identical steps, so the whole
+    * curve hash-gates; a float product would be fold-order-fragile
+    * and no more "exact"). User-level churn and session-length
+    * subjects were tried first and are DEGENERATE on this corpus
+    * (every user active to the end; 95 % singleton sessions) — the
+    * q227 rule picked this subject.
+    *
+    * Scale shape: one per-user lead() window over purchases, one
+    * groupBy to per-duration death/censor counts — a frame bounded by
+    * the corpus SPAN IN HOURS, which is what makes the driver-side
+    * fold model-sized (the PCA/IncrementalKMeans rule: state bounded
+    * by a domain constant, not the data). The oracle replays the fold
+    * as a recursive CTE over dense durations.
+    */
+  def kaplanMeier(events: DataFrame,
+                  eventType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val mx = events.agg(max(unix_millis(col("ts"))).as("mw"))
+    val g = events.where(col("event_type") === eventType)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("nxt", lead(col("ms"), 1).over(w))
+      .crossJoin(broadcast(mx))
+      .select(
+        when(col("nxt").isNotNull,
+          expr("(nxt - ms) DIV 3600000"))
+          .otherwise(expr("(mw - ms) DIV 3600000")).as("t"),
+        when(col("nxt").isNotNull, 0L).otherwise(1L).as("cen"))
+      .groupBy(col("t"))
+      .agg(sum(lit(1L) - col("cen")).as("d"), sum(col("cen")).as("c"))
+    // Bounded collect: one row per observed duration ≤ corpus hours.
+    val rows = g.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    if (rows.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("t_hours", "n_risk", "n_deaths", "n_censored", "s_ppb")
+    val total = rows.map(r => r._2 + r._3).sum
+    def halfUp(num: Long, den: Long): Long = {
+      val x = num * 2 + den
+      val dd = den * 2
+      (x - java.lang.Math.floorMod(x, dd)) / dd
+    }
+    var atRisk = total
+    var s = 1000000000L
+    val out = rows.map { case (t, d, c) =>
+      val n = atRisk
+      if (d > 0) s = halfUp(s * (n - d), n)
+      atRisk -= d + c
+      (t, n, d, c, s)
+    }
+    out.toSeq
+      .toDF("t_hours", "n_risk", "n_deaths", "n_censored", "s_ppb")
+      .orderBy("t_hours")
+  }
+
+  /** Oracle SQL twin of [[kaplanMeier]] — identical step fold as a
+    * recursive CTE over dense durations. */
+  def kaplanMeierOracle(eventType: String = "purchase"): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH RECURSIVE mx AS (
+       |  SELECT CAST(max(epoch_ms(ts)) AS BIGINT) AS mw FROM events
+       |), p AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS nxt
+       |  FROM events WHERE event_type = '$eventType'
+       |), g AS (
+       |  SELECT CASE WHEN nxt IS NOT NULL THEN (nxt - ms) // 3600000
+       |    ELSE (mx.mw - ms) // 3600000 END AS t,
+       |    CAST(sum(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c
+       |  FROM p, mx GROUP BY 1
+       |), tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM g),
+       |r AS (
+       |  SELECT t, d, c,
+       |    tot.n - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS nrisk
+       |  FROM g, tot
+       |), km(t, s) AS (
+       |  SELECT CAST(-1 AS BIGINT), CAST(1000000000 AS BIGINT)
+       |  UNION ALL
+       |  SELECT km.t + 1,
+       |    CASE WHEN coalesce(r.d, 0) > 0
+       |      THEN ${halfUpDivSql("km.s * (r.nrisk - r.d)", "r.nrisk")}
+       |      ELSE km.s END
+       |  FROM km LEFT JOIN r ON r.t = km.t + 1
+       |  WHERE km.t + 1 <= (SELECT max(t) FROM r)
+       |)
+       |SELECT r.t AS t_hours, r.nrisk AS n_risk, r.d AS n_deaths,
+       |  r.c AS n_censored, km.s AS s_ppb
+       |FROM r JOIN km ON km.t = r.t
+       |ORDER BY t_hours""".stripMargin
+  }
+
   /** Oracle SQL twin of [[conformalCoverage]] — identical hash split,
     * ceil rank, and counting pass. */
   def conformalCoverageOracle(calibMod: Long = 5L): String = {

@@ -166,6 +166,26 @@ class KsTauPcaSpec extends SparkSuite {
       .getLong(2) === 0L)
   }
 
+  test("kaplanMeier: censoring-correct repeat-purchase survival") {
+    import graft.operators.EventOps
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // u1 purchases at h0,h2 (death t=2; last → censored t=5−2=3);
+    // u2 purchases at h1 (censored t=5−1=4); corpus ends at the h5
+    // view. Fold: t=2 has n=3,d=1 → S = round(1e9·2/3); censor steps
+    // shrink the risk set but never move S.
+    val ev = Seq(
+      (1L, ts(0), 10L, "purchase", 1.0),
+      (2L, ts(2), 10L, "purchase", 1.0),
+      (3L, ts(1), 20L, "purchase", 1.0),
+      (4L, ts(5), 30L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.kaplanMeier(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out === Seq((2L, 3L, 1L, 0L, 666666667L),
+      (3L, 2L, 0L, 1L, 666666667L), (4L, 1L, 0L, 1L, 666666667L)))
+  }
+
   test("crossModalDupAgreement: identical docs pair in both tiers") {
     // Two identical long docs (text pair via MinHash est=1.0, media
     // pair via all-windows alignment) + one unrelated doc.
