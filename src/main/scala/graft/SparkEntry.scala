@@ -1310,6 +1310,11 @@ object SparkEntry {
     // time-to-churn curve in integer ppb, step-fold hash-gated.
     "q246_kaplan_meier" -> ((s, d) =>
       EventOps.kaplanMeier(Tables.events(s, d))),
+
+    // Log-rank test: high- vs low-value purchases' repurchase curves,
+    // hypergeometric O-E terms in exact 1e-6 integer units.
+    "q247_logrank" -> ((s, d) =>
+      EventOps.logRank(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1999,5 +2004,6 @@ object SparkEntry {
     "q244_pca_drift" -> SimilarityOp.pcaDriftOracle(),
     "q245_conformal_coverage" -> EventOps.conformalCoverageOracle(),
     "q246_kaplan_meier" -> EventOps.kaplanMeierOracle(),
+    "q247_logrank" -> EventOps.logRankOracle(),
   )
 }

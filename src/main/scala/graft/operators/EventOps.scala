@@ -2243,24 +2243,53 @@ object EventOps {
     * by a domain constant, not the data). The oracle replays the fold
     * as a recursive CTE over dense durations.
     */
-  def kaplanMeier(events: DataFrame,
-                  eventType: String = "purchase"): DataFrame = {
+  /** The shared survival-subject builder: one subject per `eventType`
+    * event — duration in hours to the user's next such event (death)
+    * or to the corpus's last event (censored), plus the subject's own
+    * value in cents (the grouping feature [[logRank]] splits on).
+    * ONE definition for [[kaplanMeier]] and [[logRank]]. */
+  private def kmSubjects(events: DataFrame, eventType: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = events.sparkSession
-    import spark.implicits._
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ms"), col("event_id"))
     val mx = events.agg(max(unix_millis(col("ts"))).as("mw"))
-    val g = events.where(col("event_type") === eventType)
+    events.where(col("event_type") === eventType)
       .select(col("user_id"), col("event_id"),
-        unix_millis(col("ts")).as("ms"))
+        unix_millis(col("ts")).as("ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
       .withColumn("nxt", lead(col("ms"), 1).over(w))
       .crossJoin(broadcast(mx))
       .select(
         when(col("nxt").isNotNull,
           expr("(nxt - ms) DIV 3600000"))
           .otherwise(expr("(mw - ms) DIV 3600000")).as("t"),
-        when(col("nxt").isNotNull, 0L).otherwise(1L).as("cen"))
+        when(col("nxt").isNotNull, 0L).otherwise(1L).as("cen"),
+        col("vc"))
+  }
+
+  /** SQL twin of [[kmSubjects]] — CTEs ending in
+    * `subj(t, cen, vc)`. */
+  private def kmSubjectCtes(eventType: String): String =
+    s"""mx AS (
+       |  SELECT CAST(max(epoch_ms(ts)) AS BIGINT) AS mw FROM events
+       |), p AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    CAST(round(value * 100) AS BIGINT) AS vc,
+       |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS nxt
+       |  FROM events WHERE event_type = '$eventType'
+       |), subj AS (
+       |  SELECT CASE WHEN nxt IS NOT NULL THEN (nxt - ms) // 3600000
+       |    ELSE (mx.mw - ms) // 3600000 END AS t,
+       |    CASE WHEN nxt IS NOT NULL THEN 0 ELSE 1 END AS cen, vc
+       |  FROM p, mx
+       |)""".stripMargin
+
+  def kaplanMeier(events: DataFrame,
+                  eventType: String = "purchase"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val g = kmSubjects(events, eventType)
       .groupBy(col("t"))
       .agg(sum(lit(1L) - col("cen")).as("d"), sum(col("cen")).as("c"))
     // Bounded collect: one row per observed duration ≤ corpus hours.
@@ -2292,21 +2321,12 @@ object EventOps {
     * recursive CTE over dense durations. */
   def kaplanMeierOracle(eventType: String = "purchase"): String = {
     import graft.functions.DetAgg.halfUpDivSql
-    s"""WITH RECURSIVE mx AS (
-       |  SELECT CAST(max(epoch_ms(ts)) AS BIGINT) AS mw FROM events
-       |), p AS (
-       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
-       |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id
-       |      ORDER BY epoch_ms(ts), event_id) AS nxt
-       |  FROM events WHERE event_type = '$eventType'
-       |), g AS (
-       |  SELECT CASE WHEN nxt IS NOT NULL THEN (nxt - ms) // 3600000
-       |    ELSE (mx.mw - ms) // 3600000 END AS t,
-       |    CAST(sum(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS d,
-       |    CAST(sum(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS c
-       |  FROM p, mx GROUP BY 1
+    s"""WITH RECURSIVE ${kmSubjectCtes(eventType)},
+       |g AS (
+       |  SELECT t,
+       |    CAST(sum(1 - cen) AS BIGINT) AS d,
+       |    CAST(sum(cen) AS BIGINT) AS c
+       |  FROM subj GROUP BY 1
        |), tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM g),
        |r AS (
        |  SELECT t, d, c,
@@ -2328,6 +2348,182 @@ object EventOps {
        |  r.c AS n_censored, km.s AS s_ppb
        |FROM r JOIN km ON km.t = r.t
        |ORDER BY t_hours""".stripMargin
+  }
+
+  /** q247: log-rank test between two survival curves — does a
+    * HIGH-VALUE purchase predict a different time-to-repurchase than a
+    * low-value one? The standard two-sample censoring-correct
+    * comparison ([[kaplanMeier]]'s inferential sibling): subjects
+    * split at the exact median purchase value (distinct-value
+    * histogram median — the q169 stance, no row-level global window),
+    * and at each death time the observed high-group deaths are
+    * compared with their hypergeometric expectation under "no
+    * difference": χ² = (O₁−E₁)²/V with E₁ = Σ dₜ·n₁ₜ/nₜ and
+    * V = Σ dₜ·n₁ₜ·n₂ₜ·(nₜ−dₜ)/(nₜ²·(nₜ−1)).
+    *
+    * Unlike the KM curve itself, every sum here is ORDER-FREE, so the
+    * whole statistic is relational — no driver fold: per-(group, t)
+    * counts, per-group at-risk via 1-PRECEDING cumulative windows over
+    * the t-level frame, per-death-time terms in exact 1e-6 integer
+    * units via the half-up identity with DECIMAL(38,0)/HUGEINT
+    * promotion (the v-term numerator is dₜ·n₁ₜ·n₂ₜ·(nₜ−dₜ)·10⁶ ≈ n⁴,
+    * which passes 2⁶³ near nₜ ≈ 50 k at risk — promoted, the binding
+    * bound moves to nₜ ≈ 10⁸). `dir` is the sign of O₁−E₁ (+1 = the
+    * high-value group repurchases FASTER than expected).
+    */
+  def logRank(events: DataFrame,
+              eventType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetAgg.halfUpDiv
+    val subj = kmSubjects(events, eventType)
+    // exact median of vc at the distinct-value level
+    val hist = subj.groupBy(col("vc")).agg(count(lit(1)).as("cnt"))
+    val wv = Window.orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist
+      .withColumn("cum", sum(col("cnt")).over(wv))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+      .where(col("cum") * 2 >= col("n"))
+      .agg(min(col("vc")).as("med"))
+    val grouped = subj.crossJoin(broadcast(med))
+      .select(col("t"), col("cen"),
+        when(col("vc") > col("med"), lit(1L)).otherwise(lit(0L)).as("hi"))
+    val perGT = grouped.groupBy(col("t"), col("hi"))
+      .agg(sum(lit(1L) - col("cen")).as("d"), sum(col("cen")).as("c"))
+    // dense (t × group) grid so the cumulative at-risk is exact even
+    // when one group has no subjects at a t
+    val ts = perGT.select(col("t")).distinct()
+    val grid = ts.crossJoin(
+        broadcast(perGT.select(col("hi")).distinct()))
+      .join(perGT, Seq("t", "hi"), "left")
+      .select(col("t"), col("hi"),
+        coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wg = Window.partitionBy(col("hi")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = grid.groupBy(col("hi")).agg(sum(col("d") + col("c")).as("ng"))
+    val risk = grid.join(broadcast(totals), Seq("hi"))
+      .withColumn("gone", coalesce(sum(col("d") + col("c")).over(wg),
+        lit(0L)))
+      .select(col("t"), col("hi"), col("d"), (col("ng") - col("gone")).as("r"))
+    val byT = risk.groupBy(col("t"))
+      .agg(sum(when(col("hi") === 1L, col("d")).otherwise(0L)).as("d1"),
+        sum(col("d")).as("dt"),
+        sum(when(col("hi") === 1L, col("r")).otherwise(0L)).as("n1"),
+        sum(when(col("hi") === 0L, col("r")).otherwise(0L)).as("n2"))
+      .where(col("dt") > 0)
+      .select(col("d1"), col("dt"), col("n1"), col("n2"),
+        (col("n1") + col("n2")).as("nt"))
+    val terms = byT.select(col("d1"),
+      halfUpDiv((col("dt") * col("n1")).cast("decimal(38,0)")
+        * lit(1000000L), col("nt").cast("decimal(38,0)"))
+        .cast("long").as("e1"),
+      when(col("nt") > 1,
+        halfUpDiv(
+          (col("dt").cast("decimal(38,0)") * col("n1") * col("n2")
+            * (col("nt") - col("dt"))) * lit(1000000L),
+          col("nt").cast("decimal(38,0)") * col("nt")
+            * (col("nt") - 1)).cast("long"))
+        .otherwise(0L).as("v1"))
+    val sums = terms.agg(sum(col("d1")).as("o1"),
+      sum(col("e1")).as("e1_micro"), sum(col("v1")).as("v_micro"))
+    val counts = grouped.agg(
+      sum(col("hi")).as("n_hi"),
+      sum(lit(1L) - col("hi")).as("n_lo"))
+    counts.crossJoin(sums)
+      .select(col("n_hi"), col("n_lo"),
+        coalesce(col("o1"), lit(0L)).as("o_hi"),
+        coalesce(col("e1_micro"), lit(0L)).as("e_hi_micro"),
+        coalesce(col("v_micro"), lit(0L)).as("v_micro"))
+      .withColumn("diff_micro",
+        col("o_hi") * 1000000L - col("e_hi_micro"))
+      .select(col("n_hi"), col("n_lo"), col("o_hi"), col("e_hi_micro"),
+        col("v_micro"),
+        when(col("v_micro") > 0,
+          halfUpDiv(
+            (col("diff_micro").cast("decimal(38,0)")
+              * col("diff_micro")),
+            col("v_micro").cast("decimal(38,0)")).cast("long"))
+          .otherwise(0L).as("chi2_ppm"),
+        signum(col("diff_micro")).cast("long").as("dir"))
+  }
+
+  /** Oracle SQL twin of [[logRank]] — identical median split, dense
+    * grid, cumulative at-risk, and integer term arithmetic. */
+  def logRankOracle(eventType: String = "purchase"): String = {
+    import graft.functions.DetAgg.{halfUpDivSql, halfUpDivHugeSql}
+    s"""WITH ${kmSubjectCtes(eventType)},
+       |hist AS (SELECT vc, count(*) AS cnt FROM subj GROUP BY 1),
+       |hn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+       |med AS (
+       |  SELECT min(vc) AS med FROM (
+       |    SELECT vc, sum(cnt) OVER (ORDER BY vc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM hist) h, hn
+       |  WHERE cum * 2 >= hn.n
+       |), grouped AS (
+       |  SELECT t, cen,
+       |    CASE WHEN vc > med.med THEN 1 ELSE 0 END AS hi
+       |  FROM subj, med
+       |), pergt AS (
+       |  SELECT t, hi, CAST(sum(1 - cen) AS BIGINT) AS d,
+       |    CAST(sum(cen) AS BIGINT) AS c
+       |  FROM grouped GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT ts.t, g2.hi, coalesce(p.d, 0) AS d, coalesce(p.c, 0) AS c
+       |  FROM (SELECT DISTINCT t FROM pergt) ts
+       |  CROSS JOIN (SELECT DISTINCT hi FROM pergt) g2
+       |  LEFT JOIN pergt p ON p.t = ts.t AND p.hi = g2.hi
+       |), tot AS (
+       |  SELECT hi, CAST(sum(d + c) AS BIGINT) AS ng FROM grid GROUP BY 1
+       |), risk AS (
+       |  SELECT grid.t, grid.hi, grid.d,
+       |    tot.ng - CAST(coalesce(sum(grid.d + grid.c) OVER (
+       |      PARTITION BY grid.hi ORDER BY grid.t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS r
+       |  FROM grid JOIN tot ON tot.hi = grid.hi
+       |), byt AS (
+       |  SELECT t,
+       |    CAST(sum(CASE WHEN hi = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(sum(d) AS BIGINT) AS dt,
+       |    CAST(sum(CASE WHEN hi = 1 THEN r ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN hi = 0 THEN r ELSE 0 END) AS BIGINT) AS n2
+       |  FROM risk GROUP BY 1
+       |), terms AS (
+       |  SELECT d1,
+       |    ${halfUpDivHugeSql("(CAST(dt AS HUGEINT) * n1) * 1000000",
+                               "n1 + n2")} AS e1,
+       |    CASE WHEN n1 + n2 > 1 THEN
+       |      ${halfUpDivHugeSql(
+                "(CAST(dt AS HUGEINT) * n1 * n2 * (n1 + n2 - dt)) " +
+                  "* 1000000",
+                "CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1)")}
+       |    ELSE 0 END AS v1
+       |  FROM byt WHERE dt > 0
+       |), sums AS (
+       |  SELECT CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+       |    CAST(coalesce(sum(e1), 0) AS BIGINT) AS e1_micro,
+       |    CAST(coalesce(sum(v1), 0) AS BIGINT) AS v_micro
+       |  FROM terms
+       |), cnts AS (
+       |  SELECT CAST(sum(hi) AS BIGINT) AS n_hi,
+       |    CAST(sum(1 - hi) AS BIGINT) AS n_lo
+       |  FROM grouped
+       |), f AS (
+       |  SELECT cnts.n_hi, cnts.n_lo, sums.o1 AS o_hi,
+       |    sums.e1_micro AS e_hi_micro, sums.v_micro,
+       |    sums.o1 * 1000000 - sums.e1_micro AS diff_micro
+       |  FROM cnts, sums
+       |)
+       |SELECT n_hi, n_lo, o_hi, e_hi_micro, v_micro,
+       |  CASE WHEN v_micro > 0 THEN
+       |    ${halfUpDivHugeSql(
+              "CAST(diff_micro AS HUGEINT) * diff_micro", "v_micro")}
+       |  ELSE 0 END AS chi2_ppm,
+       |  CAST(CASE WHEN diff_micro > 0 THEN 1
+       |    WHEN diff_micro < 0 THEN -1 ELSE 0 END AS BIGINT) AS dir
+       |FROM f""".stripMargin
   }
 
   /** Oracle SQL twin of [[conformalCoverage]] — identical hash split,

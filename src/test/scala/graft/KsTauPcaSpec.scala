@@ -186,6 +186,27 @@ class KsTauPcaSpec extends SparkSuite {
       (3L, 2L, 0L, 1L, 666666667L), (4L, 1L, 0L, 1L, 666666667L)))
   }
 
+  test("logRank: hand-computed hypergeometric O-E terms") {
+    import graft.operators.EventOps
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // Median split at vc=10 → hi = the 0.30 purchases (u1).
+    // t=1: dt=1 (hi), n1=2, n2=2 → e=500000, v=250000.
+    // t=2: dt=1 (lo), n1=1, n2=2 → e=333333, v=222222.
+    // O1=1, E1=833333, diff=166667, V=472222 →
+    // chi2_ppm = round(166667²/472222) = 58824, dir=+1.
+    val ev = Seq(
+      (1L, ts(0), 10L, "purchase", 0.30),
+      (2L, ts(1), 10L, "purchase", 0.30),
+      (3L, ts(0), 20L, "purchase", 0.10),
+      (4L, ts(2), 20L, "purchase", 0.10),
+      (5L, ts(4), 30L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventOps.logRank(ev).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((2L, 2L, 1L, 833333L, 472222L, 58824L, 1L)))
+  }
+
   test("crossModalDupAgreement: identical docs pair in both tiers") {
     // Two identical long docs (text pair via MinHash est=1.0, media
     // pair via all-windows alignment) + one unrelated doc.
