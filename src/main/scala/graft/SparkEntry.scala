@@ -1315,6 +1315,11 @@ object SparkEntry {
     // hypergeometric O-E terms in exact 1e-6 integer units.
     "q247_logrank" -> ((s, d) =>
       EventOps.logRank(Tables.events(s, d))),
+
+    // CUPED variance-reduced A/B lift — pre-period covariate
+    // adjustment with exact integer theta / rho² / adjusted diff.
+    "q248_cuped_lift" -> ((s, d) =>
+      EventOps.cupedLift(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2005,5 +2010,6 @@ object SparkEntry {
     "q245_conformal_coverage" -> EventOps.conformalCoverageOracle(),
     "q246_kaplan_meier" -> EventOps.kaplanMeierOracle(),
     "q247_logrank" -> EventOps.logRankOracle(),
+    "q248_cuped_lift" -> EventOps.cupedLiftOracle,
   )
 }

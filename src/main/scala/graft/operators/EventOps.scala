@@ -2448,6 +2448,168 @@ object EventOps {
         signum(col("diff_micro")).cast("long").as("dir"))
   }
 
+  /** q248: CUPED variance-reduced A/B lift — the modern
+    * experimentation standard (q227 tests a proportion; this adjusts a
+    * CONTINUOUS metric with pre-period behavior): per user, x =
+    * pre-period value cents and y = post-period value cents (corpus
+    * midpoint split, derived in-query), arms by the portable user
+    * hash. θ = cov(x,y)/var(x) from exact pooled integer moments;
+    * CUPED's guaranteed variance reduction is exactly ρ²(x,y) —
+    * published in ppm rather than re-derived from adjusted rows — and
+    * the adjusted lift is Δȳ − θ·Δx̄. Every output is an exact
+    * integer (ppm / micro-cents) via the half-up identity with
+    * DECIMAL(38,0)/HUGEINT promotion on the n·Σxy-class products, so
+    * the whole experiment readout hash-gates. On this corpus ρ² ≈
+    * 0.5 % — user activity has almost no week-to-week memory, which is
+    * itself the measurement (CUPED would not pay here).
+    *
+    * Scale shape: one map-side-combined per-user rollup, one 1-row
+    * moment aggregate, broadcast scalars — the q130 moment plan.
+    */
+  def cupedLift(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    import graft.functions.TextFunctions.portableHash
+    val b = events.select(col("user_id"),
+      expr("unix_millis(ts) DIV 86400000").as("d"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+    val bounds = b.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val u = b.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        expr("(lo + hi + 1) DIV 2").as("mid"), col("d"), col("vc"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("d") < col("mid"), col("vc")).otherwise(0L))
+          .as("x"),
+        sum(when(col("d") >= col("mid"), col("vc")).otherwise(0L))
+          .as("y"))
+      .withColumn("arm",
+        pmod(portableHash(reverse(col("user_id").cast("string"))),
+          lit(2L)))
+    val m = u.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === 1L, col("x")).otherwise(0L)).as("sxb"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("syb"))
+    m.select(
+        (col("n") - col("nb")).as("na"), col("nb"),
+        (col("n").cast("decimal(38,0)") * col("sxy")
+          - col("sx").cast("decimal(38,0)") * col("sy")).as("cov_n2"),
+        (col("n").cast("decimal(38,0)") * col("sxx")
+          - col("sx").cast("decimal(38,0)") * col("sx")).as("varx_n2"),
+        (col("n").cast("decimal(38,0)") * col("syy")
+          - col("sy").cast("decimal(38,0)") * col("sy")).as("vary_n2"),
+        col("sx"), col("sy"), col("sxb"), col("syb"), col("n"))
+      .select(col("na"), col("nb"),
+        when(col("varx_n2") > 0,
+          halfUpDiv(col("cov_n2") * lit(1000000L), col("varx_n2"))
+            .cast("long")).otherwise(0L).as("theta_ppm"),
+        col("cov_n2"), col("vary_n2"),
+        col("sx"), col("sy"), col("sxb"), col("syb"), col("n"))
+      // ρ² staged as θ·cov/var_y: cov²·10⁶ alone would pass int128
+      // near sf1 — two chained half-up divisions are the operational
+      // definition, mirrored in the oracle
+      .select(col("na"), col("nb"), col("theta_ppm"),
+        when(col("vary_n2") > 0,
+          halfUpDiv(col("theta_ppm").cast("decimal(38,0)")
+            * col("cov_n2"), col("vary_n2")).cast("long"))
+          .otherwise(0L).as("var_reduction_ppm"),
+        when(col("na") > 0 && col("nb") > 0,
+          halfUpDiv(
+            (col("syb").cast("decimal(38,0)") * col("na")
+              - (col("sy") - col("syb")).cast("decimal(38,0)")
+                * col("nb")) * lit(1000000L),
+            (col("na") * col("nb")).cast("decimal(38,0)"))
+            .cast("long")).otherwise(0L).as("diff_raw_micro"),
+        when(col("na") > 0 && col("nb") > 0,
+          halfUpDiv(
+            (col("sxb").cast("decimal(38,0)") * col("na")
+              - (col("sx") - col("sxb")).cast("decimal(38,0)")
+                * col("nb")) * lit(1000000L),
+            (col("na") * col("nb")).cast("decimal(38,0)"))
+            .cast("long")).otherwise(0L).as("dx_micro"))
+      .select(col("na"), col("nb"), col("theta_ppm"),
+        col("var_reduction_ppm"), col("diff_raw_micro"),
+        (col("diff_raw_micro")
+          - halfUpDiv(col("theta_ppm").cast("decimal(38,0)")
+              * col("dx_micro"), lit(1000000L).cast("decimal(38,0)"))
+            .cast("long")).as("diff_cuped_micro"))
+  }
+
+  /** Oracle SQL twin of [[cupedLift]] — identical moments, split, and
+    * integer readout. */
+  def cupedLiftOracle: String = {
+    import graft.functions.DetAgg.{halfUpDivSql, halfUpDivHugeSql}
+    val h = graft.functions.TextFunctions.portableHashSql(
+      "reverse(CAST(user_id AS VARCHAR))")
+    s"""WITH b AS (
+       |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+       |    CAST(round(value * 100) AS BIGINT) AS vc
+       |  FROM events
+       |), bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM b),
+       |u AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN d < (bounds.lo + bounds.hi + 1) // 2
+       |      THEN vc ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN d >= (bounds.lo + bounds.hi + 1) // 2
+       |      THEN vc ELSE 0 END) AS BIGINT) AS y,
+       |    ((($h % 2) + 2) % 2) AS arm
+       |  FROM b, bounds GROUP BY user_id, bounds.lo, bounds.hi
+       |), m AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+       |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+       |    CAST(sum(arm) AS BIGINT) AS nb,
+       |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+       |      AS sxb,
+       |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+       |      AS syb
+       |  FROM u
+       |), c AS (
+       |  SELECT n - nb AS na, nb,
+       |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+       |      AS cov_n2,
+       |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+       |      AS varx_n2,
+       |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+       |      AS vary_n2,
+       |    sx, sy, sxb, syb
+       |  FROM m
+       |), r AS (
+       |  SELECT na, nb,
+       |    CASE WHEN varx_n2 > 0 THEN
+       |      ${halfUpDivHugeSql("cov_n2 * 1000000", "varx_n2")}
+       |    ELSE 0 END AS theta_ppm,
+       |    cov_n2, vary_n2,
+       |    CASE WHEN na > 0 AND nb > 0 THEN
+       |      ${halfUpDivHugeSql(
+                "(CAST(syb AS HUGEINT) * na - CAST(sy - syb AS HUGEINT)" +
+                  " * nb) * 1000000",
+                "CAST(na AS HUGEINT) * nb")}
+       |    ELSE 0 END AS diff_raw_micro,
+       |    CASE WHEN na > 0 AND nb > 0 THEN
+       |      ${halfUpDivHugeSql(
+                "(CAST(sxb AS HUGEINT) * na - CAST(sx - sxb AS HUGEINT)" +
+                  " * nb) * 1000000",
+                "CAST(na AS HUGEINT) * nb")}
+       |    ELSE 0 END AS dx_micro
+       |  FROM c
+       |)
+       |SELECT na, nb, theta_ppm,
+       |  CASE WHEN vary_n2 > 0 THEN
+       |    ${halfUpDivHugeSql("CAST(theta_ppm AS HUGEINT) * cov_n2",
+                               "vary_n2")}
+       |  ELSE 0 END AS var_reduction_ppm,
+       |  diff_raw_micro,
+       |  diff_raw_micro - ${halfUpDivHugeSql(
+            "CAST(theta_ppm AS HUGEINT) * dx_micro", "1000000")}
+       |    AS diff_cuped_micro
+       |FROM r""".stripMargin
+  }
+
   /** Oracle SQL twin of [[logRank]] — identical median split, dense
     * grid, cumulative at-risk, and integer term arithmetic. */
   def logRankOracle(eventType: String = "purchase"): String = {

@@ -207,6 +207,24 @@ class KsTauPcaSpec extends SparkSuite {
       ((2L, 2L, 1L, 833333L, 472222L, 58824L, 1L)))
   }
 
+  test("cupedLift: perfectly predictive pre-period zeroes the adjusted lift") {
+    import graft.operators.EventOps
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // Days 0..3 → midpoint 2. Each user's post spend is exactly 2×
+    // the pre spend, so θ = 2e6 ppm, ρ² = 1e6 ppm, and the CUPED-
+    // adjusted lift is exactly 0 — independent of how the hash
+    // assigns arms.
+    val ev = Seq(
+      (1L, ts(0), 10L, "purchase", 1.00), (2L, ts(2), 10L, "purchase", 2.00),
+      (3L, ts(0), 20L, "purchase", 2.00), (4L, ts(2), 20L, "purchase", 4.00),
+      (5L, ts(0), 30L, "purchase", 3.00), (6L, ts(2), 30L, "purchase", 6.00)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventOps.cupedLift(ev).collect()(0)
+    assert(r.getLong(2) === 2000000L)       // theta_ppm
+    assert(r.getLong(3) === 1000000L)       // var_reduction_ppm
+    assert(r.getLong(5) === 0L)             // diff_cuped_micro
+  }
+
   test("crossModalDupAgreement: identical docs pair in both tiers") {
     // Two identical long docs (text pair via MinHash est=1.0, media
     // pair via all-windows alignment) + one unrelated doc.
