@@ -2375,6 +2375,11 @@ object EventOps {
               eventType: String = "purchase"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.DetAgg.halfUpDiv
+    // The subject frame feeds four branches; persist + localCheckpoint
+    // was A/B'd (RunOne x3) and LOST badly — 8.7-15.8 s vs 2.7 s
+    // recomputed at sf0.1: eager materialization serializes the
+    // branches and defeats exchange reuse (the q129 lesson again).
+    // Recompute is the shipped shape.
     val subj = kmSubjects(events, eventType)
     // exact median of vc at the distinct-value level
     val hist = subj.groupBy(col("vc")).agg(count(lit(1)).as("cnt"))
@@ -2430,7 +2435,7 @@ object EventOps {
     val counts = grouped.agg(
       sum(col("hi")).as("n_hi"),
       sum(lit(1L) - col("hi")).as("n_lo"))
-    counts.crossJoin(sums)
+    val out = counts.crossJoin(sums)
       .select(col("n_hi"), col("n_lo"),
         coalesce(col("o1"), lit(0L)).as("o_hi"),
         coalesce(col("e1_micro"), lit(0L)).as("e_hi_micro"),
@@ -2446,6 +2451,7 @@ object EventOps {
             col("v_micro").cast("decimal(38,0)")).cast("long"))
           .otherwise(0L).as("chi2_ppm"),
         signum(col("diff_micro")).cast("long").as("dir"))
+    out
   }
 
   /** q248: CUPED variance-reduced A/B lift — the modern
