@@ -1320,6 +1320,11 @@ object SparkEntry {
     // adjustment with exact integer theta / rho² / adjusted diff.
     "q248_cuped_lift" -> ((s, d) =>
       EventOps.cupedLift(Tables.events(s, d))),
+
+    // Multi-touch attribution: largest-remainder integer apportionment
+    // over the keyed interval join — revenue conserved to the cent.
+    "q249_multitouch_attribution" -> ((s, d) =>
+      TemporalOps.multiTouchAttribution(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2011,5 +2016,7 @@ object SparkEntry {
     "q246_kaplan_meier" -> EventOps.kaplanMeierOracle(),
     "q247_logrank" -> EventOps.logRankOracle(),
     "q248_cuped_lift" -> EventOps.cupedLiftOracle,
+    "q249_multitouch_attribution" ->
+      TemporalOps.multiTouchAttributionOracle(),
   )
 }

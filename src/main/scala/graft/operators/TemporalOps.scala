@@ -353,4 +353,104 @@ object TemporalOps {
        |  CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT)
        |    AS is_current
        |FROM z ORDER BY user_id, valid_from_ms, k""".stripMargin
+
+  /** q249: multi-touch revenue attribution with EXACT integer
+    * apportionment — [[lastTouchAttribution]] credits one touch; this
+    * splits each purchase's cents EQUALLY across every same-user touch
+    * in the lookback window, using the largest-remainder rule: each of
+    * the k touches gets ⌊v/k⌋ and the v mod k leftover cents go to the
+    * most recent touches — so every purchase's credit sums EXACTLY to
+    * its cents (the no-lost-pennies invariant a finance-grade
+    * attribution rollup must hold; floats cannot). Purchases with no
+    * touch in the window credit a '(direct)' arm, so the whole corpus
+    * revenue is conserved (spec-asserted).
+    *
+    * Scale shape: the touches×purchases pairing is the q105 keyed
+    * interval join ([[rangeJoin]]: bucket equi-join + residual, never
+    * a per-user cross product; the lookback spans ≤ 2 buckets by
+    * construction). Fan-out is bounded by touches-per-lookback; the
+    * recency rank windows partition BY PURCHASE (per-purchase touch
+    * counts, never corpus-sized partitions).
+    */
+  def multiTouchAttribution(events: DataFrame,
+                            lookbackMs: Long = 72L * 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.withColumn("ts_ms", unix_millis(col("ts")))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("puser"),
+        col("ts_ms").as("pms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .withColumn("start_ms", col("pms") - lookbackMs)
+    val touches = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts_ms").as("tms"),
+        col("event_type").as("channel"), col("event_id").as("tid"))
+    val j = rangeJoin(touches, "tms",
+      purchases.select(col("pid"), col("puser"), col("vc"),
+        col("start_ms"), col("pms")),
+      "start_ms", "pms", bucketMs = lookbackMs,
+      keys = Seq(("user_id", "puser")))
+    val wP = Window.partitionBy(col("pid"))
+      .orderBy(col("tms").desc, col("tid").desc)
+    val wK = Window.partitionBy(col("pid"))
+    val shares = j
+      .withColumn("rk", row_number().over(wP))
+      .withColumn("k", count(lit(1)).over(wK))
+      .select(col("pid"), col("channel"),
+        (expr("vc DIV k") +
+          when(col("rk") <= pmod(col("vc"), col("k")), 1L)
+            .otherwise(0L)).as("share"))
+    val byChannel = shares.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("share")).as("attributed_cents"))
+    val direct = purchases
+      .join(shares.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("vc")), lit(0L)).as("attributed_cents"))
+      .select(lit("(direct)").as("channel"), col("n"),
+        col("attributed_cents"))
+    byChannel.unionByName(direct).orderBy("channel")
+  }
+
+  /** Oracle SQL twin of [[multiTouchAttribution]] — plain interval
+    * join (the blocking is a plan choice, not a semantic one), same
+    * largest-remainder shares. */
+  def multiTouchAttributionOracle(lookbackMs: Long = 72L * 3600000L)
+      : String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+       |    value
+       |  FROM events
+       |), p AS (
+       |  SELECT event_id AS pid, user_id, ts_ms AS pms,
+       |    CAST(round(value * 100) AS BIGINT) AS vc
+       |  FROM ev WHERE event_type = 'purchase'
+       |), t AS (
+       |  SELECT user_id, ts_ms AS tms, event_type AS channel,
+       |    event_id AS tid
+       |  FROM ev WHERE event_type <> 'purchase'
+       |), j AS (
+       |  SELECT p.pid, p.vc, t.channel, t.tms, t.tid
+       |  FROM p JOIN t ON t.user_id = p.user_id
+       |    AND t.tms >= p.pms - $lookbackMs AND t.tms < p.pms
+       |), s AS (
+       |  SELECT pid, channel,
+       |    vc // k + CASE WHEN rk <= vc % k THEN 1 ELSE 0 END AS share
+       |  FROM (
+       |    SELECT pid, vc, channel,
+       |      row_number() OVER (PARTITION BY pid
+       |        ORDER BY tms DESC, tid DESC) AS rk,
+       |      count(*) OVER (PARTITION BY pid) AS k
+       |    FROM j) r
+       |), bychan AS (
+       |  SELECT channel, count(*) AS n,
+       |    CAST(sum(share) AS BIGINT) AS attributed_cents
+       |  FROM s GROUP BY 1
+       |), direct AS (
+       |  SELECT '(direct)' AS channel, count(*) AS n,
+       |    CAST(coalesce(sum(vc), 0) AS BIGINT) AS attributed_cents
+       |  FROM p WHERE pid NOT IN (SELECT DISTINCT pid FROM s)
+       |)
+       |SELECT channel, n, attributed_cents FROM bychan
+       |UNION ALL
+       |SELECT channel, n, attributed_cents FROM direct
+       |ORDER BY channel""".stripMargin
 }

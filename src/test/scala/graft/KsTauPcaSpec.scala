@@ -225,6 +225,25 @@ class KsTauPcaSpec extends SparkSuite {
     assert(r.getLong(5) === 0L)             // diff_cuped_micro
   }
 
+  test("multiTouchAttribution: largest-remainder shares conserve every cent") {
+    import graft.operators.TemporalOps
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // One 10-cent purchase, three touches → 10 = 4+3+3, the extra
+    // cent to the most recent touch (signup).
+    val ev = Seq(
+      (2L, ts(1), 10L, "view", 0.0),
+      (3L, ts(2), 10L, "click", 0.0),
+      (4L, ts(3), 10L, "signup", 0.0),
+      (5L, ts(4), 10L, "purchase", 0.10),
+      (6L, ts(4), 20L, "purchase", 0.50) // no touches → direct
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TemporalOps.multiTouchAttribution(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq(("(direct)", 1L, 50L), ("click", 1L, 3L),
+      ("signup", 1L, 4L), ("view", 1L, 3L)))
+    assert(out.map(_._3).sum === 60L) // conservation: 10 + 50 cents
+  }
+
   test("crossModalDupAgreement: identical docs pair in both tiers") {
     // Two identical long docs (text pair via MinHash est=1.0, media
     // pair via all-windows alignment) + one unrelated doc.
