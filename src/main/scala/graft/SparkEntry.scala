@@ -1325,6 +1325,11 @@ object SparkEntry {
     // over the keyed interval join — revenue conserved to the cent.
     "q249_multitouch_attribution" -> ((s, d) =>
       TemporalOps.multiTouchAttribution(Tables.events(s, d))),
+
+    // Dedup chaining audit: implied in-cluster pairs vs direct
+    // verified pairs — the transitive-over-merge measurement.
+    "q250_chaining_audit" -> ((s, d) =>
+      DedupOp.chainingAudit(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2018,5 +2023,6 @@ object SparkEntry {
     "q248_cuped_lift" -> EventOps.cupedLiftOracle,
     "q249_multitouch_attribution" ->
       TemporalOps.multiTouchAttributionOracle(),
+    "q250_chaining_audit" -> DedupOp.chainingAuditOracle(),
   )
 }

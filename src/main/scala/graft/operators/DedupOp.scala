@@ -2046,6 +2046,69 @@ object DedupOp {
       |FROM c GROUP BY 1 HAVING count(*) >= 2
       |ORDER BY canon_key""".stripMargin
 
+  /** q250: dedup CHAINING audit — how much does transitive closure
+    * over-merge beyond the pairwise evidence? Union-find dedup
+    * ([[keepSet]]) collapses A–B and B–C into {A,B,C} even when A–C
+    * was never verified — correct for true duplicates, but a
+    * boilerplate-bridge (two unrelated docs sharing a template with a
+    * third) chains unrelated content into one cluster and the keeper
+    * rule then drops real data. Published: direct verified pairs vs
+    * the pairs IMPLIED by cluster membership (Σ s·(s−1)/2), the
+    * excess, and its share in ppm — the measurement that decides
+    * whether a pipeline needs edge re-verification before collapsing
+    * (high chaining) or can trust CC outright (near-zero).
+    *
+    * Scale shape: rides the q26 banded pair generation (already
+    * materialized) and the q34 CC machinery; everything after is
+    * cluster-count-sized aggregates.
+    */
+  def chainingAudit(docs: DataFrame, minSim: Double = 0.5): DataFrame =
+    chainingFromPairs(minhashLsh(docs, minSim)
+      .select(col("da"), col("db")))
+
+  /** The audit core over ANY (da, db) pair frame — unit-tested on a
+    * crafted path graph (where chaining is provably nonzero), wired to
+    * the q26 detector by [[chainingAudit]]. */
+  private[graft] def chainingFromPairs(pairs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val nd = pairs.agg(count(lit(1)).as("n_direct"))
+    val sizes = keepSet(pairs).groupBy(col("root"))
+      .agg(count(lit(1)).as("s"))
+    val a = sizes.agg(count(lit(1)).as("n_clusters"),
+      coalesce(max(col("s")), lit(0L)).as("max_cluster"),
+      coalesce(sum(expr("(s * (s - 1)) DIV 2")), lit(0L)).as("implied"))
+    nd.crossJoin(a)
+      .select(col("n_direct"), col("n_clusters"), col("max_cluster"),
+        col("implied"),
+        (col("implied") - col("n_direct")).as("excess_pairs"),
+        when(col("implied") > 0,
+          halfUpDiv((col("implied") - col("n_direct")) * 1000000L,
+            col("implied"))).otherwise(0L).as("chain_ppm"))
+  }
+
+  /** Oracle SQL twin of [[chainingAudit]] — the q26 pair chain plus
+    * the shared recursive-CC block. */
+  def chainingAuditOracle(minSim: Double = 0.5): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH RECURSIVE ${minhashPairCtes(minSim)},
+       |p AS (SELECT da, db FROM mhp),
+       |$rootsFromPairsCtes,
+       |sizes AS (SELECT root, count(*) AS s FROM roots GROUP BY 1),
+       |a AS (
+       |  SELECT count(*) AS n_clusters,
+       |    CAST(coalesce(max(s), 0) AS BIGINT) AS max_cluster,
+       |    CAST(coalesce(sum((s * (s - 1)) // 2), 0) AS BIGINT)
+       |      AS implied
+       |  FROM sizes
+       |), nd AS (SELECT count(*) AS n_direct FROM p)
+       |SELECT nd.n_direct, a.n_clusters, a.max_cluster, a.implied,
+       |  a.implied - nd.n_direct AS excess_pairs,
+       |  CASE WHEN a.implied > 0 THEN ${halfUpDivSql(
+            "(a.implied - nd.n_direct) * 1000000", "a.implied")}
+       |  ELSE 0 END AS chain_ppm
+       |FROM nd, a""".stripMargin
+  }
+
   /** q243: Heaps-law vocabulary growth over SHINGLE types — how fast
     * does the 3-gram type inventory grow as the corpus is ingested?
     * The curve a dedup/decontamination planner reads before sizing

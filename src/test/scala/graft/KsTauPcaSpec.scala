@@ -244,6 +244,16 @@ class KsTauPcaSpec extends SparkSuite {
     assert(out.map(_._3).sum === 60L) // conservation: 10 + 50 cents
   }
 
+  test("chainingFromPairs: a path graph chains one unverified pair") {
+    import graft.operators.DedupOp
+    // 1-2, 2-3 (a path) + 4-5 (a clean pair): clusters {1,2,3} and
+    // {4,5} imply 3+1 = 4 pairs vs 3 direct → excess 1, 250000 ppm.
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("da", "db")
+    val r = DedupOp.chainingFromPairs(pairs).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((3L, 2L, 3L, 4L, 1L, 250000L)))
+  }
+
   test("crossModalDupAgreement: identical docs pair in both tiers") {
     // Two identical long docs (text pair via MinHash est=1.0, media
     // pair via all-windows alignment) + one unrelated doc.
