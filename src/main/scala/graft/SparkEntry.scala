@@ -142,7 +142,9 @@ object SparkEntry {
     // Dedup survivor selection: connected components over the near-dup
     // pair graph; root = canonical kept doc per duplicate cluster.
     "q34_dedup_keepset" -> ((s, d) =>
-      DedupOp.keepSet(DedupOp.ngramJaccard(Tables.documents(s, d), 0.5))),
+      DedupOp.keepSet(DedupOp.ngramJaccardTable(Tables.documents(s, d),
+        "/tmp/graft_warehouse", inputTag = Some(d))
+        .select("da", "db"))),
 
     // A1's map-typed metrics shape (reference CelltowerEvent.metrics:
     // Map[String,Double]): build a metric map per event, explode, and
@@ -371,7 +373,9 @@ object SparkEntry {
 
     // Duplicate-cluster size histogram off the near-dup pair graph.
     "q73_dup_cluster_sizes" -> ((s, d) =>
-      DedupOp.dupClusterSizes(Tables.documents(s, d))),
+      DedupOp.dupClusterSizesFromPairs(
+        DedupOp.ngramJaccardTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
 
     // Sequence packing: each doc's (bin, offset) in the fixed-length
     // training-example layout, integer-exact, one window shuffle.
@@ -463,7 +467,9 @@ object SparkEntry {
     // near-dup cluster (truncations lose to their fullest copy),
     // tie-broken by doc_id; root stays the cluster identity.
     "q89_best_of_cluster" -> ((s, d) =>
-      DedupOp.bestOfCluster(Tables.documents(s, d))),
+      DedupOp.bestOfClusterFromPairs(Tables.documents(s, d),
+        DedupOp.ngramJaccardTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
 
     // Sub-document span dedup audit: non-overlapping 32-token windows,
     // global first occurrence survives, per-doc duplicated-span ratio.
@@ -492,7 +498,9 @@ object SparkEntry {
     // mass is eval contamination. The "did the split leak?" check
     // every train/eval split needs.
     "q93_split_leakage" -> ((s, d) =>
-      DedupOp.splitLeakage(Tables.documents(s, d))),
+      DedupOp.splitLeakageFromPairs(Tables.documents(s, d),
+        DedupOp.ngramJaccardTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
 
     // Vocab size for declared coverage thresholds via count-of-counts
     // classes — exact, with no per-type global rank window.
@@ -920,7 +928,9 @@ object SparkEntry {
     // per candidate Jaccard threshold — the knob's blast radius,
     // measured in one pass over the pair graph.
     "q173_dedup_sensitivity" -> ((s, d) =>
-      DedupOp.dedupSensitivity(Tables.documents(s, d))),
+      DedupOp.dedupSensitivityFromPairs(Tables.documents(s, d),
+        DedupOp.ngramJaccardTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
 
     // kNN confidence calibration: realized accuracy per vote-share
     // bucket — the check before vote share becomes a quality score.
@@ -1069,7 +1079,9 @@ object SparkEntry {
     // Near-dup cluster source diversity — intra- vs cross-source
     // duplication decides whether dedup can shard by source.
     "q200_cluster_sources" -> ((s, d) =>
-      DedupOp.clusterSourceDiversity(Tables.documents(s, d))),
+      DedupOp.clusterSourceDiversityFromPairs(Tables.documents(s, d),
+        DedupOp.ngramJaccardTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
 
     // Per-label centroid drift between corpus halves — the embedding
     // distribution-shift monitor, exact in quantized 1e-4 units.
@@ -1329,7 +1341,10 @@ object SparkEntry {
     // Dedup chaining audit: implied in-cluster pairs vs direct
     // verified pairs — the transitive-over-merge measurement.
     "q250_chaining_audit" -> ((s, d) =>
-      DedupOp.chainingAudit(Tables.documents(s, d))),
+      DedupOp.chainingFromPairs(
+        DedupOp.minhashPairsTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d))
+          .select("da", "db"))),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -266,6 +266,51 @@ object DedupOp {
       byShingle)
   }
 
+  /** Write-once near-dup pairs layout — the dedup tier's analog of the
+    * graph tier's [[GraphOps.weightedEdgesTable]] (the q103 stance):
+    * at corpus scale the shingle → block → verify pair generation runs
+    * ONCE at ingest, and every downstream audit (keep-set q34, cluster
+    * sizes q73, best-of-cluster q89, split leakage q93, threshold
+    * sensitivity q173, source diversity q200) serves off the verified
+    * `(da, db, jaccard)` frame — re-deriving the pairs per audit would
+    * re-scan and re-shingle the full text N times for the same output.
+    * The layout's CONTENT stays oracle-checked: every consumer's DuckDB
+    * twin re-derives the pairs independently from raw text, so a stale
+    * or wrong table hash-mismatches at the gate.
+    */
+  def ngramJaccardTable(docs: DataFrame, warehouse: String,
+                        minJaccard: Double = 0.5,
+                        maxDf: Int = MaxShingleDf,
+                        inputTag: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val t = s"g_ndpairs_j${math.round(minJaccard * 100)}_df$maxDf" +
+      BucketedOps.tagOf(inputTag)
+    BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
+      ngramJaccard(docs, minJaccard, maxDf)
+        .write.mode("overwrite").option("path", s"$warehouse/$t")
+        .format("parquet").saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
+  /** [[ngramJaccardTable]]'s sibling for the MinHash+LSH detector —
+    * serves the chaining audit (q250) and any consumer of the banded
+    * pair graph off the write-once `(da, db, est_jaccard)` layout.
+    */
+  def minhashPairsTable(docs: DataFrame, warehouse: String,
+                        minSim: Double = 0.5,
+                        inputTag: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val t = s"g_mhpairs_s${math.round(minSim * 100)}" +
+      BucketedOps.tagOf(inputTag)
+    BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
+      minhashLsh(docs, minSim)
+        .write.mode("overwrite").option("path", s"$warehouse/$t")
+        .format("parquet").saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
   /** First-seen shingle novelty per source — the corpus-freshness audit
     * a crawl pipeline runs per ingest slice: a document's novelty is the
     * fraction of its distinct w-shingles whose FIRST occurrence (min
@@ -561,13 +606,21 @@ object DedupOp {
     * planner and one tiny rollup.
     */
   def splitLeakage(docs: DataFrame, minJaccard: Double = 0.5,
-                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+                   trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    splitLeakageFromPairs(docs, ngramJaccard(docs, minJaccard),
+      trainPct, valPct)
+
+  /** The audit core over ANY verified (da, db) pair frame — wired to
+    * the write-once [[ngramJaccardTable]] layout in SparkEntry. */
+  def splitLeakageFromPairs(docs: DataFrame, pairs: DataFrame,
+                            trainPct: Int = 90,
+                            valPct: Int = 5): DataFrame = {
     val bucket = pmod(ScaleOps.docHash, lit(100L))
     val split = when(bucket < trainPct, lit("train"))
       .when(bucket < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))
     val ids = docs.select(col("doc_id"), split.as("split"))
-    ngramJaccard(docs, minJaccard)
+    pairs.select(col("da"), col("db"))
       .join(ids.select(col("doc_id").as("da"), col("split").as("sa")), Seq("da"))
       .join(ids.select(col("doc_id").as("db"), col("split").as("sb")), Seq("db"))
       .select(least(col("sa"), col("sb")).as("split_lo"),
@@ -768,10 +821,15 @@ object DedupOp {
     * the corpus.
     */
   def bestOfCluster(docs: DataFrame, minJaccard: Double = 0.5,
-                    maxDf: Int = MaxShingleDf): DataFrame = {
+                    maxDf: Int = MaxShingleDf): DataFrame =
+    bestOfClusterFromPairs(docs, ngramJaccard(docs, minJaccard, maxDf))
+
+  /** The survivor pick over ANY verified (da, db) pair frame — wired
+    * to the write-once [[ngramJaccardTable]] layout in SparkEntry. */
+  def bestOfClusterFromPairs(docs: DataFrame,
+                             pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val roots = keepSet(
-      ngramJaccard(docs, minJaccard, maxDf).select(col("da"), col("db")))
+    val roots = keepSet(pairs.select(col("da"), col("db")))
     val wPick = Window.partitionBy(col("root"))
       .orderBy(col("n_chars").desc, col("id"))
     roots
@@ -813,7 +871,12 @@ object DedupOp {
     * |distinct sizes|.
     */
   def dupClusterSizes(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
-    keepSet(ngramJaccard(docs, minJaccard))
+    dupClusterSizesFromPairs(ngramJaccard(docs, minJaccard))
+
+  /** The histogram over ANY verified (da, db) pair frame — wired to
+    * the write-once [[ngramJaccardTable]] layout in SparkEntry. */
+  def dupClusterSizesFromPairs(pairs: DataFrame): DataFrame =
+    keepSet(pairs.select(col("da"), col("db")))
       .groupBy(col("root")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
@@ -839,7 +902,14 @@ object DedupOp {
     */
   def clusterSourceDiversity(docs: DataFrame,
                              minJaccard: Double = 0.5): DataFrame =
-    keepSet(ngramJaccard(docs, minJaccard))
+    clusterSourceDiversityFromPairs(docs, ngramJaccard(docs, minJaccard))
+
+  /** The diversity rollup over ANY verified (da, db) pair frame —
+    * wired to the write-once [[ngramJaccardTable]] layout in
+    * SparkEntry. */
+  def clusterSourceDiversityFromPairs(docs: DataFrame,
+                                      pairs: DataFrame): DataFrame =
+    keepSet(pairs.select(col("da"), col("db")))
       .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
       .groupBy(col("root"))
       .agg(count(lit(1)).as("sz"), countDistinct(col("source")).as("nsrc"))
@@ -979,9 +1049,17 @@ object DedupOp {
     * recomputation and no connected components. Token mass comes from
     * one broadcast-sized join of implicated doc ids.
     */
-  def dedupSensitivity(docs: DataFrame): DataFrame = {
+  def dedupSensitivity(docs: DataFrame): DataFrame =
+    dedupSensitivityFromPairs(docs, ngramJaccard(docs, 0.5))
+
+  /** The decile rollup over ANY verified (da, db, jaccard) frame —
+    * wired to the write-once [[ngramJaccardTable]] layout in
+    * SparkEntry (whose parquet double roundtrips the 4-decimal
+    * half-up jaccard exactly, so the decile edges are unchanged). */
+  def dedupSensitivityFromPairs(docs: DataFrame,
+                                pairsIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = ngramJaccard(docs, 0.5).persist()
+    val pairs = pairsIn.persist()
     // half-up 4-decimal jaccard values bucket EXACTLY at decile edges
     val dec = floor(col("jaccard") * 10.0).cast("long")
     val pairDec = pairs.select(least(dec, lit(9L)).as("d"))
