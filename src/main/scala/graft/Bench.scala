@@ -18,6 +18,20 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The status store retains 1000 SQL executions (each holding a
+      // full plan-description string) and 100k task wrappers by
+      // default; a ~1000-execution sweep (warm-up + 3 timed passes x
+      // 250 queries) fills the heap with UI bookkeeping nobody reads
+      // (UI is off) and the resulting GC pressure inflates late-sweep
+      // timings well past RunOne steady state. Cap retention to the
+      // few most recent and let the context cleaner reclaim shuffle/
+      // broadcast state on a cadence shorter than the sweep.
+      .config("spark.sql.ui.retainedExecutions", "15")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.worker.ui.retainedExecutors", "10")
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: run every query once at the tiny sf so JIT,
