@@ -1318,8 +1318,8 @@ object SparkEntry {
     "q245_conformal_coverage" -> ((s, d) =>
       EventOps.conformalCoverage(Tables.events(s, d))),
 
-    // Kaplan-Meier weekly survival with right-censoring — the classic
-    // time-to-churn curve in integer ppb, step-fold hash-gated.
+    // Kaplan-Meier hourly purchase-to-next-purchase survival with
+    // right-censoring — integer-ppb step fold, hash-gated.
     "q246_kaplan_meier" -> ((s, d) =>
       EventOps.kaplanMeier(Tables.events(s, d))),
 

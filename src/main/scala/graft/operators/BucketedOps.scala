@@ -78,8 +78,41 @@ object BucketedOps {
                                    tagged: Boolean)(write: => Unit): Unit =
     if (!tagged || !spark.catalog.tableExists(table)) write
 
+  /** Table-name fragment for an input tag. When the tag is a path to
+    * an existing directory (the SparkEntry convention: the sf data
+    * dir), a cheap content fingerprint — file count, max modification
+    * time, total byte size, depth ≤ 2 — is folded in, so regenerating
+    * the dataset at the SAME path within one session changes every
+    * derived table name and the write-once guard rebuilds instead of
+    * silently serving stale pairs/edges/indexes. Driver-side listing
+    * of a dozen files; at warehouse scale the ingest step that owns
+    * the layout would version the tag explicitly instead.
+    */
   private[operators] def tagOf(inputTag: Option[String]): String =
-    inputTag.map(t => "_" + t.replaceAll("[^A-Za-z0-9]", "_")).getOrElse("")
+    inputTag.map { t =>
+      "_" + t.replaceAll("[^A-Za-z0-9]", "_") + fingerprintOf(t)
+    }.getOrElse("")
+
+  private def fingerprintOf(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (!Files.isDirectory(p)) return ""
+    var (n, maxMtime, bytes) = (0L, 0L, 0L)
+    val walk = Files.walk(p, 2)
+    try {
+      walk.forEach { f =>
+        if (Files.isRegularFile(f)) {
+          n += 1
+          val m = Files.getLastModifiedTime(f).toMillis
+          if (m > maxMtime) maxMtime = m
+          bytes += Files.size(f)
+        }
+      }
+    } finally walk.close()
+    val h = java.lang.Long.toHexString(
+      (n * 1000003L) ^ maxMtime ^ java.lang.Long.rotateLeft(bytes, 17))
+    s"_fp$h"
+  }
 
   /** End-to-end demo query: bucket-write orders + lineitem by order
     * key, then revenue per order priority off the co-located join.

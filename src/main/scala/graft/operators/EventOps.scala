@@ -2160,7 +2160,12 @@ object EventOps {
     * from its nominal level is the audit's finding (threshold went
     * stale, or the split leaked). Everything is exact integers —
     * cents, 1-indexed ceil ranks ([[interArrivalQuantiles]]'s
-    * convention), ppm coverage — so the audit hash-gates.
+    * convention), ppm coverage — so the audit hash-gates. Note the
+    * rank is ceil(0.9·n), not split conformal's textbook
+    * ceil(0.9·(n+1)): coverage is approximately nominal (a hair under
+    * for small n, e.g. n=10 picks rank 9), a deliberate trade to keep
+    * one quantile convention across the engine rather than a strict
+    * finite-sample ≥90 % guarantee.
     *
     * Scale shape: one rank window over the calibration slice (narrow
     * (type, cents, id) rows, the Spearman exchange), a |types|-sized
@@ -2492,9 +2497,12 @@ object EventOps {
           lit(2L)))
     val m = u.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
-      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      // promote BEFORE multiplying (mirrors the oracle's HUGEINT
+      // CAST(x AS HUGEINT) * x): a per-user half-period above ~3.0e9
+      // cents would wrap a Long product under ANSI-off
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
       sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nb"),
       sum(when(col("arm") === 1L, col("x")).otherwise(0L)).as("sxb"),
       sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("syb"))

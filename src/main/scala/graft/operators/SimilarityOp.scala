@@ -3136,6 +3136,10 @@ object SimilarityOp {
                          dims: Int): Option[(Array[BigInt], BigInt)] = {
     val base = embeddings.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("dim", "vf")))
+      // restrict to dim < dims: the oracle's range(dims) quietly reads
+      // only the first `dims` entries of a wider vector; without this
+      // the driver-side s1/c writes would throw past that bound
+      .where(col("dim") < dims)
       .select(col("vec_id"), col("dim"),
         floor(col("vf").cast("double") * 10000.0 + 0.5).cast("long").as("q"))
     val tri = base.as("x").join(base.as("y"),
