@@ -540,15 +540,29 @@ object RelationalOps {
     * Scale shape: one groupBy(custkey) over orders, three window
     * ranks over the |customers| frame, one ≤125-row rollup.
     */
-  def rfmSegments(orders: DataFrame): DataFrame = {
+  def rfmSegments(orders: DataFrame): DataFrame =
+    rfmPerCustomer(orders)
+      .groupBy(col("rb"), col("fb"), col("mb"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("mon")).as("cell_cents"))
+      .orderBy("rb", "fb", "mb")
+
+  /** The shared per-customer (rec_days, freq, mon) rollup both RFM
+    * arms bucket. */
+  private[graft] def rfmPerFrame(orders: DataFrame): DataFrame = {
     val ms = unix_millis(col("o_orderdate"))
     val maxMs = orders.agg(max(ms).as("mx"))
-    val per = orders.crossJoin(broadcast(maxMs))
+    orders.crossJoin(broadcast(maxMs))
       .groupBy(col("o_custkey"))
       .agg(min(call_function("div", col("mx") - ms, lit(86400000L)))
           .as("rec_days"),
         count(lit(1)).as("freq"),
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mon"))
+  }
+
+  /** [[rfmSegments]]'s per-customer frame with EXACT rank-rule
+    * buckets (exposed for the binned arm's agreement spec). */
+  private[graft] def rfmPerCustomer(orders: DataFrame): DataFrame = {
+    val per = rfmPerFrame(orders)
     def bucket(metric: String): org.apache.spark.sql.Column = {
       val w = Window.orderBy(col(metric), col("o_custkey"))
       val n = count(lit(1)).over(Window.partitionBy())
@@ -558,9 +572,6 @@ object RelationalOps {
       .withColumn("rb", bucket("rec_days"))
       .withColumn("fb", bucket("freq"))
       .withColumn("mb", bucket("mon"))
-      .groupBy(col("rb"), col("fb"), col("mb"))
-      .agg(count(lit(1)).as("n_customers"), sum(col("mon")).as("cell_cents"))
-      .orderBy("rb", "fb", "mb")
   }
 
   /** Oracle SQL twin of [[rfmSegments]]. */
@@ -586,6 +597,74 @@ object RelationalOps {
        |SELECT rb, fb, mb, count(*) AS n_customers,
        |  CAST(sum(mon) AS BIGINT) AS cell_cents
        |FROM b GROUP BY 1, 2, 3 ORDER BY rb, fb, mb""".stripMargin
+
+  /** q251: [[rfmSegments]]'s approx-binned arm — the 100× scale path
+    * for the three unpartitioned rank windows: quintile BOUNDARIES
+    * come from a bottom-k-by-hash customer sample
+    * ([[ScaleOps.sampledBinIntervals]], mergeable and deterministic),
+    * broadcast back as three 5-row interval frames; each customer's
+    * (r, f, m) cell is then three map-side broadcast joins — no
+    * global sort anywhere, so the plan holds at any |customers|.
+    * Same output shape as the exact arm; RfmBinnedSpec proves every
+    * customer's sampled bucket is within one of its exact-rank bucket
+    * at sf0.01. The exact arm stays the oracled default for rank
+    * parity; this arm carries its own full hash-gated oracle (the
+    * sample is the portable-hash PRNG, the q158 stance).
+    */
+  def rfmSegmentsBinned(orders: DataFrame, k: Int = 256): DataFrame =
+    rfmPerCustomerBinned(orders, k)
+      .groupBy(col("rb"), col("fb"), col("mb"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("mon")).as("cell_cents"))
+      .orderBy("rb", "fb", "mb")
+
+  /** [[rfmSegmentsBinned]]'s per-customer frame with sampled-boundary
+    * buckets (exposed for the agreement spec). */
+  private[graft] def rfmPerCustomerBinned(orders: DataFrame,
+                                          k: Int = 256): DataFrame = {
+    import graft.functions.TextFunctions.portableHash
+    val per = rfmPerFrame(orders)
+    val hx = portableHash(reverse(col("o_custkey").cast("string")))
+    def iv(metric: String, out: String) =
+      ScaleOps.sampledBinIntervals(per, hx, col("o_custkey"),
+          col(metric), bins = 5, k = k)
+        .select(col("bin").as(out), col("lo"), col("hi"))
+    val withR = ScaleOps.binAssign(per, iv("rec_days", "rb"),
+      col("rec_days"))
+    val withF = ScaleOps.binAssign(withR, iv("freq", "fb"), col("freq"))
+    ScaleOps.binAssign(withF, iv("mon", "mb"), col("mon"))
+  }
+
+  /** Oracle SQL twin of [[rfmSegmentsBinned]]. */
+  def rfmSegmentsBinnedOracle(k: Int = 256): String = {
+    val h = graft.functions.TextFunctions.portableHashSql(
+      "reverse(CAST(o_custkey AS VARCHAR))")
+    def base(metric: String) =
+      s"(SELECT $h AS hx, o_custkey AS id, $metric AS v FROM per)"
+    s"""WITH mx AS (SELECT max(epoch_ms(o_orderdate)) AS m FROM orders),
+       |per AS (
+       |  SELECT o_custkey,
+       |    min((mx.m - epoch_ms(o_orderdate)) // 86400000) AS rec_days,
+       |    count(*) AS freq,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS mon
+       |  FROM orders, mx GROUP BY 1, mx.m
+       |), ${ScaleOps.binIntervalsSql(base("rec_days"), 5, k, "r")},
+       |${ScaleOps.binIntervalsSql(base("freq"), 5, k, "f")},
+       |${ScaleOps.binIntervalsSql(base("mon"), 5, k, "m")},
+       |b AS (
+       |  SELECT p.mon, riv.bin AS rb, fiv.bin AS fb, miv.bin AS mb
+       |  FROM per p
+       |  JOIN riv ON (riv.lo IS NULL OR p.rec_days > riv.lo)
+       |    AND (riv.hi IS NULL OR p.rec_days <= riv.hi)
+       |  JOIN fiv ON (fiv.lo IS NULL OR p.freq > fiv.lo)
+       |    AND (fiv.hi IS NULL OR p.freq <= fiv.hi)
+       |  JOIN miv ON (miv.lo IS NULL OR p.mon > miv.lo)
+       |    AND (miv.hi IS NULL OR p.mon <= miv.hi)
+       |)
+       |SELECT rb, fb, mb, count(*) AS n_customers,
+       |  CAST(sum(mon) AS BIGINT) AS cell_cents
+       |FROM b GROUP BY 1, 2, 3 ORDER BY rb, fb, mb""".stripMargin
+  }
 
   /** Customer-cohort LTV triangle — revenue by (acquisition cohort ×
     * age), the table a growth team reads cumulative along each row.
@@ -640,21 +719,30 @@ object RelationalOps {
     * (cum·100 ≤ total·80) so no ratio ever materializes. Per class:
     * part count, revenue, and exact ppm revenue share.
     */
-  def abcClassification(lineitem: DataFrame): DataFrame = {
+  /** The shared per-part revenue rollup both ABC arms classify. */
+  private[graft] def abcPerFrame(lineitem: DataFrame): DataFrame = {
     val units = expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
       (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))
-    val per = lineitem.groupBy(col("l_partkey"))
-      .agg(sum(units).as("rev"))
+    lineitem.groupBy(col("l_partkey")).agg(sum(units).as("rev"))
+  }
+
+  /** [[abcClassification]]'s per-part frame with the EXACT cumulative
+    * rank class (exposed for the binned arm's agreement spec);
+    * carries `total` for the share rollup. */
+  private[graft] def abcPerPart(lineitem: DataFrame): DataFrame = {
     val w = Window.orderBy(col("rev").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
-    per
+    abcPerFrame(lineitem)
       .withColumn("cum", sum(col("rev")).over(w))
-      .withColumn("total", sum(col("rev")).over(tot))
+      .withColumn("total", sum(col("rev")).over(Window.partitionBy()))
       .withColumn("cls",
         when(col("cum") * 100L <= col("total") * 80L, "A")
           .when(col("cum") * 100L <= col("total") * 95L, "B")
           .otherwise("C"))
+  }
+
+  def abcClassification(lineitem: DataFrame): DataFrame =
+    abcPerPart(lineitem)
       .groupBy(col("cls"))
       .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_units"),
         // the share ratio scales both aggregates to whole currency
@@ -665,7 +753,6 @@ object RelationalOps {
           call_function("div", max(col("total")), lit(10000L)), 6)
           .as("rev_share"))
       .orderBy("cls")
-  }
 
   /** Oracle SQL twin of [[abcClassification]]. */
   def abcClassificationOracle: String =
@@ -692,6 +779,93 @@ object RelationalOps {
             "(CAST(max(total) AS BIGINT) // 10000)", 6)}
        |    AS rev_share
        |FROM c GROUP BY 1 ORDER BY cls""".stripMargin
+
+  /** [[abcBinned]]'s per-bin frame with the bin-granular class
+    * (columns bin, n, rev, cum, total, cls — exposed for the
+    * agreement spec, which re-joins parts to bins to compare classes
+    * part-by-part against [[abcPerPart]]). */
+  private[graft] def abcPerBin(lineitem: DataFrame, bins: Int = 64,
+                               k: Int = 256): DataFrame = {
+    import graft.functions.TextFunctions.portableHash
+    val per = abcPerFrame(lineitem)
+    val hx = portableHash(reverse(col("l_partkey").cast("string")))
+    val iv = ScaleOps.sampledBinIntervals(per, hx, col("l_partkey"),
+      col("rev"), bins, k)
+    val perBin = ScaleOps.binAssign(per, iv, col("rev"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("rev"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("total", sum(col("rev")).over(Window.partitionBy()))
+      .withColumn("cls",
+        when(col("cum") * 100L <= col("total") * 80L, "A")
+          .when(col("cum") * 100L <= col("total") * 95L, "B")
+          .otherwise("C"))
+  }
+
+  /** q252: [[abcClassification]]'s approx-binned arm — the 100× scale
+    * path for the Pareto cumulative rank: parts are assigned to `bins`
+    * revenue bins by sampled boundaries ([[ScaleOps
+    * .sampledBinIntervals]] broadcast, map-side join, no global sort
+    * over |parts|), the per-bin rollup is ≤`bins` rows, and the
+    * cumulative 80/95 classification runs on THAT frame (a window
+    * over ≤64 rows is free at any corpus size). A bin straddling a
+    * cut goes wholly to the richer class — the one-bucket
+    * approximation AbcBinnedSpec bounds against the exact arm at
+    * sf0.01. Same output shape as the exact arm; own hash-gated
+    * oracle.
+    */
+  def abcBinned(lineitem: DataFrame, bins: Int = 64,
+                k: Int = 256): DataFrame =
+    abcPerBin(lineitem, bins, k)
+      .groupBy(col("cls"))
+      .agg(sum(col("n")).as("n_parts"), sum(col("rev")).as("rev_units"),
+        graft.functions.DetAgg.ratio(
+          call_function("div", sum(col("rev")), lit(10000L)),
+          call_function("div", max(col("total")), lit(10000L)), 6)
+          .as("rev_share"))
+      .orderBy("cls")
+
+  /** Oracle SQL twin of [[abcBinned]]. */
+  def abcBinnedOracle(bins: Int = 64, k: Int = 256): String = {
+    val h = graft.functions.TextFunctions.portableHashSql(
+      "reverse(CAST(l_partkey AS VARCHAR))")
+    s"""WITH per AS (
+       |  SELECT l_partkey,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |      AS rev
+       |  FROM lineitem GROUP BY 1
+       |), ${ScaleOps.binIntervalsSql(
+            s"(SELECT $h AS hx, l_partkey AS id, rev AS v FROM per)",
+            bins, k)},
+       |pb AS (
+       |  SELECT iv.bin, count(*) AS n, CAST(sum(p.rev) AS BIGINT) AS rev
+       |  FROM per p
+       |  JOIN iv ON (iv.lo IS NULL OR p.rev > iv.lo)
+       |    AND (iv.hi IS NULL OR p.rev <= iv.hi)
+       |  GROUP BY 1
+       |), c AS (
+       |  SELECT n, rev,
+       |    CAST(sum(rev) OVER (ORDER BY bin DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(rev) OVER () AS BIGINT) AS total
+       |  FROM pb
+       |)
+       |SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+       |            WHEN cum * 100 <= total * 95 THEN 'B'
+       |            ELSE 'C' END AS cls,
+       |  CAST(sum(n) AS BIGINT) AS n_parts,
+       |  CAST(sum(rev) AS BIGINT) AS rev_units,
+       |  ${graft.functions.DetAgg.ratioSql(
+            "(CAST(sum(rev) AS BIGINT) // 10000)",
+            "(CAST(max(total) AS BIGINT) // 10000)", 6)}
+       |    AS rev_share
+       |FROM c GROUP BY 1 ORDER BY cls""".stripMargin
+  }
 
   /** Time-decayed item popularity — "what's trending": each lineitem
     * contributes weight 10⁶ >> (age in 30-day half-lives), anchored at

@@ -724,6 +724,84 @@ object ScaleOps {
        |FROM g ORDER BY shard""".stripMargin
   }
 
+  /** q253: [[shardAssign]]'s approx-binned arm — the 100× scale path
+    * for the one global sort the serpentine deal costs: docs are
+    * first assigned to `bins` token-count bins by sampled boundaries
+    * ([[sampledBinIntervals]], broadcast map-side join), then the
+    * serpentine deal runs WITHIN each bin — a window PARTITIONED by
+    * bin (bins-wide parallelism, no single-task global order). Docs
+    * inside a bin differ by at most one boundary step in size, so
+    * per-bin dealing preserves the balance the global deal buys;
+    * ShardBinnedSpec bounds the per-shard token-share deviation
+    * against the exact arm at sf0.01. Same output shape; own
+    * hash-gated oracle.
+    */
+  def shardAssignBinned(docs: DataFrame, shards: Int = 8,
+                        bins: Int = 64, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetAgg.halfUpDiv
+    val n = size(TextFunctions.tokens(col("text"))).cast("long")
+    val base = docs.select(col("doc_id"), n.as("n_tokens"))
+    val hx = TextFunctions.portableHash(
+      reverse(col("doc_id").cast("string")))
+    val iv = sampledBinIntervals(base, hx, col("doc_id"),
+      col("n_tokens"), bins, k)
+    val rn = row_number().over(
+      Window.partitionBy(col("bin"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))) - 1
+    val dealt = binAssign(base, iv, col("n_tokens"))
+      .withColumn("rn", rn)
+      .withColumn("kk", col("rn") % shards)
+      .withColumn("shard",
+        when(expr(s"rn DIV $shards") % 2 === 0, col("kk"))
+          .otherwise(lit(shards - 1) - col("kk")))
+    val agg = dealt.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+    agg.withColumn("share_ppm",
+        halfUpDiv(col("total_tokens") * 1000000L,
+          sum(col("total_tokens")).over(Window.partitionBy())))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("total_tokens"), col("share_ppm"))
+      .orderBy("shard")
+  }
+
+  /** Oracle SQL twin of [[shardAssignBinned]]. */
+  def shardAssignBinnedOracle(shards: Int = 8, bins: Int = 64,
+                              k: Int = 256): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    val h = TextFunctions.portableHashSql(
+      "reverse(CAST(doc_id AS VARCHAR))")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), ${binIntervalsSql(
+            s"(SELECT $h AS hx, doc_id AS id, n_tokens AS v FROM d)",
+            bins, k)},
+       |r AS (
+       |  SELECT iv.bin, d.n_tokens,
+       |    row_number() OVER (PARTITION BY iv.bin
+       |      ORDER BY d.n_tokens DESC, d.doc_id) - 1 AS rn
+       |  FROM d
+       |  JOIN iv ON (iv.lo IS NULL OR d.n_tokens > iv.lo)
+       |    AND (iv.hi IS NULL OR d.n_tokens <= iv.hi)
+       |), a AS (
+       |  SELECT CASE WHEN (rn // $shards) % 2 = 0 THEN rn % $shards
+       |              ELSE ${shards - 1} - (rn % $shards) END AS shard,
+       |    n_tokens
+       |  FROM r
+       |), g AS (
+       |  SELECT shard, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM a GROUP BY 1
+       |)
+       |SELECT CAST(shard AS BIGINT) AS shard, n_docs, total_tokens,
+       |  ${halfUpDivSql("total_tokens * 1000000", "sum(total_tokens) OVER ()")}
+       |    AS share_ppm
+       |FROM g ORDER BY shard""".stripMargin
+  }
+
   /** Split-balance χ² audit — does the [[splitAssign]] hash REALLY
     * deal each source ~90/5/5? Per source: observed split counts and
     * the exact Pearson χ² statistic (ppm) against the declared
@@ -790,4 +868,93 @@ object ScaleOps {
        |    + ${term("n_test", testPct)}) AS chi2_ppm
        |FROM c ORDER BY source""".stripMargin
   }
+
+  // ---- sampled-quantile bin boundaries (the approx-rank machinery) ----
+  //
+  // The scale-out replacement for an unpartitioned Window.orderBy rank:
+  // exact global rank single-threads one task per ranked column (fine on
+  // an aggregated frame today, `weak` at 100× — the q204/RFM/ABC/q226
+  // family), while a BOTTOM-K-BY-HASH sample ([[graft.functions
+  // .BottomKAgg]] — mergeable, every map-side partial ≤ k rows) yields
+  // deterministic bin boundaries that broadcast back as a ≤bins-row
+  // interval frame; assignment is then a map-side broadcast join, no
+  // global sort anywhere. Deterministic cross-engine because the
+  // portable hash is the PRNG (the q158 stance), so the binned variants
+  // hash-gate like everything else — an approx operator under the FULL
+  // oracle gate, sampling error and all.
+
+  /** The (bins−1) sampled boundary values for `v` as a ≤bins-row
+    * interval frame `(bin, lo, hi)` tiling (−∞, +∞]: bin 1 is
+    * (−∞, b₁], bin `bins` is (b_{bins−1}, +∞), interior bins
+    * (b_{j−1}, b_j]. Boundary j = sample value at 1-indexed rank
+    * `ns·j DIV bins + 1` of the sample sorted by (v, id) — the
+    * [[sampledQuantiles]] index convention. Duplicate boundary values
+    * (heavy ties, small samples) yield empty intervals, never double
+    * assignment. One global BottomKAgg aggregate (bounded, mergeable)
+    * + array ops on the single result row.
+    */
+  def sampledBinIntervals(df: DataFrame, hx: Column, id: Column,
+                          v: Column, bins: Int,
+                          k: Int = 256): DataFrame = {
+    val bottomK = udaf(new graft.functions.BottomKAgg(k))
+    val samp = df.select(hx.as("hx"), id.cast("long").as("id"),
+        v.cast("double").as("v"))
+      .agg(bottomK(col("hx"), col("id"), col("v")).as("sample"))
+    val vs = array_sort(transform(col("sample"),
+      r => struct(r.getField("v").as("v"), r.getField("id").as("id"))))
+    samp.select(vs.as("vs"), size(col("sample")).cast("long").as("ns"))
+      .select(explode(sequence(lit(1L), lit(bins.toLong))).as("bin"),
+        col("vs"), col("ns"))
+      .select(col("bin"),
+        when(col("bin") === 1L, lit(null).cast("double"))
+          .otherwise(element_at(col("vs"),
+            expr(s"CAST(ns * (bin - 1) DIV $bins + 1 AS INT)"))
+            .getField("v")).as("lo"),
+        when(col("bin") === bins.toLong, lit(null).cast("double"))
+          .otherwise(element_at(col("vs"),
+            expr(s"CAST(ns * bin DIV $bins + 1 AS INT)"))
+            .getField("v")).as("hi"))
+  }
+
+  /** Assign each row of `df` its bin: a broadcast join against the
+    * ≤bins-row interval frame — map-side, codegen'd comparisons, no
+    * global sort. Every row matches exactly one interval by
+    * construction.
+    */
+  def binAssign(df: DataFrame, intervals: DataFrame,
+                v: Column): DataFrame =
+    df.join(broadcast(intervals),
+      (col("lo").isNull || v.cast("double") > col("lo")) &&
+        (col("hi").isNull || v.cast("double") <= col("hi")))
+      .drop("lo", "hi")
+
+  /** Oracle SQL twin of [[sampledBinIntervals]]: CTEs `<p>rk` (the
+    * ranked sample), `<p>bnd` (boundaries), `<p>iv` (the interval
+    * frame with columns bin/lo/hi). `base` must expose columns
+    * `hx, id, v`. Consumers join
+    * `ON (lo IS NULL OR x > lo) AND (hi IS NULL OR x <= hi)`.
+    */
+  def binIntervalsSql(base: String, bins: Int, k: Int = 256,
+                      p: String = ""): String =
+    s"""${p}rk AS (
+       |  SELECT v, row_number() OVER (ORDER BY v, id) AS vrn,
+       |    count(*) OVER () AS ns
+       |  FROM (SELECT v, id FROM (
+       |      SELECT v, id, row_number() OVER (ORDER BY hx, id) AS rn
+       |      FROM $base) t
+       |    WHERE rn <= $k) s
+       |), ${p}bnd AS (
+       |  SELECT jj.j AS j,
+       |    max(CASE WHEN r.vrn = (r.ns * jj.j) // $bins + 1
+       |        THEN r.v END) AS b
+       |  FROM ${p}rk r, (SELECT CAST(range AS BIGINT) AS j
+       |                  FROM range(1, $bins)) jj
+       |  GROUP BY 1
+       |), ${p}iv AS (
+       |  SELECT bb.bin AS bin, lo.b AS lo, hi.b AS hi
+       |  FROM (SELECT CAST(range AS BIGINT) AS bin
+       |        FROM range(1, ${bins + 1})) bb
+       |  LEFT JOIN ${p}bnd lo ON lo.j = bb.bin - 1
+       |  LEFT JOIN ${p}bnd hi ON hi.j = bb.bin
+       |)""".stripMargin
 }

@@ -1188,7 +1188,16 @@ object SimilarityOp {
     * per query. One shuffle, keyed by qid, carrying (qid, vec_id, sim).
     */
   private def exactTopKMulti(embeddings: DataFrame, qmod: Int,
-                             k: Int): DataFrame = {
+                             k: Int): DataFrame =
+    exactTopKMultiRanked(embeddings, qmod, k)
+      .select(col("qid"), col("vec_id"))
+
+  /** [[exactTopKMulti]] keeping the per-query rank — the shape the
+    * write-once ground-truth layout stores, so ONE table serves every
+    * k ≤ its build k (top-1 for MRR is the rn=1 slice of top-10).
+    */
+  private def exactTopKMultiRanked(embeddings: DataFrame, qmod: Int,
+                                   k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
     corpusVecs(embeddings)
@@ -1198,8 +1207,49 @@ object SimilarityOp {
         round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
           .as("sim"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .select(col("qid"), col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("rn"))
   }
+
+  /** The k every ground-truth layout is built at — the max any audit
+    * consumes; smaller k slices by rank. */
+  private val GtK = 10
+
+  /** Write-once exact ground-truth layout for the recall-audit family
+    * (the q250 near-dup-pairs precedent applied to ANN audits): the
+    * O(|Q|·|N|) exact top-[[GtK]] cosine scan per query sample runs
+    * ONCE per (input, qmod) and every audit — recall@k (q84), the
+    * sweep arms (q85), truncation (q139), binary quantization (q188),
+    * the kNN label family, MRR's top-1 — serves off the verified
+    * (qid, vec_id, rn) frame. Re-deriving the ground truth per audit
+    * re-scans the full corpus |Q| times for the same rows; at 100 TB
+    * the GT build is the one-off audit-prep job and this table is its
+    * artifact. Every consumer's DuckDB oracle still re-derives the
+    * exact ranks independently from raw embeddings, so a stale or
+    * wrong layout hash-mismatches at the gate.
+    */
+  def exactTopKTable(embeddings: DataFrame, warehouse: String,
+                     qmod: Int, inputTag: Option[String]): DataFrame = {
+    val spark = embeddings.sparkSession
+    val t = s"g_ann_gt_q${qmod}_k$GtK${BucketedOps.tagOf(inputTag)}"
+    BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
+      exactTopKMultiRanked(embeddings, qmod, GtK)
+        .write.mode("overwrite").option("path", s"$warehouse/$t")
+        .format("parquet").saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
+  /** Ground truth for one audit: the write-once layout sliced to rank
+    * ≤ k when an input tag enables reuse (k ≤ [[GtK]]), else the
+    * direct recompute — the safe default for ad-hoc callers.
+    */
+  private def sharedExactGT(embeddings: DataFrame, qmod: Int, k: Int,
+                            warehouse: String,
+                            inputTag: Option[String]): DataFrame =
+    if (inputTag.isDefined && k <= GtK)
+      exactTopKTable(embeddings, warehouse, qmod, inputTag)
+        .where(col("rn") <= k).select(col("qid"), col("vec_id"))
+    else exactTopKMulti(embeddings, qmod, k)
 
   /** Multi-probe LSH candidates for the whole query sample, as the
     * EQUI-JOIN shape a 100 TB index uses (vs [[annTopK]]'s single-query
@@ -1495,9 +1545,11 @@ object SimilarityOp {
   def annRecallMulti(embeddings: DataFrame, qmod: Int = 7, k: Int = 10,
                      centerIds: Seq[Long] = Seq(7L, 42L, 123L),
                      nProbe: Int = 2,
-                     conf: LshConf = AnnDefault): DataFrame = {
+                     conf: LshConf = AnnDefault,
+                     warehouse: String = "/tmp/graft_warehouse",
+                     inputTag: Option[String] = None): DataFrame = {
     val qframe = queryFrame(embeddings, qmod)
-    val exact = exactTopKMulti(embeddings, qmod, k)
+    val exact = sharedExactGT(embeddings, qmod, k, warehouse, inputTag)
     val centers = centerVecs(embeddings, centerIds)
     recallArm("ivf", embeddings, qframe, exact,
       ivfCandidatesMulti(embeddings, qmod, centers, nProbe), k)
@@ -1590,15 +1642,20 @@ object SimilarityOp {
     */
   def annRecallSweep(embeddings: DataFrame, qmod: Int = 29, k: Int = 10,
                      centerIds: Seq[Long] = Seq(7L, 42L, 123L),
-                     nSub: Int = 8): DataFrame = {
-    // Scan-sharing A/B'd a THIRD time (round 9, RunOne x4 steady):
-    // persisting the shared qframe+exact ground truth measured 5.8 s vs
-    // 5.6 s recomputed — the 9 arms' redundant subtrees overlap across
-    // cores while a persist serializes materialization and breaks
-    // codegen fusion. Recompute stays the shipped shape (same verdict
-    // as the round-7 sims-sharing and round-8 shared-frame trials).
+                     nSub: Int = 8,
+                     warehouse: String = "/tmp/graft_warehouse",
+                     inputTag: Option[String] = None): DataFrame = {
+    // Scan-sharing via in-memory persist A/B'd a THIRD time (round 9,
+    // RunOne x4 steady): persisting the shared qframe+exact ground
+    // truth measured 5.8 s vs 5.6 s recomputed — the 9 arms' redundant
+    // subtrees overlap across cores while a persist serializes
+    // materialization and breaks codegen fusion. Round 10 moves the
+    // exact GT to the WRITE-ONCE layout instead (sharedExactGT):
+    // unlike the persist, the parquet table amortizes across the whole
+    // session (bench passes, sibling audits) and each arm's plan reads
+    // a tiny scan — no codegen-fusion loss inside an arm.
     val qframe = queryFrame(embeddings, qmod)
-    val exact = exactTopKMulti(embeddings, qmod, k)
+    val exact = sharedExactGT(embeddings, qmod, k, warehouse, inputTag)
     val centers = centerVecs(embeddings, centerIds)
     val codebook = centerVecs(embeddings, PqCodebookIds)
     val ivfArms = SweepNProbes.map(p =>
@@ -1813,10 +1870,12 @@ object SimilarityOp {
     * change is that the rollup keys on the winner's vote count.
     */
   def knnCalibration(embeddings: DataFrame, qmod: Int = 7,
-                     k: Int = 10): DataFrame = {
+                     k: Int = 10,
+                     warehouse: String = "/tmp/graft_warehouse",
+                     inputTag: Option[String] = None): DataFrame = {
     val labels = embeddings.select(col("vec_id"),
       col("label").cast("long").as("lbl"))
-    val votes = exactTopKMulti(embeddings, qmod, k)
+    val votes = sharedExactGT(embeddings, qmod, k, warehouse, inputTag)
       .join(labels, Seq("vec_id"))
       .groupBy(col("qid"), col("lbl")).agg(count(lit(1)).as("nv"))
     val w = Window.partitionBy(col("qid"))
@@ -1884,10 +1943,12 @@ object SimilarityOp {
        |FROM sc GROUP BY nv ORDER BY votes""".stripMargin
 
   def knnLabelAccuracy(embeddings: DataFrame, qmod: Int = 7,
-                       k: Int = 10): DataFrame = {
+                       k: Int = 10,
+                       warehouse: String = "/tmp/graft_warehouse",
+                       inputTag: Option[String] = None): DataFrame = {
     val labels = embeddings.select(col("vec_id"),
       col("label").cast("long").as("lbl"))
-    val votes = exactTopKMulti(embeddings, qmod, k)
+    val votes = sharedExactGT(embeddings, qmod, k, warehouse, inputTag)
       .join(labels, Seq("vec_id"))
       .groupBy(col("qid"), col("lbl")).agg(count(lit(1)).as("nv"))
     val w = Window.partitionBy(col("qid"))
@@ -1980,9 +2041,11 @@ object SimilarityOp {
     * by construction, so the only moving number is recall.
     */
   def truncRecall(embeddings: DataFrame, qmod: Int = 7, k: Int = 10,
-                  c: Int = 50): DataFrame = {
+                  c: Int = 50,
+                  warehouse: String = "/tmp/graft_warehouse",
+                  inputTag: Option[String] = None): DataFrame = {
     val qframe = queryFrame(embeddings, qmod)
-    val exact = exactTopKMulti(embeddings, qmod, k)
+    val exact = sharedExactGT(embeddings, qmod, k, warehouse, inputTag)
     Seq(16, 32).map(d =>
       recallArm(s"trunc${d}_c$c", embeddings, qframe, exact,
         truncCandidatesMulti(embeddings, qmod, d, c), k))
@@ -2103,9 +2166,11 @@ object SimilarityOp {
     * operating points on the same query sample.
     */
   def binaryQuantRecall(embeddings: DataFrame, qmod: Int = 7, k: Int = 10,
-                        cs: Seq[Int] = Seq(50, 100)): DataFrame = {
+                        cs: Seq[Int] = Seq(50, 100),
+                        warehouse: String = "/tmp/graft_warehouse",
+                        inputTag: Option[String] = None): DataFrame = {
     val qframe = queryFrame(embeddings, qmod)
-    val exact = exactTopKMulti(embeddings, qmod, k)
+    val exact = sharedExactGT(embeddings, qmod, k, warehouse, inputTag)
     cs.map(c => recallArm(f"bin1bit_c$c%03d", embeddings, qframe, exact,
         binCandidatesMulti(embeddings, qmod, c), k))
       .reduce(_ unionByName _)
@@ -2225,9 +2290,11 @@ object SimilarityOp {
   def annMrr(embeddings: DataFrame, qmod: Int = 7, k: Int = 10,
              centerIds: Seq[Long] = Seq(7L, 42L, 123L),
              nProbe: Int = 2,
-             conf: LshConf = AnnDefault): DataFrame = {
+             conf: LshConf = AnnDefault,
+             warehouse: String = "/tmp/graft_warehouse",
+             inputTag: Option[String] = None): DataFrame = {
     val qframe = queryFrame(embeddings, qmod)
-    val nn1 = exactTopKMulti(embeddings, qmod, 1)
+    val nn1 = sharedExactGT(embeddings, qmod, 1, warehouse, inputTag)
     val centers = centerVecs(embeddings, centerIds)
     mrrArm("ivf", embeddings, qframe, nn1,
       ivfCandidatesMulti(embeddings, qmod, centers, nProbe), k)
@@ -2544,10 +2611,12 @@ object SimilarityOp {
     * |labels|²-sized aggregates of it.
     */
   def knnKappa(embeddings: DataFrame, qmod: Int = 7,
-               k: Int = 10): DataFrame = {
+               k: Int = 10,
+               warehouse: String = "/tmp/graft_warehouse",
+               inputTag: Option[String] = None): DataFrame = {
     val labels = embeddings.select(col("vec_id"),
       col("label").cast("long").as("lbl"))
-    val votes = exactTopKMulti(embeddings, qmod, k)
+    val votes = sharedExactGT(embeddings, qmod, k, warehouse, inputTag)
       .join(labels, Seq("vec_id"))
       .groupBy(col("qid"), col("lbl")).agg(count(lit(1)).as("nv"))
     val w = Window.partitionBy(col("qid"))

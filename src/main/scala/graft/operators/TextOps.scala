@@ -130,6 +130,94 @@ object TextOps {
        |FROM r ORDER BY composite DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** q254: [[qualityEnsemble]]'s approx-binned arm — the 100× scale
+    * path for its three unpartitioned rank windows: each signal's
+    * "rank" becomes a bin index 1..`bins` from sampled boundaries
+    * ([[ScaleOps.sampledBinIntervals]] — three ≤bins-row broadcast
+    * interval joins, entirely map-side), the composite is the bin
+    * sum, and the top-k is a TakeOrdered (distributed heap-k, never
+    * a global sort). QualityBinnedSpec bounds each doc's bin against
+    * its exact rank percentile at sf0.01. Same column shape with
+    * bins in place of ranks; own hash-gated oracle.
+    */
+  def qualityEnsembleBinned(docs: DataFrame, k: Int = 20,
+                            bins: Int = 64, kSamp: Int = 256): DataFrame =
+    qualityBinnedFrame(docs, bins, kSamp)
+      .orderBy(col("composite").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"), col("b_uniq"),
+        col("b_stop"), col("b_len"), col("composite"))
+
+  /** The shared per-doc signal frame both quality arms rank/bin. */
+  private[graft] def qualitySignals(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.ratio
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    docs.select(col("doc_id"), n.as("n_tokens"),
+      ratio(countIn(toks, EnStop), n).as("stop_ratio"),
+      ratio(size(array_distinct(toks)), n).as("uniq_ratio"))
+  }
+
+  /** [[qualityEnsembleBinned]]'s pre-limit per-doc frame (exposed for
+    * the agreement spec). */
+  private[graft] def qualityBinnedFrame(docs: DataFrame, bins: Int = 64,
+                                        kSamp: Int = 256): DataFrame = {
+    val base = qualitySignals(docs)
+    val hx = portableHash(reverse(col("doc_id").cast("string")))
+    def iv(metric: String, out: String) =
+      ScaleOps.sampledBinIntervals(base, hx, col("doc_id"),
+          col(metric), bins, kSamp)
+        .select(col("bin").as(out), col("lo"), col("hi"))
+    val b1 = ScaleOps.binAssign(base, iv("uniq_ratio", "b_uniq"),
+      col("uniq_ratio"))
+    val b2 = ScaleOps.binAssign(b1, iv("stop_ratio", "b_stop"),
+      col("stop_ratio"))
+    val b3 = ScaleOps.binAssign(b2, iv("n_tokens", "b_len"),
+      col("n_tokens"))
+    b3.withColumn("composite",
+      col("b_uniq") + col("b_stop") + col("b_len"))
+  }
+
+  /** Oracle SQL twin of [[qualityEnsembleBinned]]. */
+  def qualityEnsembleBinnedOracle(k: Int = 20, bins: Int = 64,
+                                  kSamp: Int = 256): String = {
+    import graft.functions.DetAgg.ratioSql
+    val h = graft.functions.TextFunctions.portableHashSql(
+      "reverse(CAST(doc_id AS VARCHAR))")
+    def base(metric: String) =
+      s"(SELECT $h AS hx, doc_id AS id, $metric AS v FROM b)"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |           FROM documents),
+       |t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+       |ag AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    sum(CASE WHEN tok IN ${inList(EnStop)} THEN 1 ELSE 0 END) AS stops,
+       |    count(DISTINCT tok) AS uniq
+       |  FROM t GROUP BY 1
+       |), b AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    ${ratioSql("stops", "n_tokens")} AS stop_ratio,
+       |    ${ratioSql("uniq", "n_tokens")} AS uniq_ratio
+       |  FROM ag
+       |), ${ScaleOps.binIntervalsSql(base("uniq_ratio"), bins, kSamp, "u")},
+       |${ScaleOps.binIntervalsSql(base("stop_ratio"), bins, kSamp, "s")},
+       |${ScaleOps.binIntervalsSql(base("n_tokens"), bins, kSamp, "l")},
+       |r AS (
+       |  SELECT bb.doc_id, bb.n_tokens, uiv.bin AS b_uniq,
+       |    siv.bin AS b_stop, liv.bin AS b_len
+       |  FROM b bb
+       |  JOIN uiv ON (uiv.lo IS NULL OR bb.uniq_ratio > uiv.lo)
+       |    AND (uiv.hi IS NULL OR bb.uniq_ratio <= uiv.hi)
+       |  JOIN siv ON (siv.lo IS NULL OR bb.stop_ratio > siv.lo)
+       |    AND (siv.hi IS NULL OR bb.stop_ratio <= siv.hi)
+       |  JOIN liv ON (liv.lo IS NULL OR bb.n_tokens > liv.lo)
+       |    AND (liv.hi IS NULL OR bb.n_tokens <= liv.hi)
+       |)
+       |SELECT doc_id, n_tokens, b_uniq, b_stop, b_len,
+       |  b_uniq + b_stop + b_len AS composite
+       |FROM r ORDER BY composite DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Language-ID confusion matrix — [[langId]]'s per-doc predictions
     * rolled up against the labeled `lang` column: one (label, pred)
     * cell per combination with counts, the standard classifier eval

@@ -23,6 +23,11 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("warm")) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.warmLayouts(spark, sfDir)
+      println(f"[runone] warmLayouts: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     val fn = graft.SparkEntry.queries(name)
     for (i <- 1 to repeat) {
       val t0 = System.nanoTime()
