@@ -90,6 +90,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("SLIDING window + watermark: late event is excluded from every closed window") {
+    // The flagship W2 shape (slide < window) with the discard case the
+    // reference's arrival-time DStream window cannot express: an event
+    // whose EVENT time is older than the watermark arrives after its
+    // three overlapping windows closed, and none of them reopens or
+    // re-emits (SURVEY §2.6 — the rebuild's documented upgrade over
+    // processing-time windows).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CelltowerEvent]
+    val events = mem.toDF().withColumn("ts", Model.eventTime(col("ts")))
+    val agg = StreamOps.metricStats(events, Seq("bearerId"),
+      windowSize = "30 seconds", slide = "10 seconds",
+      watermark = "10 seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("slide_late_out").start()
+    try {
+      mem.addData(ct("b1", 8, 10.0, 0.1)) // windows [-20,10) [-10,20) [0,30)
+      q.processAllAvailable()
+      mem.addData(ct("b1", 100, 1.0, 0.0)) // watermark -> 90 s: all three close
+      q.processAllAvailable()
+      val closed = spark.table("slide_late_out")
+        .where($"metric" === "rtt" && $"window.end".cast("long") <= 60)
+        .select($"window.start".cast("long"), $"n", $"mean")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(closed === Seq((-20L, 1L, 10.0), (-10L, 1L, 10.0),
+        (0L, 1L, 10.0)))
+      // t=12 is 78 s behind the watermark: its windows [-10,20) [0,30)
+      // [10,40) are all closed — the row must vanish without a trace
+      mem.addData(ct("b1", 12, 999.0, 9.9))
+      q.processAllAvailable()
+      val after = spark.table("slide_late_out")
+        .where($"metric" === "rtt" && $"window.end".cast("long") <= 60)
+        .select($"window.start".cast("long"), $"n", $"mean")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(after === closed) // no mutation, no [10,40) resurrection
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[CelltowerEvent]
