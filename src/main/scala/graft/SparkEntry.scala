@@ -384,8 +384,11 @@ object SparkEntry {
 
     // Cross-source duplication matrix: near-dup pairs rolled up to
     // unordered (source, source) cells — the dump-overlap diagnostic.
+    // Serves off the write-once pairs layout (same stance as q93).
     "q75_source_overlap" -> ((s, d) =>
-      DedupOp.sourceOverlap(Tables.documents(s, d))),
+      DedupOp.sourceOverlapFromPairs(Tables.documents(s, d),
+        DedupOp.ngramJaccardTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
 
     // Containment dedup: shorter doc is an exact prefix of a longer
     // one (crawl truncation), prefix-blocked, never all-pairs.

@@ -579,9 +579,15 @@ object DedupOp {
     * narrow (id, source) joins sized by the planner — no forced
     * broadcast, since nothing bounds the pair count.
     */
-  def sourceOverlap(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+  def sourceOverlap(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    sourceOverlapFromPairs(docs, ngramJaccard(docs, minJaccard))
+
+  /** The rollup core over ANY verified (da, db) pair frame — wired to
+    * the write-once [[ngramJaccardTable]] layout in SparkEntry (same
+    * serve-off-the-layout stance as [[splitLeakageFromPairs]]). */
+  def sourceOverlapFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val ids = docs.select(col("doc_id"), col("source"))
-    ngramJaccard(docs, minJaccard)
+    pairs.select(col("da"), col("db"))
       .join(ids.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
       .join(ids.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))
       .select(least(col("sa"), col("sb")).as("src_lo"),
