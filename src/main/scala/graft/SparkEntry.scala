@@ -1376,6 +1376,62 @@ object SparkEntry {
     // replace global ranks; top-k via distributed TakeOrdered.
     "q254_quality_binned" -> ((s, d) =>
       TextOps.qualityEnsembleBinned(Tables.documents(s, d))),
+
+    // Mann-Whitney U rank-sum per event type (arms by user parity):
+    // distribution-free spend-shift test + Cliff's delta effect size,
+    // all-integer doubled ranks off the (type, value) histogram.
+    "q255_mann_whitney" -> ((s, d) =>
+      StatTestOps.mannWhitney(Tables.events(s, d))),
+
+    // Wilcoxon signed-rank on paired per-user purchase spend
+    // (first vs second half of the observed range) + rank-biserial
+    // effect size; ranks off the |d| histogram.
+    "q256_wilcoxon_signed" -> ((s, d) =>
+      StatTestOps.wilcoxonSigned(Tables.events(s, d))),
+
+    // CUSUM changepoint locator on the hourly purchase-revenue
+    // series: division-free integer argmax of |S1*n - n1*S| — WHERE
+    // the level shifted (q177 answers whether it drifted).
+    "q257_changepoint" -> ((s, d) =>
+      StatTestOps.changepoint(Tables.events(s, d))),
+
+    // Decision-stump feature ranking: Gini impurity reduction of the
+    // finished-order label per categorical feature (priority, segment,
+    // nation) — integer-exact ppm impurities, one stacked scan.
+    "q258_gini_gain" -> ((s, d) =>
+      FeatureOps.giniGain(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d))),
+
+    // Leak-free m-estimate target encoding of the market segment:
+    // fit on the portable-hash train split only, reported against the
+    // raw validation rate per category.
+    "q259_target_encoding" -> ((s, d) =>
+      FeatureOps.targetEncoding(Tables.orders(s, d),
+        Tables.customer(s, d))),
+
+    // Zipf rank-frequency curve: top-50 tokens with corpus share,
+    // cumulative share, and the n*rank constancy product — the
+    // "natural-language-shaped?" corpus diagnostic.
+    "q260_zipf_curve" -> ((s, d) =>
+      TextOps.zipfCurve(Tables.documents(s, d))),
+
+    // k-anonymity audit: equivalence-class size histogram over the
+    // (nation, segment, balance-kilobucket) quasi-identifiers, under-k
+    // classes flagged — the privacy pre-flight.
+    "q261_k_anonymity" -> ((s, d) =>
+      AuditOps.kAnonymity(Tables.customer(s, d))),
+
+    // kNN-graph hubness audit: in-degree histogram (zeros included)
+    // of the directed exact top-k graph over the qmod subsample — the
+    // high-dimensional hub/anti-hub pathology check.
+    "q262_hubness" -> ((s, d) =>
+      SimilarityOp.hubness(Tables.embeddings(s, d))),
+
+    // Zero-crossing-rate analog per media window: direction changes
+    // of the byte stream under the q187 framing — the voiced/unvoiced
+    // discriminator energy alone cannot provide.
+    "q263_zcr_segments" -> ((s, d) =>
+      MultimodalOp.zcrSegments(MultimodalOp.asMedia(Tables.documents(s, d)))),
   )
 
   /** Build every session write-once layout for `d` up front — the
@@ -2110,5 +2166,14 @@ object SparkEntry {
     "q252_abc_binned" -> RelationalOps.abcBinnedOracle(),
     "q253_shard_binned" -> ScaleOps.shardAssignBinnedOracle(),
     "q254_quality_binned" -> TextOps.qualityEnsembleBinnedOracle(),
+    "q255_mann_whitney" -> StatTestOps.mannWhitneyOracle,
+    "q256_wilcoxon_signed" -> StatTestOps.wilcoxonSignedOracle,
+    "q257_changepoint" -> StatTestOps.changepointOracle,
+    "q258_gini_gain" -> FeatureOps.giniGainOracle,
+    "q259_target_encoding" -> FeatureOps.targetEncodingOracle(),
+    "q260_zipf_curve" -> TextOps.zipfCurveOracle(),
+    "q261_k_anonymity" -> AuditOps.kAnonymityOracle(),
+    "q262_hubness" -> SimilarityOp.hubnessOracle(),
+    "q263_zcr_segments" -> MultimodalOp.zcrSegmentsOracle(),
   )
 }

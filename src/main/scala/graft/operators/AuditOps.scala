@@ -1188,4 +1188,60 @@ object AuditOps {
             "CAST(n1 AS HUGEINT) * n2")} END AS ks_ppm
        |FROM d ORDER BY lang""".stripMargin
   }
+
+  /** k-anonymity audit over the customer quasi-identifier tuple
+    * (nation, market segment, account-balance kilobucket) — the
+    * privacy pre-flight for releasing or training on the table: the
+    * equivalence-class SIZE HISTOGRAM (class_size → how many classes,
+    * how many rows), with every size below `kThresh` flagged. Rows in
+    * under-k classes are re-identifiable by their quasi-identifiers
+    * alone; the histogram shape tells you whether to generalize
+    * (coarser buckets) or suppress (drop the tail classes). The
+    * balance bucket floors NEGATIVE balances correctly via the pmod
+    * identity ([[EventOps]] floorDivMs discipline — TPC-H acctbal goes
+    * to −999.99, and truncate-vs-floor would shift the whole debtor
+    * class by one bucket in BOTH engines, hash-green but wrong).
+    *
+    * Scale shape: one map-side-combined groupBy to equivalence
+    * classes (bounded by the QI-tuple cross product, not the row
+    * count), then a count-of-counts rollup — the q94 vocab-coverage
+    * shape. No windows, no sorts beyond the tiny histogram ORDER BY.
+    */
+  def kAnonymity(customer: DataFrame, kThresh: Long = 5L): DataFrame = {
+    val bucket = expr(
+      """CAST((CAST(round(c_acctbal * 100) AS BIGINT)
+        | - pmod(CAST(round(c_acctbal * 100) AS BIGINT), 100000L))
+        | DIV 100000L AS BIGINT)""".stripMargin)
+    customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        bucket.as("bal_kb"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_kb"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        (count(lit(1)) * col("class_size")).as("n_rows"))
+      .select(col("class_size"), col("n_classes"), col("n_rows"),
+        (col("class_size") < kThresh).cast("long").as("under_k"))
+      .orderBy("class_size")
+  }
+
+  /** Oracle SQL twin of [[kAnonymity]]. */
+  def kAnonymityOracle(kThresh: Long = 5L): String =
+    s"""WITH b AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    (CAST(round(c_acctbal * 100) AS BIGINT)
+       |      - ((CAST(round(c_acctbal * 100) AS BIGINT) % 100000
+       |          + 100000) % 100000)) // 100000 AS bal_kb
+       |  FROM customer
+       |), ec AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_kb,
+       |    CAST(count(*) AS BIGINT) AS class_size
+       |  FROM b GROUP BY 1, 2, 3
+       |)
+       |SELECT class_size,
+       |  CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(count(*) * class_size AS BIGINT) AS n_rows,
+       |  CAST(CASE WHEN class_size < $kThresh THEN 1 ELSE 0 END AS BIGINT)
+       |    AS under_k
+       |FROM ec GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -249,6 +249,87 @@ object MultimodalOp {
        |  CAST(max(energy) AS BIGINT) AS max_energy
        |FROM e GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  final case class WindowFlips(doc_id: Long, kind: String, widx: Long,
+                               flips: Long)
+
+  /** Zero-crossing-rate analog over the byte stream — the cheap
+    * voiced/unvoiced (speech vs tone vs noise) discriminator of
+    * classical audio pipelines, framed exactly like
+    * [[windowEnergies]]: per overlapping window, the count of
+    * DIRECTION CHANGES in the sample sequence (positions where the
+    * first difference flips sign — the byte-domain stand-in for sign
+    * crossings of a centered waveform; a real codec would feed decoded
+    * PCM through the identical fold). High-flip windows ≈ noise;
+    * low-flip ≈ silence/tonal — the complement of energy, which cannot
+    * tell loud noise from a loud tone.
+    *
+    * Scale shape: identical to [[windowEnergies]] — partition-local
+    * batched extraction (opaque payload decoding is not a Catalyst
+    * Expression), one map-side-combined per-doc rollup.
+    */
+  def zcrSegments(media: DataFrame, win: Int = 64,
+                  hop: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val n = r.payload.length
+          val nw = if (n < win) 0 else (n - win) / hop + 1
+          (0 until nw).iterator.map { w =>
+            val start = w * hop
+            val end = start + win
+            var f = 0L
+            var i = start + 1
+            while (i < end - 1) {
+              val d0 = (r.payload(i) & 0xff) - (r.payload(i - 1) & 0xff)
+              val d1 = (r.payload(i + 1) & 0xff) - (r.payload(i) & 0xff)
+              if (d0 * d1 < 0) f += 1
+              i += 1
+            }
+            WindowFlips(r.doc_id, r.kind, w.toLong, f)
+          }
+        }
+      }
+      .toDF()
+      .groupBy(col("doc_id"), col("kind"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("flips")).as("total_flips"),
+        max(col("flips")).as("max_flips"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle SQL twin of [[zcrSegments]] — re-derives the per-window
+    * direction-change counts from character codes, the
+    * [[windowEnergiesOracle]] framing. */
+  def zcrSegmentsOracle(win: Int = 64, hop: Int = 32): String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS kind,
+       |    text, len(text) AS n
+       |  FROM documents WHERE len(text) >= $win
+       |), w AS (
+       |  SELECT doc_id, kind, text,
+       |    unnest(generate_series(0, CAST((n - $win) // $hop AS BIGINT))) AS wx
+       |  FROM m
+       |), f AS (
+       |  SELECT doc_id, kind, wx,
+       |    (SELECT sum(CASE WHEN
+       |        (ascii(substr(w.text, CAST(w.wx * $hop + j.j + 1 AS INTEGER), 1))
+       |          - ascii(substr(w.text, CAST(w.wx * $hop + j.j AS INTEGER), 1)))
+       |        * (ascii(substr(w.text, CAST(w.wx * $hop + j.j AS INTEGER), 1))
+       |          - ascii(substr(w.text, CAST(w.wx * $hop + j.j - 1 AS INTEGER), 1)))
+       |        < 0 THEN 1 ELSE 0 END)
+       |     FROM range(2, $win) j(j)) AS flips
+       |  FROM w
+       |)
+       |SELECT doc_id, kind, count(*) AS n_windows,
+       |  CAST(sum(flips) AS BIGINT) AS total_flips,
+       |  CAST(max(flips) AS BIGINT) AS max_flips
+       |FROM f GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   /** Perceptual-hash media dedup — the multimodal twin of q21's exact
     * text dedup: each payload's fingerprint is the md5 of its ordered
     * [[windowEnergyRows]] energy sequence (the stand-in for a

@@ -2771,6 +2771,78 @@ object SimilarityOp {
        |  AND x.qid < x.vec_id
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Hubness audit of the kNN graph — the high-dimensional pathology
+    * check an ANN serving layer owes its users: in high dimensions a
+    * few "hub" points appear in a disproportionate share of OTHER
+    * points' top-k lists (and "anti-hubs" in none), which silently
+    * skews kNN classification, dedup keep-sets, and retrieval
+    * diversity. Output is the IN-DEGREE HISTOGRAM of the directed
+    * kNN graph over the qmod subsample (in_degree → how many vectors),
+    * zeros included via the left join — a uniform corpus concentrates
+    * near k·|N|/|N| = k; a hubby one grows a long right tail.
+    *
+    * Scale shape: shares [[mutualKnn]]'s construction (broadcast query
+    * side, per-qid top-k window); the histogram adds one
+    * map-side-combined count keyed by vec_id and a count-of-counts
+    * rollup. At production scale the same histogram runs off the ANN
+    * candidate lists (the q48/q50 serving paths) instead of the exact
+    * graph — the audit is graph-source-agnostic.
+    */
+  def hubness(embeddings: DataFrame, qmod: Int = 3, k: Int = 5): DataFrame = {
+    val sub = embeddings.where(col("vec_id") % qmod === 0)
+    val q = sub.select(col("vec_id").as("qid"),
+      toDoubleArray(col("embedding")).as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val topk = corpusVecs(sub)
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    val indeg = topk.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("deg"))
+    sub.select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("in_degree")
+  }
+
+  /** Oracle SQL twin of [[hubness]] — [[mutualKnnOracle]]'s exact
+    * top-k graph, rolled up to the in-degree histogram. */
+  def hubnessOracle(qmod: Int = 3, k: Int = 5, dims: Int = 64): String =
+    s"""WITH q AS (SELECT vec_id AS qid FROM embeddings
+       |           WHERE vec_id % $qmod = 0),
+       |pc0 AS (
+       |  SELECT qq.qid, e.vec_id,
+       |    sum(e.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS dot,
+       |    sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+       |    sum(qe.embedding[i.i+1]::DOUBLE * qe.embedding[i.i+1]::DOUBLE) AS nb
+       |  FROM q qq
+       |  JOIN embeddings qe ON qe.vec_id = qq.qid
+       |  JOIN embeddings e ON e.vec_id <> qq.qid AND e.vec_id % $qmod = 0,
+       |    range($dims) i(i)
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |  FROM pc0
+       |), t AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sims) z WHERE rn <= $k
+       |), indeg AS (
+       |  SELECT q.qid AS vec_id,
+       |    CAST(coalesce(d.deg, 0) AS BIGINT) AS in_degree
+       |  FROM q
+       |  LEFT JOIN (SELECT vec_id, count(*) AS deg FROM t GROUP BY 1) d
+       |    ON d.vec_id = q.qid
+       |)
+       |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vecs
+       |FROM indeg GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-dimension quantile (rank) normalization audit — the feature
     * preprocessing step that maps each embedding component to its rank
     * position in [0, 1e6] ppm within its dimension (min-rank ties, so

@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nonparametric two-sample / paired tests and changepoint location —
+  * the experiment-analysis tier that does not assume normal spend
+  * distributions (event values are heavy-tailed at every sf, so the
+  * t-statistic family under-powers; rank statistics are the standard
+  * robust alternative).
+  *
+  * All three operators follow the repo's rank-statistic discipline
+  * (see [[AuditOps.spearman]]): ranks are AVERAGE ranks in DOUBLED form
+  * (2·r̄ = 2·cumcount − tiecount + 1 over the VALUE HISTOGRAM, exact
+  * integers under ties), and every reported ratio goes through
+  * [[graft.functions.DetAgg]] so both engines divide identical
+  * integers. Building ranks from the per-group value histogram rather
+  * than per-row windows keeps the shuffled frame at |distinct values|
+  * rows — the same reason spearmanOracle uses histogram ranks.
+  */
+object StatTestOps {
+
+  private def cents(c: String): Column =
+    expr(s"CAST(round(($c) * 100) AS BIGINT)")
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) per event type, arms split by
+    * user-id parity — the distribution-free "did arm B's spend shift?"
+    * test, plus Cliff's delta as the effect size ((U_a − U_b)/(n_a·n_b),
+    * the probability-of-superiority difference; reported in ppm).
+    *
+    * Doubled rank sums keep everything integral under ties:
+    * 2U = 2R − n(n+1), U_a + U_b = n_a·n_b (identity holds exactly with
+    * average ranks). `tie_term` = Σ(t³ − t) over value multiplicities
+    * is the variance-correction input a consumer needs for the normal
+    * approximation — reported raw so no libm sqrt enters the gate.
+    *
+    * Scale shape: one map-side-combined groupBy to the (type, value)
+    * histogram, then a cumulative window keyed by event type over
+    * |distinct cents| rows (HashPartitioning(et) satisfies both the
+    * cumsum and the final rollup — one shuffle of narrow longs). Linear
+    * rank sums bound every aggregate by 2n² < 2⁶³ to n ≈ 2·10⁹ rows per
+    * event type (≈ sf10⁵); no cubed-rank moments, so no decimal
+    * promotion needed (contrast [[AuditOps.spearman]]'s Σ(2r̄)²).
+    */
+  def mannWhitney(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val base = events.select(col("event_type").as("et"),
+      cents("value").as("x"),
+      pmod(col("user_id"), lit(2L)).as("arm"))
+    val h = base.groupBy(col("et"), col("x"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ca"))
+    // Doubled average rank of every row holding value x. The cumsum's
+    // default RANGE frame is tie-safe: x is distinct after the groupBy.
+    val r = h.withColumn("r2",
+      sum(col("cnt")).over(Window.partitionBy(col("et")).orderBy(col("x")))
+        * 2L - col("cnt") + 1L)
+    val u2a = col("r2a") - col("n_a") * (col("n_a") + 1L)
+    val u2b = col("r2b") - col("n_b") * (col("n_b") + 1L)
+    r.groupBy(col("et")).agg(
+        sum(col("ca")).as("n_a"),
+        sum(col("cnt") - col("ca")).as("n_b"),
+        sum(col("ca") * col("r2")).as("r2a"),
+        sum((col("cnt") - col("ca")) * col("r2")).as("r2b"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+      .select(col("et").as("event_type"), col("n_a"), col("n_b"),
+        u2a.as("u2_a"), u2b.as("u2_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          halfUpDiv((u2a - u2b) * 500000L, col("n_a") * col("n_b")))
+          .as("delta_ppm"),
+        col("tie_term"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle SQL twin of [[mannWhitney]] — identical histogram-rank
+    * construction. */
+  def mannWhitneyOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH b AS (
+       |  SELECT event_type AS et, CAST(round(value * 100) AS BIGINT) AS x,
+       |    user_id % 2 AS arm
+       |  FROM events
+       |), h AS (
+       |  SELECT et, x, count(*) AS cnt,
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ca
+       |  FROM b GROUP BY 1, 2
+       |), r AS (
+       |  SELECT et, cnt, ca,
+       |    CAST(sum(cnt) OVER (PARTITION BY et ORDER BY x) * 2
+       |      - cnt + 1 AS BIGINT) AS r2
+       |  FROM h
+       |), m AS (
+       |  SELECT et,
+       |    CAST(sum(ca) AS BIGINT) AS n_a,
+       |    CAST(sum(cnt - ca) AS BIGINT) AS n_b,
+       |    CAST(sum(ca * r2) AS BIGINT) AS r2a,
+       |    CAST(sum((cnt - ca) * r2) AS BIGINT) AS r2b,
+       |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+       |  FROM r GROUP BY 1
+       |)
+       |SELECT et AS event_type, n_a, n_b,
+       |  r2a - n_a * (n_a + 1) AS u2_a,
+       |  r2b - n_b * (n_b + 1) AS u2_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    ${halfUpDivSql(
+             "((r2a - n_a * (n_a + 1)) - (r2b - n_b * (n_b + 1))) * 500000",
+             "n_a * n_b")}
+       |  END AS delta_ppm,
+       |  tie_term
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
+  /** Wilcoxon signed-rank over paired per-user purchase spend: each
+    * user's total purchase cents in the second half of the observed
+    * purchase time range vs the first (split at the integer midpoint of
+    * [min ts, max ts], a 1-row broadcast) — "did per-user spend shift
+    * between the halves, ignoring who the big spenders are?". Zero
+    * differences drop (the standard Wilcoxon convention; their count is
+    * reported), |d| gets doubled average ranks from the difference
+    * histogram, and the rank-biserial effect size
+    * (W⁺ − W⁻)/(W⁺ + W⁻) is reported in ppm.
+    *
+    * Scale shape: the paired frame is ONE ROW PER PURCHASING USER —
+    * orders of magnitude below the event count — and ranking runs over
+    * the |distinct |d|| histogram of that frame. The cumulative window
+    * is unpartitioned by construction (a global rank statistic), but
+    * over the histogram, not the users; at 100× the |d| histogram is
+    * what a binned-rank arm would sample ([[ScaleOps.sampledBinIntervals]]
+    * is the established escape hatch if it ever grows past one task).
+    */
+  def wilcoxonSigned(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_millis(ts)").as("ms"),
+        cents("value").as("c"))
+    // Post-1970 data: min+max is positive, so truncating DIV == floor
+    // in both engines (the floorDivMs concern does not arise).
+    val mid = p.agg(
+      expr("CAST((min(ms) + max(ms)) DIV 2 AS BIGINT)").as("mid"))
+    val d = p.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ms") <= col("mid"), col("c")).otherwise(0L)).as("s1"),
+        sum(when(col("ms") > col("mid"), col("c")).otherwise(0L)).as("s2"))
+      .select((col("s2") - col("s1")).as("d"))
+    val zeros = d.where(col("d") === 0L)
+      .agg(count(lit(1)).as("n_zero"))
+    val h = d.where(col("d") =!= 0L)
+      .groupBy(abs(col("d")).as("ad"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("cpos"))
+    val r = h.withColumn("r2",
+      sum(col("cnt")).over(Window.orderBy(col("ad"))) * 2L - col("cnt") + 1L)
+    r.agg(
+        sum(col("cnt")).as("n_pairs"),
+        sum(col("cpos") * col("r2")).as("w2_plus"),
+        sum((col("cnt") - col("cpos")) * col("r2")).as("w2_minus"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+      .crossJoin(broadcast(zeros))
+      .select(
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("n_zero"),
+        coalesce(col("w2_plus"), lit(0L)).as("w2_plus"),
+        coalesce(col("w2_minus"), lit(0L)).as("w2_minus"),
+        when(col("w2_plus") + col("w2_minus") > 0L,
+          halfUpDiv((col("w2_plus") - col("w2_minus")) * 1000000L,
+            col("w2_plus") + col("w2_minus"))).as("rank_biserial_ppm"),
+        coalesce(col("tie_term"), lit(0L)).as("tie_term"))
+  }
+
+  /** Oracle SQL twin of [[wilcoxonSigned]]. */
+  def wilcoxonSignedOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_ms(ts) AS ms,
+       |    CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events WHERE event_type = 'purchase'
+       |), b AS (
+       |  SELECT CAST((min(ms) + max(ms)) // 2 AS BIGINT) AS mid FROM p
+       |), u AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN ms <= (SELECT mid FROM b) THEN c ELSE 0 END) AS s1,
+       |    sum(CASE WHEN ms > (SELECT mid FROM b) THEN c ELSE 0 END) AS s2
+       |  FROM p GROUP BY 1
+       |), d0 AS (SELECT s2 - s1 AS d FROM u),
+       |z AS (SELECT count(*) AS n_zero FROM d0 WHERE d = 0),
+       |h AS (
+       |  SELECT abs(d) AS ad, count(*) AS cnt,
+       |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos
+       |  FROM d0 WHERE d <> 0 GROUP BY 1
+       |), r AS (
+       |  SELECT cnt, cpos,
+       |    CAST(sum(cnt) OVER (ORDER BY ad) * 2 - cnt + 1 AS BIGINT) AS r2
+       |  FROM h
+       |), m AS (
+       |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_pairs,
+       |    CAST(coalesce(sum(cpos * r2), 0) AS BIGINT) AS w2_plus,
+       |    CAST(coalesce(sum((cnt - cpos) * r2), 0) AS BIGINT) AS w2_minus,
+       |    CAST(coalesce(sum(cnt * cnt * cnt - cnt), 0) AS BIGINT) AS tie_term
+       |  FROM r
+       |)
+       |SELECT m.n_pairs, z.n_zero, m.w2_plus, m.w2_minus,
+       |  CASE WHEN m.w2_plus + m.w2_minus > 0 THEN
+       |    ${halfUpDivSql("(m.w2_plus - m.w2_minus) * 1000000",
+                           "m.w2_plus + m.w2_minus")}
+       |  END AS rank_biserial_ppm,
+       |  m.tie_term
+       |FROM m, z""".stripMargin
+  }
+
+  /** Single-changepoint LOCATOR on the hourly purchase-revenue series —
+    * the CUSUM estimator: the split t maximizing |S₁(t)·n − n₁(t)·S|,
+    * i.e. the hour where the cumulative sum deviates furthest from the
+    * global trend line. This is binary segmentation's first cut with a
+    * DIVISION-FREE objective (the usual between-segment variance
+    * B(t) = (S₁n₂ − S₂n₁)²/(n·n₁·n₂) shares its argmax direction with
+    * the CUSUM deviation, which stays exactly integral — no float or
+    * rational comparison enters the argmax, so the located hour is
+    * bit-deterministic cross-engine). Complements [[EventOps.cusumShifts]]
+    * (Page's ALARM detector — "is there drift?"); this answers "WHERE
+    * did the level shift?".
+    *
+    * Scale shape: the series is the hourly rollup — bounded by the
+    * observed time range, not the event count — so the cumulative
+    * window and the top-1 argmax run on a frame that is ~10³ rows at
+    * every sf (a year is 8 760 hours). |S·n| ≤ 10¹⁸ holds to ~$10M of
+    * total purchase cents × 10⁵ hours; the g_stat aggregate is
+    * DECIMAL(38,0)/HUGEINT so the bound is the PER-ROW product, loud at
+    * overflow under ANSI decimal, not silent.
+    */
+  def changepoint(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.ratio
+    val hourly = events.where(col("event_type") === "purchase")
+      .groupBy(expr("CAST(unix_millis(ts) DIV 3600000 AS BIGINT)").as("hr"))
+      .agg(sum(cents("value")).as("c"))
+    val w = Window.orderBy(col("hr"))
+    val cum = hourly.select(col("hr"),
+      row_number().over(w).cast("long").as("n1"),
+      sum(col("c")).over(w).as("s1"))
+    val tot = hourly.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .where(col("n1") < col("n"))
+      .select(col("hr"), col("n1"), (col("n") - col("n1")).as("n2"),
+        col("s1"), (col("s") - col("s1")).as("s2"),
+        abs(col("s1").cast("decimal(38,0)") * col("n")
+          - col("n1").cast("decimal(38,0)") * col("s")).as("g"))
+    scored
+      .orderBy(col("g").desc, col("hr"))
+      .limit(1)
+      .select(col("hr").as("split_hr"), col("n1").as("n_left"),
+        col("n2").as("n_right"), col("s1").as("sum_left_c"),
+        col("s2").as("sum_right_c"),
+        ratio(col("s1"), col("n1"), 2).as("mean_left_c"),
+        ratio(col("s2"), col("n2"), 2).as("mean_right_c"),
+        col("g").cast("decimal(38,0)").cast("string").as("g_stat"))
+  }
+
+  /** Oracle SQL twin of [[changepoint]]. */
+  def changepointOracle: String = {
+    import graft.functions.DetAgg.ratioSql
+    s"""WITH hourly AS (
+       |  SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hr,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+       |), cum AS (
+       |  SELECT hr,
+       |    CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS n1,
+       |    CAST(sum(c) OVER (ORDER BY hr) AS BIGINT) AS s1
+       |  FROM hourly
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+       |  FROM hourly
+       |), scored AS (
+       |  SELECT hr, n1, n - n1 AS n2, s1, s - s1 AS s2,
+       |    abs(CAST(s1 AS HUGEINT) * n - CAST(n1 AS HUGEINT) * s) AS g
+       |  FROM cum, tot WHERE n1 < n
+       |)
+       |SELECT hr AS split_hr, n1 AS n_left, n2 AS n_right,
+       |  s1 AS sum_left_c, s2 AS sum_right_c,
+       |  ${ratioSql("s1", "n1", 2)} AS mean_left_c,
+       |  ${ratioSql("s2", "n2", 2)} AS mean_right_c,
+       |  CAST(g AS VARCHAR) AS g_stat
+       |FROM scored ORDER BY g DESC, hr LIMIT 1""".stripMargin
+  }
+}

@@ -2359,4 +2359,57 @@ object TextOps {
        |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<email>', 'g'),
        |    '$PhoneRe', '<phone>', 'g')) AS scrub_md5
        |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Zipf rank-frequency curve over the top-`k` corpus tokens — the
+    * "is this corpus natural-language-shaped?" diagnostic: per rank,
+    * the token, its count, its corpus share (ppm), the cumulative
+    * share, and the Zipf constancy product `n·rank` (flat ⇔ the
+    * frequencies follow 1/rank; synthetic or boilerplate-heavy corpora
+    * bow visibly). Log-log slope fitting needs libm, so the product
+    * form IS the parity-safe fit statistic.
+    *
+    * Scale shape: one map-side-combined token count (the q25 shape),
+    * top-k via TakeOrdered — the rank/cumulative windows run AFTER the
+    * limit, on a k-row driver-sized frame, so the unpartitioned window
+    * is bounded by construction, never by the vocabulary.
+    */
+  def zipfCurve(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetAgg.halfUpDiv
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    val w = Window.orderBy(col("n").desc, col("token"))
+    counts.orderBy(col("n").desc, col("token")).limit(k)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .select(col("rank"), col("token"), col("n"),
+        halfUpDiv(col("n") * 1000000L, col("total")).as("share_ppm"),
+        halfUpDiv(col("cum_n") * 1000000L, col("total"))
+          .as("cum_share_ppm"),
+        (col("n") * col("rank")).as("zipf_c"))
+      .orderBy("rank")
+  }
+
+  /** Oracle SQL twin of [[zipfCurve]]. */
+  def zipfCurveOracle(k: Int = 50): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH c AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+       |  GROUP BY 1
+       |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+       |topk AS (
+       |  SELECT token, n,
+       |    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+       |    CAST(sum(n) OVER (ORDER BY n DESC, token) AS BIGINT) AS cum_n
+       |  FROM c ORDER BY n DESC, token LIMIT $k
+       |)
+       |SELECT rank, token, n,
+       |  ${halfUpDivSql("n * 1000000", "total")} AS share_ppm,
+       |  ${halfUpDivSql("cum_n * 1000000", "total")} AS cum_share_ppm,
+       |  n * rank AS zipf_c
+       |FROM topk, tot ORDER BY rank""".stripMargin
+  }
 }

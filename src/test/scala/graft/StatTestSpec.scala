@@ -1,0 +1,204 @@
+package graft
+
+import graft.operators.{AuditOps, FeatureOps, MultimodalOp, SimilarityOp, StatTestOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-10 statistics/feature block: rank tests on
+  * crafted samples with hand-computed statistics, Gini gain on perfect
+  * vs useless splits, the changepoint locator on a known level shift,
+  * floor (not truncate) bucketing of negative balances in the
+  * k-anonymity QI, and the ZCR fold on monotone vs zigzag payloads.
+  */
+class StatTestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("mannWhitney: separated samples give |delta| = 1, ties counted") {
+    // arm 0 = even user ids. Values: A = {1, 2}, B = {2, 3} (cents).
+    // Doubled avg ranks: 1→2, 2→5 (avg 2.5), 3→8.
+    // 2R_a = 2+5 = 7 → u2_a = 7 − 2·3 = 1; u2_b = 13 − 6 = 7;
+    // identity u2_a + u2_b = 2·n_a·n_b = 8 holds; tie_term = 2³−2 = 6.
+    val df = Seq(
+      (0L, "x", 0.01), (2L, "x", 0.02),
+      (1L, "x", 0.02), (3L, "x", 0.03)
+    ).toDF("user_id", "event_type", "value")
+    val r = StatTestOps.mannWhitney(df).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_a") === 2L)
+    assert(row.getAs[Long]("n_b") === 2L)
+    assert(row.getAs[Long]("u2_a") === 1L)
+    assert(row.getAs[Long]("u2_b") === 7L)
+    assert(row.getAs[Long]("tie_term") === 6L)
+    // delta = (1 − 7)/(2·4) = −0.75
+    assert(row.getAs[Long]("delta_ppm") === -750000L)
+
+    // fully separated: A = {1,2,3}, B = {4,5,6} → delta = −1
+    val sep = Seq(
+      (0L, "x", 0.01), (2L, "x", 0.02), (4L, "x", 0.03),
+      (1L, "x", 0.04), (3L, "x", 0.05), (5L, "x", 0.06)
+    ).toDF("user_id", "event_type", "value")
+    val s = StatTestOps.mannWhitney(sep).collect().head
+    assert(s.getAs[Long]("u2_a") === 0L)
+    assert(s.getAs[Long]("u2_b") === 18L)
+    assert(s.getAs[Long]("delta_ppm") === -1000000L)
+    assert(s.getAs[Long]("tie_term") === 0L)
+  }
+
+  test("wilcoxonSigned: zero diffs drop, signed ranks split correctly") {
+    // Range [0s, 100s] → mid at 50s. Purchases per user:
+    //  u1: 1.00 then 3.00  → d = +200
+    //  u2: 3.00 then 2.00  → d = −100
+    //  u3: 2.00 then 2.00  → d = 0 (drops)
+    //  u4: 1.00 then 2.00  → d = +100
+    // |d| ranks: 100 → avg(1,2) = 1.5 (2r̄ = 3) twice, 200 → 2r̄ = 6.
+    // W2+ = 3 + 6 = 9, W2− = 3; tie_term = 2³ − 2 = 6.
+    val df = Seq(
+      (1L, ts(0), "purchase", 1.00), (1L, ts(100), "purchase", 3.00),
+      (2L, ts(10), "purchase", 3.00), (2L, ts(90), "purchase", 2.00),
+      (3L, ts(20), "purchase", 2.00), (3L, ts(80), "purchase", 2.00),
+      (4L, ts(30), "purchase", 1.00), (4L, ts(70), "purchase", 2.00),
+      (9L, ts(40), "view", 99.0) // non-purchase noise must be ignored
+    ).toDF("user_id", "ts", "event_type", "value")
+    val r = StatTestOps.wilcoxonSigned(df).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_pairs") === 3L)
+    assert(row.getAs[Long]("n_zero") === 1L)
+    assert(row.getAs[Long]("w2_plus") === 9L)
+    assert(row.getAs[Long]("w2_minus") === 3L)
+    assert(row.getAs[Long]("tie_term") === 6L)
+    // rank-biserial = (9−3)/12 = 0.5
+    assert(row.getAs[Long]("rank_biserial_ppm") === 500000L)
+  }
+
+  test("changepoint: locates a clean level shift at the boundary hour") {
+    // hours 0..4 at 1.00/h, hours 5..9 at 9.00/h → split after hr 4.
+    val rows = (0 until 10).map { h =>
+      (1L, ts(h * 3600L), "purchase", if (h < 5) 1.00 else 9.00)
+    }
+    val r = StatTestOps.changepoint(
+      rows.toDF("user_id", "ts", "event_type", "value")).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("split_hr") === 4L)
+    assert(row.getAs[Long]("n_left") === 5L)
+    assert(row.getAs[Long]("n_right") === 5L)
+    assert(row.getAs[Long]("sum_left_c") === 500L)
+    assert(row.getAs[Long]("sum_right_c") === 4500L)
+    assert(row.getAs[Double]("mean_left_c") === 100.0)
+    assert(row.getAs[Double]("mean_right_c") === 900.0)
+    // g = |500·10 − 5·5000| = 20000
+    assert(row.getAs[String]("g_stat") === "20000")
+  }
+
+  test("giniGain: perfect split gains the full parent impurity, useless gains 0") {
+    val orders = Seq(
+      // priority perfectly separates F from O; every order shares one
+      // segment/nation (useless features).
+      (1L, 10L, "F", "1-URGENT"), (2L, 10L, "F", "1-URGENT"),
+      (3L, 20L, "O", "2-HIGH"), (4L, 20L, "O", "2-HIGH")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val customer = Seq((10L, 0, "AUTO"), (20L, 0, "AUTO"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val nation = Seq((0, "FRANCE")).toDF("n_nationkey", "n_name")
+    val out = FeatureOps.giniGain(orders, customer, nation).collect()
+      .map(r => r.getAs[String]("feature") ->
+        (r.getAs[Long]("parent_ppm"), r.getAs[Long]("child_ppm"),
+          r.getAs[Long]("gain_ppm"))).toMap
+    // parent: p = 1/2 → 2p(1−p) = 0.5
+    assert(out("o_orderpriority") === ((500000L, 0L, 500000L)))
+    assert(out("c_mktsegment") === ((500000L, 500000L, 0L)))
+    assert(out("n_name") === ((500000L, 500000L, 0L)))
+  }
+
+  test("targetEncoding: encoding shrinks toward the train prior by m") {
+    val enc = FeatureOps.targetEncoding(
+      graft.tables.Tables.orders(spark, "/root/testdata/sf0.001"),
+      graft.tables.Tables.customer(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(enc.nonEmpty)
+    val prior = enc.head.getAs[Long]("prior_ppm")
+    enc.foreach { r =>
+      val raw = r.getAs[Long]("pos_train") * 1000000L
+      val nTr = r.getAs[Long]("n_train")
+      val e = r.getAs[Long]("enc_ppm")
+      // enc must lie within [min, max] of (raw rate, prior) — the
+      // defining property of m-estimate shrinkage.
+      val rawRate = if (nTr > 0) raw / nTr else prior
+      assert(e >= math.min(rawRate, prior) - 1 &&
+        e <= math.max(rawRate, prior) + 1,
+        s"enc $e outside [$rawRate, $prior]")
+    }
+  }
+
+  test("kAnonymity: negative balances floor to bucket −1, not truncate to 0") {
+    val cust = Seq(
+      (1L, 1, "AUTO", -0.01),  // cents −1 → kilobucket −1
+      (2L, 1, "AUTO", 0.00),   // bucket 0
+      (3L, 1, "AUTO", 999.99), // cents 99999 → bucket 0
+      (4L, 1, "AUTO", 1000.00) // bucket 1
+    ).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val hist = AuditOps.kAnonymity(cust, kThresh = 5L).collect()
+    // classes: bucket −1 (1 row), bucket 0 (2 rows), bucket 1 (1 row)
+    val m = hist.map(r => r.getAs[Long]("class_size") ->
+      (r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"))).toMap
+    assert(m(1L) === ((2L, 2L)))
+    assert(m(2L) === ((1L, 2L)))
+    assert(hist.forall(_.getAs[Long]("under_k") === 1L))
+  }
+
+  test("zipfCurve: ranks, shares and the n·rank product are exact") {
+    val docs = Seq(
+      (1L, "a a a b b c"), (2L, "a b")
+    ).toDF("doc_id", "text")
+    val r = TextOps.zipfCurve(docs, k = 3).collect()
+    // counts: a=4, b=3, c=1; total 8
+    assert(r.map(_.getAs[String]("token")).toSeq === Seq("a", "b", "c"))
+    assert(r.map(_.getAs[Long]("n")).toSeq === Seq(4L, 3L, 1L))
+    assert(r.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    assert(r.map(_.getAs[Long]("share_ppm")).toSeq ===
+      Seq(500000L, 375000L, 125000L))
+    assert(r.map(_.getAs[Long]("cum_share_ppm")).toSeq ===
+      Seq(500000L, 875000L, 1000000L))
+    assert(r.map(_.getAs[Long]("zipf_c")).toSeq === Seq(4L, 6L, 3L))
+  }
+
+  test("hubness: a dominant hub shows up in every other top-k list") {
+    // 4 vectors (qmod=1 keeps them all): v0 near-parallel to each of
+    // v3, v6, v9; those three are mutually near-orthogonal, so with
+    // k=1 every one of them picks v0 — in-degree 3 for the hub.
+    val e = Seq(
+      (0L, Array(1f, 1f, 1f)),
+      (3L, Array(1f, 0f, 0f)),
+      (6L, Array(0f, 1f, 0f)),
+      (9L, Array(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val hist = SimilarityOp.hubness(e, qmod = 3, k = 1).collect()
+      .map(r => r.getAs[Long]("in_degree") -> r.getAs[Long]("n_vecs")).toMap
+    // v0's own top-1 is one of the axis vectors (in-degree 1 for it);
+    // the other two axis vectors get 0; v0 gets 3.
+    assert(hist(3L) === 1L)
+    assert(hist(0L) === 2L)
+    assert(hist(1L) === 1L)
+  }
+
+  test("zcrSegments: monotone bytes flip zero times, zigzag flips every step") {
+    val mono = (0 until 64).map(i => ('a' + (i % 26)).toChar)
+      .mkString // repeating ascending runs: flips only at wraparounds
+    val zig = (0 until 64).map(i => if (i % 2 == 0) 'a' else 'z').mkString
+    val docs = Seq((3L, zig), (4L, mono)).toDF("doc_id", "text")
+    val out = MultimodalOp.zcrSegments(MultimodalOp.asMedia(
+        docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+          .withColumn("n_chars", length(col("text")).cast("long"))))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("total_flips")).toMap
+    // zigzag: every interior position is a direction change → 62 flips
+    assert(out(3L) === 62L)
+    // ascending runs of 26: direction changes only at the 'z'→'a' drops
+    // (each wrap contributes 2 flips: down-then-up). 64 chars → wraps
+    // at i=26 and i=52 → interior centers i=25,26 and i=51,52 → 4.
+    assert(out(4L) === 4L)
+  }
+}
