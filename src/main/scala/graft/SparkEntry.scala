@@ -1432,6 +1432,32 @@ object SparkEntry {
     // discriminator energy alone cannot provide.
     "q263_zcr_segments" -> ((s, d) =>
       MultimodalOp.zcrSegments(MultimodalOp.asMedia(Tables.documents(s, d)))),
+
+    // Difference-in-differences on purchase spend: (arm, period) cell
+    // means in integer centi-cents, DiD net of the secular trend —
+    // one conditional-aggregate row, no joins between cells.
+    "q264_diff_in_diff" -> ((s, d) =>
+      StatTestOps.diffInDiff(Tables.events(s, d))),
+
+    // Good-Turing / Kneser-Ney smoothing statistics per language:
+    // count-of-counts classes, unseen-mass p0, adjusted counts r*,
+    // absolute discount D — all exact integer ratios.
+    "q265_good_turing" -> ((s, d) =>
+      TextOps.goodTuring(Tables.documents(s, d))),
+
+    // Stratified audit sample of verified near-dup pairs: jaccard
+    // deciles x portable-hash draw off the write-once pairs layout —
+    // the deterministic labeling batch for threshold review.
+    "q266_pair_audit_sample" -> ((s, d) =>
+      DedupOp.pairAuditSample(
+        DedupOp.ngramJaccardTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
+
+    // Quality-ranked per-source token budget (q71's curriculum
+    // sibling): best-docs-first greedy fill with per-source yield and
+    // budget utilization.
+    "q267_quality_budget" -> ((s, d) =>
+      ScaleOps.qualityBudget(Tables.documents(s, d))),
   )
 
   /** Build every session write-once layout for `d` up front — the
@@ -2175,5 +2201,9 @@ object SparkEntry {
     "q261_k_anonymity" -> AuditOps.kAnonymityOracle(),
     "q262_hubness" -> SimilarityOp.hubnessOracle(),
     "q263_zcr_segments" -> MultimodalOp.zcrSegmentsOracle(),
+    "q264_diff_in_diff" -> StatTestOps.diffInDiffOracle,
+    "q265_good_turing" -> TextOps.goodTuringOracle,
+    "q266_pair_audit_sample" -> DedupOp.pairAuditSampleOracle(),
+    "q267_quality_budget" -> ScaleOps.qualityBudgetOracle(),
   )
 }

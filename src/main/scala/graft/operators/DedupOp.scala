@@ -767,6 +767,78 @@ object DedupOp {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** Stratified human-audit sample of the verified near-dup pairs —
+    * the "build the labeling batch" step a dedup threshold review
+    * needs: pairs bucketed by jaccard decile (from the EXACT 4-decimal
+    * stored value, so the bucket is integer arithmetic, not float
+    * floor), and up to `m` pairs drawn per bucket in portable-hash
+    * order (deterministic pseudo-random — reruns and both engines pick
+    * the identical pairs, the [[ScaleOps]] docHash sampling stance).
+    * Reviewing m pairs per similarity stratum instead of m overall is
+    * what makes the precision estimate cover the decision boundary.
+    *
+    * Scale shape: runs off the write-once pairs layout (q34/q75/q93
+    * stance), so the input is the pair graph, not the corpus; the
+    * per-bucket rank window is partitioned by bucket (≤ 10 strata,
+    * each window sized by its stratum's pair count — at 100× the
+    * hash-order rank would ride a bottom-m TakeOrdered per bucket
+    * rather than a full sort, the [[ScaleOps.sampledBinIntervals]]
+    * escape hatch).
+    */
+  def pairAuditSample(pairs: DataFrame, m: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hk = graft.functions.TextFunctions.portableHash(concat(
+      reverse(col("da").cast("string")), lit("#"),
+      reverse(col("db").cast("string"))))
+    val bucket = expr("CAST(round(jaccard * 10000) AS BIGINT) DIV 1000")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("hk"), col("da"), col("db"))
+    pairs.select(col("da"), col("db"), col("jaccard"),
+        bucket.as("bucket"), hk.as("hk"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= m)
+      .select(col("bucket"), col("rk"), col("da"), col("db"), col("jaccard"))
+      .orderBy("bucket", "rk")
+  }
+
+  /** Oracle SQL twin of [[pairAuditSample]] — re-derives the pair
+    * graph from raw text (the layout-content check), then the same
+    * bucket/hash-rank draw. */
+  def pairAuditSampleOracle(m: Int = 5, minJaccard: Double = 0.5,
+                            maxDf: Int = MaxShingleDf): String = {
+    val hk = graft.functions.TextFunctions.portableHashSql(
+      "concat(reverse(CAST(da AS VARCHAR)), '#', reverse(CAST(db AS VARCHAR)))")
+    s"""WITH ${shingleCte()},
+       |${cappedShingleCte(maxDf)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM shc a JOIN shc b ON a.hx = b.hx AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), p AS (
+       |  SELECT da, db, jaccard FROM (
+       |    SELECT i.da, i.db,
+       |      ${graft.functions.DetAgg.ratioSql("i.inter",
+              "sa.n + sb.n - i.inter")} AS jaccard
+       |    FROM inter i
+       |    JOIN sizes sa ON sa.doc_id = i.da
+       |    JOIN sizes sb ON sb.doc_id = i.db) t
+       |  WHERE jaccard >= $minJaccard
+       |), s AS (
+       |  SELECT da, db, jaccard,
+       |    CAST(round(jaccard * 10000) AS BIGINT) // 1000 AS bucket,
+       |    $hk AS hk
+       |  FROM p
+       |), r AS (
+       |  SELECT bucket, da, db, jaccard,
+       |    CAST(row_number() OVER (PARTITION BY bucket
+       |      ORDER BY hk, da, db) AS BIGINT) AS rk
+       |  FROM s
+       |)
+       |SELECT bucket, rk, da, db, jaccard
+       |FROM r WHERE rk <= $m ORDER BY bucket, rk""".stripMargin
+  }
+
   /** CTE chain `sizes → … → roots` computing connected-component minima
     * over the df-capped shingle pair graph (assumes `sh` defined by
     * [[shingleCte]]; requires WITH RECURSIVE for `reach`).

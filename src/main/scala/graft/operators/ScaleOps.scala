@@ -390,6 +390,83 @@ object ScaleOps {
        |WHERE cum <= $budget ORDER BY source, doc_id""".stripMargin
   }
 
+  /** Quality-ranked token budget per source — [[tokenBudgetMix]]'s
+    * curriculum sibling: where the hash-order fill is an UNBIASED
+    * sample, this fills each source's budget BEST-DOCS-FIRST (by the
+    * integer unique-token-ratio ppm, doc_id ties), the "spend the
+    * token budget on the cleanest text" curation policy, and reports
+    * the per-source yield: docs seen, docs kept, tokens kept, and
+    * budget utilization. Comparing its kept-token quality against
+    * q71's hash fill is exactly the curriculum-vs-coverage tradeoff a
+    * data-mix owner tunes.
+    *
+    * Scale shape: signals are row-local; ONE shuffle keyed by source;
+    * the greedy fill is a running sum over the (quality desc, doc_id)
+    * order within each source's window, then a tiny per-source rollup.
+    * A hot source serializes through one window task — the
+    * [[tokenBudgetMix]] caveat; the per-partition partial-fill + merge
+    * pass is the same documented 100 TB fallback.
+    */
+  def qualityBudget(docs: DataFrame, budget: Long = 4000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetAgg.halfUpDiv
+    val toks = TextFunctions.tokens(col("text"))
+    val base = docs.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        when(col("n_tokens") > 0L,
+          halfUpDiv(col("n_uniq") * 1000000L, col("n_tokens")))
+          .otherwise(0L).as("q_ppm"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q_ppm").desc, col("doc_id"))
+    base
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cum_tokens") <= budget, 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("cum_tokens") <= budget, col("n_tokens"))
+          .otherwise(0L)).as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("kept_tokens"),
+        halfUpDiv(col("kept_tokens") * 1000000L, lit(budget))
+          .as("util_ppm"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[qualityBudget]]. */
+  def qualityBudgetOracle(budget: Long = 4000L): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |      AS n_uniq
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CASE WHEN n_tokens > 0
+       |      THEN ${halfUpDivSql("n_uniq * 1000000", "n_tokens")}
+       |      ELSE 0 END AS q_ppm
+       |  FROM b
+       |), c AS (
+       |  SELECT source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY q_ppm DESC, doc_id) AS cum
+       |  FROM q
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN cum <= $budget THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN cum <= $budget THEN n_tokens ELSE 0 END)
+       |    AS BIGINT) AS kept_tokens,
+       |  ${halfUpDivSql(
+           s"sum(CASE WHEN cum <= $budget THEN n_tokens ELSE 0 END)" +
+             " * 1000000", s"$budget")} AS util_ppm
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Sequence-packing assignment — the pretraining step that turns a
     * doc stream into fixed-length training examples: concatenate each
     * source's documents in deterministic hash order and cut the token

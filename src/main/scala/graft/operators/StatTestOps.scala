@@ -281,4 +281,104 @@ object StatTestOps {
        |  CAST(g AS VARCHAR) AS g_stat
        |FROM scored ORDER BY g DESC, hr LIMIT 1""".stripMargin
   }
+
+  /** Difference-in-differences on purchase spend — the parallel-trends
+    * causal estimator: arms by user parity (the q227/q255 convention),
+    * periods split at the integer midpoint of the observed purchase
+    * range (the [[wilcoxonSigned]] convention), and the estimate is
+    * (B̄post − B̄pre) − (Āpost − Āpre): arm B's spend change net of the
+    * secular trend arm A experienced. Each cell mean is an exact
+    * half-up integer in centi-cent (c100) units, so the DiD is an
+    * integer DIFFERENCE OF ROUNDED MEANS — deterministic cross-engine,
+    * error ≤ 2 c100 from the four roundings.
+    *
+    * Scale shape: ONE conditional-aggregate row over the purchase scan
+    * (8 sums, map-side combined) after a 1-row broadcast of the
+    * midpoint — no joins between cells, no windows, nothing keyed
+    * wider than the 4-cell rollup.
+    */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val p = events.where(col("event_type") === "purchase")
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        expr("unix_millis(ts)").as("ms"), cents("value").as("c"))
+    val mid = p.agg(
+      expr("CAST((min(ms) + max(ms)) DIV 2 AS BIGINT)").as("mid"))
+    def cell(arm: Long, post: Boolean): (Column, Column) = {
+      val in = col("arm") === arm &&
+        (if (post) col("ms") > col("mid") else col("ms") <= col("mid"))
+      (sum(when(in, 1L).otherwise(0L)), sum(when(in, col("c")).otherwise(0L)))
+    }
+    val (naPre, saPre) = cell(0L, post = false)
+    val (naPost, saPost) = cell(0L, post = true)
+    val (nbPre, sbPre) = cell(1L, post = false)
+    val (nbPost, sbPost) = cell(1L, post = true)
+    def m(s: Column, n: Column): Column =
+      when(n > 0L, halfUpDiv(s * 100L, n))
+    p.crossJoin(broadcast(mid))
+      .agg(naPre.as("n_a_pre"), saPre.as("s_a_pre"),
+        naPost.as("n_a_post"), saPost.as("s_a_post"),
+        nbPre.as("n_b_pre"), sbPre.as("s_b_pre"),
+        nbPost.as("n_b_post"), sbPost.as("s_b_post"))
+      .select(col("n_a_pre"), col("n_a_post"), col("n_b_pre"),
+        col("n_b_post"),
+        m(col("s_a_pre"), col("n_a_pre")).as("mean_a_pre_c100"),
+        m(col("s_a_post"), col("n_a_post")).as("mean_a_post_c100"),
+        m(col("s_b_pre"), col("n_b_pre")).as("mean_b_pre_c100"),
+        m(col("s_b_post"), col("n_b_post")).as("mean_b_post_c100"))
+      .withColumn("did_c100",
+        (col("mean_b_post_c100") - col("mean_b_pre_c100"))
+          - (col("mean_a_post_c100") - col("mean_a_pre_c100")))
+  }
+
+  /** Oracle SQL twin of [[diffInDiff]]. */
+  def diffInDiffOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    def cellN(arm: Int, post: Boolean) = {
+      val per = if (post) "ms > (SELECT mid FROM b)"
+        else "ms <= (SELECT mid FROM b)"
+      s"CAST(sum(CASE WHEN arm = $arm AND $per THEN 1 ELSE 0 END) AS BIGINT)"
+    }
+    def cellS(arm: Int, post: Boolean) = {
+      val per = if (post) "ms > (SELECT mid FROM b)"
+        else "ms <= (SELECT mid FROM b)"
+      s"CAST(sum(CASE WHEN arm = $arm AND $per THEN c ELSE 0 END) AS BIGINT)"
+    }
+    def guard(n: String, e: String) = s"CASE WHEN $n > 0 THEN $e END"
+    s"""WITH p AS (
+       |  SELECT user_id % 2 AS arm, epoch_ms(ts) AS ms,
+       |    CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events WHERE event_type = 'purchase'
+       |), b AS (
+       |  SELECT CAST((min(ms) + max(ms)) // 2 AS BIGINT) AS mid FROM p
+       |), w AS (
+       |  SELECT
+       |    ${cellN(0, post = false)} AS n_a_pre,
+       |    ${cellS(0, post = false)} AS s_a_pre,
+       |    ${cellN(0, post = true)} AS n_a_post,
+       |    ${cellS(0, post = true)} AS s_a_post,
+       |    ${cellN(1, post = false)} AS n_b_pre,
+       |    ${cellS(1, post = false)} AS s_b_pre,
+       |    ${cellN(1, post = true)} AS n_b_post,
+       |    ${cellS(1, post = true)} AS s_b_post
+       |  FROM p
+       |), mm AS (
+       |  SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+       |    ${guard("n_a_pre", halfUpDivSql("s_a_pre * 100", "n_a_pre"))}
+       |      AS mean_a_pre_c100,
+       |    ${guard("n_a_post", halfUpDivSql("s_a_post * 100", "n_a_post"))}
+       |      AS mean_a_post_c100,
+       |    ${guard("n_b_pre", halfUpDivSql("s_b_pre * 100", "n_b_pre"))}
+       |      AS mean_b_pre_c100,
+       |    ${guard("n_b_post", halfUpDivSql("s_b_post * 100", "n_b_post"))}
+       |      AS mean_b_post_c100
+       |  FROM w
+       |)
+       |SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+       |  mean_a_pre_c100, mean_a_post_c100, mean_b_pre_c100,
+       |  mean_b_post_c100,
+       |  (mean_b_post_c100 - mean_b_pre_c100)
+       |    - (mean_a_post_c100 - mean_a_pre_c100) AS did_c100
+       |FROM mm""".stripMargin
+  }
 }

@@ -2392,6 +2392,75 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Good–Turing frequency smoothing statistics per language — the
+    * count-of-counts estimators every n-gram LM smoother is built
+    * from, computed EXACTLY (no log-space fitting, so fully
+    * parity-safe): total token mass N, vocabulary V, the singleton/
+    * doubleton/… class sizes N₁..N₄, the Good–Turing unseen-mass
+    * estimate p₀ = N₁/N (ppm — the probability the NEXT token is a
+    * never-seen type), the smoothed adjusted counts
+    * r* = (r+1)·N_{r+1}/N_r for r = 1, 2 (10⁻⁴ units), and the
+    * Kneser–Ney absolute discount D = N₁/(N₁ + 2N₂) (ppm). A language
+    * whose p₀ stays high at corpus scale is under-sampled; D feeds
+    * directly into a KN-smoothed LM over the q202 bigram tier.
+    *
+    * Scale shape: (lang, token) count → count-of-counts rollup — two
+    * map-side-combined aggregates, frames bounded by vocabulary then
+    * by |distinct r|; no windows, no sorts beyond the |langs| output.
+    */
+  def goodTuring(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val tok = docs.select(col("lang"),
+      explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("r"))
+    def nr(k: Int): Column = sum(when(col("r") === k.toLong, 1L).otherwise(0L))
+    tok.groupBy(col("lang"))
+      .agg(sum(col("r")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        nr(1).as("n1"), nr(2).as("n2"), nr(3).as("n3"), nr(4).as("n4"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        col("n1"), col("n2"), col("n3"), col("n4"),
+        halfUpDiv(col("n1") * 1000000L, col("n_tokens")).as("p0_ppm"),
+        when(col("n1") > 0L,
+          halfUpDiv(col("n2") * 20000L, col("n1"))).as("rstar1_e4"),
+        when(col("n2") > 0L,
+          halfUpDiv(col("n3") * 30000L, col("n2"))).as("rstar2_e4"),
+        when(col("n1") + col("n2") > 0L,
+          halfUpDiv(col("n1") * 1000000L, col("n1") + col("n2") * 2L))
+          .as("kn_discount_ppm"))
+      .orderBy("lang")
+  }
+
+  /** Oracle SQL twin of [[goodTuring]]. */
+  def goodTuringOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH tc AS (
+       |  SELECT lang, token, CAST(count(*) AS BIGINT) AS r FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS token
+       |    FROM documents) t
+       |  GROUP BY 1, 2
+       |), m AS (
+       |  SELECT lang, CAST(sum(r) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab,
+       |    CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN r = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN r = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM tc GROUP BY 1
+       |)
+       |SELECT lang, n_tokens, vocab, n1, n2, n3, n4,
+       |  ${halfUpDivSql("n1 * 1000000", "n_tokens")} AS p0_ppm,
+       |  CASE WHEN n1 > 0 THEN ${halfUpDivSql("n2 * 20000", "n1")}
+       |    END AS rstar1_e4,
+       |  CASE WHEN n2 > 0 THEN ${halfUpDivSql("n3 * 30000", "n2")}
+       |    END AS rstar2_e4,
+       |  CASE WHEN n1 + n2 > 0 THEN
+       |    ${halfUpDivSql("n1 * 1000000", "n1 + 2 * n2")}
+       |  END AS kn_discount_ppm
+       |FROM m ORDER BY lang""".stripMargin
+  }
+
   /** Oracle SQL twin of [[zipfCurve]]. */
   def zipfCurveOracle(k: Int = 50): String = {
     import graft.functions.DetAgg.halfUpDivSql

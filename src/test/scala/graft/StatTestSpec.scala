@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AuditOps, FeatureOps, MultimodalOp, SimilarityOp, StatTestOps, TextOps}
+import graft.operators.{AuditOps, FeatureOps, MultimodalOp, ScaleOps, SimilarityOp, StatTestOps, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the round-10 statistics/feature block: rank tests on
@@ -182,6 +182,61 @@ class StatTestSpec extends SparkSuite {
     assert(hist(3L) === 1L)
     assert(hist(0L) === 2L)
     assert(hist(1L) === 1L)
+  }
+
+  test("diffInDiff: arm B's extra lift nets out arm A's trend") {
+    // arm 0 (even users): 1.00 → 2.00; arm 1: 1.00 → 4.00.
+    // DiD = (400 − 100) − (200 − 100) cents = 2.00 → 20000 c100.
+    val df = Seq(
+      (0L, ts(0), "purchase", 1.00), (0L, ts(100), "purchase", 2.00),
+      (1L, ts(0), "purchase", 1.00), (1L, ts(100), "purchase", 4.00)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val r = StatTestOps.diffInDiff(df).collect().head
+    assert(r.getAs[Long]("mean_a_pre_c100") === 10000L)
+    assert(r.getAs[Long]("mean_a_post_c100") === 20000L)
+    assert(r.getAs[Long]("mean_b_pre_c100") === 10000L)
+    assert(r.getAs[Long]("mean_b_post_c100") === 40000L)
+    assert(r.getAs[Long]("did_c100") === 20000L)
+  }
+
+  test("goodTuring: count-of-counts estimators are exact") {
+    // en: a a b c → N=4, V=3, n1=2, n2=1; p0 = 1/2; r*1 = 2·1/2 = 1.0;
+    // D = 2/(2+2) = 1/2.
+    val docs = Seq((1L, "a a b c", "en")).toDF("doc_id", "text", "lang")
+    val r = TextOps.goodTuring(docs).collect().head
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("vocab") === 3L)
+    assert(r.getAs[Long]("n1") === 2L)
+    assert(r.getAs[Long]("n2") === 1L)
+    assert(r.getAs[Long]("p0_ppm") === 500000L)
+    assert(r.getAs[Long]("rstar1_e4") === 10000L)
+    assert(r.getAs[Long]("kn_discount_ppm") === 500000L)
+  }
+
+  test("pairAuditSample: buckets are integer deciles, draw capped at m") {
+    val pairs = Seq(
+      (1L, 2L, 0.5), (3L, 4L, 0.5234), (5L, 6L, 0.5999),
+      (7L, 8L, 0.9999), (9L, 10L, 1.0)
+    ).toDF("da", "db", "jaccard")
+    val out = graft.operators.DedupOp.pairAuditSample(pairs, m = 2).collect()
+    val byBucket = out.groupBy(_.getAs[Long]("bucket"))
+      .view.mapValues(_.length).toMap
+    // 0.5/0.5234/0.5999 → bucket 5 (capped at 2 drawn); 0.9999 → 9; 1.0 → 10
+    assert(byBucket === Map(5L -> 2, 9L -> 1, 10L -> 1))
+    assert(out.forall(_.getAs[Long]("rk") <= 2L))
+  }
+
+  test("qualityBudget: best docs fill the budget first") {
+    val docs = Seq(
+      (1L, "s1", ("a b c d e f g h i j")),          // 10 uniq/10 → q=1e6
+      (2L, "s1", Seq.fill(10)("x").mkString(" "))   // 1 uniq/10 → q=1e5
+    ).map { case (id, s, t) => (id, t, s) }.toDF("doc_id", "text", "source")
+    val r = ScaleOps.qualityBudget(docs, budget = 15L).collect().head
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("n_kept") === 1L)
+    assert(r.getAs[Long]("kept_tokens") === 10L)
+    // 10/15 of the budget used → 666667 ppm
+    assert(r.getAs[Long]("util_ppm") === 666667L)
   }
 
   test("zcrSegments: monotone bytes flip zero times, zigzag flips every step") {
