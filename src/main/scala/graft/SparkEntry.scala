@@ -1458,6 +1458,30 @@ object SparkEntry {
     // budget utilization.
     "q267_quality_budget" -> ((s, d) =>
       ScaleOps.qualityBudget(Tables.documents(s, d))),
+
+    // Feature-hashing collision audit: vocabulary hashed into 1024
+    // slots, types-per-bucket histogram with the token mass riding
+    // each collision class.
+    "q268_feature_hashing" -> ((s, d) =>
+      TextOps.featureHashing(Tables.documents(s, d))),
+
+    // Covariate-shift importance weights over length bins: val-share /
+    // train-share density ratio in ppm, NULL where val mass has no
+    // train support.
+    "q269_covariate_shift" -> ((s, d) =>
+      ScaleOps.covariateShiftWeights(Tables.documents(s, d))),
+
+    // Seasonal-naive forecast skill (MASE shape) per event type:
+    // lag-24 vs lag-1 MAE on the hourly cents series, gap-correct
+    // hour-arithmetic joins.
+    "q270_seasonal_mase" -> ((s, d) =>
+      StatTestOps.seasonalMase(Tables.events(s, d))),
+
+    // Held-out bigram coverage per language: type and mass coverage
+    // of the val split's bigrams by the train split — the n-gram
+    // generalization audit feeding off q265's unseen-mass estimate.
+    "q271_bigram_coverage" -> ((s, d) =>
+      TextOps.holdoutBigramCoverage(Tables.documents(s, d))),
   )
 
   /** Build every session write-once layout for `d` up front — the
@@ -2205,5 +2229,9 @@ object SparkEntry {
     "q265_good_turing" -> TextOps.goodTuringOracle,
     "q266_pair_audit_sample" -> DedupOp.pairAuditSampleOracle(),
     "q267_quality_budget" -> ScaleOps.qualityBudgetOracle(),
+    "q268_feature_hashing" -> TextOps.featureHashingOracle(),
+    "q269_covariate_shift" -> ScaleOps.covariateShiftWeightsOracle(),
+    "q270_seasonal_mase" -> StatTestOps.seasonalMaseOracle,
+    "q271_bigram_coverage" -> TextOps.holdoutBigramCoverageOracle(),
   )
 }

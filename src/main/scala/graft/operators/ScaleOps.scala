@@ -390,6 +390,75 @@ object ScaleOps {
        |WHERE cum <= $budget ORDER BY source, doc_id""".stripMargin
   }
 
+  /** Covariate-shift importance weights over the length feature — the
+    * density-ratio estimator a train/serve skew correction starts
+    * from: documents binned by length (200-char bins, capped at bin 9),
+    * split train/val by the content-hash rule, and each bin's weight
+    * is the ratio of its val share to its train share,
+    * w(b) = (n_val_b/N_val) / (n_train_b/N_train), in ppm. Reweighting
+    * train examples by w(b) makes the train length distribution match
+    * val's — the standard histogram-based importance weighting; a bin
+    * with train mass but no val mass weights 0, a bin with val mass
+    * but NO train mass reports NULL (the uncorrectable-support case a
+    * consumer must see, not a silent 0).
+    *
+    * Scale shape: bin and split are row-local off one scan; one
+    * map-side-combined (bin)-rollup carrying both splits' counts; the
+    * two totals ride the same 10-row frame (a window over the bins
+    * would shuffle the same bytes — the frame is already tiny). Count
+    * products promote to DECIMAL(38,0)/HUGEINT before multiplying.
+    */
+  def covariateShiftWeights(docs: DataFrame, trainPct: Int = 90,
+                            valPct: Int = 5): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val bucket = pmod(docHash, lit(100L))
+    val bin = least(expr("n_chars DIV 200"), lit(9L)).cast("long")
+    val perBin = docs
+      .select(bin.as("len_bin"), bucket.as("b"))
+      .groupBy(col("len_bin"))
+      .agg(sum(when(col("b") < trainPct, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("b") >= trainPct && col("b") < trainPct + valPct, 1L)
+          .otherwise(0L)).as("n_val"))
+    val tot = perBin.agg(sum(col("n_train")).as("nt"),
+      sum(col("n_val")).as("nv"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    perBin.crossJoin(broadcast(tot))
+      .select(col("len_bin"), col("n_train"), col("n_val"),
+        when(col("n_train") > 0L && col("nv") > 0L,
+          halfUpDiv(dec(col("n_val")) * col("nt") * 1000000L,
+            dec(col("n_train")) * col("nv"))).as("weight_ppm"))
+      .orderBy("len_bin")
+  }
+
+  /** Oracle SQL twin of [[covariateShiftWeights]]. */
+  def covariateShiftWeightsOracle(trainPct: Int = 90,
+                                  valPct: Int = 5): String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    val h = docHashSql
+    s"""WITH b AS (
+       |  SELECT least(n_chars // 200, 9) AS len_bin, ($h) % 100 AS bk
+       |  FROM documents
+       |), pb AS (
+       |  SELECT len_bin,
+       |    CAST(sum(CASE WHEN bk < $trainPct THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_train,
+       |    CAST(sum(CASE WHEN bk >= $trainPct
+       |      AND bk < ${trainPct + valPct} THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_val
+       |  FROM b GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(sum(n_train) AS BIGINT) AS nt,
+       |    CAST(sum(n_val) AS BIGINT) AS nv
+       |  FROM pb
+       |)
+       |SELECT len_bin, n_train, n_val,
+       |  CASE WHEN n_train > 0 AND nv > 0 THEN
+       |    ${halfUpDivHugeSql("CAST(n_val AS HUGEINT) * nt * 1000000",
+                               "CAST(n_train AS HUGEINT) * nv")}
+       |  END AS weight_ppm
+       |FROM pb, t ORDER BY len_bin""".stripMargin
+  }
+
   /** Quality-ranked token budget per source — [[tokenBudgetMix]]'s
     * curriculum sibling: where the hash-order fill is an UNBIASED
     * sample, this fills each source's budget BEST-DOCS-FIRST (by the

@@ -282,6 +282,83 @@ object StatTestOps {
        |FROM scored ORDER BY g DESC, hr LIMIT 1""".stripMargin
   }
 
+  /** Seasonal-naive forecast skill per event type (the MASE shape) —
+    * the "is there exploitable daily seasonality?" eval every
+    * forecasting pipeline runs before fitting anything: on the hourly
+    * value series, compare the lag-24 seasonal-naive forecast's MAE
+    * against the lag-1 naive MAE. `mase_ppm` < 1 000 000 means
+    * yesterday-same-hour beats last-hour — the series has daily
+    * structure worth modeling; ≥ 1e6 means it does not. Errors are
+    * exact integer cents; the final scale-free ratio normalizes both
+    * MAEs by their own pair counts (cross-multiplied in
+    * DECIMAL(38,0)/HUGEINT, one rounding).
+    *
+    * Scale shape: the hourly rollup bounds everything by the observed
+    * time range × |event types|; lags are hour-ARITHMETIC self-joins
+    * on (type, hr−ℓ) — gap-correct where a row-number lag would slide
+    * across missing hours — and the joins are hash joins on a
+    * ~10³-row frame. No windows.
+    */
+  def seasonalMase(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.{halfUpDiv, ratio}
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("CAST(unix_millis(ts) DIV 3600000 AS BIGINT)").as("hr"))
+      .agg(sum(cents("value")).as("c"))
+    def lagged(l: Int): DataFrame = hourly.select(col("event_type"),
+      (col("hr") + l.toLong).as("hr"), col("c").as(s"c_lag$l"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    hourly
+      .join(lagged(1), Seq("event_type", "hr"), "left")
+      .join(lagged(24), Seq("event_type", "hr"), "left")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        count(col("c_lag1")).as("n1"),
+        sum(abs(col("c") - col("c_lag1"))).as("s1"),
+        count(col("c_lag24")).as("n24"),
+        sum(abs(col("c") - col("c_lag24"))).as("s24"))
+      .select(col("event_type"), col("n_hours"), col("n1"), col("n24"),
+        when(col("n1") > 0L, ratio(col("s1"), col("n1"), 2)).as("mae1_c"),
+        when(col("n24") > 0L, ratio(col("s24"), col("n24"), 2))
+          .as("mae24_c"),
+        when(col("n24") > 0L && col("s1") > 0L,
+          halfUpDiv(dec(col("s24")) * col("n1") * 1000000L,
+            dec(col("s1")) * col("n24"))).as("mase_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle SQL twin of [[seasonalMase]]. */
+  def seasonalMaseOracle: String = {
+    import graft.functions.DetAgg.{halfUpDivHugeSql, ratioSql}
+    s"""WITH hourly AS (
+       |  SELECT event_type, CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hr,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2
+       |), j AS (
+       |  SELECT h.event_type, h.c, l1.c AS c_lag1, l24.c AS c_lag24
+       |  FROM hourly h
+       |  LEFT JOIN hourly l1 ON l1.event_type = h.event_type
+       |    AND l1.hr = h.hr - 1
+       |  LEFT JOIN hourly l24 ON l24.event_type = h.event_type
+       |    AND l24.hr = h.hr - 24
+       |), m AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       |    CAST(count(c_lag1) AS BIGINT) AS n1,
+       |    CAST(coalesce(sum(abs(c - c_lag1)), 0) AS BIGINT) AS s1,
+       |    CAST(count(c_lag24) AS BIGINT) AS n24,
+       |    CAST(coalesce(sum(abs(c - c_lag24)), 0) AS BIGINT) AS s24
+       |  FROM j GROUP BY 1
+       |)
+       |SELECT event_type, n_hours, n1, n24,
+       |  CASE WHEN n1 > 0 THEN ${ratioSql("s1", "n1", 2)} END AS mae1_c,
+       |  CASE WHEN n24 > 0 THEN ${ratioSql("s24", "n24", 2)} END AS mae24_c,
+       |  CASE WHEN n24 > 0 AND s1 > 0 THEN
+       |    ${halfUpDivHugeSql("CAST(s24 AS HUGEINT) * n1 * 1000000",
+                               "CAST(s1 AS HUGEINT) * n24")}
+       |  END AS mase_ppm
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   /** Difference-in-differences on purchase spend — the parallel-trends
     * causal estimator: arms by user parity (the q227/q255 convention),
     * periods split at the integer midpoint of the observed purchase

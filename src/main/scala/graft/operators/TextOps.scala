@@ -2461,6 +2461,140 @@ object TextOps {
        |FROM m ORDER BY lang""".stripMargin
   }
 
+  /** Feature-hashing collision audit — the pre-flight for the hashing
+    * trick (hashed bag-of-words / hashed cross features): the token
+    * vocabulary is hashed into `buckets` slots with the portable
+    * polynomial hash, and the output is the count-of-counts histogram
+    * (types-per-bucket → number of buckets, plus the token MASS riding
+    * those buckets). The mass column is what matters: a 3-type bucket
+    * of rare tokens is harmless, a 2-type bucket aliasing two frequent
+    * tokens corrupts every downstream dot product. Empty-bucket count
+    * is `buckets − Σ n_buckets` by construction.
+    *
+    * Scale shape: vocabulary-sized frames after one map-side-combined
+    * token count; the hash is row-local; two tiny rollups. Nothing
+    * scales with the corpus beyond the first count.
+    */
+  def featureHashing(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val tok = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    tok.select(pmod(graft.functions.TextFunctions.portableHash(col("token")),
+        lit(buckets.toLong)).as("bucket"), col("cnt"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("mass"))
+      .groupBy(col("n_types"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("mass")).as("token_mass"))
+      .orderBy("n_types")
+  }
+
+  /** Oracle SQL twin of [[featureHashing]]. */
+  def featureHashingOracle(buckets: Int = 1024): String = {
+    val h = graft.functions.TextFunctions.portableHashSql("token")
+    s"""WITH c AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+       |  GROUP BY 1
+       |), b AS (
+       |  SELECT ((($h) % $buckets) + $buckets) % $buckets AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(cnt) AS BIGINT) AS mass
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT n_types, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(mass) AS BIGINT) AS token_mass
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Held-out bigram coverage per language — the LM-generalization
+    * audit: what fraction of the VALIDATION split's bigrams (types and
+    * occurrence mass) already occur in the TRAIN split? Low mass
+    * coverage means a bigram-backoff LM trained on this corpus hits
+    * its unseen path constantly on held-out text — the n-gram-level
+    * sibling of q94's unigram vocab coverage, and the direct consumer
+    * of [[goodTuring]]'s unseen-mass estimate. Splits use the
+    * repo-standard content-hash rule ([[ScaleOps.splitAssign]]).
+    *
+    * Scale shape: bigram generation is the [[bigramLmScore]] zip shape
+    * (row-local, linear in tokens); the train side collapses to its
+    * DISTINCT bigram set (map-side combined) before the single
+    * hash-join against the val side's bigram counts; rollup is
+    * |langs| rows. The join carries bigram STRINGS — at 100× the keys
+    * would ride [[graft.functions.TextFunctions.portableHash]] 8-byte
+    * keys instead (the [[graft.operators.DedupOp.ngramJaccard]]
+    * stance); kept verbatim here for oracle clarity.
+    */
+  def holdoutBigramCoverage(docs: DataFrame, trainPct: Int = 90,
+                            valPct: Int = 5): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val bucket = pmod(ScaleOps.docHash, lit(100L))
+    val tk = tokens(col("text"))
+    val bg = docs
+      .select(col("lang"), bucket.as("b"), tk.as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("lang"), col("b"),
+        explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1))).as("p"))
+      .select(col("lang"), col("b"),
+        concat(col("p.`0`"), lit(" "), col("p.`1`")).as("bg"))
+    val train = bg.where(col("b") < trainPct)
+      .select(col("bg")).distinct()
+      .withColumn("seen", lit(1L))
+    val valCnt = bg
+      .where(col("b") >= trainPct && col("b") < trainPct + valPct)
+      .groupBy(col("lang"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    valCnt.join(train, Seq("bg"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_val_types"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen_types"),
+        sum(col("cnt")).as("val_mass"),
+        sum(col("cnt") * coalesce(col("seen"), lit(0L))).as("seen_mass"))
+      .select(col("lang"), col("n_val_types"), col("n_seen_types"),
+        halfUpDiv(col("n_seen_types") * 1000000L, col("n_val_types"))
+          .as("type_cov_ppm"),
+        col("val_mass"), col("seen_mass"),
+        halfUpDiv(col("seen_mass") * 1000000L, col("val_mass"))
+          .as("mass_cov_ppm"))
+      .orderBy("lang")
+  }
+
+  /** Oracle SQL twin of [[holdoutBigramCoverage]]. */
+  def holdoutBigramCoverageOracle(trainPct: Int = 90,
+                                  valPct: Int = 5): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    val h = ScaleOps.docHashSql
+    s"""WITH t AS (
+       |  SELECT lang, ($h) % 100 AS b, string_split(text, ' ') AS tk
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+       |), bg AS (
+       |  SELECT lang, b, tk[i] || ' ' || tk[i+1] AS bg
+       |  FROM (SELECT lang, b, tk,
+       |          unnest(generate_series(1, len(tk) - 1)) AS i FROM t)
+       |), tr AS (SELECT DISTINCT bg FROM bg WHERE b < $trainPct),
+       |v AS (
+       |  SELECT lang, bg.bg, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bg WHERE b >= $trainPct AND b < ${trainPct + valPct}
+       |  GROUP BY 1, 2
+       |), j AS (
+       |  SELECT v.lang, v.cnt,
+       |    CASE WHEN tr.bg IS NULL THEN 0 ELSE 1 END AS seen
+       |  FROM v LEFT JOIN tr ON tr.bg = v.bg
+       |), m AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_val_types,
+       |    CAST(sum(seen) AS BIGINT) AS n_seen_types,
+       |    CAST(sum(cnt) AS BIGINT) AS val_mass,
+       |    CAST(sum(cnt * seen) AS BIGINT) AS seen_mass
+       |  FROM j GROUP BY 1
+       |)
+       |SELECT lang, n_val_types, n_seen_types,
+       |  ${halfUpDivSql("n_seen_types * 1000000", "n_val_types")}
+       |    AS type_cov_ppm,
+       |  val_mass, seen_mass,
+       |  ${halfUpDivSql("seen_mass * 1000000", "val_mass")} AS mass_cov_ppm
+       |FROM m ORDER BY lang""".stripMargin
+  }
+
   /** Oracle SQL twin of [[zipfCurve]]. */
   def zipfCurveOracle(k: Int = 50): String = {
     import graft.functions.DetAgg.halfUpDivSql

@@ -239,6 +239,70 @@ class StatTestSpec extends SparkSuite {
     assert(r.getAs[Long]("util_ppm") === 666667L)
   }
 
+  test("featureHashing: buckets=1 collapses the whole vocabulary") {
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val r = TextOps.featureHashing(docs, buckets = 1).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_types") === 3L)
+    assert(r.head.getAs[Long]("n_buckets") === 1L)
+    assert(r.head.getAs[Long]("token_mass") === 4L)
+  }
+
+  test("covariateShiftWeights: train-share-weighted weights recover val mass") {
+    val w = ScaleOps.covariateShiftWeights(
+      graft.tables.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(w.nonEmpty)
+    val nt = w.map(_.getAs[Long]("n_train")).sum
+    val nv = w.map(_.getAs[Long]("n_val")).sum
+    assert(nt > 0 && nv > 0)
+    // sum over bins of w(b)·n_train_b/N_train = covered val share — must
+    // equal 1 up to per-bin rounding when every val bin has train support.
+    val covered = w.filter(r => !r.isNullAt(r.fieldIndex("weight_ppm")))
+    val lhs = covered.map(r =>
+      r.getAs[Long]("weight_ppm").toDouble * r.getAs[Long]("n_train")).sum /
+      nt.toDouble
+    val valShare = covered.map(_.getAs[Long]("n_val")).sum * 1e6 / nv.toDouble
+    assert(math.abs(lhs - valShare) < w.length + 1.0,
+      s"identity violated: $lhs vs $valShare")
+  }
+
+  test("seasonalMase: a perfectly daily series has zero seasonal error") {
+    // 48 hourly purchases repeating a 24-hour pattern → lag-24 MAE 0,
+    // lag-1 MAE > 0 → mase_ppm = 0.
+    val rows = (0 until 48).map { h =>
+      (1L, ts(h * 3600L), "purchase", 1.00 + (h % 24) * 0.50)
+    }
+    val r = StatTestOps.seasonalMase(
+      rows.toDF("user_id", "ts", "event_type", "value")).collect().head
+    assert(r.getAs[Long]("n_hours") === 48L)
+    assert(r.getAs[Long]("n1") === 47L)
+    assert(r.getAs[Long]("n24") === 24L)
+    assert(r.getAs[Double]("mae24_c") === 0.0)
+    assert(r.getAs[Long]("mase_ppm") === 0L)
+    // lag-1 MAE: 46 steps of +50c and 1 wrap of −1150c → (46·50+1150)/47
+    assert(r.getAs[Double]("mae1_c") === 73.40)
+  }
+
+  test("holdoutBigramCoverage: coverage ratios are well-formed on real data") {
+    val r = TextOps.holdoutBigramCoverage(
+      graft.tables.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val vt = row.getAs[Long]("n_val_types")
+      val st = row.getAs[Long]("n_seen_types")
+      assert(st >= 0L && st <= vt)
+      assert(row.getAs[Long]("seen_mass") <= row.getAs[Long]("val_mass"))
+      assert(row.getAs[Long]("type_cov_ppm") <= 1000000L)
+      assert(row.getAs[Long]("mass_cov_ppm") <= 1000000L)
+      // mass coverage dominates type coverage when frequent bigrams are
+      // the covered ones — not asserted (data-dependent), but both > 0
+      // at sf0.001 where train is 90% of a shared-vocab corpus.
+      assert(row.getAs[Long]("mass_cov_ppm") > 0L)
+    }
+  }
+
   test("zcrSegments: monotone bytes flip zero times, zigzag flips every step") {
     val mono = (0 until 64).map(i => ('a' + (i % 26)).toChar)
       .mkString // repeating ascending runs: flips only at wraparounds
