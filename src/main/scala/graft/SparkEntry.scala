@@ -1482,6 +1482,19 @@ object SparkEntry {
     // generalization audit feeding off q265's unseen-mass estimate.
     "q271_bigram_coverage" -> ((s, d) =>
       TextOps.holdoutBigramCoverage(Tables.documents(s, d))),
+
+    // Dataset card: the long-format (metric, value) corpus datasheet —
+    // size, token mass, vocab, dup mass, exact index quantiles,
+    // singleton share — every value an exact integer.
+    "q272_dataset_card" -> ((s, d) =>
+      AuditOps.datasetCard(Tables.documents(s, d))),
+
+    // Local clustering coefficient decile histogram on the
+    // co-purchase graph: per-node triangles off the degree-ordered
+    // wedge close (all three corners kept), exact ppm cc.
+    "q273_local_clustering" -> ((s, d) =>
+      GraphOps.localClustering(GraphOps.copurchaseEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", Some(d)))),
   )
 
   /** Build every session write-once layout for `d` up front — the
@@ -2233,5 +2246,7 @@ object SparkEntry {
     "q269_covariate_shift" -> ScaleOps.covariateShiftWeightsOracle(),
     "q270_seasonal_mase" -> StatTestOps.seasonalMaseOracle,
     "q271_bigram_coverage" -> TextOps.holdoutBigramCoverageOracle(),
+    "q272_dataset_card" -> AuditOps.datasetCardOracle,
+    "q273_local_clustering" -> GraphOps.localClusteringOracle,
   )
 }

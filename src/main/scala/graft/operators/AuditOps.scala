@@ -1189,6 +1189,106 @@ object AuditOps {
        |FROM d ORDER BY lang""".stripMargin
   }
 
+  /** Dataset card — the one-frame corpus summary a dataset release
+    * ships with (the "datasheet" practice), in long (metric, value)
+    * format so new metrics append as rows, not schema changes: corpus
+    * size, token mass, vocabulary, language/source breadth, exact
+    * duplicate mass, length quantiles (exact index — the q07
+    * convention), and the singleton-vocabulary share (the q265 N₁ in
+    * card form). Everything is an exact integer; ratios are ppm.
+    *
+    * Scale shape: one token explode feeding two map-side-combined
+    * aggregates (mass + vocab/count-of-counts), one md5 groupBy for
+    * exact-dup mass, one sort-free exact quantile via the count-offset
+    * join ([[graft.operators.OutlierOp]]'s index-quantile stance — the
+    * n_chars histogram is grouped then offset-matched, no global
+    * per-row sort), and a UNION of 1-row frames at the end (driver-
+    * sized, the legal crossJoin class).
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    def row(metric: String, v: Column): DataFrame => DataFrame =
+      df => df.select(lit(metric).as("metric"), v.cast("long").as("value"))
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"), col("text"))
+    val simple = base.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).as("sum_chars"))
+    val tok = base.select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_singletons"))
+    val dups = base
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("k"))
+      .agg(sum(col("k") - 1L).as("n_exact_dup_docs"))
+    // exact index quantiles of n_chars off the value histogram:
+    // rank of the k-th smallest = ceil(q·n), matched by cumulative
+    // count offsets — no per-row sort.
+    val hist = base.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("n_chars"), col("c"),
+      sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars"))).as("cum"))
+    val n = base.agg(count(lit(1)).as("n"))
+    def quant(q: Int): DataFrame = cum.crossJoin(broadcast(n))
+      .where(col("cum") - col("c") < expr(s"CAST(($q * n + 99) DIV 100 AS BIGINT)") &&
+        expr(s"CAST(($q * n + 99) DIV 100 AS BIGINT)") <= col("cum"))
+      .select(col("n_chars"))
+    val out = Seq(
+      row("n_docs", col("n_docs"))(simple),
+      row("n_langs", col("n_langs"))(simple),
+      row("n_sources", col("n_sources"))(simple),
+      row("sum_chars", col("sum_chars"))(simple),
+      row("n_tokens", col("n_tokens"))(tok),
+      row("vocab", col("vocab"))(tok),
+      row("singleton_vocab_ppm",
+        halfUpDiv(col("n_singletons") * 1000000L, col("vocab")))(tok),
+      row("n_exact_dup_docs", col("n_exact_dup_docs"))(dups),
+      row("p50_chars", col("n_chars"))(quant(50)),
+      row("p90_chars", col("n_chars"))(quant(90)))
+    out.reduce(_ unionByName _).orderBy("metric")
+  }
+
+  /** Oracle SQL twin of [[datasetCard]]. */
+  def datasetCardOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    def q(p: Int) =
+      s"""SELECT n_chars FROM (
+         |  SELECT n_chars, c, sum(c) OVER (ORDER BY n_chars) AS cum
+         |  FROM (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1)
+         |) h, (SELECT count(*) AS n FROM documents) t
+         |WHERE cum - c < ($p * n + 99) // 100 AND ($p * n + 99) // 100 <= cum""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+       |  GROUP BY 1
+       |), tk AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab,
+       |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_singletons
+       |  FROM tok
+       |)
+       |SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value
+       |  FROM documents
+       |UNION ALL SELECT 'n_langs', count(DISTINCT lang) FROM documents
+       |UNION ALL SELECT 'n_sources', count(DISTINCT source) FROM documents
+       |UNION ALL SELECT 'sum_chars', CAST(sum(n_chars) AS BIGINT)
+       |  FROM documents
+       |UNION ALL SELECT 'n_tokens', n_tokens FROM tk
+       |UNION ALL SELECT 'vocab', vocab FROM tk
+       |UNION ALL SELECT 'singleton_vocab_ppm',
+       |  ${halfUpDivSql("n_singletons * 1000000", "vocab")} FROM tk
+       |UNION ALL SELECT 'n_exact_dup_docs',
+       |  CAST(sum(k - 1) AS BIGINT) FROM
+       |  (SELECT md5(text) AS h, count(*) AS k FROM documents GROUP BY 1) d
+       |UNION ALL SELECT 'p50_chars', CAST(n_chars AS BIGINT) FROM (${q(50)}) a
+       |UNION ALL SELECT 'p90_chars', CAST(n_chars AS BIGINT) FROM (${q(90)}) b
+       |ORDER BY metric""".stripMargin
+  }
+
   /** k-anonymity audit over the customer quasi-identifier tuple
     * (nation, market segment, account-balance kilobucket) — the
     * privacy pre-flight for releasing or training on the table: the

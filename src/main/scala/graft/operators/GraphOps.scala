@@ -839,6 +839,95 @@ object GraphOps {
        |) r ORDER BY iter""".stripMargin
   }
 
+  /** Local clustering coefficient distribution — "how cliquish is each
+    * node's neighborhood": cc(v) = 2·T(v)/(deg(v)·(deg(v)−1)) for
+    * deg ≥ 2, rolled up to the decile histogram (decile 10 = perfect
+    * local cliques). The SHAPE is the diagnostic: co-purchase graphs
+    * skew high (categories are cliques), adversarial/spam link graphs
+    * skew low — [[triangleCount]] gives one number, this shows where
+    * the triangles live.
+    *
+    * Per-node triangle counts reuse the degree-ordered wedge close
+    * ([[triangleCount]]'s exact plan) but KEEP all three corners:
+    * every closed triangle explodes to its 3 members before the
+    * per-node rollup — 3 rows per triangle, the minimal blow-up.
+    * cc is an exact ppm ([[graft.functions.DetAgg.halfUpDiv]]); the
+    * decile is integer division of that ppm. deg·(deg−1) promotes to
+    * DECIMAL(38,0)/HUGEINT (a 10⁸-degree hub would square past 2⁶³
+    * with the 1e6 scale — loud, not wrapped).
+    *
+    * Scale shape: [[triangleCount]]'s joins plus one Generate and two
+    * map-side-combined rollups; the histogram is ≤ 11 rows.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val und = edges.select(col("a").as("u"))
+      .unionByName(edges.select(col("b").as("u")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val withDeg = edges
+      .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("dg").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val cand = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("apex"), col("e1.t").as("a"),
+        col("e2.t").as("b"))
+    val triNodes = cand.join(edges, Seq("a", "b"))
+      .select(explode(array(col("apex"), col("a"), col("b"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("t"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    deg.where(col("dg") >= 2L)
+      .join(triNodes, Seq("u"), "left")
+      .select(halfUpDiv(dec(coalesce(col("t"), lit(0L))) * 2L * 1000000L,
+        dec(col("dg")) * (col("dg") - 1L)).as("cc_ppm"))
+      // cc_ppm ≥ 0, so truncating DIV is floor — deciles 0..10
+      .select(expr("CAST((cc_ppm * 10) DIV 1000000 AS BIGINT)")
+        .as("cc_decile"))
+      .groupBy(col("cc_decile")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("cc_decile")
+  }
+
+  /** Oracle SQL twin of [[localClustering]] over [[copurchaseEdges]] —
+    * id-ordered triangle enumeration (orientation-invariant per-node
+    * counts), same exact cc arithmetic. */
+  def localClusteringOracle: String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.pk AS x, b.pk AS y
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |), tri AS (
+       |  SELECT e1.x AS n1, e1.y AS n2, e2.y AS n3
+       |  FROM e e1 JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+       |    JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+       |), tn AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS t FROM (
+       |    SELECT n1 AS u FROM tri
+       |    UNION ALL SELECT n2 FROM tri
+       |    UNION ALL SELECT n3 FROM tri) q
+       |  GROUP BY 1
+       |), dg AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
+       |    SELECT x AS u FROM e UNION ALL SELECT y FROM e) q
+       |  GROUP BY 1
+       |), cc AS (
+       |  SELECT ${halfUpDivHugeSql(
+           "CAST(coalesce(tn.t, 0) AS HUGEINT) * 2 * 1000000",
+           "CAST(dg.dg AS HUGEINT) * (dg.dg - 1)")} AS cc_ppm
+       |  FROM dg LEFT JOIN tn ON tn.u = dg.u
+       |  WHERE dg.dg >= 2
+       |)
+       |SELECT (cc_ppm * 10) // 1000000 AS cc_decile,
+       |  CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Oracle SQL twin of [[triangleCount]] over [[copurchaseEdges]] —
     * the id-ordered textbook three-way self-join; the count equals the
     * degree-ordered plan's by orientation invariance.

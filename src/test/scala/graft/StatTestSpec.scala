@@ -303,6 +303,37 @@ class StatTestSpec extends SparkSuite {
     }
   }
 
+  test("datasetCard: card metrics are exact on a tiny corpus") {
+    val docs = Seq(
+      (1L, "a b b", "en", "s1", 5L),
+      (2L, "a b b", "en", "s2", 5L),  // exact dup of doc 1
+      (3L, "c d", "fr", "s1", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = AuditOps.datasetCard(docs).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(card("n_docs") === 3L)
+    assert(card("n_langs") === 2L)
+    assert(card("n_sources") === 2L)
+    assert(card("n_tokens") === 8L)
+    assert(card("vocab") === 4L)      // a b c d
+    // singletons: c, d → 2/4
+    assert(card("singleton_vocab_ppm") === 500000L)
+    assert(card("n_exact_dup_docs") === 1L)
+    // n_chars sorted: 3, 5, 5 → p50 = 2nd = 5; p90 = ceil(2.7) = 3rd = 5
+    assert(card("p50_chars") === 5L)
+    assert(card("p90_chars") === 5L)
+  }
+
+  test("localClustering: triangle corners score 1.0, the open apex 1/3") {
+    // triangle 1-2-3 plus pendant edge 3-4: nodes 1,2 have cc=1
+    // (decile 10); node 3 has deg 3, one closed pair → cc=1/3
+    // (decile 3); node 4 deg 1 is excluded.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val hist = graft.operators.GraphOps.localClustering(edges).collect()
+      .map(r => r.getAs[Long]("cc_decile") -> r.getAs[Long]("n_nodes")).toMap
+    assert(hist === Map(3L -> 1L, 10L -> 2L))
+  }
+
   test("zcrSegments: monotone bytes flip zero times, zigzag flips every step") {
     val mono = (0 until 64).map(i => ('a' + (i % 26)).toChar)
       .mkString // repeating ascending runs: flips only at wraparounds
