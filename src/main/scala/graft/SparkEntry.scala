@@ -1495,6 +1495,37 @@ object SparkEntry {
     "q273_local_clustering" -> ((s, d) =>
       GraphOps.localClustering(GraphOps.copurchaseEdgesTable(
         Tables.lineitem(s, d), "/tmp/graft_warehouse", Some(d)))),
+
+    // Haar multiresolution detail-energy spectrum of the hourly event
+    // counts: which timescale (2/4/8/16 h) carries the traffic
+    // variance, per event type — exact integer wavelet coefficients
+    // off one hourly histogram.
+    "q274_haar_energy" -> ((s, d) =>
+      EventOps.haarEnergy(Tables.events(s, d))),
+
+    // Cochran-Armitage dose-response trend test: does same-day
+    // purchase propensity TREND with browsing intensity tier?
+    // Exact integer moments, HUGEINT-promoted chi-square in ppm.
+    "q275_prop_trend" -> ((s, d) =>
+      StatTestOps.propTrend(Tables.events(s, d))),
+
+    // Participation ratio (effective dimension) of the embedding
+    // space per label — (Sum V_d)^2 / Sum V_d^2 over per-dim
+    // variances, exact e12-integer variance units.
+    "q276_effective_dim" -> ((s, d) =>
+      SimilarityOp.participationRatio(Tables.embeddings(s, d))),
+
+    // McNemar paired test on the two token-space near-dup detectors
+    // (MinHash-LSH vs SimHash) over the union of flagged pairs:
+    // discordant counts + (b-c)^2/(b+c) in ppm.
+    "q277_mcnemar" -> ((s, d) =>
+      DedupOp.detectorMcnemar(Tables.documents(s, d))),
+
+    // Greedy k-center (farthest-point-first) coreset over the qmod
+    // candidate pool: maximally-diverse exemplar selection with the
+    // exact integer radius trajectory + final coverage radius row.
+    "q278_kcenter" -> ((s, d) =>
+      SimilarityOp.kCenterCoreset(Tables.embeddings(s, d))),
   )
 
   /** Build every session write-once layout for `d` up front — the
@@ -2248,5 +2279,10 @@ object SparkEntry {
     "q271_bigram_coverage" -> TextOps.holdoutBigramCoverageOracle(),
     "q272_dataset_card" -> AuditOps.datasetCardOracle,
     "q273_local_clustering" -> GraphOps.localClusteringOracle,
+    "q274_haar_energy" -> EventOps.haarEnergyOracle(),
+    "q275_prop_trend" -> StatTestOps.propTrendOracle,
+    "q276_effective_dim" -> SimilarityOp.participationRatioOracle(),
+    "q277_mcnemar" -> DedupOp.detectorMcnemarOracle(),
+    "q278_kcenter" -> SimilarityOp.kCenterCoresetOracle(),
   )
 }

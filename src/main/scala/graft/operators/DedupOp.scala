@@ -733,39 +733,48 @@ object DedupOp {
     s"""WITH ${minhashPairCtes(minSim)}
        |SELECT da, db, est_jaccard FROM mhp ORDER BY da, db""".stripMargin
 
-  def simhashOracle(maxHamming: Int = 3): String = {
+  /** CTE chain ending in `shp(da, db, hamming)` — the SimHash pairs
+    * within `maxHamming`, composable by other oracles (q277's McNemar
+    * paired-detector test). CTE names are sim-prefixed so the chain
+    * coexists with [[minhashPairCtes]] in one WITH. ONE definition
+    * with [[simhashOracle]]. */
+  private[operators] def simhashPairCtes(maxHamming: Int): String = {
     val permRows = (0 until SimBits)
       .map(b => s"($b, ${permA(SimPermOffset + b)}::BIGINT, " +
         s"${permB(SimPermOffset + b)}::BIGINT)")
       .mkString(", ")
-    s"""WITH toks AS (
+    s"""smtoks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-       |), thx AS (
-       |  SELECT doc_id, ${portableHashSql("tok")} AS hx FROM toks
+       |), smthx AS (
+       |  SELECT doc_id, ${portableHashSql("tok")} AS hx FROM smtoks
        |), simperms(b, pa, pb) AS (VALUES $permRows),
-       |bits AS (
+       |smbits AS (
        |  SELECT t.doc_id, p.b,
        |    sum(CASE WHEN ((p.pa * t.hx + p.pb) % $HashMod) % 2 = 1
        |      THEN 1 ELSE -1 END) AS s
-       |  FROM thx t, simperms p GROUP BY 1, 2
-       |), sigs AS (
+       |  FROM smthx t, simperms p GROUP BY 1, 2
+       |), smsigs AS (
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM bits GROUP BY 1
-       |), banded AS (
+       |  FROM smbits GROUP BY 1
+       |), smband AS (
        |  SELECT doc_id, simhash, j.j,
        |    (simhash >> ($SimBandBits * j.j)) & ${(1L << SimBandBits) - 1L} AS nib
-       |  FROM sigs, range($SimBands) j(j)
-       |), cand AS (
+       |  FROM smsigs, range($SimBands) j(j)
+       |), smcand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
        |    a.simhash AS sa, b.simhash AS sb
-       |  FROM banded a JOIN banded b
+       |  FROM smband a JOIN smband b
        |    ON a.j = b.j AND a.nib = b.nib AND a.doc_id < b.doc_id
-       |)
-       |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
-       |ORDER BY da, db""".stripMargin
+       |), shp AS (
+       |  SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |  FROM smcand WHERE bit_count(xor(sa, sb)) <= $maxHamming
+       |)""".stripMargin
   }
+
+  def simhashOracle(maxHamming: Int = 3): String =
+    s"""WITH ${simhashPairCtes(maxHamming)}
+       |SELECT da, db, hamming FROM shp ORDER BY da, db""".stripMargin
 
   /** Stratified human-audit sample of the verified near-dup pairs —
     * the "build the labeling batch" step a dedup threshold review
@@ -2325,4 +2334,77 @@ object DedupOp {
        |    ORDER BY occ.b ROWS BETWEEN UNBOUNDED PRECEDING AND
        |    CURRENT ROW) AS BIGINT) AS cum_types
        |FROM occ LEFT JOIN nt USING (b) ORDER BY bucket""".stripMargin
+
+  /** McNemar paired-detector test: MinHash-LSH (q26) vs SimHash (q27)
+    * on the UNION of pairs either detector flags — the proper
+    * significance test for "do the two near-dup tiers disagree
+    * SYSTEMATICALLY, or symmetrically?" that q242's raw agreement
+    * counts stop short of. McNemar conditions on the discordant pairs
+    * only: b = MinHash-only, c = SimHash-only, statistic
+    * χ² = (b−c)²/(b+c) (reported in ppm; (b−c)² promoted to
+    * DECIMAL(38,0)/HUGEINT — pair counts square), with `disc_diff`
+    * b−c carrying the DIRECTION the χ² drops. A large χ² with b ≫ c
+    * says the token-set tier fires where the bit-signature tier is
+    * blind — the routing evidence for which detector gates which
+    * corpus slice.
+    *
+    * Scale shape: both detector plans are the existing banded
+    * one-scan shapes; the full-outer join runs on the (da, db) pair
+    * frames (orders of magnitude smaller than the corpus), and the
+    * output is one row. Nothing here adds a corpus-sized shuffle.
+    */
+  def detectorMcnemar(docs: DataFrame, minSim: Double = 0.5,
+                      maxHamming: Int = 3): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val mh = minhashLsh(docs, minSim)
+      .select(col("da"), col("db"), lit(1L).as("fm"))
+    val sh = simhashPairs(docs, maxHamming)
+      .select(col("da"), col("db"), lit(1L).as("fs"))
+    val b = col("n_minhash_only")
+    val c = col("n_simhash_only")
+    mh.join(sh, Seq("da", "db"), "full_outer")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("fm").isNotNull && col("fs").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("fs").isNull, 1L).otherwise(0L)).as("n_minhash_only"),
+        sum(when(col("fm").isNull, 1L).otherwise(0L)).as("n_simhash_only"))
+      .select(col("n_pairs"), col("n_both"), b, c,
+        (b - c).as("disc_diff"),
+        when(b + c > 0,
+          halfUpDiv(dec(b - c) * dec(b - c) * lit(1000000L), dec(b + c)))
+          .as("mcnemar_x2_ppm"))
+  }
+
+  /** Oracle SQL twin of [[detectorMcnemar]] — composes the
+    * [[minhashPairCtes]] and [[simhashPairCtes]] chains and full-outer
+    * joins the pair frames. */
+  def detectorMcnemarOracle(minSim: Double = 0.5,
+                            maxHamming: Int = 3): String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    s"""WITH ${minhashPairCtes(minSim)},
+       |${simhashPairCtes(maxHamming)},
+       |j AS (
+       |  SELECT (m.da IS NOT NULL) AS fm, (s.da IS NOT NULL) AS fs
+       |  FROM (SELECT da, db FROM mhp) m
+       |  FULL OUTER JOIN (SELECT da, db FROM shp) s
+       |    ON m.da = s.da AND m.db = s.db
+       |), g AS (
+       |  SELECT count(*) AS n_pairs,
+       |    CAST(sum(CASE WHEN fm AND fs THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_both,
+       |    CAST(sum(CASE WHEN fm AND NOT fs THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS b,
+       |    CAST(sum(CASE WHEN fs AND NOT fm THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c
+       |  FROM j
+       |)
+       |SELECT n_pairs, n_both, b AS n_minhash_only, c AS n_simhash_only,
+       |  b - c AS disc_diff,
+       |  CASE WHEN b + c > 0 THEN
+       |    ${halfUpDivHugeSql(
+              "CAST(b - c AS HUGEINT) * (b - c) * 1000000", "b + c")}
+       |  END AS mcnemar_x2_ppm
+       |FROM g""".stripMargin
+  }
 }

@@ -2734,4 +2734,102 @@ object EventOps {
        |WHERE NOT b.is_calib
        |GROUP BY 1, 2, 3 ORDER BY b.event_type""".stripMargin
   }
+
+  /** Haar multiresolution detail-energy spectrum of the hourly event
+    * COUNT series — "at which timescale does the traffic vary?": level
+    * k's detail coefficient for each 2ᵏ-hour block is (first-half count
+    * − second-half count), and the per-level energy Σd² decomposes the
+    * series' total variation across 2 h / 4 h / 8 h / 16 h scales (the
+    * standard orthogonal wavelet decomposition, here on counts so every
+    * coefficient is an exact integer). A daily-seasonal series loads
+    * the coarse levels; bursty error traffic loads the fine ones —
+    * q189's ACF sees periodicity, this sees WHERE the variance lives.
+    *
+    * Levels compute DIRECTLY from the hourly histogram — block b at
+    * level k sums hours [b·2ᵏ, b·2ᵏ+2ᵏ) with sign ±1 by half, so
+    * missing hours contribute exactly the 0 a densified series would,
+    * with no gap-fill join and no level-chaining (which would rescan
+    * the raw events per level; see the q129 ReusedExchange rule).
+    * Hour indexes are per-type offsets from min(hr) so block alignment
+    * is phase-stable under time-range shifts of the whole dataset.
+    *
+    * Output: per (type, level) the non-empty block count, raw energy,
+    * and the energy SHARE in ppm — the share is the scale-proof
+    * readout (bounded ≤10⁶); Σd² is promoted to DECIMAL(38,0)/HUGEINT
+    * before squaring, and the raw energy column is BIGINT-exact to
+    * ~10⁹ events/hour.
+    *
+    * Scale shape: one map-side-combined groupBy builds the hourly
+    * histogram (the q189 shape); the 4-level explode multiplies only
+    * that aggregated frame (720 rows/type at sf0.1), and the per-type
+    * total-energy window runs over ≤4·|types| rows. The raw scan is
+    * touched exactly once.
+    */
+  def haarEnergy(events: DataFrame, levels: Int = 4): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val hb = events.select(col("event_type"),
+        floorDivMs("unix_millis(ts)", 3600000L).as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("s"))
+    val hm = hb.groupBy(col("event_type")).agg(min(col("hr")).as("h0"))
+    val x = hb.join(hm, Seq("event_type"))
+      .select(col("event_type"), (col("hr") - col("h0")).as("i"), col("s"))
+    val lv = (1 to levels).map(k => (k.toLong, 1L << (k - 1)))
+    val d = x.withColumn("kp",
+        explode(array(lv.map { case (k, p) =>
+          struct(lit(k).as("level"), lit(p).as("p")) }: _*)))
+      .select(col("event_type"), col("kp.level").as("level"),
+        expr("i DIV (2 * kp.p)").as("b"),
+        ((lit(1L) - lit(2L) * pmod(expr("i DIV kp.p"), lit(2L)))
+          * col("s")).as("sd"))
+      .groupBy(col("event_type"), col("level"), col("b"))
+      .agg(sum(col("sd")).as("d"))
+    val e = d.groupBy(col("event_type"), col("level"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(dec(col("d")) * dec(col("d"))).as("ed"))
+    val tot = sum(col("ed")).over(Window.partitionBy(col("event_type")))
+    e.withColumn("te", tot)
+      .select(col("event_type"), col("level"),
+        col("n_blocks"), col("ed").cast("long").as("energy"),
+        when(col("te") > 0,
+          halfUpDiv(col("ed") * lit(1000000L), col("te"))).as("energy_ppm"))
+      .orderBy("event_type", "level")
+  }
+
+  /** Oracle SQL twin of [[haarEnergy]] — identical direct block-sum
+    * construction with HUGEINT energy promotion. */
+  def haarEnergyOracle(levels: Int = 4): String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    val lvRows = (1 to levels)
+      .map(k => s"(${k}, ${1L << (k - 1)})").mkString(", ")
+    s"""WITH hb AS (
+       |  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, count(*) AS s
+       |  FROM events GROUP BY 1, 2
+       |), hm AS (SELECT event_type, min(hr) AS h0 FROM hb GROUP BY 1),
+       |x AS (
+       |  SELECT hb.event_type, hb.hr - hm.h0 AS i, hb.s
+       |  FROM hb JOIN hm USING (event_type)
+       |), lv AS (
+       |  SELECT CAST(k AS BIGINT) AS level, CAST(p AS BIGINT) AS p
+       |  FROM (VALUES $lvRows) t(k, p)
+       |), d AS (
+       |  SELECT x.event_type, lv.level, x.i // (2 * lv.p) AS b,
+       |    CAST(sum((1 - 2 * ((x.i // lv.p) % 2)) * x.s) AS BIGINT) AS d
+       |  FROM x CROSS JOIN lv GROUP BY 1, 2, 3
+       |), e AS (
+       |  SELECT event_type, level, count(*) AS n_blocks,
+       |    sum(CAST(d AS HUGEINT) * d) AS ed
+       |  FROM d GROUP BY 1, 2
+       |), w AS (
+       |  SELECT event_type, level, n_blocks, ed,
+       |    sum(ed) OVER (PARTITION BY event_type) AS te
+       |  FROM e
+       |)
+       |SELECT event_type, level, n_blocks, CAST(ed AS BIGINT) AS energy,
+       |  CASE WHEN te > 0 THEN
+       |    ${halfUpDivHugeSql("ed * 1000000", "te")}
+       |  END AS energy_ppm
+       |FROM w ORDER BY event_type, level""".stripMargin
+  }
 }

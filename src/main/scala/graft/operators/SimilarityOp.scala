@@ -3492,4 +3492,194 @@ object SimilarityOp {
        |    ELSE 0 END AS cos2_ppm
        |FROM cnt, d""".stripMargin
   }
+
+  /** Participation ratio (effective dimension) of the embedding space
+    * per label: PR = (Σ_d V_d)² / Σ_d V_d² over the per-dimension
+    * variances V_d — the standard "how many dimensions actually carry
+    * variance?" readout (PR = D for isotropic spread, PR → 1 when one
+    * direction dominates). Complements q238's principal DIRECTION with
+    * a one-number anisotropy summary per class, the cheap audit a
+    * Matryoshka-truncation decision (q139) wants first.
+    *
+    * Exactness: elements are half-up-scaled e6 integers (the q62
+    * floor(x·10⁶ + 0.5) idiom); the variance numerator n·Σx² − (Σx)²
+    * promotes to DECIMAL(38,0)/HUGEINT before multiplying, then
+    * half-up divides by n² into e12-unit integer variances, so the ppm
+    * ratio compares identical integers in both engines — no libm.
+    *
+    * Scale shape: one posexplode + map-side-combined groupBy to
+    * (label, dim) — 64·|labels| rows out of the only full scan; the PR
+    * rollup runs over ≤64 rows per label. At 100× nothing changes
+    * shape: the shuffled frame stays |labels|·dims.
+    */
+  def participationRatio(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = embeddings.select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .where(col("dim") < dims)
+      .select(col("label"), col("dim"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+          .as("x6"))
+    val pd = x.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"),
+        sum(dec(col("x6")) * dec(col("x6"))).as("sxx"))
+    val vd = pd.select(col("label"), col("n"),
+      halfUpDiv(dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")),
+        dec(col("n")) * dec(col("n"))).as("v"))
+    val g = vd.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"), count(lit(1)).as("n_dims"),
+        sum(col("v")).as("s1"),
+        sum(dec(col("v")) * dec(col("v"))).as("s2"))
+    g.select(col("label"), col("n_vecs"), col("n_dims"),
+        col("s1").as("sum_var_e12"),
+        when(col("s2") > 0,
+          halfUpDiv(dec(col("s1")) * dec(col("s1")) * lit(1000000L),
+            col("s2"))).as("pr_ppm"))
+      .orderBy("label")
+  }
+
+  /** Oracle SQL twin of [[participationRatio]]. */
+  def participationRatioOracle(dims: Int = 64): String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    s"""WITH x AS (
+       |  SELECT CAST(label AS BIGINT) AS label, i.i AS dim,
+       |    CAST(floor(embedding[i.i+1]::DOUBLE * 1000000 + 0.5)
+       |      AS BIGINT) AS x6
+       |  FROM embeddings, range($dims) i(i)
+       |), pd AS (
+       |  SELECT label, dim, count(*) AS n, CAST(sum(x6) AS BIGINT) AS sx,
+       |    sum(CAST(x6 AS HUGEINT) * x6) AS sxx
+       |  FROM x GROUP BY 1, 2
+       |), vd AS (
+       |  SELECT label, n,
+       |    ${halfUpDivHugeSql(
+              "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx",
+              "CAST(n AS HUGEINT) * n")} AS v
+       |  FROM pd
+       |), g AS (
+       |  SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+       |    count(*) AS n_dims, CAST(sum(v) AS BIGINT) AS s1,
+       |    sum(CAST(v AS HUGEINT) * v) AS s2
+       |  FROM vd GROUP BY 1
+       |)
+       |SELECT label, n_vecs, n_dims, s1 AS sum_var_e12,
+       |  CASE WHEN s2 > 0 THEN
+       |    ${halfUpDivHugeSql("CAST(s1 AS HUGEINT) * s1 * 1000000", "s2")}
+       |  END AS pr_ppm
+       |FROM g ORDER BY label""".stripMargin
+  }
+
+  /** Greedy k-center (farthest-point-first) coreset over the
+    * deterministic candidate pool `vec_id % qmod = 0` — the classic
+    * 2-approximation coverage-maximizing selection a curation pipeline
+    * uses to pick maximally-diverse exemplars (the complement of
+    * q193's MMR, which balances relevance; k-center ignores relevance
+    * and chases pure coverage). Seeded at the pool's min vec_id;
+    * each step picks the pool point FARTHEST from the selected set
+    * (exact integer squared L2 on e6-scaled elements, ties → min
+    * vec_id, so the trajectory is fully deterministic in both engines).
+    *
+    * Output: the k picks in selection order with their selection-time
+    * distance (the classic non-increasing radius sequence), plus a
+    * rnk=0 summary row holding the final COVERAGE RADIUS — max over
+    * the pool of the distance to its nearest center, the quantity the
+    * 2-approximation guarantee bounds.
+    *
+    * Scale shape: the k-bounded driver loop is the [[mmrTopK]]
+    * precedent — only ONE 64-int center vector and one (d2, vec_id)
+    * argmax row cross the driver per step; the per-step work is a
+    * broadcast join of the 64-row center frame against the persisted
+    * exploded pool (|pool|·dims narrow rows, partitioned once) and a
+    * TakeOrdered(1). The running dmin frame is localCheckpoint'd per
+    * step so lineage stays flat. At 100 TB the pool is the qmod sample
+    * (n/qmod vectors) — the same sampled-audit stance as q84/q85.
+    */
+  def kCenterCoreset(embeddings: DataFrame, k: Int = 8, qmod: Int = 7,
+                     dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val x = embeddings
+      .where(pmod(col("vec_id"), lit(qmod.toLong)) === 0L)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .where(col("dim") < dims)
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+          .as("x6"))
+      .persist()
+    try {
+      val seed = x.agg(min(col("vec_id"))).head.getLong(0)
+      def centerFrame(id: Long): DataFrame = x
+        .where(col("vec_id") === id)
+        .select(col("dim"), col("x6").as("c6"))
+      def distTo(id: Long): DataFrame = x
+        .join(broadcast(centerFrame(id)), Seq("dim"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6")))
+          .as("dc"))
+      val selected = scala.collection.mutable.ArrayBuffer((1L, seed, 0L))
+      var dmin = distTo(seed)
+        .select(col("vec_id"), col("dc").as("d2")).localCheckpoint()
+      (2 to k).foreach { step =>
+        val ids = selected.map(_._2).toSeq
+        val pick = dmin.where(!col("vec_id").isin(ids: _*))
+          .orderBy(col("d2").desc, col("vec_id").asc).limit(1).head
+        val (pid, pd2) = (pick.getLong(0), pick.getLong(1))
+        selected += ((step.toLong, pid, pd2))
+        dmin = dmin.join(distTo(pid), Seq("vec_id"))
+          .select(col("vec_id"), least(col("d2"), col("dc")).as("d2"))
+          .localCheckpoint()
+      }
+      val radius = dmin.agg(max(col("d2"))).head.getLong(0)
+      ((0L, -1L, radius) +: selected.toSeq)
+        .toDF("rnk", "vec_id", "d2").orderBy("rnk")
+    } finally x.unpersist()
+  }
+
+  /** Oracle SQL twin of [[kCenterCoreset]] — the [[mmrTopKOracle]]
+    * unrolled-iteration pattern: sel_i CTEs accumulate picks, each
+    * step's argmax recomputes min-distance-to-selected exactly. */
+  def kCenterCoresetOracle(k: Int = 8, qmod: Int = 7,
+                           dims: Int = 64): String = {
+    def dmCte(i: Int): String =
+      s"""dm$i AS (
+         |  SELECT t.vec_id, min(t.dd) AS dmin FROM (
+         |    SELECT xa.vec_id, xb.vec_id AS sv,
+         |      sum((xa.x6 - xb.x6) * (xa.x6 - xb.x6)) AS dd
+         |    FROM x xa
+         |    JOIN sel${i - 1} s ON true
+         |    JOIN x xb ON xb.vec_id = s.vec_id AND xb.dim = xa.dim
+         |    GROUP BY 1, 2) t
+         |  GROUP BY 1
+         |)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""${dmCte(i)}, pk$i AS (
+         |  SELECT vec_id, dmin FROM dm$i
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  ORDER BY dmin DESC, vec_id LIMIT 1
+         |), sel$i AS MATERIALIZED (
+         |  SELECT rnk, vec_id, d2 FROM sel${i - 1}
+         |  UNION ALL SELECT CAST($i AS BIGINT), vec_id, dmin FROM pk$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (
+       |  SELECT vec_id, i.i AS dim,
+       |    CAST(floor(embedding[i.i+1]::DOUBLE * 1000000 + 0.5)
+       |      AS BIGINT) AS x6
+       |  FROM embeddings, range($dims) i(i)
+       |  WHERE vec_id % $qmod = 0
+       |),
+       |sel1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS rnk, min(vec_id) AS vec_id,
+       |    CAST(0 AS BIGINT) AS d2
+       |  FROM x
+       |),
+       |$steps,
+       |${dmCte(k + 1).replace(s"dm${k + 1}", "dmfin")}
+       |SELECT rnk, vec_id, d2 FROM sel$k
+       |UNION ALL
+       |SELECT CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+       |  CAST(max(dmin) AS BIGINT) FROM dmfin
+       |ORDER BY rnk""".stripMargin
+  }
 }

@@ -458,4 +458,89 @@ object StatTestOps {
        |    - (mean_a_post_c100 - mean_a_pre_c100) AS did_c100
        |FROM mm""".stripMargin
   }
+
+  /** Cochran–Armitage trend test over ordered exposure tiers — "does
+    * the same-day purchase rate TREND with browsing intensity?", the
+    * dose-response question a χ² independence test (q152) cannot
+    * answer because it ignores tier ORDER. Unit = (user, day); exposure
+    * score s = same-day view+click count capped at 4 (integer scores
+    * 0..4, the standard equally-spaced choice); response = purchased
+    * that day.
+    *
+    * Reported exactly: the per-tier moment sums (Σs·n, Σs²·n, Σs·a —
+    * all linear in units, BIGINT-safe to ~2·10¹⁴ user-days), the trend
+    * direction sign(T) where T = N·Σs·a − A·Σs·n, and the standard
+    * CA statistic Z² = N·T² / (A·(N−A)·(N·Σs²n − (Σsn)²)) in ppm, with
+    * every product promoted to DECIMAL(38,0)/HUGEINT BEFORE
+    * multiplying (T² alone squares a ~N·A-sized integer). No libm:
+    * Z² is a ratio of exact integers, half-up divided.
+    *
+    * Scale shape: one map-side-combined groupBy to (user, day) cells,
+    * a 5-row tier histogram, then a 1-row rollup — the shuffled frame
+    * after the first aggregate is O(active user-days), and nothing
+    * downstream exceeds 5 rows. At ~10¹⁹ user-days T² would pass
+    * DECIMAL(38,0); the ppm readout (not raw T) is the output contract
+    * precisely so that a future int256 rescale stays internal.
+    */
+  def propTrend(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val ud = events.groupBy(col("user_id"),
+        expr("unix_millis(ts) DIV 86400000").as("d"))
+      .agg(sum(when(col("event_type").isin("view", "click"), 1L)
+          .otherwise(0L)).as("act"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c"))
+    val g = ud.select(least(col("act"), lit(4L)).as("s"), col("c"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("a"))
+    val m = g.agg(
+      sum(col("n")).as("nn"), sum(col("a")).as("aa"),
+      sum(col("s") * col("n")).as("sn"),
+      sum(col("s") * col("s") * col("n")).as("s2n"),
+      sum(col("s") * col("a")).as("sa"))
+    val t = dec(col("nn")) * dec(col("sa")) - dec(col("aa")) * dec(col("sn"))
+    val v = dec(col("aa")) * dec(col("nn") - col("aa")) *
+      (dec(col("nn")) * dec(col("s2n")) - dec(col("sn")) * dec(col("sn")))
+    m.select(col("nn").as("n_units"), col("aa").as("n_resp"),
+      col("sn").as("sum_sn"), col("s2n").as("sum_s2n"),
+      col("sa").as("sum_sa"),
+      when(t > 0, 1L).when(t < 0, -1L).otherwise(0L).as("trend_sign"),
+      when(v > 0, halfUpDiv(dec(col("nn")) * t * t * lit(1000000L), v))
+        .as("z2_ppm"))
+  }
+
+  /** Oracle SQL twin of [[propTrend]] — identical tiering and HUGEINT
+    * moment promotion. */
+  def propTrendOracle: String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    val t = "(CAST(nn AS HUGEINT) * sa - CAST(aa AS HUGEINT) * sn)"
+    val v = "(CAST(aa AS HUGEINT) * (nn - aa) * " +
+      "(CAST(nn AS HUGEINT) * s2n - CAST(sn AS HUGEINT) * sn))"
+    s"""WITH ud AS (
+       |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+       |    sum(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0
+       |      END) AS act,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+       |  FROM events GROUP BY 1, 2
+       |), g AS (
+       |  SELECT least(act, 4) AS s, count(*) AS n, sum(c) AS a
+       |  FROM ud GROUP BY 1
+       |), m AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(a) AS BIGINT) AS aa,
+       |    CAST(sum(s * n) AS BIGINT) AS sn,
+       |    CAST(sum(s * s * n) AS BIGINT) AS s2n,
+       |    CAST(sum(s * a) AS BIGINT) AS sa
+       |  FROM g
+       |)
+       |SELECT nn AS n_units, aa AS n_resp, sn AS sum_sn, s2n AS sum_s2n,
+       |  sa AS sum_sa,
+       |  CASE WHEN $t > 0 THEN 1 WHEN $t < 0 THEN -1 ELSE 0
+       |    END AS trend_sign,
+       |  CASE WHEN $v > 0 THEN
+       |    ${halfUpDivHugeSql(s"CAST(nn AS HUGEINT) * $t * $t * 1000000",
+                               v)}
+       |  END AS z2_ppm
+       |FROM m""".stripMargin
+  }
 }

@@ -351,4 +351,122 @@ class StatTestSpec extends SparkSuite {
     // at i=26 and i=52 → interior centers i=25,26 and i=51,52 → 4.
     assert(out(4L) === 4L)
   }
+
+  test("haarEnergy: hand-computed 4-hour series and gap zeros") {
+    import graft.operators.EventOps
+    // hours 0..3 with counts [3,1,2,2]:
+    //  L1: d = {3−1, 2−2} = {2, 0} → E=4, blocks=2
+    //  L2: d = {(3+1)−(2+2)} = {0} → E=0, blocks=1
+    //  L3: first 4 hours (8) − empty half (0) → E=64
+    //  L4: same single block → E=64. Total = 132.
+    def ev(hr: Long, n: Int) = (0 until n).map(_ =>
+      ("x", new java.sql.Timestamp(hr * 3600000L)))
+    val df = (ev(0, 3) ++ ev(1, 1) ++ ev(2, 2) ++ ev(3, 2))
+      .toDF("event_type", "ts")
+    val r = EventOps.haarEnergy(df).collect()
+      .map(x => x.getAs[Long]("level") ->
+        (x.getAs[Long]("n_blocks"), x.getAs[Long]("energy"),
+         x.getAs[Long]("energy_ppm"))).toMap
+    assert(r(1L) === ((2L, 4L, 30303L)))
+    assert(r(2L) === ((1L, 0L, 0L)))
+    assert(r(3L) === ((1L, 64L, 484848L)))
+    assert(r(4L) === ((1L, 64L, 484848L)))
+    // gap: hours 0 and 3 only → L1 blocks {+5}, {−2} → E = 29: the
+    // missing hours contribute exactly the zeros a dense series would.
+    val g = (ev(0, 5) ++ ev(3, 2)).toDF("event_type", "ts")
+    val r1 = EventOps.haarEnergy(g).collect()
+      .find(_.getAs[Long]("level") == 1L).get
+    assert(r1.getAs[Long]("n_blocks") === 2L)
+    assert(r1.getAs[Long]("energy") === 29L)
+  }
+
+  test("propTrend: saturated-tier design gives Z^2 = 4 exactly") {
+    // tiers s=0: n=2,a=0 and s=4 (capped from act 4 and 5): n=2,a=2.
+    // N=4, A=2, Σsn=8, Σs²n=32, Σsa=8 → T = 4·8 − 2·8 = 16,
+    // V = 2·2·(4·32 − 64) = 256, Z² = 4·16²/256 = 4 → 4e6 ppm.
+    def ts0(i: Int) = new java.sql.Timestamp(i * 1000L)
+    val rows =
+      Seq((1L, "signup", ts0(0)), (2L, "signup", ts0(1))) ++
+        (0 until 4).map(i => (3L, "click", ts0(10 + i))) ++
+        Seq((3L, "purchase", ts0(20))) ++
+        (0 until 5).map(i => (4L, "view", ts0(30 + i))) ++
+        Seq((4L, "purchase", ts0(40)))
+    val df = rows.toDF("user_id", "event_type", "ts")
+    val r = StatTestOps.propTrend(df).collect().head
+    assert(r.getAs[Long]("n_units") === 4L)
+    assert(r.getAs[Long]("n_resp") === 2L)
+    assert(r.getAs[Long]("sum_sn") === 8L)
+    assert(r.getAs[Long]("sum_s2n") === 32L)
+    assert(r.getAs[Long]("sum_sa") === 8L)
+    assert(r.getAs[Long]("trend_sign") === 1L)
+    assert(r.getAs[Long]("z2_ppm") === 4000000L)
+  }
+
+  test("participationRatio: anisotropic PR=1, isotropic PR=dims") {
+    // label 0: ±(1,0) — all variance in dim 0 → PR = 1.
+    // label 1: ±(1,1) — equal variance both dims → PR = 2.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(-1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 1.0f), 1), (4L, Array(-1.0f, -1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = SimilarityOp.participationRatio(emb, dims = 2).collect()
+      .map(x => x.getAs[Long]("label") ->
+        (x.getAs[Long]("n_vecs"), x.getAs[Long]("pr_ppm"))).toMap
+    assert(r(0L) === ((2L, 1000000L)))
+    assert(r(1L) === ((2L, 2000000L)))
+  }
+
+  test("kCenterCoreset: farthest-first trajectory and coverage radius") {
+    // ids 1..4 at (0,0), (1,0), (0,1), (10,10); qmod=1, k=3.
+    // Seed = id1. Farthest = id4 (d² = 2e14). Then id2 and id3 tie at
+    // 1e12 → min vec_id picks id2. Coverage radius = id3's 1e12.
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 0), (4L, Array(10.0f, 10.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r = SimilarityOp.kCenterCoreset(emb, k = 3, qmod = 1, dims = 2)
+      .collect().map(x => (x.getAs[Long]("rnk"), x.getAs[Long]("vec_id"),
+        x.getAs[Long]("d2")))
+    assert(r.toSeq === Seq(
+      (0L, -1L, 1000000000000L),
+      (1L, 1L, 0L),
+      (2L, 4L, 200000000000000L),
+      (3L, 2L, 1000000000000L)))
+  }
+
+  test("detectorMcnemar: counts reconcile with the two detectors") {
+    import graft.operators.DedupOp
+    // A corpus with an exact dup pair (both detectors fire) plus
+    // unrelated docs. The op's cells must reconcile with the two
+    // public detectors' pair sets, and χ² must follow (b−c)²/(b+c).
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight nine ten",
+      4L -> "red orange yellow green blue indigo violet umber ochre",
+      5L -> "alpha beta gamma delta epsilon zeta eta iota kappa lambda"
+    )
+    val docs = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val mh = DedupOp.minhashLsh(docs).select("da", "db")
+    val sh = DedupOp.simhashPairs(docs).select("da", "db")
+    val both = mh.intersect(sh).count()
+    val bOnly = mh.except(sh).count()
+    val cOnly = sh.except(mh).count()
+    val r = DedupOp.detectorMcnemar(docs).collect().head
+    assert(r.getAs[Long]("n_pairs") === both + bOnly + cOnly)
+    assert(r.getAs[Long]("n_both") === both)
+    assert(r.getAs[Long]("n_minhash_only") === bOnly)
+    assert(r.getAs[Long]("n_simhash_only") === cOnly)
+    assert(r.getAs[Long]("disc_diff") === bOnly - cOnly)
+    // the exact-dup pair is flagged by BOTH detectors
+    assert(both >= 1L)
+    if (bOnly + cOnly == 0L) assert(r.isNullAt(r.fieldIndex("mcnemar_x2_ppm")))
+    else {
+      val d = bOnly - cOnly
+      assert(r.getAs[Long]("mcnemar_x2_ppm") ===
+        (d * d * 2000000L + (bOnly + cOnly)) / (2L * (bOnly + cOnly)))
+    }
+  }
 }
