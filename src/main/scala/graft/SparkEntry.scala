@@ -1517,9 +1517,14 @@ object SparkEntry {
 
     // McNemar paired test on the two token-space near-dup detectors
     // (MinHash-LSH vs SimHash) over the union of flagged pairs:
-    // discordant counts + (b-c)^2/(b+c) in ppm.
+    // discordant counts + (b-c)^2/(b+c) in ppm. Served off the two
+    // write-once pair layouts (q75/q250 stance).
     "q277_mcnemar" -> ((s, d) =>
-      DedupOp.detectorMcnemar(Tables.documents(s, d))),
+      DedupOp.detectorMcnemarFromPairs(
+        DedupOp.minhashPairsTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)),
+        DedupOp.simhashPairsTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
 
     // Greedy k-center (farthest-point-first) coreset over the qmod
     // candidate pool: maximally-diverse exemplar selection with the
@@ -1555,6 +1560,8 @@ object SparkEntry {
     DedupOp.ngramJaccardTable(Tables.documents(s, d), wh,
       inputTag = Some(d))
     DedupOp.minhashPairsTable(Tables.documents(s, d), wh,
+      inputTag = Some(d))
+    DedupOp.simhashPairsTable(Tables.documents(s, d), wh,
       inputTag = Some(d))
     SimilarityOp.ivfPartitionedTopK(Tables.embeddings(s, d), wh,
       inputTag = Some(d))

@@ -311,6 +311,23 @@ object DedupOp {
     spark.table(t)
   }
 
+  /** [[minhashPairsTable]]'s sibling for the SimHash detector — the
+    * write-once `(da, db, hamming)` layout serving q277's McNemar
+    * test (and any future consumer of the bit-signature pair graph).
+    */
+  def simhashPairsTable(docs: DataFrame, warehouse: String,
+                        maxHamming: Int = 3,
+                        inputTag: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val t = s"g_shpairs_h$maxHamming" + BucketedOps.tagOf(inputTag)
+    BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
+      simhashPairs(docs, maxHamming)
+        .write.mode("overwrite").option("path", s"$warehouse/$t")
+        .format("parquet").saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
   /** First-seen shingle novelty per source — the corpus-freshness audit
     * a crawl pipeline runs per ingest slice: a document's novelty is the
     * fraction of its distinct w-shingles whose FIRST occurrence (min
@@ -2354,13 +2371,19 @@ object DedupOp {
     * output is one row. Nothing here adds a corpus-sized shuffle.
     */
   def detectorMcnemar(docs: DataFrame, minSim: Double = 0.5,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3): DataFrame =
+    detectorMcnemarFromPairs(minhashLsh(docs, minSim),
+      simhashPairs(docs, maxHamming))
+
+  /** [[detectorMcnemar]] off pre-built pair frames — the write-once
+    * layout serving path ([[minhashPairsTable]] /
+    * [[simhashPairsTable]], the q75/q250 stance). */
+  def detectorMcnemarFromPairs(mhPairs: DataFrame,
+                               shPairs: DataFrame): DataFrame = {
     import graft.functions.DetAgg.halfUpDiv
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val mh = minhashLsh(docs, minSim)
-      .select(col("da"), col("db"), lit(1L).as("fm"))
-    val sh = simhashPairs(docs, maxHamming)
-      .select(col("da"), col("db"), lit(1L).as("fs"))
+    val mh = mhPairs.select(col("da"), col("db"), lit(1L).as("fm"))
+    val sh = shPairs.select(col("da"), col("db"), lit(1L).as("fs"))
     val b = col("n_minhash_only")
     val c = col("n_simhash_only")
     mh.join(sh, Seq("da", "db"), "full_outer")
