@@ -3587,53 +3587,51 @@ object SimilarityOp {
     * 2-approximation guarantee bounds.
     *
     * Scale shape: the k-bounded driver loop is the [[mmrTopK]]
-    * precedent — only ONE 64-int center vector and one (d2, vec_id)
-    * argmax row cross the driver per step; the per-step work is a
-    * broadcast join of the 64-row center frame against the persisted
-    * exploded pool (|pool|·dims narrow rows, partitioned once) and a
-    * TakeOrdered(1). The running dmin frame is localCheckpoint'd per
-    * step so lineage stays flat. At 100 TB the pool is the qmod sample
-    * (n/qmod vectors) — the same sampled-audit stance as q84/q85.
+    * precedent — only ONE 64-double center vector and one
+    * (d2, vec_id) argmax row cross the driver per step, and NO step
+    * shuffles: the running min-distance is a `least(...)` fold of the
+    * codegen'd [[graft.functions.IntSqDistExpr]] kernel over the
+    * selected centers (literal arrays), evaluated in one narrow scan
+    * of the persisted pool per step, argmax via TakeOrdered(1). At
+    * 100 TB the pool is the qmod sample (n/qmod vectors) — the same
+    * sampled-audit stance as q84/q85 — and each step stays a single
+    * map-only pass over it.
     */
   def kCenterCoreset(embeddings: DataFrame, k: Int = 8, qmod: Int = 7,
                      dims: Int = 64): DataFrame = {
+    import graft.functions.IntSqDistExpr
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val x = embeddings
+    val pool = embeddings
       .where(pmod(col("vec_id"), lit(qmod.toLong)) === 0L)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .where(col("dim") < dims)
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
-          .as("x6"))
+      .select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), 1, dims).as("v"))
       .persist()
     try {
-      val seed = x.agg(min(col("vec_id"))).head.getLong(0)
-      def centerFrame(id: Long): DataFrame = x
-        .where(col("vec_id") === id)
-        .select(col("dim"), col("x6").as("c6"))
-      def distTo(id: Long): DataFrame = x
-        .join(broadcast(centerFrame(id)), Seq("dim"))
-        .groupBy(col("vec_id"))
-        .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6")))
-          .as("dc"))
+      val seed = pool.agg(min(col("vec_id"))).head.getLong(0)
+      def vecOf(id: Long): Array[Double] = pool
+        .where(col("vec_id") === id).select(col("v"))
+        .head.getSeq[Double](0).toArray
+      // running min-distance fold over the selected centers' literals —
+      // rebuilt per step (k-bounded), evaluated in whole-stage codegen
+      def dminCol(centers: Seq[Array[Double]]): Column =
+        centers.map(c => IntSqDistExpr.column(col("v"), typedLit(c)))
+          .reduce(least(_, _))
       val selected = scala.collection.mutable.ArrayBuffer((1L, seed, 0L))
-      var dmin = distTo(seed)
-        .select(col("vec_id"), col("dc").as("d2")).localCheckpoint()
+      val centers = scala.collection.mutable.ArrayBuffer(vecOf(seed))
       (2 to k).foreach { step =>
         val ids = selected.map(_._2).toSeq
-        val pick = dmin.where(!col("vec_id").isin(ids: _*))
+        val pick = pool.where(!col("vec_id").isin(ids: _*))
+          .select(col("vec_id"), dminCol(centers.toSeq).as("d2"))
           .orderBy(col("d2").desc, col("vec_id").asc).limit(1).head
-        val (pid, pd2) = (pick.getLong(0), pick.getLong(1))
-        selected += ((step.toLong, pid, pd2))
-        dmin = dmin.join(distTo(pid), Seq("vec_id"))
-          .select(col("vec_id"), least(col("d2"), col("dc")).as("d2"))
-          .localCheckpoint()
+        selected += ((step.toLong, pick.getLong(0), pick.getLong(1)))
+        centers += vecOf(pick.getLong(0))
       }
-      val radius = dmin.agg(max(col("d2"))).head.getLong(0)
+      val radius = pool.select(dminCol(centers.toSeq).as("d2"))
+        .agg(max(col("d2"))).head.getLong(0)
       ((0L, -1L, radius) +: selected.toSeq)
         .toDF("rnk", "vec_id", "d2").orderBy("rnk")
-    } finally x.unpersist()
+    } finally pool.unpersist()
   }
 
   /** Oracle SQL twin of [[kCenterCoreset]] — the [[mmrTopKOracle]]
