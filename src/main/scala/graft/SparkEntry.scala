@@ -1531,6 +1531,24 @@ object SparkEntry {
     // exact integer radius trajectory + final coverage radius row.
     "q278_kcenter" -> ((s, d) =>
       SimilarityOp.kCenterCoreset(Tables.embeddings(s, d))),
+
+    // Review-budget precision curve: MinHash candidates in detector
+    // rank order scored against the exact capped-shingle jaccard
+    // truth — precision@{10,25,50,100} + ppm-term average precision,
+    // off the two write-once pair layouts.
+    "q279_pak_curve" -> ((s, d) =>
+      DedupOp.detectorPrecisionAtK(
+        DedupOp.minhashPairsTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)),
+        DedupOp.ngramJaccardTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
+
+    // Degree-distribution octave histogram of the co-purchase graph:
+    // integer log2 bins via a broadcast boundary table, per-octave
+    // node count, degree mass, and successive decay ratio in ppm.
+    "q280_degree_octaves" -> ((s, d) =>
+      GraphOps.degreeOctaves(GraphOps.copurchaseEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", Some(d)))),
   )
 
   /** Build every session write-once layout for `d` up front — the
@@ -2291,5 +2309,7 @@ object SparkEntry {
     "q276_effective_dim" -> SimilarityOp.participationRatioOracle(),
     "q277_mcnemar" -> DedupOp.detectorMcnemarOracle(),
     "q278_kcenter" -> SimilarityOp.kCenterCoresetOracle(),
+    "q279_pak_curve" -> DedupOp.detectorPrecisionAtKOracle(),
+    "q280_degree_octaves" -> GraphOps.degreeOctavesOracle(),
   )
 }

@@ -2352,6 +2352,121 @@ object DedupOp {
        |    CURRENT ROW) AS BIGINT) AS cum_types
        |FROM occ LEFT JOIN nt USING (b) ORDER BY bucket""".stripMargin
 
+  /** Review-budget precision curve of the MinHash-LSH detector:
+    * candidate pairs ranked by estimated jaccard (DESC, then (da, db)
+    * — a fully deterministic total order), labeled against the EXACT
+    * capped-shingle jaccard pairs (the [[ngramJaccard]] truth at the
+    * same τ), then read out as precision@k for the fixed review
+    * budgets plus a k=0 summary row with average precision — "if a
+    * human can only audit k pairs in detector order, what fraction
+    * are real near-dups?". The complement of q160's calibration curve
+    * (which buckets by estimate value, not review rank) and of q266's
+    * stratified SAMPLE (which builds the labeling batch; this scores
+    * the ranking).
+    *
+    * AP is the ppm-term fold: Σ_{hits} halfUp(h_r·10⁶ / r) averaged
+    * over total hits — every term an identical integer in both
+    * engines (true AP's rational sum has no exact fixed-point form;
+    * the per-term half-up is the documented convention and is within
+    * 1 ppm·H of exact).
+    *
+    * Scale shape: both inputs are write-once pair layouts (the
+    * q75/q250 stance) — the ranked frame is the NEAR-DUP PAIR GRAPH,
+    * orders of magnitude smaller than the corpus, and the one
+    * unpartitioned rank window is the documented audit-frame
+    * exemption (q266's); at 100× the fixed budgets would ride a
+    * bottom-k TakeOrdered before ranking.
+    */
+  def detectorPrecisionAtK(mhPairs: DataFrame, truePairs: DataFrame,
+                           ks: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("est_jaccard").desc, col("da"), col("db"))
+    val ranked = mhPairs.select(col("da"), col("db"), col("est_jaccard"))
+      .join(truePairs.select(col("da"), col("db"), lit(1L).as("hit")),
+        Seq("da", "db"), "left")
+      .select(col("da"), col("db"),
+        row_number().over(w).cast("long").as("r"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .withColumn("h", sum(col("hit"))
+        .over(Window.orderBy(col("r"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spark = mhPairs.sparkSession
+    import spark.implicits._
+    val kdf = ks.map(_.toLong).toDF("k")
+    val atK = ranked.join(broadcast(kdf), col("r") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("r")).as("n_ranked"), max(col("h")).as("n_true"))
+      .select(col("k"), col("n_ranked"), col("n_true"),
+        halfUpDiv(col("n_true") * 1000000L, col("n_ranked"))
+          .as("prec_ppm"))
+    val ap = ranked.where(col("hit") === 1L)
+      .agg(count(lit(1)).as("hits"),
+        sum(halfUpDiv(col("h") * 1000000L, col("r"))).as("apsum"))
+      .select(lit(0L).as("k"), col("hits").as("n_ranked"),
+        col("hits").as("n_true"),
+        when(col("hits") > 0, halfUpDiv(col("apsum"), col("hits")))
+          .as("prec_ppm"))
+    atK.unionByName(ap).orderBy("k")
+  }
+
+  /** Oracle SQL twin of [[detectorPrecisionAtK]] — composes the
+    * [[minhashPairCtes]] chain with the capped-shingle exact-jaccard
+    * truth (the [[pairAuditSampleOracle]] CTEs). */
+  def detectorPrecisionAtKOracle(minSim: Double = 0.5,
+                                 maxDf: Int = MaxShingleDf,
+                                 ks: Seq[Int] = Seq(10, 25, 50, 100)): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    val kRows = ks.map(k => s"($k)").mkString(", ")
+    s"""WITH ${minhashPairCtes(minSim)},
+       |${cappedShingleCte(maxDf)},
+       |tsizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+       |tinter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM shc a JOIN shc b ON a.hx = b.hx AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), tp AS (
+       |  SELECT da, db FROM (
+       |    SELECT i.da, i.db,
+       |      ${graft.functions.DetAgg.ratioSql("i.inter",
+              "sa.n + sb.n - i.inter")} AS jaccard
+       |    FROM tinter i
+       |    JOIN tsizes sa ON sa.doc_id = i.da
+       |    JOIN tsizes sb ON sb.doc_id = i.db) t
+       |  WHERE jaccard >= $minSim
+       |), ranked AS (
+       |  SELECT m.da, m.db,
+       |    CAST(row_number() OVER (ORDER BY m.est_jaccard DESC, m.da,
+       |      m.db) AS BIGINT) AS r,
+       |    CASE WHEN tp.da IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM mhp m LEFT JOIN tp ON tp.da = m.da AND tp.db = m.db
+       |), rh AS (
+       |  SELECT r, hit,
+       |    CAST(sum(hit) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND CURRENT ROW) AS BIGINT) AS h
+       |  FROM ranked
+       |), kk AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES $kRows) t(k)),
+       |atk AS (
+       |  SELECT kk.k, CAST(max(rh.r) AS BIGINT) AS n_ranked,
+       |    CAST(max(rh.h) AS BIGINT) AS n_true
+       |  FROM rh JOIN kk ON rh.r <= kk.k
+       |  GROUP BY 1
+       |), ap AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS hits,
+       |    CAST(sum(${halfUpDivSql("h * 1000000", "r")}) AS BIGINT)
+       |      AS apsum
+       |  FROM rh WHERE hit = 1
+       |)
+       |SELECT k, n_ranked, n_true,
+       |  ${halfUpDivSql("n_true * 1000000", "n_ranked")} AS prec_ppm
+       |FROM atk
+       |UNION ALL
+       |SELECT 0, hits, hits,
+       |  CASE WHEN hits > 0 THEN ${halfUpDivSql("apsum", "hits")} END
+       |FROM ap
+       |ORDER BY k""".stripMargin
+  }
+
   /** McNemar paired-detector test: MinHash-LSH (q26) vs SimHash (q27)
     * on the UNION of pairs either detector flags — the proper
     * significance test for "do the two near-dup tiers disagree

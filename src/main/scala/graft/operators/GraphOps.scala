@@ -1244,4 +1244,80 @@ object GraphOps {
        |  common * 10000 // (dx.dg + dy.dg - common) AS jaccard_1e4
        |FROM ne JOIN deg dx ON ne.x = dx.u JOIN deg dy ON ne.y = dy.u
        |ORDER BY common DESC, jaccard_1e4 DESC, a, b LIMIT $k""".stripMargin
+
+  /** Degree-distribution octave histogram of the co-purchase graph —
+    * the standard heavy-tail/power-law check WITHOUT regression or
+    * libm: nodes bucket by ⌊log₂(degree)⌋ (octave o covers degrees
+    * [2ᵒ, 2ᵒ⁺¹)), read out as node count, degree mass, and the decay
+    * ratio n_{next}/n between successive PRESENT octaves in ppm — a
+    * power law with exponent γ shows a geometrically constant decay
+    * (2^(1−γ) per octave), an exponential tail collapses, so the
+    * ratio column IS the tail diagnostic. log₂ binning is exact
+    * integer arithmetic both sides: degrees join a broadcast 41-row
+    * (octave, lo, hi) boundary table — no float log whose rounding
+    * could flip a boundary degree across engines.
+    *
+    * Scale shape: one symmetrize + map-side-combined degree count
+    * (the [[localClustering]] prefix), one broadcast range-join of
+    * the 41-row boundary frame against the |V|-row degree frame
+    * (linear, ×41 comparisons worst case), then windows over ≤41
+    * rows. Serves off the write-once edge layout (q103 stance).
+    */
+  def degreeOctaves(edges: DataFrame, maxOctave: Int = 40): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val deg = edges.select(col("a").as("u"))
+      .unionByName(edges.select(col("b").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val octDf = (0 to maxOctave)
+      .map(o => (o.toLong, 1L << o, (1L << (o + 1)) - 1L))
+      .toDF("octave", "lo", "hi")
+    val g = deg.join(broadcast(octDf),
+        col("dg") >= col("lo") && col("dg") <= col("hi"))
+      .groupBy(col("octave"), col("lo"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("sum_deg"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("octave"))
+    g.withColumn("nn", lead(col("n_nodes"), 1).over(w))
+      .select(col("octave"), col("lo").as("min_deg"),
+        col("n_nodes"), col("sum_deg"),
+        when(col("nn").isNotNull,
+          halfUpDiv(col("nn") * 1000000L, col("n_nodes")))
+          .as("next_ratio_ppm"))
+      .orderBy("octave")
+  }
+
+  /** Oracle SQL twin of [[degreeOctaves]] — same broadcast boundary
+    * table, re-deriving the edges from lineitem. */
+  def degreeOctavesOracle(maxOctave: Int = 40): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.pk AS x, b.pk AS y
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |), und AS (SELECT x AS u FROM e UNION ALL SELECT y FROM e),
+       |deg AS (SELECT u, count(*) AS dg FROM und GROUP BY 1),
+       |oct AS (
+       |  SELECT CAST(o.o AS BIGINT) AS octave,
+       |    CAST(1::BIGINT << o.o AS BIGINT) AS lo,
+       |    CAST((1::BIGINT << (o.o + 1)) - 1 AS BIGINT) AS hi
+       |  FROM range(${maxOctave + 1}) o(o)
+       |), g AS (
+       |  SELECT oct.octave, oct.lo, count(*) AS n_nodes,
+       |    CAST(sum(deg.dg) AS BIGINT) AS sum_deg
+       |  FROM deg JOIN oct ON deg.dg BETWEEN oct.lo AND oct.hi
+       |  GROUP BY 1, 2
+       |), gw AS (
+       |  SELECT octave, lo, n_nodes, sum_deg,
+       |    lead(n_nodes) OVER (ORDER BY octave) AS nn
+       |  FROM g
+       |)
+       |SELECT octave, lo AS min_deg, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  sum_deg,
+       |  CASE WHEN nn IS NOT NULL THEN
+       |    ${halfUpDivSql("nn * 1000000", "n_nodes")}
+       |  END AS next_ratio_ppm
+       |FROM gw ORDER BY octave""".stripMargin
+  }
 }

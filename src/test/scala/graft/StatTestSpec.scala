@@ -434,6 +434,36 @@ class StatTestSpec extends SparkSuite {
       (3L, 2L, 1000000000000L)))
   }
 
+  test("detectorPrecisionAtK: hand-computed precision and ppm-term AP") {
+    import graft.operators.DedupOp
+    // ranked: (1,2) hit, (1,3) miss, (2,3) hit, (4,5) miss.
+    // P@2 = 1/2; P@4 = 2/4. AP terms: r=1 → 1e6, r=3 → 666667;
+    // AP = halfUp(1666667 / 2) = 833334.
+    val mh = Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (2L, 3L, 0.7),
+      (4L, 5L, 0.6)).toDF("da", "db", "est_jaccard")
+    val tp = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val r = DedupOp.detectorPrecisionAtK(mh, tp, ks = Seq(2, 4))
+      .collect().map(x => x.getAs[Long]("k") ->
+        (x.getAs[Long]("n_ranked"), x.getAs[Long]("n_true"),
+         x.getAs[Long]("prec_ppm"))).toMap
+    assert(r(2L) === ((2L, 1L, 500000L)))
+    assert(r(4L) === ((4L, 2L, 500000L)))
+    assert(r(0L) === ((2L, 2L, 833334L)))
+  }
+
+  test("degreeOctaves: star graph bins by log2 and decays 4:1") {
+    import graft.operators.GraphOps
+    // star center deg 4 → octave 2; leaves deg 1 → octave 0.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val r = GraphOps.degreeOctaves(edges).collect()
+      .map(x => x.getAs[Long]("octave") ->
+        (x.getAs[Long]("min_deg"), x.getAs[Long]("n_nodes"),
+         x.getAs[Long]("sum_deg"),
+         Option(x.get(x.fieldIndex("next_ratio_ppm"))))).toMap
+    assert(r(0L) === ((1L, 4L, 4L, Some(250000L))))
+    assert(r(2L) === ((4L, 1L, 4L, None)))
+  }
+
   test("detectorMcnemar: counts reconcile with the two detectors") {
     import graft.operators.DedupOp
     // A corpus with an exact dup pair (both detectors fire) plus
