@@ -564,9 +564,12 @@ object SparkEntry {
     // Exact triangle count on the co-purchase graph via degree-ordered
     // wedges (the O(m^1.5) orientation); oracle re-derives the count
     // with the plain id-ordered three-way join.
-    "q103_triangles" -> ((s, d) =>
-      GraphOps.triangleCount(GraphOps.copurchaseEdgesTable(
-        Tables.lineitem(s, d), "/tmp/graft_warehouse", Some(d)))),
+    "q103_triangles" -> ((s, d) => {
+      val edges = GraphOps.copurchaseEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", Some(d))
+      GraphOps.triangleCount(edges, Some(GraphOps.triCountsTable(
+        edges, "/tmp/graft_warehouse", Some(d))))
+    }),
 
     // BM25 ranked retrieval: doc-length-normalized, tf-saturating
     // sibling of q98, in pure integer arithmetic (k1=1.2, b=0.75).
@@ -1490,11 +1493,14 @@ object SparkEntry {
       AuditOps.datasetCard(Tables.documents(s, d))),
 
     // Local clustering coefficient decile histogram on the
-    // co-purchase graph: per-node triangles off the degree-ordered
-    // wedge close (all three corners kept), exact ppm cc.
-    "q273_local_clustering" -> ((s, d) =>
-      GraphOps.localClustering(GraphOps.copurchaseEdgesTable(
-        Tables.lineitem(s, d), "/tmp/graft_warehouse", Some(d)))),
+    // co-purchase graph: per-node triangles served off the shared
+    // write-once wedge-close layout (one enumeration for q103+q273).
+    "q273_local_clustering" -> ((s, d) => {
+      val edges = GraphOps.copurchaseEdgesTable(
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", Some(d))
+      GraphOps.localClustering(edges, Some(GraphOps.triCountsTable(
+        edges, "/tmp/graft_warehouse", Some(d))))
+    }),
 
     // Haar multiresolution detail-energy spectrum of the hourly event
     // counts: which timescale (2/4/8/16 h) carries the traffic
@@ -1573,6 +1579,8 @@ object SparkEntry {
     GraphOps.custSuppEdgesTable(Tables.orders(s, d),
       Tables.lineitem(s, d), wh, Some(d))
     GraphOps.copurchaseEdgesTable(Tables.lineitem(s, d), wh, Some(d))
+    GraphOps.triCountsTable(GraphOps.copurchaseEdgesTable(
+      Tables.lineitem(s, d), wh, Some(d)), wh, Some(d))
     GraphOps.weightedEdgesTable(Tables.lineitem(s, d), wh,
       inputTag = Some(d))
     DedupOp.ngramJaccardTable(Tables.documents(s, d), wh,

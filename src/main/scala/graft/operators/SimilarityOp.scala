@@ -3657,7 +3657,8 @@ object SimilarityOp {
          |  ORDER BY dmin DESC, vec_id LIMIT 1
          |), sel$i AS MATERIALIZED (
          |  SELECT rnk, vec_id, d2 FROM sel${i - 1}
-         |  UNION ALL SELECT CAST($i AS BIGINT), vec_id, dmin FROM pk$i
+         |  UNION ALL SELECT CAST($i AS BIGINT), vec_id,
+         |    CAST(dmin AS BIGINT) FROM pk$i
          |)""".stripMargin
     }.mkString(",\n")
     s"""WITH x AS (

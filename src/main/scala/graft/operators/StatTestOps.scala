@@ -40,8 +40,11 @@ object StatTestOps {
     * |distinct cents| rows (HashPartitioning(et) satisfies both the
     * cumsum and the final rollup — one shuffle of narrow longs). Linear
     * rank sums bound every aggregate by 2n² < 2⁶³ to n ≈ 2·10⁹ rows per
-    * event type (≈ sf10⁵); no cubed-rank moments, so no decimal
-    * promotion needed (contrast [[AuditOps.spearman]]'s Σ(2r̄)²).
+    * event type (≈ sf10⁵). The tie term cubes a VALUE MULTIPLICITY
+    * (cnt³ overflows 2⁶³ once any single cents value is held by ~2.1M
+    * rows — plausible at large sf for a modal price), so cnt promotes
+    * to DECIMAL(38,0)/HUGEINT before cubing, the [[AuditOps.spearman]]
+    * Σ(2r̄)² convention, and casts back to BIGINT after the sum.
     */
   def mannWhitney(events: DataFrame): DataFrame = {
     import graft.functions.DetAgg.halfUpDiv
@@ -63,7 +66,8 @@ object StatTestOps {
         sum(col("cnt") - col("ca")).as("n_b"),
         sum(col("ca") * col("r2")).as("r2a"),
         sum((col("cnt") - col("ca")) * col("r2")).as("r2b"),
-        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+          - col("cnt")).cast("long").as("tie_term"))
       .select(col("et").as("event_type"), col("n_a"), col("n_b"),
         u2a.as("u2_a"), u2b.as("u2_b"),
         when(col("n_a") > 0L && col("n_b") > 0L,
@@ -96,7 +100,8 @@ object StatTestOps {
        |    CAST(sum(cnt - ca) AS BIGINT) AS n_b,
        |    CAST(sum(ca * r2) AS BIGINT) AS r2a,
        |    CAST(sum((cnt - ca) * r2) AS BIGINT) AS r2b,
-       |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+       |    CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS BIGINT)
+       |      AS tie_term
        |  FROM r GROUP BY 1
        |)
        |SELECT et AS event_type, n_a, n_b,
@@ -155,7 +160,10 @@ object StatTestOps {
         sum(col("cnt")).as("n_pairs"),
         sum(col("cpos") * col("r2")).as("w2_plus"),
         sum((col("cnt") - col("cpos")) * col("r2")).as("w2_minus"),
-        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+        // same cnt³ promotion as mannWhitney: multiplicity cubes wrap
+        // silently in plain Long past ~2.1M-row ties
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+          - col("cnt")).cast("long").as("tie_term"))
       .crossJoin(broadcast(zeros))
       .select(
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("n_zero"),
@@ -195,7 +203,8 @@ object StatTestOps {
        |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_pairs,
        |    CAST(coalesce(sum(cpos * r2), 0) AS BIGINT) AS w2_plus,
        |    CAST(coalesce(sum((cnt - cpos) * r2), 0) AS BIGINT) AS w2_minus,
-       |    CAST(coalesce(sum(cnt * cnt * cnt - cnt), 0) AS BIGINT) AS tie_term
+       |    CAST(coalesce(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt), 0)
+       |      AS BIGINT) AS tie_term
        |  FROM r
        |)
        |SELECT m.n_pairs, z.n_zero, m.w2_plus, m.w2_minus,

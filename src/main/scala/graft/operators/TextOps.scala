@@ -2516,8 +2516,10 @@ object TextOps {
     *
     * Scale shape: bigram generation is the [[bigramLmScore]] zip shape
     * (row-local, linear in tokens); the train side collapses to its
-    * DISTINCT bigram set (map-side combined) before the single
-    * hash-join against the val side's bigram counts; rollup is
+    * per-language DISTINCT (lang, bigram) set (map-side combined)
+    * before the single hash-join against the val side's bigram counts
+    * — keyed by language, so coverage measures what a PER-LANGUAGE
+    * bigram LM would have seen; rollup is
     * |langs| rows. The join carries bigram STRINGS — at 100× the keys
     * would ride [[graft.functions.TextFunctions.portableHash]] 8-byte
     * keys instead (the [[graft.operators.DedupOp.ngramJaccard]]
@@ -2537,14 +2539,18 @@ object TextOps {
           slice(col("tk"), lit(2), size(col("tk")) - 1))).as("p"))
       .select(col("lang"), col("b"),
         concat(col("p.`0`"), lit(" "), col("p.`1`")).as("bg"))
+    // keyed by (lang, bg): a val bigram only counts as "seen" if THIS
+    // language's train split contains it — cross-language sharing would
+    // overstate per-language LM generalization (an en bigram appearing
+    // in the de train split does not help a de bigram LM).
     val train = bg.where(col("b") < trainPct)
-      .select(col("bg")).distinct()
+      .select(col("lang"), col("bg")).distinct()
       .withColumn("seen", lit(1L))
     val valCnt = bg
       .where(col("b") >= trainPct && col("b") < trainPct + valPct)
       .groupBy(col("lang"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
-    valCnt.join(train, Seq("bg"), "left")
+    valCnt.join(train, Seq("lang", "bg"), "left")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_val_types"),
         sum(coalesce(col("seen"), lit(0L))).as("n_seen_types"),
@@ -2571,7 +2577,7 @@ object TextOps {
        |  SELECT lang, b, tk[i] || ' ' || tk[i+1] AS bg
        |  FROM (SELECT lang, b, tk,
        |          unnest(generate_series(1, len(tk) - 1)) AS i FROM t)
-       |), tr AS (SELECT DISTINCT bg FROM bg WHERE b < $trainPct),
+       |), tr AS (SELECT DISTINCT lang, bg FROM bg WHERE b < $trainPct),
        |v AS (
        |  SELECT lang, bg.bg, CAST(count(*) AS BIGINT) AS cnt
        |  FROM bg WHERE b >= $trainPct AND b < ${trainPct + valPct}
@@ -2579,7 +2585,7 @@ object TextOps {
        |), j AS (
        |  SELECT v.lang, v.cnt,
        |    CASE WHEN tr.bg IS NULL THEN 0 ELSE 1 END AS seen
-       |  FROM v LEFT JOIN tr ON tr.bg = v.bg
+       |  FROM v LEFT JOIN tr ON tr.lang = v.lang AND tr.bg = v.bg
        |), m AS (
        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_val_types,
        |    CAST(sum(seen) AS BIGINT) AS n_seen_types,
