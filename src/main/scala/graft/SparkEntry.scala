@@ -1555,6 +1555,44 @@ object SparkEntry {
     "q280_degree_octaves" -> ((s, d) =>
       GraphOps.degreeOctaves(GraphOps.copurchaseEdgesTable(
         Tables.lineitem(s, d), "/tmp/graft_warehouse", Some(d)))),
+
+    // Global transitivity (3T/W) of the verified near-dup graph off
+    // the write-once exact-pair layout — is CC-based dedup clustering
+    // cliques or gluing chains at this threshold?
+    "q281_dup_transitivity" -> ((s, d) =>
+      DedupOp.dupTransitivity(DedupOp.ngramJaccardTable(
+        Tables.documents(s, d), "/tmp/graft_warehouse",
+        inputTag = Some(d)))),
+
+    // Tokenizer budgeting: pooled bytes per whitespace/regex token by
+    // language, exact ppm ratios over corpus-total masses.
+    "q282_bytes_per_token" -> ((s, d) =>
+      TextOps.bytesPerToken(Tables.documents(s, d))),
+
+    // Cochran's Q across all three near-dup detectors (minhash,
+    // simhash, exact) on the union pair frame — the k=3
+    // generalization of q277's McNemar, off the three write-once
+    // pair layouts.
+    "q283_cochran_q" -> ((s, d) =>
+      DedupOp.cochranQFromPairs(
+        DedupOp.minhashPairsTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)),
+        DedupOp.simhashPairsTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)),
+        DedupOp.ngramJaccardTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
+
+    // HITS hubs/authorities on the customer-supplier bipartite graph:
+    // exact integer power iteration in DECIMAL(38,0), max-normalized
+    // ppm output, top-10 per side.
+    "q284_hits" -> ((s, d) =>
+      GraphOps.hits(GraphOps.custSuppEdgesTable(Tables.orders(s, d),
+        Tables.lineitem(s, d), "/tmp/graft_warehouse", Some(d)))),
+
+    // Nelson-Aalen cumulative hazard on the repurchase survival frame
+    // (q246's additive sibling) - fully relational, no driver fold.
+    "q285_nelson_aalen" -> ((s, d) =>
+      EventOps.nelsonAalen(Tables.events(s, d))),
   )
 
   /** Build every session write-once layout for `d` up front — the
@@ -2319,5 +2357,10 @@ object SparkEntry {
     "q278_kcenter" -> SimilarityOp.kCenterCoresetOracle(),
     "q279_pak_curve" -> DedupOp.detectorPrecisionAtKOracle(),
     "q280_degree_octaves" -> GraphOps.degreeOctavesOracle(),
+    "q281_dup_transitivity" -> DedupOp.dupTransitivityOracle(),
+    "q282_bytes_per_token" -> TextOps.bytesPerTokenOracle,
+    "q283_cochran_q" -> DedupOp.cochranQOracle(),
+    "q284_hits" -> GraphOps.hitsOracle(),
+    "q285_nelson_aalen" -> EventOps.nelsonAalenOracle(),
   )
 }

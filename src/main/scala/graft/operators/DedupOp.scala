@@ -2545,4 +2545,205 @@ object DedupOp {
        |  END AS mcnemar_x2_ppm
        |FROM g""".stripMargin
   }
+
+  /** CTE chain ending in `ndp(da, db)` — the EXACT df-capped-jaccard
+    * verified pairs, composable after [[shingleCte]] (directly or via
+    * [[minhashPairCtes]], which embeds it). x-prefixed names so the
+    * chain coexists with the minhash/simhash chains in one WITH. */
+  private def exactPairCtes(minJaccard: Double, maxDf: Int): String =
+    s"""${cappedShingleCte(maxDf)},
+       |xsizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+       |xinter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM shc a JOIN shc b ON a.hx = b.hx AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), ndp AS (
+       |  SELECT da, db FROM (
+       |    SELECT i.da, i.db,
+       |      ${graft.functions.DetAgg.ratioSql("i.inter",
+              "sa.n + sb.n - i.inter")} AS jaccard
+       |    FROM xinter i
+       |    JOIN xsizes sa ON sa.doc_id = i.da
+       |    JOIN xsizes sb ON sb.doc_id = i.db) t
+       |  WHERE jaccard >= $minJaccard
+       |)""".stripMargin
+
+  /** q281: global transitivity of the verified near-dup graph —
+    * 3·triangles/wedges on the exact-jaccard pair frame. The
+    * graph-level answer to the q250 chaining audit's cluster-level
+    * question: transitivity ≈ 1 means near-dup clusters are cliques
+    * (the threshold is conservative — connected-components keep-sets
+    * drop only true duplicates), low transitivity means chains (A~B,
+    * B~C, A≁C — CC-based dedup is gluing non-duplicates through
+    * middlemen, and the keep-one-per-component policy is destroying
+    * distinct documents). ONE number that says whether
+    * union-find-over-pairs is the right clustering for this corpus at
+    * this threshold.
+    *
+    * Scale shape: the pair graph is orders of magnitude smaller than
+    * the corpus, and the triangle side reuses
+    * [[GraphOps.triNodeCounts]] — the degree-ordered wedge close with
+    * O(√m)-bounded fan-out; wedge total is one map-side-combined
+    * aggregate over the degree frame. Σdeg·(deg−1) promotes to
+    * DECIMAL(38,0)/HUGEINT (a 10⁸-degree dup hub squares past 2⁶³).
+    */
+  def dupTransitivity(pairs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+    val deg = edges.select(col("a").as("u"))
+      .unionByName(edges.select(col("b").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val nN = deg.agg(count(lit(1)).as("n_nodes"))
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    // w2 = Σ deg·(deg−1) = 2·wedges; t3 = Σ per-node triangles = 3·T
+    val w2 = deg.agg(coalesce(sum(dec(col("dg")) * (col("dg") - 1L)),
+      lit(0L).cast("decimal(38,0)")).as("w2"))
+    val t3 = GraphOps.triNodeCounts(edges)
+      .agg(coalesce(sum(col("t")), lit(0L)).as("t3"))
+    nN.crossJoin(nE).crossJoin(w2).crossJoin(t3)
+      .select(col("n_nodes"), col("n_edges"),
+        expr("CAST(w2 DIV 2 AS BIGINT)").as("n_wedges"),
+        expr("t3 DIV 3").as("n_triangles"),
+        // 3T/W = t3/(w2/2) = 2·t3/w2, exact ppm
+        when(col("w2") > 0,
+          halfUpDiv(dec(col("t3")) * 2000000L, col("w2")))
+          .as("transitivity_ppm"))
+  }
+
+  /** Oracle SQL twin of [[dupTransitivity]] — id-ordered triangle
+    * enumeration over the independently re-derived exact pairs
+    * (orientation-invariant, the [[GraphOps.localClusteringOracle]]
+    * stance). */
+  def dupTransitivityOracle(minJaccard: Double = 0.5,
+                            maxDf: Int = MaxShingleDf): String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    s"""WITH ${shingleCte()},
+       |${exactPairCtes(minJaccard, maxDf)},
+       |e AS (SELECT da AS x, db AS y FROM ndp),
+       |dg AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS dg FROM (
+       |    SELECT x AS u FROM e UNION ALL SELECT y FROM e) q
+       |  GROUP BY 1
+       |), tri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS t
+       |  FROM e e1 JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+       |    JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+       |), wg AS (
+       |  SELECT coalesce(sum(CAST(dg AS HUGEINT) * (dg - 1)), 0) AS w2
+       |  FROM dg
+       |)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM dg) AS n_nodes,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       |  CAST(wg.w2 // 2 AS BIGINT) AS n_wedges,
+       |  tri.t AS n_triangles,
+       |  CASE WHEN wg.w2 > 0 THEN
+       |    ${halfUpDivHugeSql("CAST(tri.t AS HUGEINT) * 6000000", "wg.w2")}
+       |  END AS transitivity_ppm
+       |FROM wg, tri""".stripMargin
+  }
+
+  /** q283: Cochran's Q across ALL THREE near-dup detectors —
+    * MinHash-LSH, SimHash, and the exact df-capped-jaccard truth —
+    * on the union of pairs any detector flags. [[detectorMcnemar]]
+    * generalized from 2 matched classifiers to k=3: Q = (k−1)·
+    * (k·ΣCⱼ² − N²) / (k·N − ΣRᵢ²) with Cⱼ the per-detector flag
+    * totals, Rᵢ the per-pair flag counts, N = ΣRᵢ. Large Q says the
+    * three tiers disagree SYSTEMATICALLY (one fires where the others
+    * are blind — route detectors per corpus slice); small Q says the
+    * disagreement q242/q277 count is symmetric noise. Raw integer
+    * components ride along (the repo's no-libm stance: consumers
+    * compare Q_ppm to their own χ²₂ cut).
+    *
+    * Scale shape: two full-outer joins on the (da, db) pair frames —
+    * each orders of magnitude smaller than the corpus (all three
+    * detectors are banded/blocked) — and a one-row aggregate. ΣCⱼ²
+    * and N² square pair counts → DECIMAL(38,0)/HUGEINT before
+    * multiplying, BIGINT after (the cupedLift convention).
+    */
+  def cochranQFromPairs(mhPairs: DataFrame, shPairs: DataFrame,
+                        exPairs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = mhPairs.select(col("da"), col("db"), lit(1L).as("f1"))
+    val s = shPairs.select(col("da"), col("db"), lit(1L).as("f2"))
+    val x = exPairs.select(col("da"), col("db"), lit(1L).as("f3"))
+    val j = m.join(s, Seq("da", "db"), "full_outer")
+      .join(x, Seq("da", "db"), "full_outer")
+      .select(coalesce(col("f1"), lit(0L)).as("f1"),
+        coalesce(col("f2"), lit(0L)).as("f2"),
+        coalesce(col("f3"), lit(0L)).as("f3"))
+      .withColumn("r", col("f1") + col("f2") + col("f3"))
+    val g = j.agg(count(lit(1)).as("n_pairs"),
+      sum(col("f1")).as("c_minhash"),
+      sum(col("f2")).as("c_simhash"),
+      sum(col("f3")).as("c_exact"),
+      sum(col("r") * col("r")).as("r2"),
+      sum(when(col("r") === 3L, 1L).otherwise(0L)).as("n_all3"))
+    val n = col("c_minhash") + col("c_simhash") + col("c_exact")
+    val c2 = dec(col("c_minhash")) * col("c_minhash") +
+      dec(col("c_simhash")) * col("c_simhash") +
+      dec(col("c_exact")) * col("c_exact")
+    val qNum = (lit(2L) * (lit(3L) * c2 - dec(n) * n))
+    val qDen = lit(3L) * n - col("r2")
+    g.select(col("n_pairs"), col("n_all3"),
+      col("c_minhash"), col("c_simhash"), col("c_exact"),
+      qNum.cast("long").as("q_num"), qDen.as("q_den"),
+      when(qDen > 0L, halfUpDiv(qNum * 1000000L, dec(qDen)))
+        .as("q_ppm"))
+  }
+
+  /** Oracle SQL twin of [[cochranQFromPairs]] — composes the minhash,
+    * simhash, and exact-pair CTE chains in one WITH (they share the
+    * [[shingleCte]] base embedded in [[minhashPairCtes]]). */
+  def cochranQOracle(minSim: Double = 0.5, maxHamming: Int = 3,
+                     minJaccard: Double = 0.5,
+                     maxDf: Int = MaxShingleDf): String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    s"""WITH ${minhashPairCtes(minSim)},
+       |${simhashPairCtes(maxHamming)},
+       |${exactPairCtes(minJaccard, maxDf)},
+       |u AS (
+       |  SELECT da, db FROM mhp
+       |  UNION SELECT da, db FROM shp
+       |  UNION SELECT da, db FROM ndp
+       |), f AS (
+       |  SELECT
+       |    CASE WHEN m.da IS NOT NULL THEN 1 ELSE 0 END AS f1,
+       |    CASE WHEN s.da IS NOT NULL THEN 1 ELSE 0 END AS f2,
+       |    CASE WHEN x.da IS NOT NULL THEN 1 ELSE 0 END AS f3
+       |  FROM u
+       |  LEFT JOIN (SELECT da, db FROM mhp) m
+       |    ON m.da = u.da AND m.db = u.db
+       |  LEFT JOIN (SELECT da, db FROM shp) s
+       |    ON s.da = u.da AND s.db = u.db
+       |  LEFT JOIN (SELECT da, db FROM ndp) x
+       |    ON x.da = u.da AND x.db = u.db
+       |), g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN f1 + f2 + f3 = 3 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_all3,
+       |    CAST(sum(f1) AS BIGINT) AS c1,
+       |    CAST(sum(f2) AS BIGINT) AS c2,
+       |    CAST(sum(f3) AS BIGINT) AS c3,
+       |    CAST(sum((f1 + f2 + f3) * (f1 + f2 + f3)) AS BIGINT) AS r2
+       |  FROM f
+       |)
+       |SELECT n_pairs, n_all3,
+       |  c1 AS c_minhash, c2 AS c_simhash, c3 AS c_exact,
+       |  CAST(2 * (3 * (CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2
+       |    + CAST(c3 AS HUGEINT) * c3)
+       |    - CAST(c1 + c2 + c3 AS HUGEINT) * (c1 + c2 + c3)) AS BIGINT)
+       |    AS q_num,
+       |  3 * (c1 + c2 + c3) - r2 AS q_den,
+       |  CASE WHEN 3 * (c1 + c2 + c3) - r2 > 0 THEN
+       |    ${halfUpDivHugeSql(
+              "2 * (3 * (CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2 " +
+              "+ CAST(c3 AS HUGEINT) * c3) " +
+              "- CAST(c1 + c2 + c3 AS HUGEINT) * (c1 + c2 + c3)) * 1000000",
+              "3 * (c1 + c2 + c3) - r2")}
+       |  END AS q_ppm
+       |FROM g""".stripMargin
+  }
 }

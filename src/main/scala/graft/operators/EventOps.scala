@@ -2355,6 +2355,79 @@ object EventOps {
        |ORDER BY t_hours""".stripMargin
   }
 
+  /** q285: Nelson–Aalen cumulative-hazard estimator on the same
+    * repurchase-survival frame as [[kaplanMeier]] — the additive
+    * sibling of the KM product curve: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ. The two
+    * estimators answer the same "when do users repurchase?" question,
+    * but the hazard INCREMENT per step (`h_ppb`) is the direct
+    * per-hour conversion intensity a retention model consumes, where
+    * KM's survival product only gives the compounded remainder.
+    *
+    * Unlike the KM fold (a product, inherently sequential → bounded
+    * driver fold + recursive-CTE oracle), every Nelson–Aalen term is a
+    * SUM — fully relational on both engines: per-step hazards are
+    * exact ppb ([[graft.functions.DetAgg.halfUpDiv]], d·10⁹ < 2⁶³ to
+    * ~9·10⁹ subjects), and the cumulative H is a plain ordered cumsum
+    * of those integers. No collect, no recursion.
+    *
+    * Scale shape: one map-side-combined groupBy to per-duration
+    * counts — a frame bounded by the corpus span in HOURS — then two
+    * cumulative windows over that bounded frame (the q246 stance; the
+    * single-partition WindowExec is over ≤ corpus-hours rows by
+    * construction).
+    */
+  def nelsonAalen(events: DataFrame,
+                  eventType: String = "purchase"): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    import org.apache.spark.sql.expressions.Window
+    val g = kmSubjects(events, eventType)
+      .groupBy(col("t"))
+      .agg(sum(lit(1L) - col("cen")).as("d"), sum(col("cen")).as("c"))
+    val tot = g.agg(sum(col("d") + col("c")).as("n"))
+    val wOrd = Window.orderBy(col("t"))
+    val r = g.crossJoin(broadcast(tot))
+      .withColumn("nrisk", col("n") - coalesce(
+        sum(col("d") + col("c"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    r.select(col("t"), col("nrisk"), col("d"), col("c"),
+        halfUpDiv(col("d") * 1000000000L, col("nrisk")).as("h_ppb"))
+      .withColumn("hcum_ppb", sum(col("h_ppb"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("t").as("t_hours"), col("nrisk").as("n_risk"),
+        col("d").as("n_deaths"), col("c").as("n_censored"),
+        col("h_ppb"), col("hcum_ppb"))
+      .orderBy("t_hours")
+  }
+
+  /** Oracle SQL twin of [[nelsonAalen]] — same per-duration counts,
+    * same exact ppb hazard, plain window cumsum (no recursion). */
+  def nelsonAalenOracle(eventType: String = "purchase"): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH ${kmSubjectCtes(eventType)},
+       |g AS (
+       |  SELECT t,
+       |    CAST(sum(1 - cen) AS BIGINT) AS d,
+       |    CAST(sum(cen) AS BIGINT) AS c
+       |  FROM subj GROUP BY 1
+       |), tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM g),
+       |r AS (
+       |  SELECT t, d, c,
+       |    tot.n - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS nrisk
+       |  FROM g, tot
+       |), h AS (
+       |  SELECT t, nrisk, d, c,
+       |    ${halfUpDivSql("d * 1000000000", "nrisk")} AS h_ppb
+       |  FROM r
+       |)
+       |SELECT t AS t_hours, nrisk AS n_risk, d AS n_deaths,
+       |  c AS n_censored, h_ppb,
+       |  CAST(sum(h_ppb) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS hcum_ppb
+       |FROM h ORDER BY t_hours""".stripMargin
+  }
+
   /** q247: log-rank test between two survival curves — does a
     * HIGH-VALUE purchase predict a different time-to-repurchase than a
     * low-value one? The standard two-sample censoring-correct

@@ -1022,6 +1022,90 @@ object GraphOps {
        |ORDER BY rank_ppb DESC, node_type, node_id LIMIT $k""".stripMargin
   }
 
+  /** q284: HITS hubs-and-authorities on the customer→supplier
+    * bipartite graph — [[pageRank]]'s directional sibling: a supplier
+    * is an AUTHORITY when many well-connected customers buy from it, a
+    * customer is a HUB when it buys from high-authority suppliers.
+    * On a bipartite graph the two scores live on opposite sides, so
+    * the mutual-reinforcement loop is a₍ᵢ₎(s) = Σ_{c→s} h₍ᵢ₋₁₎(c),
+    * h₍ᵢ₎(c) = Σ_{c→s} a₍ᵢ₎(s) — the power iteration on A·Aᵀ.
+    *
+    * EXACT integer arithmetic, no float normalization: raw scores
+    * after `iters` rounds are integers (h₀ = 1), accumulated in
+    * DECIMAL(38,0)/HUGEINT — unnormalized HITS grows like
+    * (m/n)^(2·iters), past 2⁶³ on dense graphs, so the promotion is
+    * load-bearing (overflow is LOUD under ANSI decimal, not wrapped).
+    * Reported scores are max-normalized ppm via floor division —
+    * integer in, integer out — while top-k selection orders by the
+    * RAW decimal score (ties → node id), so the cut is exact.
+    *
+    * Scale shape per half-step: one join keyed on the shared edge
+    * column + one map-side-combined groupBy — the [[pageRankRanks]]
+    * 2-shuffle superstep; iterations nest lazily, nothing collects.
+    * The oracle unrolls the supersteps as chained CTEs (q88 replay
+    * stance).
+    */
+  def hits(edges: DataFrame, iters: Int = 3, k: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 10, "hits: iters out of range")
+    var h: DataFrame = edges.select(col("src")).distinct()
+      .select(col("src"), lit(1L).cast("decimal(38,0)").as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = edges.join(h, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      h = edges.join(a, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+    }
+    val ma = a.agg(max(col("a")).as("m"))
+    val mh = h.agg(max(col("h")).as("m"))
+    val auth = a.crossJoin(broadcast(ma))
+      .orderBy(col("a").desc, col("dst")).limit(k)
+      .select(lit("s").as("node_type"),
+        expr("CAST(dst DIV 2 AS BIGINT)").as("node_id"),
+        expr("CAST((a * 1000000) DIV m AS BIGINT)").as("score_ppm"))
+    val hubs = h.crossJoin(broadcast(mh))
+      .orderBy(col("h").desc, col("src")).limit(k)
+      .select(lit("c").as("node_type"),
+        expr("CAST(src DIV 2 AS BIGINT)").as("node_id"),
+        expr("CAST((h * 1000000) DIV m AS BIGINT)").as("score_ppm"))
+    auth.unionByName(hubs)
+      .orderBy(col("node_type"), col("score_ppm").desc, col("node_id"))
+  }
+
+  /** Oracle SQL twin of [[hits]] over [[custSuppEdges]] — unrolled
+    * supersteps in HUGEINT, identical max-normalized floor-div ppm. */
+  def hitsOracle(iters: Int = 3, k: Int = 10): String = {
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT e0.dst, sum(h${i - 1}.h) AS a
+         |  FROM e0 JOIN h${i - 1} ON e0.src = h${i - 1}.src GROUP BY 1
+         |), h$i AS (
+         |  SELECT e0.src, sum(a$i.a) AS h
+         |  FROM e0 JOIN a$i ON e0.dst = a$i.dst GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |),
+       |h0 AS (SELECT DISTINCT src, 1::HUGEINT AS h FROM e0),
+       |$steps,
+       |ma AS (SELECT max(a) AS m FROM a$iters),
+       |mh AS (SELECT max(h) AS m FROM h$iters)
+       |SELECT node_type, node_id, score_ppm FROM (
+       |  SELECT 's' AS node_type, dst // 2 AS node_id,
+       |    CAST((a * 1000000) // ma.m AS BIGINT) AS score_ppm
+       |  FROM a$iters, ma ORDER BY a DESC, dst LIMIT $k
+       |) s
+       |UNION ALL
+       |SELECT node_type, node_id, score_ppm FROM (
+       |  SELECT 'c' AS node_type, src // 2 AS node_id,
+       |    CAST((h * 1000000) // mh.m AS BIGINT) AS score_ppm
+       |  FROM h$iters, mh ORDER BY h DESC, src LIMIT $k
+       |) c
+       |ORDER BY node_type, score_ppm DESC, node_id""".stripMargin
+  }
+
   /** [[repeatCopurchaseEdges]] WITH the repeat weight kept — the input
     * the weighted graph operators ([[labelPropagation]], [[sssp]])
     * consume. Same per-order-local pair generation, one map-side

@@ -2601,6 +2601,68 @@ object TextOps {
        |FROM m ORDER BY lang""".stripMargin
   }
 
+  /** q282: tokenizer compression ratio per language — bytes per
+    * whitespace token and bytes per BPE-regex token, the budgeting
+    * numbers a pretraining mix is planned in ("this corpus is N
+    * tokens" is meaningless without bytes/token per language; CJK and
+    * morphology-rich languages diverge 2–4× from English). Reported
+    * as exact ppm ratios ([[graft.functions.DetAgg.halfUpDiv]]) over
+    * corpus-total byte and token masses — pooled, not per-doc-mean,
+    * so big documents weigh what they cost.
+    *
+    * Scale shape: one row-local projection (octet_length + two token
+    * counts per document) and one map-side-combined groupBy to
+    * |langs| rows — the cheapest possible full-corpus scan shape.
+    */
+  def bytesPerToken(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val ws = size(graft.functions.TextFunctions.tokens(col("text")))
+    val re = size(filter(
+      split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+    docs.select(col("lang"),
+        octet_length(col("text")).cast("long").as("nb"),
+        ws.cast("long").as("nw"), re.cast("long").as("nr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("n_bytes"),
+        sum(col("nw")).as("n_ws_tokens"),
+        sum(col("nr")).as("n_re_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_bytes"),
+        col("n_ws_tokens"), col("n_re_tokens"),
+        halfUpDiv(col("n_bytes") * 1000000L, col("n_ws_tokens"))
+          .as("bytes_per_ws_ppm"),
+        halfUpDiv(col("n_bytes") * 1000000L, col("n_re_tokens"))
+          .as("bytes_per_re_ppm"))
+      .orderBy("lang")
+  }
+
+  /** Oracle SQL twin of [[bytesPerToken]] — `strlen` is DuckDB's
+    * byte length (its `octet_length` is BLOB-only); the regex token
+    * count is the q41 unnest-and-drop-empties twin (no lambdas in
+    * DuckDB-1.0 oracle SQL). */
+  def bytesPerTokenOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH b AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws
+       |  FROM documents GROUP BY 1
+       |), r AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_re FROM (
+       |    SELECT lang, unnest(string_split_regex(lower(text),
+       |      '[^a-z0-9]+')) AS tok
+       |    FROM documents) t
+       |  WHERE tok <> '' GROUP BY 1
+       |)
+       |SELECT b.lang, b.n_docs, b.n_bytes,
+       |  b.n_ws AS n_ws_tokens, r.n_re AS n_re_tokens,
+       |  ${halfUpDivSql("b.n_bytes * 1000000", "b.n_ws")}
+       |    AS bytes_per_ws_ppm,
+       |  ${halfUpDivSql("b.n_bytes * 1000000", "r.n_re")}
+       |    AS bytes_per_re_ppm
+       |FROM b JOIN r ON r.lang = b.lang ORDER BY 1""".stripMargin
+  }
+
   /** Oracle SQL twin of [[zipfCurve]]. */
   def zipfCurveOracle(k: Int = 50): String = {
     import graft.functions.DetAgg.halfUpDivSql

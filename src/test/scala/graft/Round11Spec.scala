@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.{DedupOp, EventOps, GraphOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-11 block: dup-graph transitivity on a
+  * triangle-plus-chain, Cochran's Q on hand-built detector frames,
+  * HITS on a 2×2 bipartite graph (hand-unrolled power iteration),
+  * Nelson–Aalen hazards on a crafted survival frame, and byte/token
+  * ratios on ASCII documents.
+  */
+class Round11Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("dupTransitivity: triangle scores 750k ppm against 4 wedges") {
+    // triangle {1,2,3} + chain 4-5-6: wedges = Σ C(deg,2) = 3·1 + 1 = 4,
+    // triangles = 1 → transitivity = 3/4.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (5L, 6L))
+      .toDF("da", "db")
+    val r = DedupOp.dupTransitivity(pairs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_nodes") === 6L)
+    assert(row.getAs[Long]("n_edges") === 5L)
+    assert(row.getAs[Long]("n_wedges") === 4L)
+    assert(row.getAs[Long]("n_triangles") === 1L)
+    assert(row.getAs[Long]("transitivity_ppm") === 750000L)
+  }
+
+  test("dupTransitivity: pure chain has zero triangles, null-free zero ppm") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val row = DedupOp.dupTransitivity(pairs).collect().head
+    assert(row.getAs[Long]("n_wedges") === 1L)
+    assert(row.getAs[Long]("n_triangles") === 0L)
+    assert(row.getAs[Long]("transitivity_ppm") === 0L)
+  }
+
+  test("cochranQ: hand-computed 3-detector disagreement") {
+    // union pairs: (1,2) all three; (1,3) mh+ex; (2,3) mh; (4,5) sh.
+    // C = (3,2,2), N = 7, ΣC² = 17, ΣR² = 9+4+1+1 = 15.
+    // q_num = 2(3·17 − 49) = 4; q_den = 21 − 15 = 6; ppm = 666667.
+    val mh = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("da", "db")
+    val sh = Seq((1L, 2L), (4L, 5L)).toDF("da", "db")
+    val ex = Seq((1L, 2L), (1L, 3L)).toDF("da", "db")
+    val row = DedupOp.cochranQFromPairs(mh, sh, ex).collect().head
+    assert(row.getAs[Long]("n_pairs") === 4L)
+    assert(row.getAs[Long]("n_all3") === 1L)
+    assert(row.getAs[Long]("c_minhash") === 3L)
+    assert(row.getAs[Long]("c_simhash") === 2L)
+    assert(row.getAs[Long]("c_exact") === 2L)
+    assert(row.getAs[Long]("q_num") === 4L)
+    assert(row.getAs[Long]("q_den") === 6L)
+    assert(row.getAs[Long]("q_ppm") === 666667L)
+  }
+
+  test("cochranQ: unanimous detectors give Q = 0 with null ppm (den 0)") {
+    val p = Seq((1L, 2L), (3L, 4L)).toDF("da", "db")
+    val row = DedupOp.cochranQFromPairs(p, p, p).collect().head
+    assert(row.getAs[Long]("q_num") === 0L)
+    assert(row.getAs[Long]("q_den") === 0L)
+    assert(row.isNullAt(row.fieldIndex("q_ppm")))
+  }
+
+  test("hits: 2x2 bipartite power iteration, hand-unrolled 3 rounds") {
+    // c1(2)→s1(3), c1→s2(5), c2(4)→s1. Unrolled: a3 = (13, 8),
+    // h3 = (21, 13) → authority ppm (1e6, 615384), hub ppm (1e6, 619047).
+    val edges = Seq((2L, 3L), (2L, 5L), (4L, 3L)).toDF("src", "dst")
+    val rows = GraphOps.hits(edges).collect()
+    assert(rows.length === 4)
+    val byKey = rows.map(r => (r.getAs[String]("node_type"),
+      r.getAs[Long]("node_id")) -> r.getAs[Long]("score_ppm")).toMap
+    assert(byKey(("s", 1L)) === 1000000L)
+    assert(byKey(("s", 2L)) === 615384L) // 8e6 DIV 13
+    assert(byKey(("c", 1L)) === 1000000L)
+    assert(byKey(("c", 2L)) === 619047L) // 13e6 DIV 21
+    // presentation order: node_type asc, score desc, id asc
+    assert(rows.map(_.getAs[String]("node_type")).toSeq
+      === Seq("c", "c", "s", "s"))
+  }
+
+  test("nelsonAalen: hazards are per-step exact ppb and cumulative") {
+    // u1 repurchases after 2h (death), then censored 2h before corpus
+    // end; u2 censored at 4h. t=2: n=3, d=1 → 1e9/3; t=4: n=1, d=0.
+    val df = Seq(
+      (1L, 10L, ts(0), "purchase", 1.0),
+      (1L, 11L, ts(2 * 3600L), "purchase", 1.0),
+      (2L, 12L, ts(0), "purchase", 1.0),
+      (9L, 13L, ts(4 * 3600L), "view", 0.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val rows = EventOps.nelsonAalen(df).collect()
+    assert(rows.length === 2)
+    val r2 = rows(0)
+    assert(r2.getAs[Long]("t_hours") === 2L)
+    assert(r2.getAs[Long]("n_risk") === 3L)
+    assert(r2.getAs[Long]("n_deaths") === 1L)
+    assert(r2.getAs[Long]("n_censored") === 1L)
+    assert(r2.getAs[Long]("h_ppb") === 333333333L)
+    assert(r2.getAs[Long]("hcum_ppb") === 333333333L)
+    val r4 = rows(1)
+    assert(r4.getAs[Long]("t_hours") === 4L)
+    assert(r4.getAs[Long]("n_risk") === 1L)
+    assert(r4.getAs[Long]("n_deaths") === 0L)
+    assert(r4.getAs[Long]("h_ppb") === 0L)
+    assert(r4.getAs[Long]("hcum_ppb") === 333333333L)
+  }
+
+  test("bytesPerToken: pooled byte and token masses per language") {
+    // "ab cd": 5 bytes, 2 ws, 2 re; "x!y": 3 bytes, 1 ws, 2 re.
+    val docs = Seq(("en", "ab cd"), ("en", "x!y"), ("de", "foo"))
+      .toDF("lang", "text")
+    val rows = TextOps.bytesPerToken(docs).collect()
+    assert(rows.length === 2)
+    val en = rows.find(_.getAs[String]("lang") == "en").get
+    assert(en.getAs[Long]("n_docs") === 2L)
+    assert(en.getAs[Long]("n_bytes") === 8L)
+    assert(en.getAs[Long]("n_ws_tokens") === 3L)
+    assert(en.getAs[Long]("n_re_tokens") === 4L)
+    assert(en.getAs[Long]("bytes_per_ws_ppm") === 2666667L)
+    assert(en.getAs[Long]("bytes_per_re_ppm") === 2000000L)
+    val de = rows.find(_.getAs[String]("lang") == "de").get
+    assert(de.getAs[Long]("bytes_per_ws_ppm") === 3000000L)
+  }
+}
