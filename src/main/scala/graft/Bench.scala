@@ -26,6 +26,12 @@ object Bench {
       // timings well past RunOne steady state. Cap retention to the
       // few most recent and let the context cleaner reclaim shuffle/
       // broadcast state on a cadence shorter than the sweep.
+      // 285 queries × ~10 codegen stages churn the 100-entry janino
+      // class cache, so deep in the sweep every timed pass recompiles
+      // its WholeStageCodegen classes that RunOne-in-isolation reuses —
+      // a structural in-suite-only penalty (the recurring q156
+      // inflation). Size the cache to hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.sql.ui.retainedExecutions", "15")
       .config("spark.ui.retainedJobs", "50")
       .config("spark.ui.retainedStages", "100")

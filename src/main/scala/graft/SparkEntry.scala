@@ -1593,6 +1593,26 @@ object SparkEntry {
     // (q246's additive sibling) - fully relational, no driver fold.
     "q285_nelson_aalen" -> ((s, d) =>
       EventOps.nelsonAalen(Tables.events(s, d))),
+
+    // LSH (r, b) parameter planner: expected banded detection
+    // probability per setting, evaluated at the corpus's own verified
+    // pair similarities via an exact integer squaring ladder.
+    "q286_lsh_planner" -> ((s, d) =>
+      DedupOp.lshBandPlanner(DedupOp.ngramJaccardTable(
+        Tables.documents(s, d), "/tmp/graft_warehouse",
+        inputTag = Some(d)))),
+
+    // Language purity of near-dup clusters (CC over the write-once
+    // pair layout): can the dedup tier shard by language?
+    "q287_cluster_purity" -> ((s, d) =>
+      DedupOp.clusterLangPurityFromPairs(Tables.documents(s, d),
+        DedupOp.ngramJaccardTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
+
+    // Winnowing fingerprint density per source vs the 2/(win+1) MOSS
+    // theory - the fingerprint-index storage planner.
+    "q288_winnow_density" -> ((s, d) =>
+      TextOps.winnowDensity(Tables.documents(s, d))),
   )
 
   /** Build every session write-once layout for `d` up front — the
@@ -2362,5 +2382,8 @@ object SparkEntry {
     "q283_cochran_q" -> DedupOp.cochranQOracle(),
     "q284_hits" -> GraphOps.hitsOracle(),
     "q285_nelson_aalen" -> EventOps.nelsonAalenOracle(),
+    "q286_lsh_planner" -> DedupOp.lshBandPlannerOracle(),
+    "q287_cluster_purity" -> DedupOp.clusterLangPurityOracle(),
+    "q288_winnow_density" -> TextOps.winnowDensityOracle(),
   )
 }

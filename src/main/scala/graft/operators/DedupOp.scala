@@ -2558,7 +2558,7 @@ object DedupOp {
        |  FROM shc a JOIN shc b ON a.hx = b.hx AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |), ndp AS (
-       |  SELECT da, db FROM (
+       |  SELECT da, db, jaccard FROM (
        |    SELECT i.da, i.db,
        |      ${graft.functions.DetAgg.ratioSql("i.inter",
               "sa.n + sb.n - i.inter")} AS jaccard
@@ -2642,6 +2642,170 @@ object DedupOp {
        |    ${halfUpDivHugeSql("CAST(tri.t AS HUGEINT) * 6000000", "wg.w2")}
        |  END AS transitivity_ppm
        |FROM wg, tri""".stripMargin
+  }
+
+  /** q286: MinHash-LSH (bands, rows) parameter planner — for each
+    * candidate (r, b) setting, the expected banded-LSH detection
+    * probability 1−(1−sʳ)ᵇ evaluated AT THE CORPUS'S OWN verified
+    * near-dup pairs (their exact stored jaccard), rolled up to the
+    * expected recall and the count of at-risk pairs (detect < 0.9).
+    * This turns the textbook S-curve into the operational question —
+    * "on THIS corpus's similarity distribution, which (r, b) do I
+    * run?" — without re-running the detector per setting (q160
+    * measures ONE calibration; this plans the sweep).
+    *
+    * The power ladder is EXACT integer arithmetic: s at ppm scale,
+    * each square through [[graft.functions.DetAgg.halfUpDiv]] by 10⁶
+    * — a fixed rounding composition both engines reproduce bit-for-bit
+    * (no libm pow). r and b are powers of two so every power is a
+    * chain of squarings (r ∈ {2,4,8}, b ∈ {4,8,16}).
+    *
+    * Scale shape: one narrow scan of the write-once pair layout, all
+    * ladders row-local, one map-side-combined aggregate; the arm
+    * table is 5 literal rows.
+    */
+  def lshBandPlanner(pairs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val M = lit(1000000L)
+    def sq(c: Column): Column = halfUpDiv(c * c, M)
+    val base = pairs
+      .select((round(col("jaccard") * 10000).cast("long") * 100L).as("s6"))
+      .withColumn("p2", sq(col("s6")))
+      .withColumn("p4", sq(col("p2")))
+      .withColumn("p8", sq(col("p4")))
+      .withColumn("m2", M - col("p2"))
+      .withColumn("m4", M - col("p4"))
+      .withColumn("m8", M - col("p8"))
+      .withColumn("m2_4", sq(sq(col("m2"))))
+      .withColumn("m2_16", sq(sq(col("m2_4"))))
+      .withColumn("m4_4", sq(sq(col("m4"))))
+      .withColumn("m4_8", sq(col("m4_4")))
+      .withColumn("m4_16", sq(col("m4_8")))
+      .withColumn("m8_4", sq(sq(col("m8"))))
+      .withColumn("m8_8", sq(col("m8_4")))
+    val arms = Seq(("m2_16", 2L, 16L), ("m4_8", 4L, 8L),
+      ("m4_16", 4L, 16L), ("m8_4", 8L, 4L), ("m8_8", 8L, 8L))
+    val agg = base.agg(count(lit(1)).as("n"),
+      arms.flatMap { case (c, rr, bb) =>
+        Seq(sum(M - col(c)).as(s"s_${rr}_$bb"),
+          sum(when(M - col(c) < 900000L, 1L).otherwise(0L))
+            .as(s"w_${rr}_$bb"))
+      }: _*)
+    arms.map { case (_, rr, bb) =>
+      agg.select(lit(rr).as("r"), lit(bb).as("b"),
+        col("n").as("n_pairs"),
+        halfUpDiv(col(s"s_${rr}_$bb"), col("n")).as("mean_detect_ppm"),
+        col(s"w_${rr}_$bb").as("n_weak"))
+    }.reduce(_ unionByName _).orderBy("r", "b")
+  }
+
+  /** Oracle SQL twin of [[lshBandPlanner]] — the identical halfUp
+    * squaring ladder as chained CTE stages over the re-derived exact
+    * pairs. */
+  def lshBandPlannerOracle(minJaccard: Double = 0.5,
+                           maxDf: Int = MaxShingleDf): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    def sq(e: String) = halfUpDivSql(s"($e) * ($e)", "1000000")
+    val arms = Seq((2, 16, "m2_16"), (4, 8, "m4_8"), (4, 16, "m4_16"),
+      (8, 4, "m8_4"), (8, 8, "m8_8"))
+    val armSelects = arms.map { case (rr, bb, c) =>
+      s"""SELECT CAST($rr AS BIGINT) AS r, CAST($bb AS BIGINT) AS b,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lad4) AS n_pairs,
+         |  ${halfUpDivSql(s"sum(1000000 - $c)", "count(*)")}
+         |    AS mean_detect_ppm,
+         |  CAST(sum(CASE WHEN 1000000 - $c < 900000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_weak
+         |FROM lad4""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${shingleCte()},
+       |${exactPairCtes(minJaccard, maxDf)},
+       |l0 AS (
+       |  SELECT CAST(round(jaccard * 10000) AS BIGINT) * 100 AS s6
+       |  FROM ndp
+       |), l1 AS (
+       |  SELECT s6, ${sq("s6")} AS p2 FROM l0
+       |), l2 AS (
+       |  SELECT p2, ${sq("p2")} AS p4 FROM l1
+       |), l3 AS (
+       |  SELECT 1000000 - p2 AS m2, 1000000 - p4 AS m4,
+       |    1000000 - ${sq("p4")} AS m8x FROM l2
+       |), lad1 AS (
+       |  SELECT ${sq(sq("m2"))} AS m2_4, ${sq(sq("m4"))} AS m4_4,
+       |    ${sq(sq("m8x"))} AS m8_4 FROM l3
+       |), lad2 AS (
+       |  SELECT m2_4, m4_4, m8_4,
+       |    ${sq("m4_4")} AS m4_8, ${sq("m8_4")} AS m8_8 FROM lad1
+       |), lad4 AS (
+       |  SELECT ${sq(sq("m2_4"))} AS m2_16, m4_8, ${sq("m4_8")} AS m4_16,
+       |    m8_4, m8_8 FROM lad2
+       |)
+       |SELECT r, b, n_pairs, mean_detect_ppm, n_weak FROM (
+       |$armSelects
+       |) u ORDER BY r, b""".stripMargin
+  }
+
+  /** q287: language purity of near-dup clusters — connected components
+    * over the verified pair graph, each cluster scored by the share of
+    * its majority language, rolled up to the purity-decile histogram
+    * (decile 10 = monolingual clusters). The routing answer dedup
+    * sharding needs: purity ≈ 1 means near-dups never cross languages
+    * and the whole dedup tier can shard BY LANGUAGE with zero
+    * cross-shard pair generation (the per-language sibling of q200's
+    * per-source question); low purity flags translation mirrors /
+    * boilerplate that document-level language filters will misroute.
+    *
+    * Scale shape: [[keepSet]] over the (already blocked+verified) pair
+    * graph, one narrow (id → lang) join, two map-side-combined rollups
+    * bounded by dup-cluster membership; histogram is ≤ 11 rows.
+    */
+  def clusterLangPurityFromPairs(docs: DataFrame,
+                                 pairs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val roots = keepSet(pairs.select(col("da"), col("db")))
+    val perRootLang = roots
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .groupBy(col("root"), col("lang")).agg(count(lit(1)).as("c"))
+    perRootLang.groupBy(col("root"))
+      .agg(sum(col("c")).as("sz"), max(col("c")).as("mx"),
+        count(lit(1)).as("nl"))
+      .select(col("sz"), col("nl"),
+        halfUpDiv(col("mx") * 1000000L, col("sz")).as("purity_ppm"))
+      .select(expr("CAST((purity_ppm * 10) DIV 1000000 AS BIGINT)")
+          .as("purity_decile"),
+        col("sz"), col("nl"))
+      .groupBy(col("purity_decile"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+        sum(when(col("nl") === 1L, 1L).otherwise(0L)).as("n_monolingual"))
+      .orderBy("purity_decile")
+  }
+
+  /** Oracle SQL twin of [[clusterLangPurityFromPairs]] — recursive-CTE
+    * components over the independently re-derived pairs. */
+  def clusterLangPurityOracle(minJaccard: Double = 0.5,
+                              maxDf: Int = MaxShingleDf): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH RECURSIVE ${shingleCte()},
+       |${pairGraphRootsCtes(minJaccard, maxDf)},
+       |cs AS (
+       |  SELECT r.root, d.lang, CAST(count(*) AS BIGINT) AS c
+       |  FROM roots r JOIN documents d ON d.doc_id = r.id
+       |  GROUP BY 1, 2
+       |), cr AS (
+       |  SELECT root, CAST(sum(c) AS BIGINT) AS sz,
+       |    CAST(max(c) AS BIGINT) AS mx,
+       |    CAST(count(*) AS BIGINT) AS nl
+       |  FROM cs GROUP BY 1
+       |), pu AS (
+       |  SELECT sz, nl,
+       |    ${halfUpDivSql("mx * 1000000", "sz")} AS purity_ppm
+       |  FROM cr
+       |)
+       |SELECT (purity_ppm * 10) // 1000000 AS purity_decile,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN nl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_monolingual
+       |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** q283: Cochran's Q across ALL THREE near-dup detectors —

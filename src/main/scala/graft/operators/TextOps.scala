@@ -647,6 +647,60 @@ object TextOps {
        |FROM fp GROUP BY 1 HAVING count(*) >= $minDf
        |ORDER BY df DESC, mh""".stripMargin
 
+  /** q288: winnowing fingerprint-density audit per source — retained
+    * fingerprints over full shingle windows, against the MOSS
+    * theoretical density 2/(win+1) (400 000 ppm at win = 4). The
+    * storage-planning number for a fingerprint index (q52's
+    * operational sibling): density far BELOW theory means heavy
+    * intra-document repetition (one minimum survives many windows —
+    * boilerplate), above-theory is impossible, and the per-source
+    * spread says which crawl slices will blow up the q79 shared-
+    * fingerprint index.
+    *
+    * Scale shape: the [[winnowingFingerprints]] stream (narrow
+    * Generate + one per-doc window pass), one per-doc rollup, one
+    * narrow (doc → source) join, one map-side-combined rollup to
+    * |sources| rows.
+    */
+  def winnowDensity(docs: DataFrame, w: Int = 3,
+                    win: Int = 4): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val perDoc = winnowStream(docs, w, win)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), countDistinct(col("mh")).as("nf"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("nw"), lit(0L))).as("n_windows"),
+        sum(coalesce(col("nf"), lit(0L))).as("n_fp"))
+      .select(col("source"), col("n_docs"), col("n_windows"), col("n_fp"),
+        when(col("n_windows") > 0L,
+          halfUpDiv(col("n_fp") * 1000000L, col("n_windows")))
+          .as("density_ppm"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[winnowDensity]]. */
+  def winnowDensityOracle(w: Int = 3, win: Int = 4): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH ${winnowCtes(w, win)},
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+       |    CAST(count(DISTINCT mh) AS BIGINT) AS nf
+       |  FROM m WHERE pos >= $win GROUP BY 1
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(coalesce(pd.nw, 0)) AS BIGINT) AS n_windows,
+       |  CAST(sum(coalesce(pd.nf, 0)) AS BIGINT) AS n_fp,
+       |  CASE WHEN sum(coalesce(pd.nw, 0)) > 0 THEN
+       |    ${halfUpDivSql("sum(coalesce(pd.nf, 0)) * 1000000",
+                           "sum(coalesce(pd.nw, 0))")}
+       |  END AS density_ppm
+       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Fixed-size token chunking with stride — the training-data prep
     * step that turns documents into model-sized sequences. Chunk i
     * covers tokens [i·stride, i·stride + chunk); starts run while they

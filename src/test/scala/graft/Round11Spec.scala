@@ -106,6 +106,55 @@ class Round11Spec extends SparkSuite {
     assert(r4.getAs[Long]("hcum_ppb") === 333333333L)
   }
 
+  test("lshBandPlanner: exact pairs detect with certainty, s=0.5 ladder") {
+    // jaccard 1.0: s^r = 1 → detect = 1e6 for every arm.
+    val sure = Seq((1L, 2L, 1.0), (3L, 4L, 1.0)).toDF("da", "db", "jaccard")
+    val r1 = DedupOp.lshBandPlanner(sure).collect()
+    assert(r1.length === 5)
+    assert(r1.forall(_.getAs[Long]("mean_detect_ppm") === 1000000L))
+    assert(r1.forall(_.getAs[Long]("n_weak") === 0L))
+    // jaccard 0.5, arm (r=8, b=4): p8 = 3906 ppm, (1−p8)^4 ladder →
+    // 992203 → 984467, detect = 15533 (hand-computed halfUp chain).
+    val half = Seq((1L, 2L, 0.5)).toDF("da", "db", "jaccard")
+    val r2 = DedupOp.lshBandPlanner(half).collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("b")) -> r).toMap
+    val arm84 = r2((8L, 4L))
+    assert(arm84.getAs[Long]("n_pairs") === 1L)
+    assert(arm84.getAs[Long]("mean_detect_ppm") === 15533L)
+    assert(arm84.getAs[Long]("n_weak") === 1L)
+  }
+
+  test("clusterLangPurity: mixed cluster lands in decile 6, pure in 10") {
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"),
+      (5L, "fr"), (9L, "xx")).toDF("doc_id", "lang")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("da", "db")
+    val rows = DedupOp.clusterLangPurityFromPairs(docs, pairs).collect()
+      .map(r => r.getAs[Long]("purity_decile") -> r).toMap
+    // {1,2,3}: purity 2/3 → 666667 ppm → decile 6, 2 langs
+    assert(rows(6L).getAs[Long]("n_clusters") === 1L)
+    assert(rows(6L).getAs[Long]("n_docs") === 3L)
+    assert(rows(6L).getAs[Long]("n_monolingual") === 0L)
+    // {4,5}: monolingual → decile 10
+    assert(rows(10L).getAs[Long]("n_clusters") === 1L)
+    assert(rows(10L).getAs[Long]("n_docs") === 2L)
+    assert(rows(10L).getAs[Long]("n_monolingual") === 1L)
+    assert(rows.size === 2) // doc 9 is not in the pair graph
+  }
+
+  test("winnowDensity: repeated-token doc collapses to one fingerprint") {
+    // "a a a a a a a a": 6 identical shingles → 3 full windows, 1 fp;
+    // "x y z": one shingle, no full window → counted doc, 0 windows.
+    val docs = Seq((1L, "s1", "a a a a a a a a"), (2L, "s1", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val rows = TextOps.winnowDensity(docs).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("n_windows") === 3L)
+    assert(r.getAs[Long]("n_fp") === 1L)
+    assert(r.getAs[Long]("density_ppm") === 333333L)
+  }
+
   test("bytesPerToken: pooled byte and token masses per language") {
     // "ab cd": 5 bytes, 2 ws, 2 re; "x!y": 3 bytes, 1 ws, 2 re.
     val docs = Seq(("en", "ab cd"), ("en", "x!y"), ("de", "foo"))
