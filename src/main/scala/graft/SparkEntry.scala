@@ -1613,6 +1613,29 @@ object SparkEntry {
     // theory - the fingerprint-index storage planner.
     "q288_winnow_density" -> ((s, d) =>
       TextOps.winnowDensity(Tables.documents(s, d))),
+
+    // Percolation curve: component structure of the near-dup graph as
+    // the jaccard threshold sweeps - where does CC dedup start gluing
+    // a giant component? Off the write-once pair layout.
+    "q289_percolation" -> ((s, d) =>
+      DedupOp.percolationCurve(DedupOp.ngramJaccardTable(
+        Tables.documents(s, d), "/tmp/graft_warehouse",
+        inputTag = Some(d)))),
+
+    // SimHash per-bit bias audit: each signature bit should be ~50%
+    // set; stuck bits shrink the effective signature.
+    "q290_simhash_bits" -> ((s, d) =>
+      DedupOp.simhashBitBias(Tables.documents(s, d))),
+
+    // Hapax legomena + type-token ratio per source - the
+    // lexical-richness routing profile.
+    "q291_hapax" -> ((s, d) =>
+      TextOps.hapaxBySource(Tables.documents(s, d))),
+
+    // Embedding norm-octave histogram per label (exact e6 integer
+    // norms, codegen kernel) - the pre-ANN normalization audit.
+    "q292_norm_octaves" -> ((s, d) =>
+      SimilarityOp.normOctaves(Tables.embeddings(s, d))),
   )
 
   /** Build every session write-once layout for `d` up front — the
@@ -2385,5 +2408,9 @@ object SparkEntry {
     "q286_lsh_planner" -> DedupOp.lshBandPlannerOracle(),
     "q287_cluster_purity" -> DedupOp.clusterLangPurityOracle(),
     "q288_winnow_density" -> TextOps.winnowDensityOracle(),
+    "q289_percolation" -> DedupOp.percolationCurveOracle(),
+    "q290_simhash_bits" -> DedupOp.simhashBitBiasOracle,
+    "q291_hapax" -> TextOps.hapaxBySourceOracle,
+    "q292_norm_octaves" -> SimilarityOp.normOctavesOracle(),
   )
 }

@@ -755,7 +755,11 @@ object DedupOp {
     * paired-detector test). CTE names are sim-prefixed so the chain
     * coexists with [[minhashPairCtes]] in one WITH. ONE definition
     * with [[simhashOracle]]. */
-  private[operators] def simhashPairCtes(maxHamming: Int): String = {
+  /** The signature prefix of [[simhashPairCtes]] — CTEs ending in
+    * `smsigs(doc_id, simhash)`, composable on their own (q290's
+    * per-bit bias audit consumes signatures without the band/pair
+    * stages). */
+  private[operators] def simhashSigCtes: String = {
     val permRows = (0 until SimBits)
       .map(b => s"($b, ${permA(SimPermOffset + b)}::BIGINT, " +
         s"${permB(SimPermOffset + b)}::BIGINT)")
@@ -774,7 +778,12 @@ object DedupOp {
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM smbits GROUP BY 1
-       |), smband AS (
+       |)""".stripMargin
+  }
+
+  private[operators] def simhashPairCtes(maxHamming: Int): String = {
+    s"""$simhashSigCtes,
+       |smband AS (
        |  SELECT doc_id, simhash, j.j,
        |    (simhash >> ($SimBandBits * j.j)) & ${(1L << SimBandBits) - 1L} AS nib
        |  FROM smsigs, range($SimBands) j(j)
@@ -2806,6 +2815,145 @@ object DedupOp {
        |  CAST(sum(CASE WHEN nl = 1 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_monolingual
        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q289: percolation curve of the near-dup graph — component
+    * structure of the verified pair graph as the jaccard threshold
+    * sweeps {0.5, 0.6, 0.7, 0.8}: edges, nodes-in-graph, component
+    * count, giant-component size and share. THE chaining-risk curve:
+    * q281's transitivity says whether clusters are clique-like at one
+    * threshold; this locates the threshold where components merge into
+    * a giant blob (percolate) and CC-based keep-one-per-component
+    * dedup starts destroying distinct documents wholesale. A corpus
+    * owner reads the giant-share column and picks the threshold one
+    * step above the jump.
+    *
+    * Scale shape: each arm filters the (already blocked+verified)
+    * write-once pair layout — monotonically SHRINKING frames — and
+    * runs [[keepSet]] (driver union-find under the documented edge
+    * limit, large-star/small-star beyond). The 4-decimal stored
+    * jaccard compares exactly against the 2-decimal literal in both
+    * engines (identical doubles).
+    */
+  def percolationCurve(pairs: DataFrame,
+                       thresholds: Seq[Int] = Seq(50, 60, 70, 80)): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val p = pairs.select(col("da"), col("db"), col("jaccard")).persist()
+    try {
+      thresholds.map { t =>
+        val e = p.where(col("jaccard") >= lit(t / 100.0))
+          .select(col("da"), col("db"))
+        val comp = keepSet(e).groupBy(col("root"))
+          .agg(count(lit(1)).as("sz"))
+        val agg = comp.agg(count(lit(1)).as("n_components"),
+          coalesce(max(col("sz")), lit(0L)).as("max_comp"),
+          coalesce(sum(col("sz")), lit(0L)).as("n_nodes"))
+        val ne = e.agg(count(lit(1)).as("n_edges"))
+        agg.crossJoin(ne).select(lit(t.toLong).as("threshold_pct"),
+          col("n_edges"), col("n_nodes"), col("n_components"),
+          col("max_comp"),
+          when(col("n_nodes") > 0L,
+            halfUpDiv(col("max_comp") * 1000000L, col("n_nodes")))
+            .as("giant_share_ppm"))
+      }.reduce(_ unionByName _).orderBy("threshold_pct")
+    } finally { p.unpersist(); () }
+  }
+
+  /** Oracle SQL twin of [[percolationCurve]] — one recursive-CC chain
+    * per threshold (suffixed CTE names), all over the re-derived exact
+    * pairs. */
+  def percolationCurveOracle(minJaccard: Double = 0.5,
+                             maxDf: Int = MaxShingleDf,
+                             thresholds: Seq[Int] = Seq(50, 60, 70, 80)): String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    val arms = thresholds.map { t =>
+      s"""e$t AS (SELECT da, db FROM ndp WHERE jaccard >= ${t / 100.0}),
+         |ed$t AS (
+         |  SELECT da AS s, db AS d FROM e$t
+         |  UNION ALL SELECT db, da FROM e$t
+         |), nd$t AS (SELECT DISTINCT s AS id FROM ed$t),
+         |reach$t(id, r) AS (
+         |  SELECT id, id FROM nd$t
+         |  UNION
+         |  SELECT e.d, r.r FROM reach$t r JOIN ed$t e ON e.s = r.id
+         |), roots$t AS (
+         |  SELECT id, min(r) AS root FROM reach$t GROUP BY 1
+         |), comp$t AS (
+         |  SELECT root, CAST(count(*) AS BIGINT) AS sz
+         |  FROM roots$t GROUP BY 1
+         |), row$t AS (
+         |  SELECT CAST($t AS BIGINT) AS threshold_pct,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM e$t) AS n_edges,
+         |    CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_nodes,
+         |    CAST(count(*) AS BIGINT) AS n_components,
+         |    CAST(coalesce(max(sz), 0) AS BIGINT) AS max_comp
+         |  FROM comp$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = thresholds.map(t => s"SELECT * FROM row$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE ${shingleCte()},
+       |${exactPairCtes(minJaccard, maxDf)},
+       |$arms
+       |SELECT threshold_pct, n_edges, n_nodes, n_components, max_comp,
+       |  CASE WHEN n_nodes > 0 THEN
+       |    ${halfUpDivSql("max_comp * 1000000", "n_nodes")}
+       |  END AS giant_share_ppm
+       |FROM ($union) u ORDER BY threshold_pct""".stripMargin
+  }
+
+  /** q290: SimHash per-bit bias audit — the detector-health check the
+    * whole bit-signature tier stands on: each of the 60 signature bits
+    * should be set in ~half the corpus (the hyperplane property); a
+    * bit stuck near 0 or 1 carries no information, shrinking the
+    * EFFECTIVE signature and inflating band collision rates past the
+    * q161 calibration's assumptions. Reports per-bit set counts, share
+    * in ppm, and |bias| from 500 000 — sort by bias and look at the
+    * top: the round-3 lesson (signature bits derived from a < 2³⁰ hash
+    * were CONSTANT) is exactly the failure mode this catches
+    * continuously.
+    *
+    * Scale shape: one signature pass (the shared [[simhashSignatures]]
+    * vote aggregate — no per-bit row explosion before the shuffle),
+    * then a 60-row broadcast bit table joined against |docs| rows with
+    * a map-side-combined rollup to 60 rows.
+    */
+  def simhashBitBias(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bits = (0 until SimBits).map(_.toLong).toDF("bit")
+    simhashSignatures(docs)
+      .crossJoin(broadcast(bits))
+      .select(col("bit"),
+        expr("shiftright(simhash, CAST(bit AS INT)) & 1").as("bt"))
+      .groupBy(col("bit"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bt")).as("n_set"))
+      .select(col("bit"), col("n_set"),
+        halfUpDiv(col("n_set") * 1000000L, col("n_docs")).as("share_ppm"),
+        abs(halfUpDiv(col("n_set") * 1000000L, col("n_docs")) - 500000L)
+          .as("bias_ppm"))
+      .orderBy("bit")
+  }
+
+  /** Oracle SQL twin of [[simhashBitBias]] — the [[simhashSigCtes]]
+    * signature chain, bits unrolled via range(SimBits). */
+  def simhashBitBiasOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH $simhashSigCtes,
+       |b AS (
+       |  SELECT j.j AS bit, (simhash >> j.j) & 1 AS bt
+       |  FROM smsigs, range($SimBits) j(j)
+       |), g AS (
+       |  SELECT bit, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(bt) AS BIGINT) AS n_set
+       |  FROM b GROUP BY 1
+       |)
+       |SELECT CAST(bit AS BIGINT) AS bit, n_set,
+       |  ${halfUpDivSql("n_set * 1000000", "n_docs")} AS share_ppm,
+       |  abs(${halfUpDivSql("n_set * 1000000", "n_docs")} - 500000)
+       |    AS bias_ppm
+       |FROM g ORDER BY bit""".stripMargin
   }
 
   /** q283: Cochran's Q across ALL THREE near-dup detectors —

@@ -1056,6 +1056,10 @@ object GraphOps {
       h = edges.join(a, Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
     }
+    // each final frame feeds two consumers (its max + its top-k); an
+    // unpersisted lineage would re-run the whole 2·iters-join chain
+    // per consumer (the kCore multi-reference cache rule)
+    a = a.persist(); h = h.persist()
     val ma = a.agg(max(col("a")).as("m"))
     val mh = h.agg(max(col("h")).as("m"))
     val auth = a.crossJoin(broadcast(ma))

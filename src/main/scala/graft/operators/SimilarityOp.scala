@@ -3634,6 +3634,76 @@ object SimilarityOp {
     } finally pool.unpersist()
   }
 
+  /** q292: embedding norm-octave histogram per label — the
+    * normalization audit an ANN tier runs before trusting cosine or
+    * inner-product search: squared L2 norms (exact e6-scaled integers
+    * via [[graft.functions.IntSqDistExpr]] against the zero vector)
+    * bucketed into power-of-two octaves, per label. A normalized
+    * corpus collapses into one or two octaves; a long tail says raw
+    * and normalized vectors are mixed (IP ranking then conflates
+    * magnitude with similarity and the q50/q92 IVF cell assignment
+    * skews), and a per-label shift says one label's encoder ran with
+    * different preprocessing — none of which q212/q276's
+    * correlation-level audits can see.
+    *
+    * Scale shape: one codegen scan computing the integer norm, one
+    * 51-row broadcast boundary join (the q280 octave stance — no
+    * libm log2), one map-side-combined rollup.
+    */
+  def normOctaves(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    import graft.functions.IntSqDistExpr
+    import graft.functions.DetAgg.halfUpDiv
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val zero = Array.fill(dims)(0.0)
+    val sq = IntSqDistExpr.column(
+      slice(col("embedding").cast("array<double>"), 1, dims),
+      typedLit(zero)).as("sq")
+    val bounds = ((0L, 0L, 2L) +: (1 to 50).map(o =>
+      (o.toLong, 1L << o, 1L << (o + 1)))).toDF("octave", "lo", "hi")
+    embeddings.select(col("label").cast("long").as("label"), sq)
+      .join(broadcast(bounds),
+        col("sq") >= col("lo") && col("sq") < col("hi"))
+      .groupBy(col("label"), col("octave"))
+      // per-vector sq ≤ ~10¹⁵; the per-group MASS can pass 2⁶³ at large
+      // sf, so it sums in DECIMAL(38,0)/HUGEINT (loud, not wrapped)
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sq").cast("decimal(38,0)")).as("sq_mass"))
+      .select(col("label"), col("octave"), col("n_vecs"),
+        halfUpDiv(col("sq_mass"), col("n_vecs").cast("decimal(38,0)"))
+          .as("mean_sq"))
+      .orderBy("label", "octave")
+  }
+
+  /** Oracle SQL twin of [[normOctaves]] — same e6 scaling, octave via
+    * a range join on shifted bounds. */
+  def normOctavesOracle(dims: Int = 64): String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    s"""WITH x AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    CAST(floor(embedding[i.i+1]::DOUBLE * 1000000 + 0.5)
+       |      AS BIGINT) AS x6
+       |  FROM embeddings, range($dims) i(i)
+       |), sqn AS (
+       |  SELECT label, CAST(sum(x6 * x6) AS BIGINT) AS sq
+       |  FROM x GROUP BY vec_id, label
+       |), oct AS (
+       |  SELECT o.o AS octave,
+       |    CASE WHEN o.o = 0 THEN 0 ELSE (1::BIGINT << o.o) END AS lo,
+       |    (1::BIGINT << (o.o + 1)) AS hi
+       |  FROM range(51) o(o)
+       |), g AS (
+       |  SELECT s.label, CAST(b.octave AS BIGINT) AS octave,
+       |    CAST(count(*) AS BIGINT) AS n_vecs,
+       |    sum(CAST(s.sq AS HUGEINT)) AS sq_mass
+       |  FROM sqn s JOIN oct b ON s.sq >= b.lo AND s.sq < b.hi
+       |  GROUP BY 1, 2
+       |)
+       |SELECT label, octave, n_vecs,
+       |  ${halfUpDivHugeSql("sq_mass", "n_vecs")} AS mean_sq
+       |FROM g ORDER BY label, octave""".stripMargin
+  }
+
   /** Oracle SQL twin of [[kCenterCoreset]] — the [[mmrTopKOracle]]
     * unrolled-iteration pattern: sel_i CTEs accumulate picks, each
     * step's argmax recomputes min-distance-to-selected exactly. */

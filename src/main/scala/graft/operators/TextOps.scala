@@ -701,6 +701,65 @@ object TextOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q291: hapax legomena and type-token ratio per source — the
+    * lexical-richness profile: share of a source's vocabulary seen
+    * exactly once (hapax) or twice (dis legomena) WITHIN that source,
+    * plus types-per-token. The per-source routing view of what
+    * [[goodTuring]] estimates globally (N₁/N is the Good-Turing unseen
+    * mass): a template-farm source shows a tiny hapax share (same
+    * tokens repeating), an OCR-noise source an inflated one (garbage
+    * tokens are all hapax) — both need different cleaning, and neither
+    * is visible in q23's length/punct quality score.
+    *
+    * Scale shape: one token explode → one map-side-combined
+    * (source, token) count → one rollup to |sources| rows; no joins,
+    * no windows.
+    */
+  def hapaxBySource(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    docs.select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("n_dis"),
+        halfUpDiv(col("n_hapax") * 1000000L, col("n_types"))
+          .as("hapax_share_ppm"),
+        halfUpDiv(col("n_types") * 1000000L, col("n_tokens"))
+          .as("ttr_ppm"))
+      .orderBy("source")
+  }
+
+  /** Oracle SQL twin of [[hapaxBySource]]. */
+  def hapaxBySourceOracle: String = {
+    import graft.functions.DetAgg.halfUpDivSql
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM t GROUP BY 1, 2
+       |), g AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hapax,
+       |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT source, n_tokens, n_types, n_hapax, n_dis,
+       |  ${halfUpDivSql("n_hapax * 1000000", "n_types")}
+       |    AS hapax_share_ppm,
+       |  ${halfUpDivSql("n_types * 1000000", "n_tokens")} AS ttr_ppm
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   /** Fixed-size token chunking with stride — the training-data prep
     * step that turns documents into model-sized sequences. Chunk i
     * covers tokens [i·stride, i·stride + chunk); starts run while they

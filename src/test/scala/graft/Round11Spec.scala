@@ -155,6 +155,57 @@ class Round11Spec extends SparkSuite {
     assert(r.getAs[Long]("density_ppm") === 333333L)
   }
 
+  test("percolationCurve: giant component shrinks as threshold rises") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.7), (3L, 4L, 0.55),
+      (5L, 6L, 0.85)).toDF("da", "db", "jaccard")
+    val rows = graft.operators.DedupOp.percolationCurve(pairs).collect()
+      .map(r => r.getAs[Long]("threshold_pct") -> r).toMap
+    assert(rows(50L).getAs[Long]("n_edges") === 4L)
+    assert(rows(50L).getAs[Long]("n_components") === 2L)
+    assert(rows(50L).getAs[Long]("max_comp") === 4L)
+    assert(rows(50L).getAs[Long]("giant_share_ppm") === 666667L)
+    assert(rows(70L).getAs[Long]("n_edges") === 3L) // 0.7 kept at 70
+    assert(rows(70L).getAs[Long]("max_comp") === 3L)
+    assert(rows(80L).getAs[Long]("n_components") === 2L)
+    assert(rows(80L).getAs[Long]("giant_share_ppm") === 500000L)
+  }
+
+  test("simhashBitBias: single doc puts every bit at 0 or 1e6") {
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val rows = graft.operators.DedupOp.simhashBitBias(docs).collect()
+    assert(rows.length === 60)
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("share_ppm")
+      (s == 0L || s == 1000000L) && r.getAs[Long]("bias_ppm") == 500000L
+    })
+  }
+
+  test("hapaxBySource: counts types seen once and twice within source") {
+    val docs = Seq((1L, "s1", "a b a c")).toDF("doc_id", "source", "text")
+    val r = TextOps.hapaxBySource(docs).collect().head
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("n_types") === 3L)
+    assert(r.getAs[Long]("n_hapax") === 2L)
+    assert(r.getAs[Long]("n_dis") === 1L)
+    assert(r.getAs[Long]("hapax_share_ppm") === 666667L)
+    assert(r.getAs[Long]("ttr_ppm") === 750000L)
+  }
+
+  test("normOctaves: unit vector lands in octave 39, zero vector in 0") {
+    val unit = Array.fill(64)(0.0f).updated(0, 1.0f)
+    val zero = Array.fill(64)(0.0f)
+    val df = Seq((1L, unit, 0), (2L, zero, 1), (3L, unit, 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = graft.operators.SimilarityOp.normOctaves(df).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("octave")) -> r)
+      .toMap
+    // sq = (1e6)² = 1e12 ∈ [2³⁹, 2⁴⁰)
+    assert(rows((0L, 39L)).getAs[Long]("n_vecs") === 2L)
+    assert(rows((0L, 39L)).getAs[Long]("mean_sq") === 1000000000000L)
+    assert(rows((1L, 0L)).getAs[Long]("n_vecs") === 1L)
+    assert(rows((1L, 0L)).getAs[Long]("mean_sq") === 0L)
+  }
+
   test("bytesPerToken: pooled byte and token masses per language") {
     // "ab cd": 5 bytes, 2 ws, 2 re; "x!y": 3 bytes, 1 ws, 2 re.
     val docs = Seq(("en", "ab cd"), ("en", "x!y"), ("de", "foo"))
