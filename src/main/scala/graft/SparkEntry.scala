@@ -1636,6 +1636,21 @@ object SparkEntry {
     // norms, codegen kernel) - the pre-ANN normalization audit.
     "q292_norm_octaves" -> ((s, d) =>
       SimilarityOp.normOctaves(Tables.embeddings(s, d))),
+
+    // Dominant-period histogram per media kind: argmax window-energy
+    // autocorrelation lag per blob (exact Pearson ppm, per-doc-local
+    // lag join over the batched framing).
+    "q293_acf_lag" -> ((s, d) =>
+      MultimodalOp.acfLagHistogram(
+        MultimodalOp.asMedia(Tables.documents(s, d)))),
+
+    // Quality-signal reliability: near-dup membership rate per
+    // uniq-ratio decile - is the cheap quality score a usable
+    // pre-filter before pair generation?
+    "q294_quality_dup" -> ((s, d) =>
+      DedupOp.qualityDupReliabilityFromPairs(Tables.documents(s, d),
+        DedupOp.ngramJaccardTable(Tables.documents(s, d),
+          "/tmp/graft_warehouse", inputTag = Some(d)))),
   )
 
   /** Build every session write-once layout for `d` up front — the
@@ -2412,5 +2427,7 @@ object SparkEntry {
     "q290_simhash_bits" -> DedupOp.simhashBitBiasOracle,
     "q291_hapax" -> TextOps.hapaxBySourceOracle,
     "q292_norm_octaves" -> SimilarityOp.normOctavesOracle(),
+    "q293_acf_lag" -> MultimodalOp.acfLagHistogramOracle(),
+    "q294_quality_dup" -> DedupOp.qualityDupReliabilityOracle(),
   )
 }

@@ -2956,6 +2956,77 @@ object DedupOp {
        |FROM g ORDER BY bit""".stripMargin
   }
 
+  /** q294: quality-signal reliability against dup membership — the
+    * per-decile near-dup rate of the unique-token quality ratio: for
+    * each uniq-ratio decile, how many documents sit in at least one
+    * verified near-dup pair? The cross-family validation a curation
+    * pipeline owes itself: if dup rate climbs as uniqueness falls
+    * (templates repeat), the cheap q23 signal is a usable PRE-FILTER
+    * before the expensive pair generation (gate low deciles first);
+    * a flat curve says it is not, and no threshold on it will save
+    * shingling cost. The reliability-diagram shape, with dup
+    * membership as the outcome instead of a model score.
+    *
+    * Scale shape: the uniq ratio is one row-local pass over the
+    * corpus; dup membership is a distinct over the (already verified)
+    * pair layout's endpoints joined back by doc_id; rollup is ≤ 10
+    * rows.
+    */
+  def qualityDupReliabilityFromPairs(docs: DataFrame,
+                                     pairs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.{halfUpDiv, ratio}
+    import graft.functions.TextFunctions.tokens
+    val dup = pairs
+      .select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .distinct().withColumn("isdup", lit(1L))
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    docs.select(col("doc_id"),
+        ratio(size(array_distinct(toks)).cast("long"), n).as("u"))
+      .select(col("doc_id"),
+        least(floor(col("u") * 10.0).cast("long"), lit(9L))
+          .as("uniq_decile"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy(col("uniq_decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_docs"))
+      .select(col("uniq_decile"), col("n_docs"), col("n_dup_docs"),
+        halfUpDiv(col("n_dup_docs") * 1000000L, col("n_docs"))
+          .as("dup_rate_ppm"))
+      .orderBy("uniq_decile")
+  }
+
+  /** Oracle SQL twin of [[qualityDupReliabilityFromPairs]]. */
+  def qualityDupReliabilityOracle(minJaccard: Double = 0.5,
+                                  maxDf: Int = MaxShingleDf): String = {
+    import graft.functions.DetAgg.{halfUpDivSql, ratioSql}
+    s"""WITH ${shingleCte()},
+       |${exactPairCtes(minJaccard, maxDf)},
+       |dup AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT da AS doc_id FROM ndp
+       |    UNION ALL SELECT db FROM ndp) t
+       |), tt AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), tc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(DISTINCT tok) AS BIGINT) AS u
+       |  FROM tt GROUP BY 1
+       |), dd AS (
+       |  SELECT tc.doc_id,
+       |    least(CAST(floor(${ratioSql("tc.u", "tc.n")} * 10.0)
+       |      AS BIGINT), 9) AS uniq_decile,
+       |    CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isdup
+       |  FROM tc LEFT JOIN dup ON dup.doc_id = tc.doc_id
+       |)
+       |SELECT uniq_decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(isdup) AS BIGINT) AS n_dup_docs,
+       |  ${halfUpDivSql("sum(isdup) * 1000000", "count(*)")}
+       |    AS dup_rate_ppm
+       |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q283: Cochran's Q across ALL THREE near-dup detectors —
     * MinHash-LSH, SimHash, and the exact df-capped-jaccard truth —
     * on the union of pairs any detector flags. [[detectorMcnemar]]

@@ -226,9 +226,11 @@ object MultimodalOp {
       .orderBy("doc_id")
   }
 
-  /** Oracle SQL twin of [[windowEnergies]]. */
-  def windowEnergiesOracle(win: Int = 64, hop: Int = 32): String =
-    s"""WITH m AS (
+  /** The framing CTE chain of [[windowEnergiesOracle]] — ends in
+    * `e(doc_id, kind, wx, energy)`, composable (q293's ACF consumes
+    * the same framed series). */
+  private def windowEnergyCtes(win: Int, hop: Int): String =
+    s"""m AS (
        |  SELECT doc_id,
        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
        |      ELSE 'video' END AS kind,
@@ -243,11 +245,96 @@ object MultimodalOp {
        |    (SELECT sum(ascii(substr(w.text, CAST(w.wx * $hop + j.j AS INTEGER), 1)))
        |     FROM range(1, ${win + 1}) j(j)) AS energy
        |  FROM w
-       |)
+       |)""".stripMargin
+
+  /** Oracle SQL twin of [[windowEnergies]]. */
+  def windowEnergiesOracle(win: Int = 64, hop: Int = 32): String =
+    s"""WITH ${windowEnergyCtes(win, hop)}
        |SELECT doc_id, kind, count(*) AS n_windows,
        |  CAST(sum(energy) AS BIGINT) AS total_energy,
        |  CAST(max(energy) AS BIGINT) AS max_energy
        |FROM e GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  /** q293: dominant-period histogram — per blob, the lag L ∈ [1, 8]
+    * maximizing the window-energy autocorrelation (exact Pearson ppm,
+    * [[graft.functions.DetAgg.corrPpm]]), rolled up per media kind.
+    * The cheap pitch/tempo/frame-rate detector of classical audio
+    * pipelines on the [[windowEnergies]] framing: a strong best-lag
+    * mode across a kind says the corpus shares a periodic structure
+    * (codec block size, beat, carrier) a feature extractor should
+    * align to; a flat histogram says the energy series is aperiodic.
+    * Ties break to the SMALLEST lag (the fundamental, not its
+    * harmonic) and blobs need ≥ 8 overlap pairs at a lag to count —
+    * both rules in the oracle verbatim.
+    *
+    * Scale shape: the framed series is batch-extracted per partition
+    * ([[windowEnergies]]'s decode shape), the lag self-join is keyed
+    * by (doc, widx) — per-doc local, never cross-doc — and the argmax
+    * is a per-doc window over ≤ 8 rows; rollup is |kinds|·8 rows.
+    */
+  def acfLagHistogram(media: DataFrame, win: Int = 64, hop: Int = 32,
+                      maxLag: Int = 8): DataFrame = {
+    import graft.functions.DetAgg.corrPpm
+    import org.apache.spark.sql.expressions.Window
+    val spark = media.sparkSession
+    import spark.implicits._
+    val e = windowEnergyRows(media, win, hop).toDF()
+    val lagDf = (1 to maxLag).map(_.toLong).toDF("lag")
+    val acf = e.crossJoin(broadcast(lagDf))
+      .join(e.select(col("doc_id").as("d2"), col("widx").as("w2"),
+          col("energy").as("ey")),
+        col("d2") === col("doc_id") && col("w2") === col("widx") + col("lag"))
+      .groupBy(col("doc_id"), col("kind"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("energy")).as("sx"), sum(col("ey")).as("sy"),
+        sum(col("energy") * col("energy")).as("sxx"),
+        sum(col("ey") * col("ey")).as("syy"),
+        sum(col("energy") * col("ey")).as("sxy"))
+      .select(col("doc_id"), col("kind"), col("lag"),
+        corrPpm(col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy")).as("acf_ppm"),
+        col("n"))
+      .where(col("n") >= 8L && col("acf_ppm").isNotNull)
+    acf.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("acf_ppm").desc, col("lag"))))
+      .where(col("rk") === 1)
+      .groupBy(col("kind"), col("lag").as("best_lag"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("kind", "best_lag")
+  }
+
+  /** Oracle SQL twin of [[acfLagHistogram]]. */
+  def acfLagHistogramOracle(win: Int = 64, hop: Int = 32,
+                            maxLag: Int = 8): String = {
+    import graft.functions.DetAgg.corrPpmSql
+    s"""WITH ${windowEnergyCtes(win, hop)},
+       |l AS (SELECT CAST(lg AS BIGINT) AS lag FROM
+       |      (VALUES ${(1 to maxLag).map(l => s"($l)").mkString(", ")}) t(lg)),
+       |p AS (
+       |  SELECT a.doc_id, a.kind, l.lag, a.energy AS ex, b.energy AS ey
+       |  FROM e a CROSS JOIN l
+       |  JOIN e b ON b.doc_id = a.doc_id AND b.wx = a.wx + l.lag
+       |), mo AS (
+       |  SELECT doc_id, kind, lag, count(*) AS n,
+       |    CAST(sum(ex) AS BIGINT) AS sx, CAST(sum(ey) AS BIGINT) AS sy,
+       |    CAST(sum(ex * ex) AS BIGINT) AS sxx,
+       |    CAST(sum(ey * ey) AS BIGINT) AS syy,
+       |    CAST(sum(ex * ey) AS BIGINT) AS sxy
+       |  FROM p GROUP BY 1, 2, 3
+       |), ac AS (
+       |  SELECT doc_id, kind, lag,
+       |    ${corrPpmSql("n", "sx", "sy", "sxx", "syy", "sxy")} AS acf_ppm
+       |  FROM mo WHERE n >= 8
+       |), rk AS (
+       |  SELECT kind, lag,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY acf_ppm DESC, lag) AS rk
+       |  FROM ac WHERE acf_ppm IS NOT NULL
+       |)
+       |SELECT kind, lag AS best_lag, count(*) AS n_docs
+       |FROM rk WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   final case class WindowFlips(doc_id: Long, kind: String, widx: Long,
                                flips: Long)

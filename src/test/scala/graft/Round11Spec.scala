@@ -206,6 +206,35 @@ class Round11Spec extends SparkSuite {
     assert(rows((1L, 0L)).getAs[Long]("mean_sq") === 0L)
   }
 
+  test("acfLagHistogram: period-4 energy series picks best lag 4") {
+    // payload = 8 × (64 zero bytes + 64 0xFF): window energies cycle
+    // 0, 8160, 16320, 8160 — exact period 4 at win=64/hop=32.
+    val payload = Array.tabulate[Byte](1024)(i =>
+      if ((i / 64) % 2 == 0) 0.toByte else 0xFF.toByte)
+    val media = Seq((1L, "audio", payload)).toDF("doc_id", "kind", "payload")
+    val rows = graft.operators.MultimodalOp.acfLagHistogram(media).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("kind") === "audio")
+    assert(rows.head.getAs[Long]("best_lag") === 4L)
+    assert(rows.head.getAs[Long]("n_docs") === 1L)
+  }
+
+  test("qualityDupReliability: dup rate per uniq-ratio decile") {
+    val docs = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, "e f g h"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("da", "db")
+    val rows = graft.operators.DedupOp
+      .qualityDupReliabilityFromPairs(docs, pairs).collect()
+      .map(r => r.getAs[Long]("uniq_decile") -> r).toMap
+    // uniq 1.0 → decile capped at 9 (docs 1, 3; only 1 is a dup)
+    assert(rows(9L).getAs[Long]("n_docs") === 2L)
+    assert(rows(9L).getAs[Long]("n_dup_docs") === 1L)
+    assert(rows(9L).getAs[Long]("dup_rate_ppm") === 500000L)
+    // uniq 0.25 → decile 2, the dup template
+    assert(rows(2L).getAs[Long]("n_dup_docs") === 1L)
+    assert(rows(2L).getAs[Long]("dup_rate_ppm") === 1000000L)
+  }
+
   test("bytesPerToken: pooled byte and token masses per language") {
     // "ab cd": 5 bytes, 2 ws, 2 re; "x!y": 3 bytes, 1 ws, 2 re.
     val docs = Seq(("en", "ab cd"), ("en", "x!y"), ("de", "foo"))
