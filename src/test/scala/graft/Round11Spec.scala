@@ -235,6 +235,45 @@ class Round11Spec extends SparkSuite {
     assert(rows(2L).getAs[Long]("dup_rate_ppm") === 1000000L)
   }
 
+  test("lshBandPlanner: detect bounded and monotone in s, b; anti in r") {
+    val byArm = (50 to 100 by 10).map { p =>
+      val one = Seq((1L, 2L, p / 100.0)).toDF("da", "db", "jaccard")
+      p -> DedupOp.lshBandPlanner(one).collect()
+        .map(r => (r.getAs[Long]("r"), r.getAs[Long]("b"))
+          -> r.getAs[Long]("mean_detect_ppm")).toMap
+    }
+    val arms = byArm.head._2.keys
+    for (arm <- arms) {
+      val series = byArm.map(_._2(arm))
+      assert(series.forall(v => v >= 0L && v <= 1000000L), s"bounds $arm")
+      assert(series.zip(series.tail).forall { case (a, b) => a <= b },
+        s"monotone in s for $arm")
+    }
+    for ((_, m) <- byArm) {
+      assert(m((4L, 16L)) >= m((4L, 8L))) // more bands detect more
+      assert(m((4L, 8L)) >= m((8L, 8L))) // longer rows detect less
+    }
+  }
+
+  test("dupTransitivity: complete graph K5 scores exactly 1e6 ppm") {
+    val k5 = (for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong))
+      .toDF("da", "db")
+    val r = DedupOp.dupTransitivity(k5).collect().head
+    assert(r.getAs[Long]("n_wedges") === 30L)
+    assert(r.getAs[Long]("n_triangles") === 10L)
+    assert(r.getAs[Long]("transitivity_ppm") === 1000000L)
+  }
+
+  test("hits: complete bipartite graph is score-uniform per side") {
+    // K_{2,3}: customers {2,4}, suppliers {3,5,7} — symmetry forces
+    // every hub and every authority to the max, ppm 1e6 each.
+    val edges = (for (c <- Seq(2L, 4L); s <- Seq(3L, 5L, 7L)) yield (c, s))
+      .toDF("src", "dst")
+    val rows = GraphOps.hits(edges).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Long]("score_ppm") === 1000000L))
+  }
+
   test("bytesPerToken: pooled byte and token masses per language") {
     // "ab cd": 5 bytes, 2 ws, 2 re; "x!y": 3 bytes, 1 ws, 2 re.
     val docs = Seq(("en", "ab cd"), ("en", "x!y"), ("de", "foo"))
