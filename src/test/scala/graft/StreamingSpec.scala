@@ -228,6 +228,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bytesPerToken is streaming-composable: complete mode equals batch") {
+    // single-level commutative-sum rollup → the BATCH operator runs
+    // unchanged on a stream in complete mode; the table after any
+    // replay split equals the batch answer (the q282 dashboard shape).
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val expected = TextOps.bytesPerToken(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(5))).toSet
+    val rows = docs.select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("lang", "text")
+    val q = TextOps.bytesPerToken(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("bpt_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("bpt_out")
+        .select($"lang", $"n_bytes", $"bytes_per_ws_ppm")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingCleanDocs: dedup + quality filter on the stream, near-dup left to batch") {
     implicit val sqlCtx = spark.sqlContext
     val good = (1 to 40).map(i => s"tok$i").mkString(" ") // 40 unique tokens
