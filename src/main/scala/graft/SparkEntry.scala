@@ -1651,6 +1651,36 @@ object SparkEntry {
       DedupOp.qualityDupReliabilityFromPairs(Tables.documents(s, d),
         DedupOp.ngramJaccardTable(Tables.documents(s, d),
           "/tmp/graft_warehouse", inputTag = Some(d)))),
+
+    // Wald-Wolfowitz runs test per event type: sign-of-(value-median)
+    // serial randomness, raw integer statistic + expected-runs ppm.
+    "q295_runs_test" -> ((s, d) =>
+      StatTestOps.runsTest(Tables.events(s, d))),
+
+    // Shingle document-frequency octave histogram + would-be pair
+    // mass per octave - the MaxShingleDf blocking-cap planner.
+    "q296_shingle_df" -> ((s, d) =>
+      DedupOp.shingleDfHist(Tables.documents(s, d))),
+
+    // MinHash permutation health: per-permutation mean minimum as a
+    // HashMod share, deviation from the cross-permutation mean.
+    "q297_perm_health" -> ((s, d) =>
+      DedupOp.minhashPermHealth(Tables.documents(s, d))),
+
+    // Cumulative token-mass curve over quality deciles (best first) -
+    // what a top-X quality cut costs in training tokens.
+    "q298_quality_mass" -> ((s, d) =>
+      TextOps.qualityMassCurve(Tables.documents(s, d))),
+
+    // Supplier revenue HHI per nation - exact integer concentration
+    // index over cents shares.
+    "q299_supplier_hhi" -> ((s, d) =>
+      RelationalOps.supplierHhi(Tables.lineitem(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d))),
+
+    // Corpus manifest: per-table row/null-key/distinct-key counts -
+    // the load-completeness dashboard (fkIntegrity's per-table half).
+    "q300_manifest" -> ((s, d) => AuditOps.corpusManifest(s, d)),
   )
 
   /** Build every session write-once layout for `d` up front — the
@@ -2429,5 +2459,11 @@ object SparkEntry {
     "q292_norm_octaves" -> SimilarityOp.normOctavesOracle(),
     "q293_acf_lag" -> MultimodalOp.acfLagHistogramOracle(),
     "q294_quality_dup" -> DedupOp.qualityDupReliabilityOracle(),
+    "q295_runs_test" -> StatTestOps.runsTestOracle,
+    "q296_shingle_df" -> DedupOp.shingleDfHistOracle(),
+    "q297_perm_health" -> DedupOp.minhashPermHealthOracle,
+    "q298_quality_mass" -> TextOps.qualityMassCurveOracle,
+    "q299_supplier_hhi" -> RelationalOps.supplierHhiOracle,
+    "q300_manifest" -> AuditOps.corpusManifestOracle,
   )
 }

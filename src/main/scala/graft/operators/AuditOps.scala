@@ -1344,4 +1344,53 @@ object AuditOps {
        |  CAST(CASE WHEN class_size < $kThresh THEN 1 ELSE 0 END AS BIGINT)
        |    AS under_k
        |FROM ec GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The (table, key column) manifest relations — ONE definition for
+    * [[corpusManifest]] and its oracle. */
+  private val ManifestKeys: Seq[(String, String)] = Seq(
+    "customer" -> "c_custkey", "documents" -> "doc_id",
+    "embeddings" -> "vec_id", "events" -> "event_id",
+    "lineitem" -> "l_orderkey", "nation" -> "n_nationkey",
+    "orders" -> "o_orderkey", "part" -> "p_partkey",
+    "region" -> "r_regionkey", "supplier" -> "s_suppkey")
+
+  /** q300: corpus manifest — one row per table with row count, NULL
+    * key count, and distinct key count: the load-completeness
+    * dashboard an ingest run publishes before anything downstream
+    * trusts the snapshot. [[fkIntegrity]] checks relations BETWEEN
+    * tables; this is the per-table half (a partial load shows up as
+    * n_rows off; an id-space collision as n_distinct < n_rows on a
+    * primary key; lineitem's n_distinct is its ORDER count by
+    * design — the one declared non-unique key).
+    *
+    * Scale shape: one scan + one exact distinct per table —
+    * embarrassingly parallel across tables, each map-side combined;
+    * output is exactly |tables| rows.
+    */
+  def corpusManifest(s: SparkSession, d: String): DataFrame = {
+    import graft.tables.Tables
+    val frames = Map[String, DataFrame](
+      "customer" -> Tables.customer(s, d), "documents" -> Tables.documents(s, d),
+      "embeddings" -> Tables.embeddings(s, d), "events" -> Tables.events(s, d),
+      "lineitem" -> Tables.lineitem(s, d), "nation" -> Tables.nation(s, d),
+      "orders" -> Tables.orders(s, d), "part" -> Tables.part(s, d),
+      "region" -> Tables.region(s, d), "supplier" -> Tables.supplier(s, d))
+    ManifestKeys.map { case (t, k) =>
+      frames(t).agg(count(lit(1)).as("n_rows"),
+          sum(when(col(k).isNull, 1L).otherwise(0L)).as("n_null_keys"),
+          countDistinct(col(k)).as("n_distinct_keys"))
+        .select(lit(t).as("tbl"), col("n_rows"), col("n_null_keys"),
+          col("n_distinct_keys"))
+    }.reduce(_ unionByName _).orderBy("tbl")
+  }
+
+  /** Oracle SQL twin of [[corpusManifest]]. */
+  def corpusManifestOracle: String =
+    ManifestKeys.map { case (t, k) =>
+      s"""SELECT '$t' AS tbl, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null_keys,
+         |  CAST(count(DISTINCT $k) AS BIGINT) AS n_distinct_keys
+         |FROM $t""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
 }

@@ -2956,6 +2956,121 @@ object DedupOp {
        |FROM g ORDER BY bit""".stripMargin
   }
 
+  /** q296: shingle document-frequency octave histogram — the
+    * blocking-cap planner behind [[MaxShingleDf]]: per df octave, how
+    * many distinct shingles live there, their posting mass (Σdf), the
+    * PAIR mass Σ C(df,2) the verification join would pay if the
+    * octave were unblocked, and how many of its shingles the current
+    * cap drops. The pair-mass column is the cost model: one
+    * 10⁶-document boilerplate shingle alone is 5·10¹¹ candidate pairs
+    * — this shows exactly where the df cap must sit for pair
+    * generation to stay sub-quadratic at 100 TB, instead of
+    * inheriting 64 as folklore.
+    *
+    * Scale shape: per-doc-distinct shingles (narrow Generate off the
+    * scan), one map-side-combined df count over 8-byte hashes, a
+    * 41-row broadcast octave join, rollup to ≤ 41 rows. Pair mass
+    * squares df → DECIMAL(38,0)/HUGEINT, BIGINT after the sum.
+    */
+  def shingleDfHist(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val df = docShingles(docs).groupBy(col("hx"))
+      .agg(count(lit(1)).as("df"))
+    val bounds = (0 to 40).map(o => (o.toLong, 1L << o, 1L << (o + 1)))
+      .toDF("octave", "lo", "hi")
+    df.join(broadcast(bounds),
+        col("df") >= col("lo") && col("df") < col("hi"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("sum_df"),
+        sum(dec(col("df")) * (col("df") - 1L)).as("pm2"),
+        sum(when(col("df") > maxDf.toLong, 1L).otherwise(0L))
+          .as("n_blocked"))
+      .select(col("octave"), col("n_shingles"), col("sum_df"),
+        expr("CAST(pm2 DIV 2 AS BIGINT)").as("pair_mass"),
+        col("n_blocked"))
+      .orderBy("octave")
+  }
+
+  /** Oracle SQL twin of [[shingleDfHist]]. */
+  def shingleDfHistOracle(maxDf: Int = MaxShingleDf): String =
+    s"""WITH ${shingleCte()},
+       |d AS (SELECT hx, CAST(count(*) AS BIGINT) AS df FROM shx GROUP BY 1),
+       |oct AS (
+       |  SELECT o.o AS octave, (1::BIGINT << o.o) AS lo,
+       |    (1::BIGINT << (o.o + 1)) AS hi
+       |  FROM range(41) o(o)
+       |)
+       |SELECT CAST(b.octave AS BIGINT) AS octave,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(d.df) AS BIGINT) AS sum_df,
+       |  CAST(sum(CAST(d.df AS HUGEINT) * (d.df - 1)) // 2 AS BIGINT)
+       |    AS pair_mass,
+       |  CAST(sum(CASE WHEN d.df > $maxDf THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_blocked
+       |FROM d JOIN oct b ON d.df >= b.lo AND d.df < b.hi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q297: MinHash permutation health — per-permutation mean minimum
+    * hash (share of [[HashMod]] in ppm) and its deviation from the
+    * cross-permutation mean: [[simhashBitBias]]'s sibling for the
+    * token-set tier. All 16 permutations see the SAME shingle sets,
+    * so their mean minima must agree; one permutation drifting says
+    * its (a, b) constants interact badly with the hash lattice (the
+    * round-3 constant-bit bug class) and its band contributes noise
+    * to every q26/q160/q279 consumer.
+    *
+    * Scale shape: the signature build is the existing 16-aggregate
+    * one-pass shape; the rollup is 16 rows plus one 1-row broadcast
+    * for the global mean. Σminv promotes to DECIMAL(38,0)/HUGEINT
+    * (minv < 10⁹, docs can pass 2⁵⁴ only at absurd sf — but loud
+    * beats wrapped).
+    */
+  def minhashPermHealth(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val perPerm = minhashSignatures(docs)
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n_docs"), sum(dec(col("minv"))).as("sv"))
+      .select(col("i"), col("n_docs"),
+        halfUpDiv(col("sv") * 1000000L,
+          dec(col("n_docs")) * HashMod).as("mean_ppm"))
+    val global = perPerm.agg(
+      halfUpDiv(sum(col("mean_ppm")), count(lit(1))).as("g"))
+    perPerm.crossJoin(broadcast(global))
+      .select(col("i").cast("long").as("perm"), col("n_docs"),
+        col("mean_ppm"), abs(col("mean_ppm") - col("g")).as("dev_ppm"))
+      .orderBy("perm")
+  }
+
+  /** Oracle SQL twin of [[minhashPermHealth]] — reuses the
+    * [[minhashPairCtes]] `sigs` prefix. */
+  def minhashPermHealthOracle: String = {
+    import graft.functions.DetAgg.{halfUpDivHugeSql, halfUpDivSql}
+    val permRows = (0 until NumPerms)
+      .map(i => s"(${i}, ${permA(i)}::BIGINT, ${permB(i)}::BIGINT)")
+      .mkString(", ")
+    s"""WITH ${shingleCte()},
+       |perms(i, a, b) AS (VALUES $permRows),
+       |sigs AS (
+       |  SELECT s.doc_id, p.i, min((p.a * s.hx + p.b) % $HashMod) AS minv
+       |  FROM shx s, perms p GROUP BY 1, 2
+       |), pp AS (
+       |  SELECT i, CAST(count(*) AS BIGINT) AS n_docs,
+       |    ${halfUpDivHugeSql("sum(CAST(minv AS HUGEINT)) * 1000000",
+                               s"CAST(count(*) AS HUGEINT) * $HashMod")}
+       |      AS mean_ppm
+       |  FROM sigs GROUP BY 1
+       |), gl AS (
+       |  SELECT ${halfUpDivSql("sum(mean_ppm)", "count(*)")} AS g FROM pp
+       |)
+       |SELECT CAST(pp.i AS BIGINT) AS perm, pp.n_docs, pp.mean_ppm,
+       |  abs(pp.mean_ppm - gl.g) AS dev_ppm
+       |FROM pp, gl ORDER BY perm""".stripMargin
+  }
+
   /** q294: quality-signal reliability against dup membership — the
     * per-decile near-dup rate of the unique-token quality ratio: for
     * each uniq-ratio decile, how many documents sit in at least one

@@ -1087,4 +1087,63 @@ object RelationalOps {
        |  min(pc) AS lo_cents, max(pc) AS hi_cents,
        |  CAST(sum(pc * cnt) AS BIGINT) AS sum_cents
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q299: supplier revenue concentration per nation — the Herfindahl–
+    * Hirschman index HHI = Σ(sᵢ/S)² in ppm over supplier revenue
+    * shares: the procurement-risk number (10 000 ppm-scale: >2 500 ppm
+    * ×100 is the antitrust "concentrated" line) that q183's ABC
+    * classes only bin. Exact integers end-to-end: revenue in cents,
+    * Σrevᵢ² and S² in DECIMAL(38,0)/HUGEINT (cents² passes 2⁶³ at a
+    * few $100M per supplier — loud, not wrapped), one halfUp division.
+    *
+    * Scale shape: one map-side-combined per-supplier revenue rollup
+    * (the natural l_suppkey shuffle), two broadcast-sized dim joins
+    * (supplier → nation), one |nations|-row rollup.
+    */
+  def supplierHhi(lineitem: DataFrame, supplier: DataFrame,
+                  nation: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val rev = lineitem.select(col("l_suppkey").as("sk"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("sk")).agg(sum(col("cents")).as("rev"))
+    rev
+      .join(broadcast(supplier.select(col("s_suppkey").as("sk"),
+        col("s_nationkey").as("nk"))), Seq("sk"))
+      .join(broadcast(nation.select(col("n_nationkey").as("nk"),
+        col("n_name"))), Seq("nk"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev")).as("total_cents"),
+        sum(dec(col("rev")) * col("rev")).as("s2"))
+      .select(col("n_name").as("nation"), col("n_suppliers"),
+        col("total_cents"),
+        halfUpDiv(col("s2") * 1000000L,
+          dec(col("total_cents")) * col("total_cents")).as("hhi_ppm"))
+      .orderBy("nation")
+  }
+
+  /** Oracle SQL twin of [[supplierHhi]]. */
+  def supplierHhiOracle: String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    s"""WITH r AS (
+       |  SELECT l_suppkey AS sk,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev
+       |  FROM lineitem GROUP BY 1
+       |), g AS (
+       |  SELECT n.n_name AS nation,
+       |    CAST(count(*) AS BIGINT) AS n_suppliers,
+       |    CAST(sum(r.rev) AS BIGINT) AS total_cents,
+       |    sum(CAST(r.rev AS HUGEINT) * r.rev) AS s2
+       |  FROM r
+       |  JOIN supplier s ON s.s_suppkey = r.sk
+       |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+       |  GROUP BY 1
+       |)
+       |SELECT nation, n_suppliers, total_cents,
+       |  ${halfUpDivHugeSql("s2 * 1000000",
+            "CAST(total_cents AS HUGEINT) * total_cents")} AS hhi_ppm
+       |FROM g ORDER BY nation""".stripMargin
+  }
 }

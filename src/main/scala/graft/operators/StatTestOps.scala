@@ -552,4 +552,103 @@ object StatTestOps {
        |  END AS z2_ppm
        |FROM m""".stripMargin
   }
+
+  /** q295: Wald–Wolfowitz runs test per event type — is the sign of
+    * (value − median) serially random along the event stream, or do
+    * high/low values clump? The nonparametric autocorrelation screen
+    * that complements [[EventOps.hourlyAcf]] (linear, binned by hour)
+    * with an order-only statistic on the raw sequence: far fewer runs
+    * than expected ⇒ regime persistence (sessions of big spenders,
+    * cache effects), far more ⇒ alternation (load-balancer
+    * round-robin artifacts). Values equal to the median drop (the
+    * standard convention; their count is implicit in n_pos+n_neg vs
+    * the group size). Reported: observed runs and the expected-runs
+    * mean 1 + 2n₁n₂/n in ppm — raw integers, no libm, consumers
+    * bring their own normal cut (the repo's no-p-value stance).
+    *
+    * Scale shape: the median comes from the per-type VALUE HISTOGRAM
+    * (|distinct cents| rows, the q169 stance); the run count is one
+    * lag over the per-type (ts, event_id) sort — a single Exchange +
+    * Sort keyed by event type; 2n₁n₂ promotes to DECIMAL(38,0)/
+    * HUGEINT before the ppm division.
+    */
+  def runsTest(events: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.halfUpDiv
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = events.select(col("event_type").as("et"),
+      expr("unix_millis(ts)").as("ms"), col("event_id"),
+      cents("value").as("c"))
+    val h = base.groupBy(col("et"), col("c")).agg(count(lit(1)).as("cnt"))
+    val cum = h.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("et")).orderBy(col("c"))))
+    val tot = h.groupBy(col("et")).agg(sum(col("cnt")).as("n"))
+    val med = cum.join(tot, Seq("et"))
+      .where(col("cum") >= expr("(n + 1) DIV 2"))
+      .groupBy(col("et")).agg(min(col("c")).as("med"))
+    val w = Window.partitionBy(col("et")).orderBy(col("ms"), col("event_id"))
+    val signed = base.join(med, Seq("et"))
+      .where(col("c") =!= col("med"))
+      .select(col("et"), col("ms"), col("event_id"),
+        when(col("c") > col("med"), 1L).otherwise(0L).as("s"))
+    val runs = signed
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(w).isNull, 1L)
+          .when(lag(col("s"), 1).over(w) =!= col("s"), 1L)
+          .otherwise(0L))
+      .groupBy(col("et"))
+      .agg(sum(col("s")).as("n_pos"),
+        sum(lit(1L) - col("s")).as("n_neg"),
+        sum(col("chg")).as("n_runs"))
+    runs.select(col("et").as("event_type"),
+        col("n_pos"), col("n_neg"), col("n_runs"),
+        (lit(1000000L) + halfUpDiv(
+          dec(col("n_pos")) * col("n_neg") * 2L * 1000000L,
+          dec(col("n_pos") + col("n_neg")))).as("expected_runs_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle SQL twin of [[runsTest]]. */
+  def runsTestOracle: String = {
+    import graft.functions.DetAgg.halfUpDivHugeSql
+    s"""WITH b AS (
+       |  SELECT event_type AS et, epoch_ms(ts) AS ms, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events
+       |), h AS (
+       |  SELECT et, c, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM b GROUP BY 1, 2
+       |), cm AS (
+       |  SELECT et, c,
+       |    CAST(sum(cnt) OVER (PARTITION BY et ORDER BY c) AS BIGINT) AS cum
+       |  FROM h
+       |), tt AS (SELECT et, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+       |md AS (
+       |  SELECT cm.et, min(cm.c) AS med
+       |  FROM cm JOIN tt ON tt.et = cm.et
+       |  WHERE cm.cum >= (tt.n + 1) // 2
+       |  GROUP BY 1
+       |), sg AS (
+       |  SELECT b.et, b.ms, b.event_id,
+       |    CASE WHEN b.c > md.med THEN 1 ELSE 0 END AS s
+       |  FROM b JOIN md ON md.et = b.et
+       |  WHERE b.c <> md.med
+       |), ch AS (
+       |  SELECT et, s,
+       |    CASE WHEN lag(s) OVER (PARTITION BY et ORDER BY ms, event_id)
+       |      IS NULL THEN 1
+       |      WHEN lag(s) OVER (PARTITION BY et ORDER BY ms, event_id) <> s
+       |      THEN 1 ELSE 0 END AS chg
+       |  FROM sg
+       |), g AS (
+       |  SELECT et, CAST(sum(s) AS BIGINT) AS n_pos,
+       |    CAST(sum(1 - s) AS BIGINT) AS n_neg,
+       |    CAST(sum(chg) AS BIGINT) AS n_runs
+       |  FROM ch GROUP BY 1
+       |)
+       |SELECT et AS event_type, n_pos, n_neg, n_runs,
+       |  1000000 + ${halfUpDivHugeSql(
+            "CAST(n_pos AS HUGEINT) * n_neg * 2 * 1000000", "n_pos + n_neg")}
+       |    AS expected_runs_ppm
+       |FROM g ORDER BY event_type""".stripMargin
+  }
 }

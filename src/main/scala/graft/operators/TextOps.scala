@@ -760,6 +760,71 @@ object TextOps {
        |FROM g ORDER BY source""".stripMargin
   }
 
+  /** q298: cumulative token-mass curve over quality deciles — "if the
+    * corpus is cut at the top-X quality deciles, how much token mass
+    * survives?": per uniq-ratio decile (best first), document count,
+    * token mass, and the cumulative mass share. The curve a quality
+    * threshold is actually chosen from (q294 shows the dup-rate per
+    * decile, q267 budgets per source; this prices the CUT): a steep
+    * curve means quality filtering is cheap in tokens, a flat one
+    * means every decile dropped costs real training mass.
+    *
+    * Scale shape: one row-local pass (ratio + token count), one
+    * map-side-combined rollup to ≤ 10 rows, one cumulative window
+    * over those 10 rows.
+    */
+  def qualityMassCurve(docs: DataFrame): DataFrame = {
+    import graft.functions.DetAgg.{halfUpDiv, ratio}
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    val base = docs.select(
+      least(floor(ratio(size(array_distinct(toks)).cast("long"), n)
+        * 10.0).cast("long"), lit(9L)).as("uniq_decile"),
+      n.as("nt"))
+    val g = base.groupBy(col("uniq_decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_tokens")).as("total"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy(col("uniq_decile").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("uniq_decile"), col("n_docs"), col("n_tokens"),
+        halfUpDiv(col("cum") * 1000000L, col("total"))
+          .as("cum_share_ppm"))
+      .orderBy(col("uniq_decile").desc)
+  }
+
+  /** Oracle SQL twin of [[qualityMassCurve]]. */
+  def qualityMassCurveOracle: String = {
+    import graft.functions.DetAgg.{halfUpDivSql, ratioSql}
+    s"""WITH tc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(DISTINCT tok) AS BIGINT) AS u
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) t
+       |  GROUP BY 1
+       |), dd AS (
+       |  SELECT least(CAST(floor(${ratioSql("u", "n")} * 10.0) AS BIGINT),
+       |      9) AS uniq_decile,
+       |    n AS nt
+       |  FROM tc
+       |), g AS (
+       |  SELECT uniq_decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM dd GROUP BY 1
+       |), tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM g),
+       |cm AS (
+       |  SELECT uniq_decile, n_docs, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY uniq_decile DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM g
+       |)
+       |SELECT uniq_decile, n_docs, n_tokens,
+       |  ${halfUpDivSql("cm.cum * 1000000", "tt.total")} AS cum_share_ppm
+       |FROM cm, tt ORDER BY uniq_decile DESC""".stripMargin
+  }
+
   /** Fixed-size token chunking with stride — the training-data prep
     * step that turns documents into model-sized sequences. Chunk i
     * covers tokens [i·stride, i·stride + chunk); starts run while they

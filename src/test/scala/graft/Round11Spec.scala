@@ -274,6 +274,82 @@ class Round11Spec extends SparkSuite {
     assert(rows.forall(_.getAs[Long]("score_ppm") === 1000000L))
   }
 
+  test("runsTest: median ties drop, runs and expectation hand-computed") {
+    // cents 100,900,200,900,200 (ts order 0..4): median 200 (rank-3 of
+    // the histogram), 200s drop → signs over 100,900,900 = neg,pos,pos
+    // → 2 runs; expected = 1 + 2·2·1/3 → 2_333_333 ppm.
+    val df = Seq(
+      (1L, 10L, ts(0), "x", 1.00), (1L, 11L, ts(1), "x", 9.00),
+      (1L, 12L, ts(2), "x", 2.00), (1L, 13L, ts(3), "x", 9.00),
+      (1L, 14L, ts(4), "x", 2.00)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val r = graft.operators.StatTestOps.runsTest(df).collect().head
+    assert(r.getAs[Long]("n_pos") === 2L)
+    assert(r.getAs[Long]("n_neg") === 1L)
+    assert(r.getAs[Long]("n_runs") === 2L)
+    assert(r.getAs[Long]("expected_runs_ppm") === 2333333L)
+  }
+
+  test("shingleDfHist: df octaves, pair mass, and the blocking cap") {
+    // three copies of one shingle (df=3 → octave 1, pair mass 3) and
+    // one singleton (df=1 → octave 0).
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "x y z")).toDF("doc_id", "text")
+    val rows = DedupOp.shingleDfHist(docs, maxDf = 2).collect()
+      .map(r => r.getAs[Long]("octave") -> r).toMap
+    assert(rows(0L).getAs[Long]("n_shingles") === 1L)
+    assert(rows(0L).getAs[Long]("pair_mass") === 0L)
+    assert(rows(1L).getAs[Long]("n_shingles") === 1L)
+    assert(rows(1L).getAs[Long]("sum_df") === 3L)
+    assert(rows(1L).getAs[Long]("pair_mass") === 3L)
+    assert(rows(1L).getAs[Long]("n_blocked") === 1L) // df 3 > cap 2
+  }
+
+  test("minhashPermHealth: 16 permutations, means bounded in ppm") {
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val rows = DedupOp.minhashPermHealth(docs).collect()
+    assert(rows.length === 16)
+    assert(rows.forall { r =>
+      val m = r.getAs[Long]("mean_ppm")
+      m >= 0L && m <= 1000000L && r.getAs[Long]("n_docs") == 2L
+    })
+  }
+
+  test("qualityMassCurve: best decile first, cumulative share to 1e6") {
+    val docs = Seq((1L, "a b c d"), (2L, "a a a a")).toDF("doc_id", "text")
+    val rows = TextOps.qualityMassCurve(docs).collect()
+    assert(rows.map(_.getAs[Long]("uniq_decile")).toSeq === Seq(9L, 2L))
+    assert(rows(0).getAs[Long]("cum_share_ppm") === 500000L)
+    assert(rows(1).getAs[Long]("cum_share_ppm") === 1000000L)
+  }
+
+  test("supplierHhi: two suppliers 1:3 gives 625000 ppm") {
+    val li = Seq((1L, 100.00), (2L, 300.00))
+      .toDF("l_suppkey", "l_extendedprice")
+    val sup = Seq((1L, 0L), (2L, 0L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((0L, "GERMANY")).toDF("n_nationkey", "n_name")
+    val r = graft.operators.RelationalOps.supplierHhi(li, sup, nat)
+      .collect().head
+    assert(r.getAs[String]("nation") === "GERMANY")
+    assert(r.getAs[Long]("n_suppliers") === 2L)
+    assert(r.getAs[Long]("total_cents") === 40000L)
+    assert(r.getAs[Long]("hhi_ppm") === 625000L) // (1²+3²)/4² = 0.625
+  }
+
+  test("corpusManifest: 10 tables, unique keys unique, no null keys") {
+    val rows = graft.operators.AuditOps
+      .corpusManifest(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 10)
+    val m = rows.map(r => r.getAs[String]("tbl") -> r).toMap
+    assert(rows.forall(_.getAs[Long]("n_null_keys") === 0L))
+    assert(m("customer").getAs[Long]("n_distinct_keys")
+      === m("customer").getAs[Long]("n_rows"))
+    // lineitem's key is the ORDER key by design — non-unique
+    assert(m("lineitem").getAs[Long]("n_distinct_keys")
+      < m("lineitem").getAs[Long]("n_rows"))
+  }
+
   test("bytesPerToken: pooled byte and token masses per language") {
     // "ab cd": 5 bytes, 2 ws, 2 re; "x!y": 3 bytes, 1 ws, 2 re.
     val docs = Seq(("en", "ab cd"), ("en", "x!y"), ("de", "foo"))
