@@ -1623,9 +1623,12 @@ object SparkEntry {
         inputTag = Some(d)))),
 
     // SimHash per-bit bias audit: each signature bit should be ~50%
-    // set; stuck bits shrink the effective signature.
+    // set; stuck bits shrink the effective signature. Served off the
+    // write-once signature layout.
     "q290_simhash_bits" -> ((s, d) =>
-      DedupOp.simhashBitBias(Tables.documents(s, d))),
+      DedupOp.simhashBitBiasFromSigs(DedupOp.simhashSigsTable(
+        Tables.documents(s, d), "/tmp/graft_warehouse",
+        inputTag = Some(d)))),
 
     // Hapax legomena + type-token ratio per source - the
     // lexical-richness routing profile.
@@ -1714,6 +1717,8 @@ object SparkEntry {
     DedupOp.minhashPairsTable(Tables.documents(s, d), wh,
       inputTag = Some(d))
     DedupOp.simhashPairsTable(Tables.documents(s, d), wh,
+      inputTag = Some(d))
+    DedupOp.simhashSigsTable(Tables.documents(s, d), wh,
       inputTag = Some(d))
     SimilarityOp.ivfPartitionedTopK(Tables.embeddings(s, d), wh,
       inputTag = Some(d))

@@ -315,6 +315,25 @@ object DedupOp {
     * write-once `(da, db, hamming)` layout serving q277's McNemar
     * test (and any future consumer of the bit-signature pair graph).
     */
+  /** Write-once simhash SIGNATURE layout (doc_id, simhash) — the
+    * ingest artifact upstream of [[simhashPairsTable]]: the signature
+    * pass is the only corpus-sized cost of every bit-signature
+    * consumer (pairs, q161 calibration, q290 bit bias), so it is
+    * computed once and served read-only; q290's oracle still
+    * re-derives signatures from raw text, keeping the layout
+    * parity-checked. */
+  def simhashSigsTable(docs: DataFrame, warehouse: String,
+                       inputTag: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val t = s"g_shsigs" + BucketedOps.tagOf(inputTag)
+    BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
+      simhashSignatures(docs)
+        .write.mode("overwrite").option("path", s"$warehouse/$t")
+        .format("parquet").saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
   def simhashPairsTable(docs: DataFrame, warehouse: String,
                         maxHamming: Int = 3,
                         inputTag: Option[String] = None): DataFrame = {
@@ -2918,12 +2937,20 @@ object DedupOp {
     * then a 60-row broadcast bit table joined against |docs| rows with
     * a map-side-combined rollup to 60 rows.
     */
-  def simhashBitBias(docs: DataFrame): DataFrame = {
+  def simhashBitBias(docs: DataFrame): DataFrame =
+    simhashBitBiasFromSigs(simhashSignatures(docs))
+
+  /** [[simhashBitBias]] off a pre-built signature frame — the
+    * write-once layout serving path ([[simhashSigsTable]]): the
+    * signature pass is the audit's only corpus-sized cost (measured
+    * designed-linear at the 10× rehearsal), and production computes
+    * signatures once at ingest anyway. */
+  def simhashBitBiasFromSigs(sigs: DataFrame): DataFrame = {
     import graft.functions.DetAgg.halfUpDiv
-    val spark = docs.sparkSession
+    val spark = sigs.sparkSession
     import spark.implicits._
     val bits = (0 until SimBits).map(_.toLong).toDF("bit")
-    simhashSignatures(docs)
+    sigs
       .crossJoin(broadcast(bits))
       .select(col("bit"),
         expr("shiftright(simhash, CAST(bit AS INT)) & 1").as("bt"))
