@@ -320,34 +320,62 @@ object AuditOps {
     * engines convert the identical integer to double with one
     * round-to-nearest, so the kernel stays bit-equal even past 2⁵³
     * (AuditSpec property-checks the decimal path at the old bound).
+    *
+    * The promotion is COUNT-GATED ([[SpearmanBigintMaxRows]]): one
+    * metadata-cheap `count()` on the input picks BIGINT moment sums
+    * when even the all-rows-in-one-group worst case Σ(2r̄)² ≤ 4n³
+    * stays under 2⁶³, DECIMAL(38,0) above (the StatTestOps.mannWhitney
+    * tie-term convention). Parity is branch-free on the oracle side —
+    * DuckDB's sum(BIGINT) is always HUGEINT-exact — so the branch only
+    * has to produce the same exact integers, which AuditSpec asserts
+    * by running both branches on one frame. Recovered ~1 s of decimal
+    * aggregation at sf0.1 (3.5 → 2.5 s steady).
     */
-  def spearman(lineitem: DataFrame): DataFrame = {
+  val SpearmanBigintMaxRows: Long = 1L << 20 // 4n³ < 2⁶³ ⇔ n < 2^20.33
+
+  def spearman(lineitem: DataFrame,
+               bigintMaxRows: Long = SpearmanBigintMaxRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.DetAgg.corrPpm
     val base = lineitem.select(col("l_returnflag").as("grp"),
       col("l_quantity").cast("long").as("x"),
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
-    // 2·r̄ = 2·rank + tiecount − 1 directly from two window passes over
-    // ONE hash-by-grp exchange (HashPartitioning(grp) satisfies the
-    // (grp, value) clustering of the tie-count windows, so no second
-    // shuffle) — A/B'd against the histogram-join formulation (one
-    // groupBy + window + join-back per variable): 3.1 s → 2.0 s steady
-    // at sf0.1; the join-back of the ~all-distinct price frame was the
-    // cost. The histogram shape stays the right one when values are
-    // low-cardinality AND the rows are too wide to double-sort.
+    // ASYMMETRIC rank construction, shaped to each variable's
+    // cardinality (A/B'd at sf0.1; the symmetric forms both lose):
+    //  - y (price cents, ~all-distinct): 2·r̄ = 2·rank + tiecount − 1
+    //    from window passes over one hash-by-grp exchange —
+    //    histogram+join-back here re-shuffles an all-distinct frame
+    //    (measured 3.1 s vs 2.0 s in the round-8 A/B);
+    //  - x (quantity, a bounded integral domain — ≤ 50 distinct
+    //    values per group): the histogram cumulative the ORACLE uses,
+    //    2·r̄ = 2·Σcnt(≤x) − cnt + 1 over the |grp|×|domain|-row
+    //    histogram, broadcast-joined back. This deletes the second
+    //    full (grp, x) sort pass, whose parallelism is |groups| = 3 —
+    //    the q164 bottleneck (2.75 → ~2.0 s steady at sf0.1). The
+    //    broadcast hint is safe BY the domain bound; a wide-domain x
+    //    would move back to the window form.
     def rank2(c: String): Column =
       rank().over(Window.partitionBy(col("grp")).orderBy(col(c)))
         .cast("long") * 2L +
         count(lit(1)).over(Window.partitionBy(col("grp"), col(c))) - 1L
+    val rx = base.groupBy(col("grp"), col("x"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("grp"), col("x"),
+        (sum(col("cnt")).over(Window.partitionBy(col("grp"))
+          .orderBy(col("x"))) * 2L - col("cnt") + 1L).as("rx"))
+    val wide = lineitem.count() > bigintMaxRows
+    def mom(c: Column): Column =
+      sum(if (wide) c.cast("decimal(38,0)") else c)
     base
-      .select(col("grp"), rank2("x").as("rx"), rank2("y").as("ry"))
+      .join(broadcast(rx), Seq("grp", "x"))
+      .select(col("grp"), col("rx"), rank2("y").as("ry"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),
-        sum(col("rx").cast("decimal(38,0)")).as("sx"),
-        sum(col("ry").cast("decimal(38,0)")).as("sy"),
-        sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"),
-        sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"))
+        mom(col("rx")).as("sx"),
+        mom(col("ry")).as("sy"),
+        mom(col("rx") * col("rx")).as("sxx"),
+        mom(col("ry") * col("ry")).as("syy"),
+        mom(col("rx") * col("ry")).as("sxy"))
       .select(col("grp").as("l_returnflag"), col("n"),
         corrPpm(col("n"), col("sx"), col("sy"),
           col("sxx"), col("syy"), col("sxy")).as("rho_ppm"))

@@ -45,6 +45,27 @@ class RankAndPolicySpec extends SparkSuite {
     assert(out("C") === -1000000L)
   }
 
+  test("spearman: BIGINT and DECIMAL moment branches agree, and the " +
+       "BIGINT gate bound has worst-case headroom") {
+    // The count gate (SpearmanBigintMaxRows) picks the moment-sum type;
+    // DuckDB's side is branch-free (HUGEINT), so parity needs exactly
+    // this: both branches produce identical output on one frame.
+    val li = Seq(
+      ("A", 1.0, 0.01), ("A", 2.0, 1.00), ("A", 2.0, 100.0),
+      ("A", 4.0, 9999.0), ("B", 1.0, 0.05), ("B", 1.0, 0.05),
+      ("B", 2.0, 0.09), ("C", 1.0, 0.30), ("C", 2.0, 0.20)
+    ).toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val bigint = AuditOps.spearman(li, bigintMaxRows = Long.MaxValue)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val decimal = AuditOps.spearman(li, bigintMaxRows = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(bigint.toSeq === decimal.toSeq)
+    // Worst case at the bound: every row in ONE group, every doubled
+    // rank maximal (2n) → Σ(2r̄)² ≤ 4n³ must stay under 2⁶³.
+    val b = BigInt(AuditOps.SpearmanBigintMaxRows)
+    assert(4 * b.pow(3) < BigInt(2).pow(63))
+  }
+
   test("ngramDiversity: all-same vs all-distinct tokens, exact ppm") {
     val docs = Seq(
       (1L, "rep", "a a a a"),      // 1/4, 1/3, 1/2 distinct ratios
