@@ -28,13 +28,19 @@ object RunOne {
       graft.SparkEntry.warmLayouts(spark, sfDir)
       println(f"[runone] warmLayouts: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val fn = graft.SparkEntry.queries(name)
-    for (i <- 1 to repeat) {
-      val t0 = System.nanoTime()
-      val df = fn(spark, sfDir)
-      if (doExplain && i == 1) df.explain("formatted")
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[runone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // comma-separated names share one JVM/session — same-window
+    // ratios for scale rehearsals (JVM warmup lands in the first
+    // query's run1, steady runs compare honestly).
+    for (n1 <- name.split(",")) {
+      val fn = graft.SparkEntry.queries(n1)
+      for (i <- 1 to repeat) {
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        if (doExplain && i == 1) df.explain("formatted")
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[runone] $n1 run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

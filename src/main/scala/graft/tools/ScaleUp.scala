@@ -76,8 +76,25 @@ object ScaleUp {
     scaledEmb.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
+    // events: N copies over DISJOINT user populations (user_id + copy
+    // stride) on the SAME time span — more users in the same window is
+    // how an event stream actually grows; per-user series structure
+    // (gaps, LOCF runs, seasonal buckets) is identical per copy, so
+    // per-user-keyed work (q82 resample grids, q04 latest-per-key)
+    // grows exactly ×N while the hour/dow bucket COUNT stays fixed.
+    // event_id strided too so uniqueness-keyed paths stay honest.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    ev.crossJoin(copies)
+      .select(
+        (col("event_id") + col("copy") * idStride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("copy") * idStride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events")) {
+        "orders", "lineitem")) {
       val link = Paths.get(s"$out/$t.parquet")
       if (!Files.exists(link))
         Files.createSymbolicLink(link, Paths.get(s"$src/$t.parquet"))

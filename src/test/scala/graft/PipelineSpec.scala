@@ -1,10 +1,10 @@
 package graft
 
 import graft.model._
-import graft.streaming.{IncrementalKMeans, KeyedUpsertStore, TelcoPipelines}
+import graft.streaming.{IncrementalKMeans, KeyedUpsertStore, StreamOps, TelcoPipelines}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{hash, lit, pmod}
+import org.apache.spark.sql.functions.{array, coalesce, col, hash, lit, pmod, sum}
 
 /** End-to-end reference topology: two streams in, upsert store,
   * enrichment, three fan-out consumers — driven through MemoryStream
@@ -75,6 +75,133 @@ class PipelineSpec extends SparkSuite {
       // cluster => no flags, the reference's n<=4 guard)
       assert(out.anomalies.count() === 0)
     } finally queries.foreach(_.stop())
+  }
+
+  test("sustained topology: 50 late/out-of-order micro-batches through " +
+       "all three consumers, watermark discards counted, model replay-equal") {
+    // The reference's operating mode is a long-running topology, not a
+    // single batch (TrafficStreamProcessor.scala:32-66). 50 micro-batches
+    // of deterministic late/out-of-order traffic run through the full
+    // fan-out (stats + geofence + k-means anomalies) CONCURRENTLY with a
+    // genuine cross-batch windowed aggregation on the same stream, and
+    // the spec asserts the split the architecture promises:
+    //  - the per-batch consumers see EVERY event, late or not (batch
+    //    semantics inside foreachBatch: Σn = windows-per-event × rows);
+    //  - the append-mode windowed agg discards exactly the events whose
+    //    windows closed (watermark simulated event-for-event in-test);
+    //  - the incremental k-means state after 50 decayed updates equals
+    //    a sequential replay of the same enriched batches into a fresh
+    //    model (the W6 evolving-state guarantee, sustained).
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sustained").toString
+    val attachMem = MemoryStream[AttachEvent]
+    val ctMem = MemoryStream[CelltowerEvent]
+    val km = new IncrementalKMeans(k = 2, dims = 2, decay = 0.9, seed = 7L)
+
+    // accumulators filled by the sink per batch
+    val statsRttN = scala.collection.mutable.ArrayBuffer[Long]()
+    val geoHits = scala.collection.mutable.Set[(Int, String)]()
+    var batchesSeen = 0
+    var curBatch = 0
+    val queries = TelcoPipelines.start(
+      attachMem.toDF(), ctMem.toDF(), s"$dir/attach", km,
+      (out, _) => {
+        batchesSeen += 1
+        statsRttN += out.subscriberStats.where($"metric" === "rtt")
+          .agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
+        out.geofenceHits.select($"id").as[String].collect()
+          .foreach(id => geoHits += ((curBatch, id)))
+        out.anomalies.count() // the third consumer must evaluate
+      })
+    // concurrent cross-batch consumer: tumbling 10 s windows, 5.5 s
+    // watermark (the .5 keeps integral window ends strictly off the
+    // watermark, so the in-test simulation has no boundary ambiguity).
+    // Own MemoryStream fed the identical batches: the final flush event
+    // that closes its windows must not become a 51st topology batch
+    // (an empty k-means update applies a decay step, by design).
+    val ctMemSide = MemoryStream[CelltowerEvent]
+    val sideAgg = StreamOps.metricStats(
+      ctMemSide.toDF().withColumn("ts", Model.eventTime(col("ts"))),
+      Seq("bearerId"), windowSize = "10 seconds", slide = "10 seconds",
+      watermark = "5500 milliseconds")
+    val sideQ = sideAgg.writeStream.outputMode("append")
+      .format("memory").queryName("sustained_side").start()
+
+    // deterministic generator + exact watermark simulation
+    def mkCt(b: String, tsSec: Long, rtt: Double, loss: Double,
+             brussels: Boolean) =
+      ct(b, tsSec * 1000L, rtt, loss,
+        lat = if (brussels) 50.85 else 40.0,
+        lng = if (brussels) 4.35 else 1.0)
+    var wm = Double.MinValue // side-agg watermark, seconds
+    var keptSide = 0L
+    var droppedSide = 0L
+    val replayBatches = scala.collection.mutable.ArrayBuffer[Seq[(Double, Double)]]()
+    var expectedTopoRttN = 0L
+    try {
+      for (i <- 0 until 50) {
+        curBatch = i
+        attachMem.addData(attach(s"b${i % 20}", i % 20, i * 1000L))
+        queries.head.processAllAvailable() // store first, like a deploy
+        val attached = (0 to math.min(i, 19)).map(j => s"b$j").toSet
+        val t = i * 7L
+        var evs = (0 until 3).map { j =>
+          (s"b${(i + j) % 20}", t + j, 10.0 + ((i + j) % 7), 0.1 * j,
+            j % 2 == 0)
+        }
+        if (i % 3 == 2) // out-of-order but inside the lateness horizon
+          evs :+= ((s"b${i % 20}", t - 6, 55.0, 0.5, true))
+        if (i % 5 == 4) // late beyond every closed window: discarded
+          evs :+= ((s"b${i % 20}", t - 60, 99.0, 0.9, true))
+        val ctEvs = evs.map { case (b, ts, r, l, bx) => mkCt(b, ts, r, l, bx) }
+        ctMem.addData(ctEvs: _*)
+        ctMemSide.addData(ctEvs: _*)
+        queries(1).processAllAvailable()
+        sideQ.processAllAvailable()
+        // side-agg bookkeeping: drop iff the event's window already
+        // closed (window end <= watermark at batch START — Spark
+        // advances the watermark only at batch end)
+        evs.foreach { case (_, ts, _, _, _) =>
+          val wEnd = (math.floorDiv(ts, 10L) + 1L) * 10L
+          if (wEnd <= wm) droppedSide += 1 else keptSide += 1
+        }
+        wm = math.max(wm, evs.map(_._2).max - 5.5)
+        // topology bookkeeping: enriched = attached bearers only
+        val enr = evs.filter { case (b, _, _, _, _) => attached(b) }
+        expectedTopoRttN += 15L * enr.size // 30 s window / 2 s slide
+        enr.foreach { case (b, _, _, _, bx) =>
+          if (bx) geoHits -= ((i, b)) // tick off expected Brussels hits
+        }
+        replayBatches += enr.map { case (_, _, r, l, _) => (r, l) }
+      }
+      assert(batchesSeen === 50)
+      // per-batch consumers saw every event, late ones included
+      assert(statsRttN.sum === expectedTopoRttN)
+      // every geofence hit was an expected (batch, attached-Brussels
+      // bearer) pair — and none were left unticked beyond multi-fence
+      // duplicates (geoHits now holds only unexpected leftovers)
+      assert(geoHits.isEmpty, s"unexpected geofence hits: $geoHits")
+      // flush the side agg: one far-future event closes every real
+      // window, then the sum over emitted rows must equal the kept count
+      ctMemSide.addData(mkCt("flush", 10000L, 1.0, 0.0, brussels = false))
+      sideQ.processAllAvailable()
+      val sideN = spark.table("sustained_side")
+        .where($"metric" === "rtt" && $"bearerId" =!= "flush")
+        .agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
+      assert(droppedSide === 10L) // one designed-late event per 5 batches
+      assert(sideN === keptSide,
+        s"side agg emitted $sideN, simulation kept $keptSide")
+      // model replay: same enriched batches, fresh model, same state
+      val km2 = new IncrementalKMeans(k = 2, dims = 2, decay = 0.9, seed = 7L)
+      replayBatches.foreach { b =>
+        if (b.nonEmpty)
+          km2.update(b.toDF("rtt", "loss")
+            .select(array($"rtt", $"loss").as("v")), "v")
+      }
+      assert(km.currentCenters.map(_.toSeq).toSeq ===
+        km2.currentCenters.map(_.toSeq).toSeq)
+      assert(km.currentCounts.toSeq === km2.currentCounts.toSeq)
+    } finally { queries.foreach(_.stop()); sideQ.stop() }
   }
 
   test("upsert rewrites only touched buckets: untouched bucket files stay byte-identical") {
