@@ -1732,6 +1732,10 @@ object SparkEntry {
       inputTag = Some(d))
     SimilarityOp.exactTopKTable(Tables.embeddings(s, d), wh, 7, Some(d))
     SimilarityOp.exactTopKTable(Tables.embeddings(s, d), wh, 29, Some(d))
+    SimilarityOp.truncCandidatesTable(Tables.embeddings(s, d), wh,
+      d = 16, inputTag = Some(d))
+    SimilarityOp.truncCandidatesTable(Tables.embeddings(s, d), wh,
+      d = 32, inputTag = Some(d))
   }
 
   def oracleSql: Map[String, String] = Map(
