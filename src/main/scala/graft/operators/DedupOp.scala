@@ -1375,7 +1375,8 @@ object DedupOp {
     * derives it with no pruning at all, so the hash gate checks the
     * filter's completeness claim, not just its precision.
     */
-  def prefixJaccard(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+  def prefixJaccard(docs: DataFrame, minJaccard: Double = 0.5,
+                    broadcastBytes: Long = VerifyBroadcastBytes): DataFrame = {
     require(minJaccard == 0.5,
       "prefixJaccard: the prefix bound is derived for t = 1/2")
     val d = docShingles(docs).persist()
@@ -1461,7 +1462,7 @@ object DedupOp {
       shingleBytes.getLong(1) * 48L
     def docArr(side: String, arr: String): DataFrame = {
       val proj = darr.select(col("doc_id").as(side), col("arr").as(arr))
-      if (estBytes <= VerifyBroadcastBytes) broadcast(proj)
+      if (estBytes <= broadcastBytes) broadcast(proj)
       else proj.hint("shuffle_hash")
     }
     materializeAndRelease(

@@ -113,18 +113,24 @@ class PrefixJaccardSpec extends SparkSuite {
     assert(served == direct)
   }
 
-  test("verification join is pinned: broadcast below the size bound") {
-    // Below VerifyBroadcastBytes the doc-array probe sides must be
-    // explicit BroadcastHashJoins — never left to Catalyst's size
-    // estimate (the source of the observed plan bimodality). The
-    // explain of the pre-checkpoint plan is not reachable from the
-    // returned (localCheckpoint'd) frame, so assert the observable
-    // contract instead: the constant itself, and that a tiny corpus
-    // (far below the bound) completes with the broadcast branch by
-    // running it — the branch is chosen by measured Σn, deterministic.
+  test("verification join is pinned: both branches execute and agree") {
+    // The plan branches on measured payload vs broadcastBytes — never
+    // on Catalyst's size estimate (the source of the observed plan
+    // bimodality). Run the SAME corpus through both pins: bound = MAX
+    // forces the broadcast branch, bound = 0 forces shuffle_hash with
+    // the doc-array frame as build side (the corpus-scale plan, which
+    // no test-scale corpus reaches via the measured default), and both
+    // must produce the brute-force pair set.
     assert(DedupOp.VerifyBroadcastBytes == (64L << 20))
     val docs = Seq(1L -> (1 to 10).map("w" + _).mkString(" "),
-      2L -> (3 to 12).map("w" + _).mkString(" "))
-    assert(runOp(docs) == bruteForce(docs))
+      2L -> (3 to 12).map("w" + _).mkString(" "),
+      3L -> (1 to 10).map("w" + _).mkString(" "),
+      4L -> (20 to 30).map("w" + _).mkString(" "))
+    val want = bruteForce(docs)
+    def run(bound: Long): Set[(Long, Long)] =
+      DedupOp.prefixJaccard(docsDF(docs), broadcastBytes = bound)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(Long.MaxValue) == want)
+    assert(run(0L) == want)
   }
 }
