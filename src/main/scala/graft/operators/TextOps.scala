@@ -1388,6 +1388,27 @@ object TextOps {
       .orderBy("term", "rank")
   }
 
+  /** Write-once layout of [[bm25TermIndex]]'s posting heads — the
+    * q18/exactTopKTable stance for the text tier: the static inverted
+    * index IS an ingest artifact (the Scaladoc above already calls it
+    * the offline build), so the corpus-sized token aggregate + full
+    * term-keyed rank window run once per input and q224 serves the
+    * |vocab|·k result read-only. The oracle re-derives the index from
+    * raw text, so the layout stays hash-checked at the gate.
+    */
+  def bm25TermIndexTable(docs: DataFrame, warehouse: String,
+                         k: Int = 3,
+                         inputTag: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val t = s"g_bm25_idx_k$k${BucketedOps.tagOf(inputTag)}"
+    BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
+      bm25TermIndex(docs, k)
+        .write.mode("overwrite").option("path", s"$warehouse/$t")
+        .format("parquet").saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
   /** The shared tf/df/score CTE chain of the index oracles. */
   private def bm25IndexCtes: String =
     s"""tok AS (
