@@ -322,14 +322,23 @@ object AuditOps {
     * (AuditSpec property-checks the decimal path at the old bound).
     *
     * The promotion is COUNT-GATED ([[SpearmanBigintMaxRows]]): one
-    * metadata-cheap `count()` on the input picks BIGINT moment sums
-    * when even the all-rows-in-one-group worst case Σ(2r̄)² ≤ 4n³
-    * stays under 2⁶³, DECIMAL(38,0) above (the StatTestOps.mannWhitney
-    * tie-term convention). Parity is branch-free on the oracle side —
-    * DuckDB's sum(BIGINT) is always HUGEINT-exact — so the branch only
-    * has to produce the same exact integers, which AuditSpec asserts
-    * by running both branches on one frame. Recovered ~1 s of decimal
-    * aggregation at sf0.1 (3.5 → 2.5 s steady).
+    * `count()` ACTION on the input — a real Spark job, run eagerly at
+    * DataFrame-CONSTRUCTION time, so the branch is baked into the
+    * returned plan — picks BIGINT moment sums when even the
+    * all-rows-in-one-group worst case Σ(2r̄)² ≤ 4n³ stays under 2⁶³,
+    * DECIMAL(38,0) above (the StatTestOps.mannWhitney tie-term
+    * convention). If the input grows between construction and a later
+    * execution (not possible with this repo's immutable parquet
+    * inputs, but possible for an arbitrary caller's frame), the stale
+    * gate cannot silently wrap: the BIGINT branch re-checks the
+    * per-group row count — the quantity the 4n³ bound is actually a
+    * function of — at EXECUTION time and `raise_error`s past it. The
+    * guard feeds the output column, so Catalyst cannot prune it.
+    * Parity is branch-free on the oracle side — DuckDB's sum(BIGINT)
+    * is always HUGEINT-exact — so the branch only has to produce the
+    * same exact integers, which AuditSpec asserts by running both
+    * branches on one frame. Recovered ~1 s of decimal aggregation at
+    * sf0.1 (3.5 → 2.5 s steady).
     */
   val SpearmanBigintMaxRows: Long = 1L << 20 // 4n³ < 2⁶³ ⇔ n < 2^20.33
 
@@ -376,9 +385,16 @@ object AuditOps {
         mom(col("rx") * col("rx")).as("sxx"),
         mom(col("ry") * col("ry")).as("syy"),
         mom(col("rx") * col("ry")).as("sxy"))
-      .select(col("grp").as("l_returnflag"), col("n"),
-        corrPpm(col("n"), col("sx"), col("sy"),
-          col("sxx"), col("syy"), col("sxy")).as("rho_ppm"))
+      .select(col("grp").as("l_returnflag"), col("n"), {
+        val rho = corrPpm(col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy"))
+        (if (wide) rho
+         else when(col("n") > bigintMaxRows, raise_error(concat(
+             lit(s"spearman: BIGINT moment sums gated at <= " +
+               s"$bigintMaxRows rows at plan time, but a group has "),
+             col("n"), lit(" rows at execution — input grew; rebuild"))))
+           .otherwise(rho)).as("rho_ppm")
+      })
       .orderBy("l_returnflag")
   }
 
@@ -1037,8 +1053,18 @@ object AuditOps {
     * re-derive the identical k rows per group, and the whole statistic
     * hash-gates with no error bound.
     *
-    * Scale shape: the rank window sorts narrow (grp, hx, id) rows once
-    * (the Spearman exchange); the pair expansion runs on k·|groups|
+    * Scale shape: the sample is drawn by the MERGEABLE bottom-k
+    * sketch ([[graft.functions.BottomKAgg]], the q158 sampler) — every
+    * map-side partial is bounded at k rows, so selection shuffles
+    * k·|partitions| rows per group where the previous rank-window form
+    * sorted the ENTIRE fact table through |groups| tasks (the suite's
+    * last full-sort sampler; bottom-k of a union being bottom-k of
+    * per-part bottom-k's makes the two constructions pick the
+    * identical k rows). The (x, y) pair rides the sampler's one
+    * double payload packed as y·64 + x — exact while x < 64 (TPC-H
+    * quantity is 1..50) and y < 2⁴⁶ cents, both loudly `raise_error`
+    * gated per row, unpacked exactly (y < 2⁴⁶ ≪ 2⁵³ and x/64 is a
+    * power-of-two fraction). The pair expansion runs on k·|groups|
     * rows — bounded at k=128 to 8 128 pairs per group regardless of
     * corpus size. Category counts are exact integers; τ-b's
     * tie-corrected denominator √((nc+nd+t_y)(nc+nd+t_x)) is one scalar
@@ -1048,7 +1074,6 @@ object AuditOps {
     * defined τ and yields NULL on both engines.
     */
   def kendallTau(lineitem: DataFrame, k: Int = 128): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions.portableHash
     val id = (col("l_orderkey").cast("long") * 16L +
       col("l_linenumber").cast("long"))
@@ -1057,10 +1082,20 @@ object AuditOps {
       col("l_quantity").cast("long").as("x"),
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"),
       portableHash(reverse(id.cast("string"))).as("hx"))
-    val w = Window.partitionBy(col("grp")).orderBy(col("hx"), col("id"))
-    val samp = base.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("grp"), col("id"), col("x"), col("y"))
+    val packed = when(
+      col("x").between(0L, 63L) && col("y").between(0L, 1L << 46),
+      (col("y") * 64L + col("x")).cast("double"))
+      .otherwise(raise_error(lit(
+        "kendallTau: (x, y) outside the exact packing domain " +
+          "[0,64)x[0,2^46) — widen the payload encoding")))
+    val bottomK = udaf(new graft.functions.BottomKAgg(k))
+    val samp = base
+      .groupBy(col("grp"))
+      .agg(bottomK(col("hx"), col("id"), packed).as("sample"))
+      .select(col("grp"), explode(col("sample")).as("r"))
+      .select(col("grp"), col("r").getField("id").as("id"),
+        (col("r").getField("v") % 64d).cast("long").as("x"),
+        floor(col("r").getField("v") / 64d).cast("long").as("y"))
     val a = samp.select(col("grp"), col("id").as("id1"),
       col("x").as("x1"), col("y").as("y1"))
     val b = samp.select(col("grp"), col("id").as("id2"),

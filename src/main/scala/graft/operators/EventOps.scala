@@ -1295,14 +1295,33 @@ object EventOps {
     * Each pairwise slope is half-up integer division into 1e-6
     * centi-cents/hour units (exact both engines, negatives via the
     * floor identity), and the median is the exact 1-indexed LOWER
-    * median with a (slope, hi, hj) tie order, so both engines pick the
-    * identical pair.
+    * median of the slope multiset — a pure order statistic of the
+    * values, so both engines pick the identical slope no matter how
+    * each breaks ties among equal-slope pairs.
     *
-    * Scale shape: [[mannKendallTrend]]'s — the O(n²) pair expansion
-    * runs over the hourly AGGREGATE per type, the median rank window
-    * partitions by type (n² rows per type through one task is fine at
-    * ~260 k; decade-long series would switch to the k-th order
-    * statistic selection noted there).
+    * Scale shape: [[mannKendallTrend]]'s O(n²) pair expansion over the
+    * hourly AGGREGATE per type, then the lower median by TWO-PASS
+    * BUCKET SELECTION, not a full sort (the k-th-order-statistic
+    * switch the old in-code note promised): pass 1 group-counts
+    * slopes into coarse 2¹⁶-wide buckets (arithmetic shiftright keeps
+    * bucket order monotone in sp, negatives included) and one window
+    * pass over the ~hundreds-of-rows bucket histogram finds, per
+    * type, the bucket holding rank (np+1)/2 plus the count BEFORE it;
+    * pass 2 rank-windows ONLY the selected bucket's slopes (np /
+    * #buckets rows — a few hundred here) for rank m − before. The n²
+    * slope rows never globally sort and never serialize through one
+    * |groups|-parallel task; the slope frame persists eagerly across
+    * the two passes (the kCore lineage rule; Verify/bench clear per
+    * query). Round-14 A/B in one window (Prof196, steady ×3): full
+    * rank window 3.15 s, (type, slope) exact-histogram selection
+    * 4.2 s — slopes are 99.5 % distinct at sf0.1 so that histogram
+    * collapses nothing and just adds a pass — bucket two-pass 2.0 s.
+    * Selection-by-rank and selection-by-bucket pick the SAME value by
+    * construction — the output carries only the slope, so the old
+    * (sp, hi, hj) row tie order was never observable — and the ORACLE
+    * keeps the rank-window derivation, so the gate checks the two
+    * constructions against each other. A degenerate all-one-bucket
+    * type falls back to exactly the old per-type sort cost.
     */
   def theilSenSlope(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1311,17 +1330,34 @@ object EventOps {
     val b = h.select(col("event_type"), col("hr").as("hj"), col("m").as("mj"))
     val slopes = a.join(b, Seq("event_type"))
       .where(col("hi") < col("hj"))
-      .select(col("event_type"), col("hi"), col("hj"),
+      .select(col("event_type"),
         graft.functions.DetAgg.halfUpDiv(
           (col("mj") - col("mi")) * 1000000L,
           col("hj") - col("hi")).as("sp"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("sp"), col("hi"), col("hj"))
-    slopes
-      .withColumn("rn", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    slopes.count()
+    val shift = 16
+    val bhist = slopes
+      .select(col("event_type"), shiftright(col("sp"), shift).as("bk"))
+      .groupBy(col("event_type"), col("bk"))
+      .agg(count(lit(1)).as("cnt"))
+    // distinct bk per type after the groupBy → the cumulative RANGE
+    // frame has no peer rows, tie-safe
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("bk"))
+    val sel = bhist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("np",
-        count(lit(1)).over(Window.partitionBy(col("event_type"))))
-      .where(col("rn") === expr("(np + 1L) DIV 2L"))
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      .where(col("cum") >= expr("(np + 1L) DIV 2L") &&
+        col("cum") - col("cnt") < expr("(np + 1L) DIV 2L"))
+      .select(col("event_type"), col("bk"),
+        (col("cum") - col("cnt")).as("before"), col("np"))
+    val w2 = Window.partitionBy(col("event_type")).orderBy(col("sp"))
+    slopes
+      .join(broadcast(sel), Seq("event_type"))
+      .where(shiftright(col("sp"), shift) === col("bk"))
+      .withColumn("rn", row_number().over(w2))
+      .where(col("rn") === expr("(np + 1L) DIV 2L - before"))
       .select(col("event_type"), col("np").as("n_pairs"),
         col("sp").as("sen_slope_ppm"))
       .orderBy("event_type")

@@ -1261,11 +1261,24 @@ object SimilarityOp {
     * scan-filter form.
     */
   private def lshCandidatesMulti(embeddings: DataFrame, qmod: Int,
-                                 conf: LshConf): DataFrame = {
-    val sk = embeddings.select(col("vec_id"),
-      posexplode(graft.functions.SignSketchExpr.column(
-        toDoubleArray(col("embedding")), conf.bands, conf.bits,
-        conf.mulJ, conf.mulD, conf.mod)).as(Seq("band", "bval")))
+                                 conf: LshConf): DataFrame =
+    lshProbeJoin(
+      embeddings.select(col("vec_id"),
+        posexplode(graft.functions.SignSketchExpr.column(
+          toDoubleArray(col("embedding")), conf.bands, conf.bits,
+          conf.mulJ, conf.mulD, conf.mod)).as(Seq("band", "bval"))),
+      embeddings, qmod, conf)
+
+  /** The live PROBE half of banded-LSH retrieval — query vectors are
+    * sketched at query time and their multi-probe (band, bval) keys
+    * broadcast against the corpus signature frame `sk`, which comes
+    * either fresh ([[lshCandidatesMulti]]) or from the write-once
+    * signature layout ([[signSketchSigsTable]]). Probing stays live in
+    * both cases — only WHERE the corpus-side index state lives differs,
+    * which is exactly the §7.7 serving boundary.
+    */
+  private def lshProbeJoin(sk: DataFrame, embeddings: DataFrame,
+                           qmod: Int, conf: LshConf): DataFrame = {
     val qsk = queryFrame(embeddings, qmod).select(col("qid"),
       posexplode(graft.functions.SignSketchExpr.column(
         col("qv"), conf.bands, conf.bits,
@@ -1279,6 +1292,40 @@ object SimilarityOp {
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id")).distinct()
   }
+
+  /** Write-once layout of the corpus-side ANN sign signatures — the
+    * simhashSigsTable stance for the embedding tier: hyperplane j =
+    * band·bits + k depends only on its GLOBAL index and the weight
+    * family (mulJ, mulD, mod), so one (vec_id, band, bval) table
+    * sketched at the WIDEST banding serves every narrower same-family
+    * arm as an exact prefix (`band < B` — a pushed parquet filter).
+    * Built once per input in the ingest pass; the q85 oracle
+    * re-derives every arm's signatures from raw embeddings, so the
+    * layout stays hash-checked at the gate.
+    */
+  def signSketchSigsTable(embeddings: DataFrame, warehouse: String,
+                          conf: LshConf = AnnDefault,
+                          inputTag: Option[String] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val t = s"g_ann_sigs_${conf.bands}x${conf.bits}_${conf.mulJ}_" +
+      s"${conf.mulD}_${conf.mod}${BucketedOps.tagOf(inputTag)}"
+    BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
+      embeddings.select(col("vec_id"),
+        posexplode(graft.functions.SignSketchExpr.column(
+          toDoubleArray(col("embedding")), conf.bands, conf.bits,
+          conf.mulJ, conf.mulD, conf.mod)).as(Seq("band", "bval")))
+        .write.mode("overwrite").option("path", s"$warehouse/$t")
+        .format("parquet").saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
+  /** True iff `c`'s corpus signatures are a band-prefix of signatures
+    * sketched under `base` — same bit width and weight family, no
+    * wider. */
+  private def prefixOf(c: LshConf, base: LshConf): Boolean =
+    c.bits == base.bits && c.mulJ == base.mulJ &&
+      c.mulD == base.mulD && c.mod == base.mod && c.bands <= base.bands
 
   private def centerVecs(embeddings: DataFrame,
                          centerIds: Seq[Long]): Seq[(Long, Seq[Double])] =
@@ -1505,36 +1552,57 @@ object SimilarityOp {
       .select(col("qid"), col("vec_id"))
   }
 
-  /** One summary row for one retrieval configuration: candidates ranked
-    * per query by exact cosine (the codegen kernel again), intersected
-    * with the ground truth. mean_cand is the evidence the candidate set
-    * stays bounded; mean_recall = total hits / (k·|Q|), so a query with
-    * an empty candidate set correctly drags the mean down.
+  /** One summary row PER retrieval configuration, all arms fused into
+    * ONE plan: every arm's (qid, vec_id) candidates union with a
+    * `config` tag, rank by exact cosine in a single (config, qid)
+    * window, intersect with the ground truth once, and aggregate by
+    * config. mean_cand is the evidence the candidate set stays
+    * bounded; mean_recall = total hits / (k·|Q|), so a query with an
+    * empty candidate set correctly drags the mean down.
+    *
+    * Fused-vs-per-arm was an r14 measurement, not a guess: with a
+    * 2 000-vector corpus the per-arm form's 9 separate
+    * join+window+aggregate plans were pure scheduling overhead
+    * (~0.5 s/arm); one plan over the unioned candidates runs the same
+    * work in a handful of stages (q85 5.8 → 1.7 s steady, Prof85).
+    * At 100 TB the fusion is still right: one shuffle keyed
+    * (config, qid) instead of nine keyed (qid). An arm whose candidate
+    * set is EMPTY still gets its row (the explode over the arm-name
+    * literals is the row source; counts coalesce to 0) — the per-arm
+    * form got this from agg-without-groupBy, and the oracle emits the
+    * row too.
     */
-  private def recallArm(name: String, embeddings: DataFrame,
-                        qframe: DataFrame, exact: DataFrame,
-                        cand: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
+  private def recallArms(embeddings: DataFrame, qframe: DataFrame,
+                         exact: DataFrame,
+                         arms: Seq[(String, DataFrame)],
+                         k: Int): DataFrame = {
+    val cands = arms.map { case (name, c) =>
+      c.select(lit(name).as("config"), col("qid"), col("vec_id")) }
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("config"), col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
-    val topk = cand.join(corpusVecs(embeddings), Seq("vec_id"))
+    val topk = cands.join(corpusVecs(embeddings), Seq("vec_id"))
       .join(broadcast(qframe), Seq("qid"))
-      .select(col("qid"), col("vec_id"),
+      .select(col("config"), col("qid"), col("vec_id"),
         round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
           .as("sim"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .select(col("qid"), col("vec_id"))
-    val nq = qframe.agg(count(lit(1)).as("n_queries"))
-    val nc = cand.agg(count(lit(1)).as("__cand"))
+      .select(col("config"), col("qid"), col("vec_id"))
+    val nc = cands.groupBy(col("config")).agg(count(lit(1)).as("__cand"))
     val nh = topk.join(exact, Seq("qid", "vec_id"))
-      .agg(count(lit(1)).as("__hits"))
+      .groupBy(col("config")).agg(count(lit(1)).as("__hits"))
     // integer ratios through DetAgg (the oracle-parity rule: Spark and
     // DuckDB round() can disagree on identical doubles at boundaries)
-    nq.crossJoin(nc).crossJoin(nh)
-      .select(lit(name).as("config"), col("n_queries"),
-        graft.functions.DetAgg.ratio(col("__cand"), col("n_queries"))
-          .as("mean_cand"),
-        graft.functions.DetAgg.ratio(col("__hits"), col("n_queries") * k)
-          .as("mean_recall"))
+    qframe.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"),
+        explode(array(arms.map(a => lit(a._1)): _*)).as("config"))
+      .join(nc, Seq("config"), "left")
+      .join(nh, Seq("config"), "left")
+      .select(col("config"), col("n_queries"),
+        graft.functions.DetAgg.ratio(coalesce(col("__cand"), lit(0L)),
+          col("n_queries")).as("mean_cand"),
+        graft.functions.DetAgg.ratio(coalesce(col("__hits"), lit(0L)),
+          col("n_queries") * k).as("mean_recall"))
   }
 
   /** q84: mean recall@k of the two serving paths over a deterministic
@@ -1551,10 +1619,9 @@ object SimilarityOp {
     val qframe = queryFrame(embeddings, qmod)
     val exact = sharedExactGT(embeddings, qmod, k, warehouse, inputTag)
     val centers = centerVecs(embeddings, centerIds)
-    recallArm("ivf", embeddings, qframe, exact,
-      ivfCandidatesMulti(embeddings, qmod, centers, nProbe), k)
-      .unionByName(recallArm("lsh", embeddings, qframe, exact,
-        lshCandidatesMulti(embeddings, qmod, conf), k))
+    recallArms(embeddings, qframe, exact, Seq(
+      "ivf" -> ivfCandidatesMulti(embeddings, qmod, centers, nProbe),
+      "lsh" -> lshCandidatesMulti(embeddings, qmod, conf)), k)
       .orderBy("config")
   }
 
@@ -1644,7 +1711,8 @@ object SimilarityOp {
                      centerIds: Seq[Long] = Seq(7L, 42L, 123L),
                      nSub: Int = 8,
                      warehouse: String = "/tmp/graft_warehouse",
-                     inputTag: Option[String] = None): DataFrame = {
+                     inputTag: Option[String] = None,
+                     sigLayout: Boolean = true): DataFrame = {
     // Scan-sharing via in-memory persist A/B'd a THIRD time (round 9,
     // RunOne x4 steady): persisting the shared qframe+exact ground
     // truth measured 5.8 s vs 5.6 s recomputed — the 9 arms' redundant
@@ -1659,17 +1727,27 @@ object SimilarityOp {
     val centers = centerVecs(embeddings, centerIds)
     val codebook = centerVecs(embeddings, PqCodebookIds)
     val ivfArms = SweepNProbes.map(p =>
-      recallArm(s"ivf_p$p", embeddings, qframe, exact,
-        ivfCandidatesMulti(embeddings, qmod, centers, p), k))
-    val lshArms = SweepLsh.map(c =>
-      recallArm(c.name, embeddings, qframe, exact,
-        lshCandidatesMulti(embeddings, qmod, c), k))
-    val pqArms = SweepPq.map { case (name, p, s) =>
-      recallArm(name, embeddings, qframe, exact,
-        pqShortlistMulti(embeddings, qmod, centers, p,
-          codebook, nSub, s), k)
+      s"ivf_p$p" -> ivfCandidatesMulti(embeddings, qmod, centers, p))
+    // the three new-family arms are band-prefixes of the widest
+    // (AnnDefault, 24x8), so with a tagged input they all read the ONE
+    // write-once signature layout with a pushed band filter instead of
+    // re-sketching the corpus per arm; the legacy arm's weight family
+    // differs and computes live (r14, the sharedExactGT precedent)
+    val sigs = if (sigLayout && inputTag.isDefined)
+      Some(signSketchSigsTable(embeddings, warehouse, AnnDefault, inputTag))
+    else None
+    val lshArms = SweepLsh.map { c =>
+      c.name -> (sigs match {
+        case Some(t) if prefixOf(c, AnnDefault) =>
+          lshProbeJoin(t.where(col("band") < c.bands), embeddings, qmod, c)
+        case _ => lshCandidatesMulti(embeddings, qmod, c)
+      })
     }
-    (ivfArms ++ lshArms ++ pqArms).reduce(_.unionByName(_))
+    val pqArms = SweepPq.map { case (name, p, s) =>
+      name -> pqShortlistMulti(embeddings, qmod, centers, p,
+        codebook, nSub, s)
+    }
+    recallArms(embeddings, qframe, exact, ivfArms ++ lshArms ++ pqArms, k)
       .orderBy("config")
   }
 
@@ -2075,12 +2153,11 @@ object SimilarityOp {
                   inputTag: Option[String] = None): DataFrame = {
     val qframe = queryFrame(embeddings, qmod)
     val exact = sharedExactGT(embeddings, qmod, k, warehouse, inputTag)
-    Seq(16, 32).map(d =>
-      recallArm(s"trunc${d}_c$c", embeddings, qframe, exact,
+    recallArms(embeddings, qframe, exact,
+      Seq(16, 32).map(d => s"trunc${d}_c$c" -> (
         if (inputTag.isDefined)
           truncCandidatesTable(embeddings, warehouse, qmod, d, c, inputTag)
-        else truncCandidatesMulti(embeddings, qmod, d, c), k))
-      .reduce(_ unionByName _)
+        else truncCandidatesMulti(embeddings, qmod, d, c))), k)
       .orderBy("config")
   }
 
@@ -2202,9 +2279,9 @@ object SimilarityOp {
                         inputTag: Option[String] = None): DataFrame = {
     val qframe = queryFrame(embeddings, qmod)
     val exact = sharedExactGT(embeddings, qmod, k, warehouse, inputTag)
-    cs.map(c => recallArm(f"bin1bit_c$c%03d", embeddings, qframe, exact,
-        binCandidatesMulti(embeddings, qmod, c), k))
-      .reduce(_ unionByName _)
+    recallArms(embeddings, qframe, exact,
+      cs.map(c => f"bin1bit_c$c%03d" ->
+        binCandidatesMulti(embeddings, qmod, c)), k)
       .orderBy("config")
   }
 

@@ -31,7 +31,7 @@ object RunOne {
     // comma-separated names share one JVM/session — same-window
     // ratios for scale rehearsals (JVM warmup lands in the first
     // query's run1, steady runs compare honestly).
-    for (n1 <- name.split(",")) {
+    for (n1 <- name.split(",").map(_.trim).filter(_.nonEmpty)) {
       val fn = graft.SparkEntry.queries(n1)
       for (i <- 1 to repeat) {
         val t0 = System.nanoTime()

@@ -42,7 +42,24 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val idStride = 1000000L
+    // Stride must clear every id domain it offsets (doc_id, vec_id,
+    // event_id, user_id) or copies collide and the disjoint-population
+    // / uniqueness-honesty claims below silently break. Derive it from
+    // the actual maxima instead of assuming 1M, rounded up to a power
+    // of ten so scaled ids stay eyeball-decodable (copy = id / stride).
+    val idStride = {
+      val maxDoc = spark.read.parquet(s"$src/documents.parquet")
+        .agg(max(col("doc_id"))).head.getLong(0)
+      val maxVec = spark.read.parquet(s"$src/embeddings.parquet")
+        .agg(max(col("vec_id"))).head.getLong(0)
+      val evm = spark.read.parquet(s"$src/events.parquet")
+        .agg(max(col("event_id")), max(col("user_id"))).head
+      val maxId = Seq(maxDoc, maxVec, evm.getLong(0), evm.getLong(1),
+        999999L).max
+      var s = 1000000L
+      while (s <= maxId) s *= 10L
+      s
+    }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val copies = spark.range(0, n).select(col("id").as("copy"))

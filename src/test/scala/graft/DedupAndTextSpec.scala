@@ -676,6 +676,30 @@ class DedupAndTextSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, "ab", 5L), (2L, "abab", 2L)))
   }
 
+  test("bpe write-once layout serves identical merges and apply stats as recompute") {
+    import graft.operators.TextOps
+    // The q119/q195 serving path: training runs once into the layout
+    // and both consumers read it back. Round-trip must be
+    // value-identical to the direct recompute. Untagged call: the
+    // write-once guard is off, safe for the arbitrary test frame.
+    val docs = Seq(
+      (0L, "abab ab cd cd", "en", "s1", 14L),
+      (1L, "abab cdcd", "en", "s2", 10L),
+      (2L, "ab cd ef", "en", "s1", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val wh = java.nio.file.Files.createTempDirectory("bpe-wh").toString
+    val mergesDirect = TextOps.bpeMerges(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val mergesServed = TextOps.bpeMergesServed(docs, wh, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(mergesServed === mergesDirect)
+    val applyDirect = TextOps.bpeApplyStats(docs, k = 3).collect()
+      .map(_.toSeq).toSeq
+    val applyServed = TextOps.bpeApplyStatsServed(docs, wh, k = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(applyServed === applyDirect)
+  }
+
   test("sourceGini: uniform source scores 0, concentrated source matches hand calc") {
     import graft.operators.TextOps
     // source u: three equal docs -> G = 0

@@ -78,7 +78,8 @@ class PipelineSpec extends SparkSuite {
   }
 
   test("sustained topology: 50 late/out-of-order micro-batches through " +
-       "all three consumers, watermark discards counted, model replay-equal") {
+       "all three consumers, watermark discards counted, model replay-equal, " +
+       "mid-stream geofence file swap picked up") {
     // The reference's operating mode is a long-running topology, not a
     // single batch (TrafficStreamProcessor.scala:32-66). 50 micro-batches
     // of deterministic late/out-of-order traffic run through the full
@@ -91,20 +92,44 @@ class PipelineSpec extends SparkSuite {
     //    windows closed (watermark simulated event-for-event in-test);
     //  - the incremental k-means state after 50 decayed updates equals
     //    a sequential replay of the same enriched batches into a fresh
-    //    model (the W6 evolving-state guarantee, sustained).
+    //    model (the W6 evolving-state guarantee, sustained);
+    //  - S6's actual operating mode: the configured fence FILE is
+    //    re-read per batch (the reference hot-reloads every 5 s,
+    //    Geofencer.scala:18-23), so overwriting it mid-stream must flip
+    //    which points hit from the very next batch — asserted by exact
+    //    (batch, bearer) hit-set equality across the swap.
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sustained").toString
     val attachMem = MemoryStream[AttachEvent]
     val ctMem = MemoryStream[CelltowerEvent]
-    val km = new IncrementalKMeans(k = 2, dims = 2, decay = 0.9, seed = 7L)
+
+    // single-line JSON fence files (fencesFromJson reads line-wise):
+    // phase 1 boxes Brussels (the bx=true points at 50.85, 4.35);
+    // phase 2 boxes the bx=false points at (40.0, 1.0).
+    val fencePath = s"$dir/fences.json"
+    def writeFences(name: String, la0: Double, la1: Double,
+                    ln0: Double, ln1: Double): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(fencePath),
+        s"""[{"name":"$name","path":"","polygon":[""" +
+          s"""{"lat":$la0,"lng":$ln0},{"lat":$la1,"lng":$ln0},""" +
+          s"""{"lat":$la1,"lng":$ln1},{"lat":$la0,"lng":$ln1}]}]""")
+    writeFences("brussels_box", 50.0, 51.5, 4.0, 5.0)
+    val swapAt = 25
+
+    // config-driven wiring (the deployment path: every knob including
+    // the fence file comes from PipelineConfig)
+    val config = graft.streaming.PipelineConfig(
+      storePath = s"$dir/attach", kmeansK = 2, kmeansDecay = 0.9,
+      kmeansSeed = 7L, geofenceFile = Some(fencePath))
 
     // accumulators filled by the sink per batch
     val statsRttN = scala.collection.mutable.ArrayBuffer[Long]()
     val geoHits = scala.collection.mutable.Set[(Int, String)]()
+    val expectedHits = scala.collection.mutable.Set[(Int, String)]()
     var batchesSeen = 0
     var curBatch = 0
-    val queries = TelcoPipelines.start(
-      attachMem.toDF(), ctMem.toDF(), s"$dir/attach", km,
+    val (queries, km) = TelcoPipelines.start(
+      config, attachMem.toDF(), ctMem.toDF(),
       (out, _) => {
         batchesSeen += 1
         statsRttN += out.subscriberStats.where($"metric" === "rtt")
@@ -141,6 +166,8 @@ class PipelineSpec extends SparkSuite {
     try {
       for (i <- 0 until 50) {
         curBatch = i
+        if (i == swapAt) // mid-stream swap: next batch must use it
+          writeFences("iberia_box", 39.0, 41.0, 0.0, 2.0)
         attachMem.addData(attach(s"b${i % 20}", i % 20, i * 1000L))
         queries.head.processAllAvailable() // store first, like a deploy
         val attached = (0 to math.min(i, 19)).map(j => s"b$j").toSet
@@ -170,17 +197,24 @@ class PipelineSpec extends SparkSuite {
         val enr = evs.filter { case (b, _, _, _, _) => attached(b) }
         expectedTopoRttN += 15L * enr.size // 30 s window / 2 s slide
         enr.foreach { case (b, _, _, _, bx) =>
-          if (bx) geoHits -= ((i, b)) // tick off expected Brussels hits
+          // phase 1 fence contains exactly the Brussels points; the
+          // swapped phase-2 fence exactly the non-Brussels ones
+          if (if (i < swapAt) bx else !bx) expectedHits += ((i, b))
         }
         replayBatches += enr.map { case (_, _, r, l, _) => (r, l) }
       }
       assert(batchesSeen === 50)
       // per-batch consumers saw every event, late ones included
       assert(statsRttN.sum === expectedTopoRttN)
-      // every geofence hit was an expected (batch, attached-Brussels
-      // bearer) pair — and none were left unticked beyond multi-fence
-      // duplicates (geoHits now holds only unexpected leftovers)
-      assert(geoHits.isEmpty, s"unexpected geofence hits: $geoHits")
+      // geofence: exact (batch, bearer) hit-set equality — a stale
+      // fence after the swap would leave phase-1-shaped hits (bx
+      // bearers at i >= swapAt) in geoHits and phase-2 expectations
+      // unmet, so the equality fails in BOTH directions; both phases
+      // are non-vacuous by construction
+      assert(expectedHits.exists(_._1 < swapAt) &&
+        expectedHits.exists(_._1 >= swapAt))
+      assert(geoHits === expectedHits,
+        s"unexpected=${geoHits -- expectedHits} missing=${expectedHits -- geoHits}")
       // flush the side agg: one far-future event closes every real
       // window, then the sum over emitted rows must equal the kept count
       ctMemSide.addData(mkCt("flush", 10000L, 1.0, 0.0, brussels = false))

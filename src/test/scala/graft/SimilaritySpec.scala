@@ -398,6 +398,33 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("sign-signature layout: narrower bands are exact prefixes; " +
+       "layout-served sweep equals live recompute") {
+    // hyperplane j = band*bits + k depends only on its global index and
+    // the weight family, so the widest sketch's bands are byte-exact
+    // prefixes of every narrower same-family sketch — the property the
+    // q85 signature layout rides on
+    val c = SimilarityOp.AnnDefault
+    val v = Array.tabulate(64)(i => math.sin(i * 1.7) * (i % 5 - 2))
+    val wide = graft.functions.SignSketchExpr.sketchOf(
+      v, c.bands, c.bits, c.mulJ, c.mulD, c.mod)
+    for (b <- Seq(8, 16)) {
+      val narrow = graft.functions.SignSketchExpr.sketchOf(
+        v, b, c.bits, c.mulJ, c.mulD, c.mod)
+      assert(wide.take(b).toSeq === narrow.toSeq)
+    }
+    // end-to-end: the tagged sweep (new-family arms reading the
+    // write-once signature layout with a pushed band filter) must be
+    // row-identical to the untagged all-live sweep
+    val wh = java.nio.file.Files.createTempDirectory("sigs-wh").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val live = SimilarityOp.annRecallSweep(emb, warehouse = wh)
+      .collect().map(_.toSeq).toSeq
+    val served = SimilarityOp.annRecallSweep(emb, warehouse = wh,
+      inputTag = Some(sfDir)).collect().map(_.toSeq).toSeq
+    assert(served === live)
+  }
+
   test("knnLabelAccuracy: clean clusters score 1.0, planted mislabel drops its class") {
     // two tight clusters on orthogonal axes; qmod 7 picks 0 and 7 as
     // queries (one per cluster). All of cluster 0 is label 0, all of
