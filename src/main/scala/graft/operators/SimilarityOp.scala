@@ -1327,6 +1327,19 @@ object SimilarityOp {
     c.bits == base.bits && c.mulJ == base.mulJ &&
       c.mulD == base.mulD && c.mod == base.mod && c.bands <= base.bands
 
+  /** LSH candidates with the corpus signatures read from the
+    * write-once layout when a tagged input enables it and `conf` is a
+    * band-prefix of the layout's family; live sketching otherwise
+    * (untagged ad-hoc frames, or the legacy weight family). */
+  private def lshCandidatesMaybeServed(embeddings: DataFrame, qmod: Int,
+                                       conf: LshConf, warehouse: String,
+                                       inputTag: Option[String]): DataFrame =
+    if (inputTag.isDefined && prefixOf(conf, AnnDefault))
+      lshProbeJoin(
+        signSketchSigsTable(embeddings, warehouse, AnnDefault, inputTag)
+          .where(col("band") < conf.bands), embeddings, qmod, conf)
+    else lshCandidatesMulti(embeddings, qmod, conf)
+
   private def centerVecs(embeddings: DataFrame,
                          centerIds: Seq[Long]): Seq[(Long, Seq[Double])] =
     embeddings.filter(col("vec_id").isin(centerIds: _*))
@@ -1621,7 +1634,8 @@ object SimilarityOp {
     val centers = centerVecs(embeddings, centerIds)
     recallArms(embeddings, qframe, exact, Seq(
       "ivf" -> ivfCandidatesMulti(embeddings, qmod, centers, nProbe),
-      "lsh" -> lshCandidatesMulti(embeddings, qmod, conf)), k)
+      "lsh" -> lshCandidatesMaybeServed(embeddings, qmod, conf,
+        warehouse, inputTag)), k)
       .orderBy("config")
   }
 
@@ -1732,16 +1746,12 @@ object SimilarityOp {
     // (AnnDefault, 24x8), so with a tagged input they all read the ONE
     // write-once signature layout with a pushed band filter instead of
     // re-sketching the corpus per arm; the legacy arm's weight family
-    // differs and computes live (r14, the sharedExactGT precedent)
-    val sigs = if (sigLayout && inputTag.isDefined)
-      Some(signSketchSigsTable(embeddings, warehouse, AnnDefault, inputTag))
-    else None
+    // differs and computes live (r14, the sharedExactGT precedent).
+    // `sigLayout = false` forces all-live for the Prof85 A/B.
     val lshArms = SweepLsh.map { c =>
-      c.name -> (sigs match {
-        case Some(t) if prefixOf(c, AnnDefault) =>
-          lshProbeJoin(t.where(col("band") < c.bands), embeddings, qmod, c)
-        case _ => lshCandidatesMulti(embeddings, qmod, c)
-      })
+      c.name -> (if (sigLayout)
+        lshCandidatesMaybeServed(embeddings, qmod, c, warehouse, inputTag)
+      else lshCandidatesMulti(embeddings, qmod, c))
     }
     val pqArms = SweepPq.map { case (name, p, s) =>
       name -> pqShortlistMulti(embeddings, qmod, centers, p,
@@ -2407,7 +2417,8 @@ object SimilarityOp {
     mrrArm("ivf", embeddings, qframe, nn1,
       ivfCandidatesMulti(embeddings, qmod, centers, nProbe), k)
       .unionByName(mrrArm("lsh", embeddings, qframe, nn1,
-        lshCandidatesMulti(embeddings, qmod, conf), k))
+        lshCandidatesMaybeServed(embeddings, qmod, conf,
+          warehouse, inputTag), k))
       .orderBy("config")
   }
 

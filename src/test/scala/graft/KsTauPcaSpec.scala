@@ -58,6 +58,24 @@ class KsTauPcaSpec extends SparkSuite {
       ("B", 3L, 0L, 3L, -1000000L), ("C", 3L, 1L, 0L, 500000L)))
   }
 
+  test("kendallTau: out-of-domain quantity trips the packing guard loudly") {
+    // The sampler carries (x, y) packed as y*64 + x, exact only while
+    // x < 64 — a quantity outside the domain must raise, not silently
+    // corrupt the unpack (r14 guard; TPC-H quantity is 1..50).
+    val rows = Seq(
+      li("A", 1, 1, 1, 10.0), li("A", 2, 1, 99, 20.0)
+    ).toDF("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice")
+    val e = intercept[Exception] {
+      AuditOps.kendallTau(rows).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("packing domain")),
+      s"expected the packing-domain raise_error, got: $e")
+  }
+
   test("principalComponent: rank-1 cloud recovers its direction exactly") {
     // Vectors t·(1,2,0,0): direction (1,2,0,0), max-normalized →
     // v_ppm = (500000, 1000000, 0, 0); rank-1 scatter → the leading
