@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main — runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   * Each query is fully materialized through the `noop` sink (a bare
@@ -11,35 +9,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // The status store retains 1000 SQL executions (each holding a
-      // full plan-description string) and 100k task wrappers by
-      // default; a ~1000-execution sweep (warm-up + 3 timed passes x
-      // 250 queries) fills the heap with UI bookkeeping nobody reads
-      // (UI is off) and the resulting GC pressure inflates late-sweep
-      // timings well past RunOne steady state. Cap retention to the
-      // few most recent and let the context cleaner reclaim shuffle/
-      // broadcast state on a cadence shorter than the sweep.
-      // 285 queries × ~10 codegen stages churn the 100-entry janino
-      // class cache, so deep in the sweep every timed pass recompiles
-      // its WholeStageCodegen classes that RunOne-in-isolation reuses —
-      // a structural in-suite-only penalty (the recurring q156
-      // inflation). Size the cache to hold the whole suite.
-      .config("spark.sql.codegen.cache.maxEntries", "8000")
-      .config("spark.sql.ui.retainedExecutions", "15")
-      .config("spark.ui.retainedJobs", "50")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "2000")
-      .config("spark.worker.ui.retainedExecutors", "10")
-      .config("spark.cleaner.periodicGC.interval", "2min")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session knobs live in graft.tools.ToolSession — ONE config shared
+    // with the profiling tools, so a RunOne steady-state anchor and a
+    // bench reading are measurements of the same execution environment
+    // (the knob-by-knob rationale is documented there).
+    val spark = graft.tools.ToolSession.build(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // Untimed warm-up: run every query once at the tiny sf so JIT,
     // janino codegen (cached by generated source, identical across sf),
     // and shuffle machinery are hot before timing. Standard warm-run

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Scratch A/B for the q85 sweep's signature layout (round 14):
   * untagged (all arms compute corpus signatures live) vs tagged (the
@@ -10,14 +9,7 @@ import org.apache.spark.sql.SparkSession
 object Prof85 {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.build("32")
     val emb = graft.tables.Tables.embeddings(spark, sfDir)
     val wh = "/tmp/graft_warehouse"
     // pre-build the layouts both variants share (exact GT) + the sigs

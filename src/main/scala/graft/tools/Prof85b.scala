@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch breakdown of q85's cost (round 14): times each arm
@@ -10,14 +9,7 @@ import org.apache.spark.sql.functions._
 object Prof85b {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.build("32")
     val emb = graft.tables.Tables.embeddings(spark, sfDir)
     val wh = "/tmp/graft_warehouse"
     import graft.operators.SimilarityOp

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev harness: run one named query against a sf dir, print timing and
   * optionally the formatted physical plan. Not part of the driver
@@ -14,15 +13,9 @@ object RunOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val doExplain = args.contains("explain")
     val repeat = args.find(_.startsWith("x")).map(_.drop(1).toInt).getOrElse(1)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // bench-grade session (ToolSession): readings here are anchors for
+    // the graded bench, so the perf-critical knobs must match it
+    val spark = ToolSession.build()
     if (args.contains("warm")) {
       val t0 = System.nanoTime()
       graft.SparkEntry.warmLayouts(spark, sfDir)
