@@ -1192,20 +1192,64 @@ object SimilarityOp {
     exactTopKMultiRanked(embeddings, qmod, k)
       .select(col("qid"), col("vec_id"))
 
-  /** [[exactTopKMulti]] keeping the per-query rank — the shape the
-    * write-once ground-truth layout stores, so ONE table serves every
-    * k ≤ its build k (top-1 for MRR is the rn=1 slice of top-10).
+  /** Per-query top-k of a scored (qid, vec_id, sim) frame WITHOUT
+    * shuffling every pair: the row_number-window form shuffles the
+    * full |Q|·|N| scored expansion into per-qid sorts — the measured
+    * ingest bottleneck of the ground-truth/trunc layout builds at ×30
+    * (514 M pair rows through one exchange). This form folds each map
+    * task's pairs into a bounded [[graft.functions.BottomKAgg]] sketch
+    * first, so the exchange carries ≤ |partitions|·|Q|·k partial rows
+    * (~×190 less at ×30) and the O(|Q|·|N|) part stays pure compute.
+    *
+    * Order parity with `ORDER BY sim DESC, vec_id ASC`: sim is 6-dp
+    * rounded, so sim·10⁶ is integral and the negated BIGINT key is
+    * order-isomorphic to sim DESC (round() only repairs float fuzz —
+    * any mode lands on the same integer). Equality with the window
+    * form is spec-proven (SimilaritySpec) and every layout consumer's
+    * oracle re-derives ranks from raw embeddings at the gate.
     */
-  private def exactTopKMultiRanked(embeddings: DataFrame, qmod: Int,
-                                   k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val bottomK = udaf(new graft.functions.BottomKAgg(k))
+    scored
+      .groupBy(col("qid"))
+      .agg(bottomK(
+        -round(col("sim") * lit(1e6), 0).cast("long"),
+        col("vec_id"), col("sim")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "r")))
+      .select(col("qid"), col("r").getField("id").as("vec_id"),
+        (col("p") + 1).as("rn"))
+  }
+
+  /** The |Q|·|N| exact-cosine scored expansion shared by the ranked
+    * forms: query sample broadcast against one corpus scan, codegen'd
+    * [[graft.functions.CosineExpr]] kernel per pair. */
+  private def exactScoredPairs(embeddings: DataFrame,
+                               qmod: Int): DataFrame =
     corpusVecs(embeddings)
       .join(broadcast(queryFrame(embeddings, qmod)),
         col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
           .as("sim"))
+
+  /** [[exactTopKMulti]] keeping the per-query rank — the shape the
+    * write-once ground-truth layout stores, so ONE table serves every
+    * k ≤ its build k (top-1 for MRR is the rn=1 slice of top-10).
+    * Ranked via [[topKPerQuery]]'s bounded sketch.
+    */
+  private[graft] def exactTopKMultiRanked(embeddings: DataFrame,
+                                          qmod: Int, k: Int): DataFrame =
+    topKPerQuery(exactScoredPairs(embeddings, qmod), k)
+
+  /** The row_number-window form of [[exactTopKMultiRanked]], kept ONLY
+    * as the parity reference for the [[topKPerQuery]] equality spec —
+    * never on a build path (it shuffles every scored pair). */
+  private[graft] def exactTopKMultiRankedWindow(embeddings: DataFrame,
+                                                qmod: Int,
+                                                k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    exactScoredPairs(embeddings, qmod)
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("qid"), col("vec_id"), col("rn"))
   }
@@ -1232,11 +1276,37 @@ object SimilarityOp {
     val spark = embeddings.sparkSession
     val t = s"g_ann_gt_q${qmod}_k$GtK${BucketedOps.tagOf(inputTag)}"
     BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
-      exactTopKMultiRanked(embeddings, qmod, GtK)
-        .write.mode("overwrite").option("path", s"$warehouse/$t")
-        .format("parquet").saveAsTable(t)
+      withHighAggFallback(spark) {
+        exactTopKMultiRanked(embeddings, qmod, GtK)
+          .write.mode("overwrite").option("path", s"$warehouse/$t")
+          .format("parquet").saveAsTable(t)
+      }
     }
     spark.table(t)
+  }
+
+  /** Ingest-scoped lift of the ObjectHashAggregate sort-based fallback
+    * for the [[topKPerQuery]] layout builds: the default 128-key
+    * threshold means every map task of the |Q|·|N| expansion (|Q| ≈
+    * thousands of sketch keys per task) abandons hash mode and locally
+    * SORTS its full pair slice before aggregating — the sort costs
+    * more than the bounded hash map it avoids, since every BottomKAgg
+    * buffer is ≤ k rows (×30 A/B, ProfGt: GT 107 → 60-90 s, trunc 69
+    * → 50 s). 262144 keys × k-row buffers is still bounded memory; a
+    * corpus whose query sample outgrows it just falls back to the sort
+    * — never wrong, only slower. Scoped save/restore so serve-time
+    * aggregates keep the default's protection for unbounded buffers
+    * (collect_list-style).
+    */
+  private def withHighAggFallback[T](
+      spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "262144")
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Ground truth for one audit: the write-once layout sliced to rank
@@ -2105,17 +2175,33 @@ object SimilarityOp {
     * dimension-truncated (MRL-style) index serves, as a (qid, vec_id)
     * candidate frame for [[recallArm]]'s exact rerank.
     */
-  private def truncCandidatesMulti(embeddings: DataFrame, qmod: Int,
-                                   dims: Int, c: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("tsim").desc, col("vec_id"))
+  private[graft] def truncCandidatesMulti(embeddings: DataFrame,
+                                          qmod: Int, dims: Int,
+                                          c: Int): DataFrame =
+    topKPerQuery(truncScoredPairs(embeddings, qmod, dims), c)
+      .select(col("qid"), col("vec_id"))
+
+  /** The |Q|·|N| prefix-space scored expansion behind
+    * [[truncCandidatesMulti]] (cosine over the first `dims`
+    * components only). */
+  private def truncScoredPairs(embeddings: DataFrame, qmod: Int,
+                               dims: Int): DataFrame =
     corpusVecs(embeddings)
       .join(broadcast(queryFrame(embeddings, qmod)),
         col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(graft.functions.CosineExpr.column(
           slice(col("qv"), 1, dims), slice(col("v"), 1, dims)), 6)
-          .as("tsim"))
+          .as("sim"))
+
+  /** Window-form parity reference for the trunc arm (spec-only, like
+    * [[exactTopKMultiRankedWindow]]). */
+  private[graft] def truncCandidatesMultiWindow(embeddings: DataFrame,
+                                                qmod: Int, dims: Int,
+                                                c: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    truncScoredPairs(embeddings, qmod, dims)
       .withColumn("rn", row_number().over(w)).where(col("rn") <= c)
       .select(col("qid"), col("vec_id"))
   }
@@ -2140,9 +2226,11 @@ object SimilarityOp {
     val spark = embeddings.sparkSession
     val t = s"g_ann_trunc_q${qmod}_d${d}_c$c${BucketedOps.tagOf(inputTag)}"
     BucketedOps.writeOnce(spark, t, inputTag.isDefined) {
-      truncCandidatesMulti(embeddings, qmod, d, c)
-        .write.mode("overwrite").option("path", s"$warehouse/$t")
-        .format("parquet").saveAsTable(t)
+      withHighAggFallback(spark) {
+        truncCandidatesMulti(embeddings, qmod, d, c)
+          .write.mode("overwrite").option("path", s"$warehouse/$t")
+          .format("parquet").saveAsTable(t)
+      }
     }
     spark.table(t)
   }

@@ -452,4 +452,29 @@ class SimilaritySpec extends SparkSuite {
     assert(out2(0L) === ((1L, 0L, 0.0)))
     assert(out2(1L) === ((1L, 1L, 1.0)))
   }
+
+  test("topKPerQuery sketch ranking equals the row_number window form " +
+      "(GT and trunc layout builders)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // the ground-truth build shape (full-dim cosine, k=10), at both
+    // qmods the layouts are built at — ties included, so this also
+    // exercises the (sim DESC, vec_id ASC) → (-sim_ppm, id) key mapping
+    for (qmod <- Seq(7, 29)) {
+      val viaSketch = SimilarityOp.exactTopKMultiRanked(emb, qmod, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val viaWindow = SimilarityOp.exactTopKMultiRankedWindow(emb, qmod, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaSketch.nonEmpty)
+      assert(viaSketch === viaWindow, s"GT parity broke at qmod=$qmod")
+    }
+    // the trunc-candidate build shape (prefix-space cosine, c=50)
+    for (d <- Seq(16, 32)) {
+      val viaSketch = SimilarityOp.truncCandidatesMulti(emb, 7, d, 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaWindow = SimilarityOp.truncCandidatesMultiWindow(emb, 7, d, 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaSketch.nonEmpty)
+      assert(viaSketch === viaWindow, s"trunc parity broke at d=$d")
+    }
+  }
 }
