@@ -348,20 +348,24 @@ object SimilarityOp {
     val queries = embeddings.where(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         toDoubleArray(col("embedding")).as("qv"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    embeddings
-      .select(col("vec_id"), col("label"),
-        toDoubleArray(col("embedding")).as("v"))
+    val scored = embeddings
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"),
+        col("label"))
+      .repartition(embeddings.sparkSession
+        .sessionState.conf.numShufflePartitions)
       .join(broadcast(queries),
         col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
-      .select(col("qid"), col("vec_id"), col("label"),
+      .select(col("qid"), col("vec_id"),
         round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
           .as("sim"))
-      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    // ranked via the bounded sketch (only |Q|·k rows ever shuffle);
+    // the k-sized shortlist re-fetches its labels by id afterwards —
+    // the small frame broadcasts against the corpus scan
+    topKPerQueryScored(scored, k)
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
       .select(col("qid"), col("vec_id").as("neg_id"),
         col("label").cast("long").as("neg_label"), col("sim"),
-        col("rnk").cast("long").as("rnk"))
+        col("rn").cast("long").as("rnk"))
       .orderBy("qid", "rnk")
   }
 
@@ -1208,7 +1212,16 @@ object SimilarityOp {
     * form is spec-proven (SimilaritySpec) and every layout consumer's
     * oracle re-derives ranks from raw embeddings at the gate.
     */
-  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    topKPerQueryScored(scored, k)
+      .select(col("qid"), col("vec_id"), col("rn"))
+
+  /** [[topKPerQuery]] keeping the carried sim — the shape the
+    * serve-time exact-scan audits (hard negatives, mutual-kNN,
+    * hubness) rank with; the sketch's payload slot carries the
+    * original rounded sim, so no reconstruction from the key. */
+  private[graft] def topKPerQueryScored(scored: DataFrame,
+                                        k: Int): DataFrame = {
     val bottomK = udaf(new graft.functions.BottomKAgg(k))
     scored
       .groupBy(col("qid"))
@@ -1217,15 +1230,42 @@ object SimilarityOp {
         col("vec_id"), col("sim")).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("p", "r")))
       .select(col("qid"), col("r").getField("id").as("vec_id"),
+        col("r").getField("v").as("sim"), (col("p") + 1).as("rn"))
+  }
+
+  /** Bottom-k per query on an integer distance key (ties by vec_id
+    * ascending) — the Hamming-shortlist shape; same bounded-sketch
+    * argument as [[topKPerQuery]]. */
+  private[graft] def bottomKPerQueryInt(keyed: DataFrame,
+                                        k: Int): DataFrame = {
+    val bottomK = udaf(new graft.functions.BottomKAgg(k))
+    keyed
+      .groupBy(col("qid"))
+      .agg(bottomK(col("key"), col("vec_id"), lit(0d)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "r")))
+      .select(col("qid"), col("r").getField("id").as("vec_id"),
         (col("p") + 1).as("rn"))
   }
+
+  /** Corpus side of an expansion join, pre-spread: the vector scan is
+    * tiny relative to the |Q|-fold fan-out it feeds, and both the
+    * expansion AND the sketch fold's parallelism equal the PRE-join
+    * partition count — inheriting the handful of parquet splits the
+    * byte size suggests serializes the whole build (×30 measured: a
+    * 2-split scan left the fold spilling in 2 tasks). One round-robin
+    * exchange of N corpus rows — never of pairs — buys full-width
+    * parallelism for everything downstream.
+    */
+  private def corpusVecsSpread(embeddings: DataFrame): DataFrame =
+    corpusVecs(embeddings).repartition(
+      embeddings.sparkSession.sessionState.conf.numShufflePartitions)
 
   /** The |Q|·|N| exact-cosine scored expansion shared by the ranked
     * forms: query sample broadcast against one corpus scan, codegen'd
     * [[graft.functions.CosineExpr]] kernel per pair. */
   private def exactScoredPairs(embeddings: DataFrame,
                                qmod: Int): DataFrame =
-    corpusVecs(embeddings)
+    corpusVecsSpread(embeddings)
       .join(broadcast(queryFrame(embeddings, qmod)),
         col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -2186,7 +2226,7 @@ object SimilarityOp {
     * components only). */
   private def truncScoredPairs(embeddings: DataFrame, qmod: Int,
                                dims: Int): DataFrame =
-    corpusVecs(embeddings)
+    corpusVecsSpread(embeddings)
       .join(broadcast(queryFrame(embeddings, qmod)),
         col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -2355,12 +2395,14 @@ object SimilarityOp {
     val sigs = signBits(embeddings)
     val qsigs = sigs.where(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("qid"), col("sig").as("qsig"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("ham"), col("vec_id"))
-    sigs.join(broadcast(qsigs), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        bit_count(col("sig").bitwiseXOR(col("qsig"))).as("ham"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= c)
+    // Hamming shortlist via the bounded sketch: the integer distance
+    // is the key directly (asc, ties by vec_id — the window's order)
+    bottomKPerQueryInt(
+        sigs.join(broadcast(qsigs), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long")
+              .as("key")),
+        c)
       .select(col("qid"), col("vec_id"))
   }
 
@@ -2932,14 +2974,12 @@ object SimilarityOp {
     val sub = embeddings.where(col("vec_id") % qmod === 0)
     val q = sub.select(col("vec_id").as("qid"),
       toDoubleArray(col("embedding")).as("qv"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    val topk = corpusVecs(sub)
-      .join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
-          .as("sim"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    val topk = topKPerQueryScored(
+      corpusVecsSpread(sub)
+        .join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
+            .as("sim")), k)
     topk.as("x").join(topk.as("y"),
         col("x.qid") === col("y.vec_id") && col("x.vec_id") === col("y.qid")
           && col("x.qid") < col("x.vec_id"))
@@ -2999,14 +3039,12 @@ object SimilarityOp {
     val sub = embeddings.where(col("vec_id") % qmod === 0)
     val q = sub.select(col("vec_id").as("qid"),
       toDoubleArray(col("embedding")).as("qv"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    val topk = corpusVecs(sub)
-      .join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
-          .as("sim"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    val topk = topKPerQueryScored(
+      corpusVecsSpread(sub)
+        .join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
+            .as("sim")), k)
     val indeg = topk.groupBy(col("vec_id"))
       .agg(count(lit(1)).as("deg"))
     sub.select(col("vec_id"))
