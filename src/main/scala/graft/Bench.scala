@@ -103,10 +103,17 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$full,"sf":"$sfDir"}"""
     System.err.println(fullLine)
-    try {
-      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // BENCH_LOCAL.json = gitignored scratch for in-session iteration;
+    // BENCH_FULL.json = the SAME full per-query map, tracked in git at
+    // round close, so round-over-round per-query regression checks
+    // (the r14 q129 question) read a committed artifact instead of
+    // whatever scratch survived.
+    for (f <- Seq("BENCH_LOCAL.json", "BENCH_FULL.json")) {
+      try {
+        val p = java.nio.file.Paths.get(f)
+        java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     // failures are capped like the timings — a mass-failure round
     // (exactly when the artifact matters most) must not overflow the
     // tail buffer; the full list is in the stderr/BENCH_LOCAL detail

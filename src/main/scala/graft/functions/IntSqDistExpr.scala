@@ -53,14 +53,13 @@ object IntSqDistExpr {
   def scale6(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
 
   def sqDist(a: ArrayData, b: ArrayData): Long = {
-    val av = a.toDoubleArray()
-    val bv = b.toDoubleArray()
-    // common-prefix guard, the CosineExpr defensive convention
-    val n = math.min(av.length, bv.length)
+    // common-prefix guard + allocation-free element reads, the
+    // CosineExpr conventions (same accumulation order → bit-equal)
+    val n = math.min(a.numElements(), b.numElements())
     var s = 0L
     var i = 0
     while (i < n) {
-      val d = scale6(av(i)) - scale6(bv(i))
+      val d = scale6(a.getDouble(i)) - scale6(b.getDouble(i))
       s += d * d
       i += 1
     }

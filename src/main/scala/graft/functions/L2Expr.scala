@@ -40,14 +40,13 @@ case class L2Expr(left: Expression, right: Expression)
 object L2Expr {
 
   def l2(a: ArrayData, b: ArrayData): Double = {
-    val av = a.toDoubleArray()
-    val bv = b.toDoubleArray()
-    // common-prefix guard, the CosineExpr defensive convention
-    val n = math.min(av.length, bv.length)
+    // common-prefix guard + allocation-free element reads, the
+    // CosineExpr conventions (same accumulation order → bit-equal)
+    val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      val d = av(i) - bv(i)
+      val d = a.getDouble(i) - b.getDouble(i)
       s += d * d
       i += 1
     }

@@ -477,4 +477,53 @@ class SimilaritySpec extends SparkSuite {
       assert(viaSketch === viaWindow, s"trunc parity broke at d=$d")
     }
   }
+
+  test("two-pass coarse-bucket selection equals the sketch fold on the " +
+      "real scored expansion (serve-time q206-family form)") {
+    import spark.implicits._
+    // the serve-time scored shape, built in-spec from the fixture so
+    // both forms consume the IDENTICAL frame (rounding included)
+    val scored = (for {
+      (qid, qv) <- vecs.toSeq if qid % 7 == 0
+      (vid, v) <- vecs.toSeq if vid != qid
+    } yield (qid, vid, cos(qv, v)))
+      .toDF("qid", "vec_id", "sim")
+      .select($"qid", $"vec_id", org.apache.spark.sql.functions
+        .round($"sim", 6).as("sim"))
+    for (k <- Seq(1, 3, 10); shift <- Seq(4, 12, 24)) {
+      val sketch = SimilarityOp.topKPerQueryScored(scored, k)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val twoPass = SimilarityOp.topKPerQueryScoredTwoPass(scored, k, shift)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(sketch.nonEmpty)
+      assert(twoPass === sketch, s"two-pass parity broke at k=$k shift=$shift")
+    }
+  }
+
+  test("bottomKByKeyTwoPass edge cases: ties at bucket boundaries, " +
+      "groups smaller than k, negative keys, degenerate one-bucket shift") {
+    import spark.implicits._
+    // crafted keys: bucket-edge values at shift 3 and 12, duplicate
+    // keys (ties broken by vec_id), a negative run, one group with
+    // fewer rows than k
+    val rows = Seq(
+      (1L, 10L, 4095L), (1L, 11L, 4096L), (1L, 12L, 4097L),
+      (1L, 13L, 4095L), (1L, 14L, -8192L), (1L, 15L, -8191L),
+      (1L, 16L, 0L), (1L, 17L, 7L), (1L, 18L, 8L), (1L, 19L, -1L),
+      (2L, 20L, 5L), (2L, 21L, 5L), (2L, 22L, 5L),
+      (3L, 30L, Long.MinValue / 4), (3L, 31L, Long.MaxValue / 4))
+    val keyed = rows.toDF("qid", "vec_id", "key")
+    for (k <- Seq(1, 2, 5, 8); shift <- Seq(0, 3, 12, 40)) {
+      val got = SimilarityOp.bottomKByKeyTwoPass(keyed, k, shift)
+        .select($"qid", $"vec_id", $"rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(k).zipWithIndex
+          .map { case (r, i) => (qid, r._2, i + 1) }
+      }.toSet
+      assert(got === want, s"edge-case parity broke at k=$k shift=$shift")
+    }
+  }
 }
