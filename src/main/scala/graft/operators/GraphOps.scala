@@ -411,7 +411,13 @@ object GraphOps {
         .select(col("v").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .persist()
-      next.count()
+      // no eager next.count(): the visited.count() below evaluates the
+      // union, which computes next's subtree and populates its cache
+      // blocks as a side effect (persist caches on first computation,
+      // whichever job runs it) — so the extra per-level job was pure
+      // scheduling cost (r15 Prof129 A/B: ~1 s over 4 levels at sf0.1,
+      // same direction at ×10 edges). Level i+1's frontier join and
+      // anti-join then read the cached next, exactly as before.
       visited = visited
         .unionByName(next.select(col("node"), lit(i.toLong).as("hops")))
         .persist()

@@ -12,21 +12,39 @@ import org.apache.spark.sql.functions._
   * steady in one JVM/window, shipped first and candidate first in
   * alternating order to cancel warm-up bias.
   *
-  * Usage: Prof129 [sfDir] [maxHops]
+  * Usage: Prof129 [sfDir] [maxHops] [scale]
+  *
+  * `scale` > 1 unions N id-strided disjoint copies of the edge set
+  * (each copy a disconnected component with identical structure — the
+  * ScaleUp construction applied to edges): BFS from the min node only
+  * explores copy 0, so the per-level join's BIG side grows ×N while
+  * the frontier stays local — exactly the regime where big-side
+  * co-partitioning could pay.
   */
 object Prof129 {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val maxHops = if (args.length > 1) args(1).toInt else 4
+    val scale = if (args.length > 2) args(2).toInt else 1
     val spark = ToolSession.build()
     spark.sparkContext.setLogLevel("WARN")
 
-    val edges = graft.operators.GraphOps.repeatEdgesTable(
+    val base = graft.operators.GraphOps.repeatEdgesTable(
       graft.tables.Tables.lineitem(spark, sfDir), "/tmp/graft_warehouse",
       inputTag = Some(sfDir))
+    val edges =
+      if (scale <= 1) base
+      else {
+        val stride = 10000000L
+        val copies = spark.range(0, scale).select(col("id").as("copy"))
+        base.crossJoin(copies)
+          .select((col("a") + col("copy") * stride).as("a"),
+            (col("b") + col("copy") * stride).as("b"))
+          .repartition(32)
+      }
     edges.count() // layout built/loaded outside the timed window
 
-    def bfs(coPartition: Boolean): DataFrame = {
+    def bfs(coPartition: Boolean, eagerNext: Boolean = true): DataFrame = {
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
         .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
       val und = (if (coPartition) sym.repartition(col("u")) else sym)
@@ -40,7 +58,10 @@ object Prof129 {
           .select(col("v").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .persist()
-        next.count()
+        // eagerNext=false drops the per-level next.count(): the
+        // following visited.count() materializes next THROUGH the
+        // union anyway, so the extra job may be pure scheduling cost
+        if (eagerNext) next.count()
         visited = visited
           .unionByName(next.select(col("node"), lit(i.toLong).as("hops")))
           .persist()
@@ -61,7 +82,9 @@ object Prof129 {
       if (round % 2 == 1) {
         t(s"shipped   r$round")(bfs(false).write.format("noop").mode("overwrite").save())
         t(s"coPart    r$round")(bfs(true).write.format("noop").mode("overwrite").save())
+        t(s"lazyNext  r$round")(bfs(false, eagerNext = false).write.format("noop").mode("overwrite").save())
       } else {
+        t(s"lazyNext  r$round")(bfs(false, eagerNext = false).write.format("noop").mode("overwrite").save())
         t(s"coPart    r$round")(bfs(true).write.format("noop").mode("overwrite").save())
         t(s"shipped   r$round")(bfs(false).write.format("noop").mode("overwrite").save())
       }
