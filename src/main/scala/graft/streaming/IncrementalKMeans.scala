@@ -35,6 +35,52 @@ class IncrementalKMeans(val k: Int, val dims: Int,
   def currentCenters: Array[Array[Double]] = centers.map(_.clone())
   def currentCounts: Array[Double] = counts.clone()
 
+  /** Persist the evolving model state — the Spark-native mirror of the
+    * reference's `ssc.checkpoint` snapshotting its DStream model state
+    * (`TrafficStreamProcessor.scala:24`): centers + counts as
+    * `Double.toString` lines (exact round-trip by the Java spec), with
+    * a (k, dims, decay, seed) header so a restart under a CHANGED
+    * config fails loudly instead of silently continuing a mismatched
+    * model. Write-tmp + atomic rename, so a crash mid-save leaves the
+    * previous snapshot intact ([[KeyedUpsertStore]]'s stance).
+    */
+  def saveTo(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val body = (Seq(s"$k $dims $decay $seed") ++
+      centers.map(_.map(java.lang.Double.toString).mkString(" ")) :+
+      counts.map(java.lang.Double.toString).mkString(" "))
+      .mkString("\n")
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Restore state saved by [[saveTo]]; false (and untouched state) if
+    * no snapshot exists — the fresh-boot path. A header mismatch means
+    * the topology restarted under a different model config: throw, the
+    * [[PipelineConfig]] fail-loudly convention.
+    */
+  def restoreFrom(path: String): Boolean = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return false
+    val lines = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split("\n")
+    require(lines.length == k + 2 &&
+      lines(0) == s"$k $dims $decay $seed",
+      s"IncrementalKMeans.restoreFrom($path): snapshot header " +
+        s"'${lines.headOption.getOrElse("")}' does not match model " +
+        s"config '$k $dims $decay $seed'")
+    centers = lines.slice(1, k + 1)
+      .map(_.split(" ").map(java.lang.Double.parseDouble))
+    counts = lines(k + 1).split(" ").map(java.lang.Double.parseDouble)
+    require(centers.forall(_.length == dims) && counts.length == k,
+      s"IncrementalKMeans.restoreFrom($path): malformed snapshot body")
+    true
+  }
+
   private def l2sq(v: Column, c: Array[Double]): Column =
     aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
       lit(0.0), (s, x) => s + x)

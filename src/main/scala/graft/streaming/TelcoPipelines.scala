@@ -115,7 +115,8 @@ object TelcoPipelines {
                    store: KeyedUpsertStore, sink: (Outputs, Long) => Unit,
                    runBatch: (DataFrame, Option[DataFrame]) => Outputs,
                    trigger: Option[Trigger],
-                   checkpointDir: Option[String]): Seq[StreamingQuery] = {
+                   checkpointDir: Option[String],
+                   afterBatch: Long => Unit = _ => ()): Seq[StreamingQuery] = {
     def configure(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
                   name: String) = {
       val t = trigger.map(w.trigger).getOrElse(w)
@@ -129,6 +130,11 @@ object TelcoPipelines {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val out = runBatch(batch, store.current)
         try sink(out, id) finally out.release()
+        // post-sink state snapshot hook (model checkpoint). Runs
+        // BEFORE the batch's offset commit, so a crash in the gap
+        // replays the batch into the restored state — at-least-once,
+        // the reference's ssc.checkpoint semantics too.
+        afterBatch(id)
       }
       .start()
     Seq(attachQ, fanoutQ)
@@ -161,12 +167,21 @@ object TelcoPipelines {
     val store = new KeyedUpsertStore(attachStream.sparkSession,
       config.storePath, "bearerId", "ts")
     val km = config.newKMeans()
+    // W4/W6 full-topology restart: when checkpointing is on, the
+    // evolving model state rides the same checkpoint dir as the query
+    // offsets — restored at boot (fresh-boot no-op) and snapshotted
+    // after every fan-out batch, so `start(config, …)` against an
+    // existing checkpoint resumes stats, store, AND model exactly
+    // where the dead topology stopped (PipelineSpec restart e2e).
+    val kmPath = config.checkpoint.map(d => s"$d/kmeans-model")
+    kmPath.foreach(km.restoreFrom)
     val queries = wire(attachStream, celltowerStream, store, sink,
       (batch, cur) => processBatch(batch, cur, km,
         kmeansDims = config.kmeansDimensions,
         windowSize = config.metricsWindow, slide = config.metricsSlide,
         watermark = config.watermark, fenceFile = config.geofenceFile),
-      Some(config.trigger), config.checkpoint)
+      Some(config.trigger), config.checkpoint,
+      afterBatch = _ => kmPath.foreach(km.saveTo))
     (queries, km)
   }
 }
