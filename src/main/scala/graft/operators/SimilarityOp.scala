@@ -1386,7 +1386,7 @@ object SimilarityOp {
     * would re-plan the subtree under the default conf and silently
     * lose the lift).
     */
-  private def rebindLifted(df: DataFrame): DataFrame = {
+  private[graft] def rebindLifted(df: DataFrame): DataFrame = {
     val name = "g_serve_lift_h" + java.lang.Integer.toHexString(
       df.queryExecution.analyzed.semanticHash())
     df.createOrReplaceGlobalTempView(name)

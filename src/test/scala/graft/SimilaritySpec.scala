@@ -502,6 +502,35 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("lifted serve session: rebound fold equals the main-session fold, " +
+      "carries the lifted threshold, and leaves the main conf untouched") {
+    import spark.implicits._
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val scored = (for {
+      (qid, qv) <- vecs.toSeq if qid % 7 == 0
+      (vid, v) <- vecs.toSeq if vid != qid
+    } yield (qid, vid, cos(qv, v)))
+      .toDF("qid", "vec_id", "sim")
+      .select($"qid", $"vec_id", org.apache.spark.sql.functions
+        .round($"sim", 6).as("sim"))
+    val viaMain = SimilarityOp.topKPerQueryScored(scored, 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val rebound = SimilarityOp.rebindLifted(scored)
+    // the rebound frame is owned by the lifted session, which carries
+    // the hash-mode threshold; the shared session's conf is untouched
+    assert(rebound.sparkSession ne spark)
+    assert(rebound.sparkSession.conf.get(key) === "262144")
+    assert(spark.conf.getOption(key).forall(_ != "262144"))
+    val viaLifted = SimilarityOp.topKPerQueryScored(rebound, 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaLifted === viaMain)
+    // memoized: one child session per root session
+    assert(SimilarityOp.rebindLifted(scored).sparkSession eq
+      rebound.sparkSession)
+  }
+
   test("bottomKByKeyTwoPass edge cases: ties at bucket boundaries, " +
       "groups smaller than k, negative keys, degenerate one-bucket shift") {
     import spark.implicits._
