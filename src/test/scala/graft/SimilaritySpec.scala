@@ -531,6 +531,21 @@ class SimilaritySpec extends SparkSuite {
       rebound.sparkSession)
   }
 
+  test("serveCorpus pin: a big expansion rebinds the serve plan onto the " +
+      "lifted session, a small one stays on the caller's session") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    def corpus(n: Long) = spark.range(n)
+      .select(col("id").as("vec_id"),
+        array(lit(1f), lit(2f)).as("embedding"), lit(0L).as("label"))
+    // est pairs for mutualKnn = (n/qmod + 1)^2: 2901^2 ≈ 8.4M crosses
+    // the 8M pin, 101^2 does not. Construction is lazy — only the pin
+    // count job runs here, never the expansion.
+    assert(SimilarityOp.mutualKnn(corpus(2900), qmod = 1).sparkSession
+      ne spark)
+    assert(SimilarityOp.mutualKnn(corpus(100), qmod = 1).sparkSession
+      eq spark)
+  }
+
   test("bottomKByKeyTwoPass edge cases: ties at bucket boundaries, " +
       "groups smaller than k, negative keys, degenerate one-bucket shift") {
     import spark.implicits._
