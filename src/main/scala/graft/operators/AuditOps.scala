@@ -1088,10 +1088,10 @@ object AuditOps {
       .otherwise(raise_error(lit(
         "kendallTau: (x, y) outside the exact packing domain " +
           "[0,64)x[0,2^46) — widen the payload encoding")))
-    val bottomK = udaf(new graft.functions.BottomKAgg(k))
     val samp = base
       .groupBy(col("grp"))
-      .agg(bottomK(col("hx"), col("id"), packed).as("sample"))
+      .agg(graft.functions.BottomKExpr.column(
+        col("hx"), col("id"), packed, k).as("sample"))
       .select(col("grp"), explode(col("sample")).as("r"))
       .select(col("grp"), col("r").getField("id").as("id"),
         (col("r").getField("v") % 64d).cast("long").as("x"),

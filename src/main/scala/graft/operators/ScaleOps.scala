@@ -682,13 +682,13 @@ object ScaleOps {
     * raw sample members, passed through unrounded.
     */
   def sampledQuantiles(events: DataFrame, k: Int = 64): DataFrame = {
-    val bottomK = udaf(new graft.functions.BottomKAgg(k))
     val sampled = events
       .select(col("event_type"), eventHash.as("hx"),
         col("event_id").as("id"), col("value").as("v"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        bottomK(col("hx"), col("id"), col("v")).as("sample"))
+        graft.functions.BottomKExpr.column(
+          col("hx"), col("id"), col("v"), k).as("sample"))
     val vs = array_sort(transform(col("sample"),
       r => struct(r.getField("v").as("v"), r.getField("id").as("id"))))
     def q(num: Int, den: Int): Column =
@@ -756,14 +756,14 @@ object ScaleOps {
     */
   def kmvDistinct(docs: DataFrame, k: Int = 16): DataFrame = {
     val M = TextFunctions.HashMod
-    val bk = udaf(new graft.functions.BottomKAgg(k, distinctKeys = true))
     val hx = docs
       .select(col("source"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       .select(col("source"), TextFunctions.portableHash(col("tok")).as("hx"))
     val agg = hx.groupBy(col("source"))
       .agg(countDistinct(col("hx")).as("n_true"),
-        bk(col("hx"), col("hx"), lit(0.0)).as("sample"))
+        graft.functions.BottomKExpr.column(col("hx"), col("hx"),
+          lit(0.0), k, distinctKeys = true).as("sample"))
     val est = when(size(col("sample")) < k,
         size(col("sample")).cast("long"))
       .otherwise(call_function("div", lit((k - 1).toLong * M),
@@ -1042,10 +1042,10 @@ object ScaleOps {
   def sampledBinIntervals(df: DataFrame, hx: Column, id: Column,
                           v: Column, bins: Int,
                           k: Int = 256): DataFrame = {
-    val bottomK = udaf(new graft.functions.BottomKAgg(k))
     val samp = df.select(hx.as("hx"), id.cast("long").as("id"),
         v.cast("double").as("v"))
-      .agg(bottomK(col("hx"), col("id"), col("v")).as("sample"))
+      .agg(graft.functions.BottomKExpr.column(
+        col("hx"), col("id"), col("v"), k).as("sample"))
     val vs = array_sort(transform(col("sample"),
       r => struct(r.getField("v").as("v"), r.getField("id").as("id"))))
     samp.select(vs.as("vs"), size(col("sample")).cast("long").as("ns"))

@@ -1240,12 +1240,11 @@ object SimilarityOp {
     // public entry points that take caller c/k) routes to the
     // two-pass selection, which has no such bound (r14 advice)
     if (k > 4096) return topKPerQueryScoredTwoPass(scored, k)
-    val bottomK = udaf(new graft.functions.BottomKAgg(k))
     scored
       .groupBy(col("qid"))
-      .agg(bottomK(
+      .agg(graft.functions.BottomKExpr.column(
         -round(col("sim") * lit(1e6), 0).cast("long"),
-        col("vec_id"), col("sim")).as("top"))
+        col("vec_id"), col("sim"), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("p", "r")))
       .select(col("qid"), col("r").getField("id").as("vec_id"),
         col("r").getField("v").as("sim"), (col("p") + 1).as("rn"))
@@ -1257,10 +1256,10 @@ object SimilarityOp {
   private[graft] def bottomKPerQueryInt(keyed: DataFrame,
                                         k: Int): DataFrame = {
     if (k > 4096) return bottomKPerQueryIntTwoPass(keyed, k)
-    val bottomK = udaf(new graft.functions.BottomKAgg(k))
     keyed
       .groupBy(col("qid"))
-      .agg(bottomK(col("key"), col("vec_id"), lit(0d)).as("top"))
+      .agg(graft.functions.BottomKExpr.column(
+        col("key"), col("vec_id"), lit(0d), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("p", "r")))
       .select(col("qid"), col("r").getField("id").as("vec_id"),
         (col("p") + 1).as("rn"))
@@ -2604,20 +2603,42 @@ object SimilarityOp {
     */
   private def binCandidatesMulti(embeddings: DataFrame, qmod: Int,
                                  c: Int): DataFrame = {
+    val n = countOnce(embeddings)
+    binCandidatesRanked(embeddings, qmod, c, (n / qmod + 1) * n)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** Ranked Hamming shortlist (qid, vec_id, rn ≤ c): the integer
+    * distance is the key directly (asc, ties by vec_id — the window's
+    * order). A shortlist at depth c is an EXACT PREFIX of any deeper
+    * one (identical total order), so one build at the deepest
+    * requested c serves every shallower arm as an `rn <= c` slice —
+    * the signSketchSigsTable widest-serves-narrower stance applied to
+    * the comparison volume itself.
+    *
+    * Above the pair pin the fold is the TWO-PASS histogram selection,
+    * not the sketch — the opposite call from the cosine serve folds,
+    * for a measured reason (r15 Prof188/Prof206, ×30): a cosine key
+    * has ~10⁶ distinct values, so its pass-1 histogram explodes and
+    * the extra re-expansion loses to the lifted hash fold (58 vs
+    * 44 s); a 64-bit Hamming key has 65 possible values, so pass 1 at
+    * shift 0 is an EXACT per-distance codegen count (≤ 65·|Q| rows)
+    * and the k-bounded object fold — which at c = 100 over the
+    * tie-heavy distance distribution cost 85-105 s on top of a
+    * 28-31 s expansion — never touches the pairs at all. Below the
+    * pin the sketch stays (fewer stages wins at bench scale).
+    */
+  private def binCandidatesRanked(embeddings: DataFrame, qmod: Int,
+                                  c: Int, estPairs: Long): DataFrame = {
     val sigs = signBits(embeddings)
     val qsigs = sigs.where(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("qid"), col("sig").as("qsig"))
-    // Hamming shortlist via the bounded sketch: the integer distance
-    // is the key directly (asc, ties by vec_id — the window's order).
-    // The caller rebinds the corpus onto the lifted serve session when
-    // the |Q|·|N| comparison volume crosses the fold pin.
-    bottomKPerQueryInt(
-        sigs.join(broadcast(qsigs), col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long")
-              .as("key")),
-        c)
-      .select(col("qid"), col("vec_id"))
+    val keyed = sigs.join(broadcast(qsigs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long")
+          .as("key"))
+    if (estPairs <= ServeFoldSketchMaxPairs) bottomKPerQueryInt(keyed, c)
+    else bottomKPerQueryIntTwoPass(keyed, c)
   }
 
   /** q188: binary-quantization recall audit — recall@k of serving from
@@ -2637,12 +2658,25 @@ object SimilarityOp {
     // (buffers downstream are all k-bounded — the liftedSession
     // contract)
     val n = countOnce(embeddings)
-    val emb = serveCorpus(embeddings, (n / qmod + 1) * n)
+    val estPairs = (n / qmod + 1) * n
+    val emb = serveCorpus(embeddings, estPairs)
     val qframe = queryFrame(emb, qmod)
     val exact = sharedExactGT(emb, qmod, k, warehouse, inputTag)
+    // one build at max(cs); every arm is its rn-prefix slice (exact —
+    // see binCandidatesRanked). Above the pin the ranked shortlist is
+    // EAGERLY persisted (|Q|·max(c) rows — 857 k at ×30, trivial):
+    // ReusedExchange canNOT deduplicate the arms' shared subtree there,
+    // because each arm's rn ≤ c filter gets its own WindowGroupLimit
+    // pushed below the exchange, so the canonical subtrees differ and
+    // the whole pair build would run once PER ARM (r15 measured: ×30
+    // flat at ~153 s until this pin, two full 514 M-pair builds).
+    val ranked0 = binCandidatesRanked(emb, qmod, cs.max, estPairs)
+    val ranked =
+      if (estPairs <= ServeFoldSketchMaxPairs) ranked0
+      else { val r = ranked0.persist(); r.count(); r }
     recallArms(emb, qframe, exact,
       cs.map(c => f"bin1bit_c$c%03d" ->
-        binCandidatesMulti(emb, qmod, c)), k)
+        ranked.where(col("rn") <= c).select(col("qid"), col("vec_id"))), k)
       .orderBy("config")
   }
 

@@ -73,4 +73,31 @@ class BottomKAggSpec extends AnyFunSuite {
     assert(fold(agg, ties) == ref(ties, 64))
     assert(fold(agg, ties).map(_.id) == (1L to 64L))
   }
+
+  test("native BottomKExpr equals the Aggregator form on Spark, " +
+      "across forced multi-partition merges, both key modes") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    import org.apache.spark.sql.functions.{col, udaf}
+    import spark.implicits._
+    for (seed <- 1L to 3L; k <- Seq(1, 8, 100); distinct <- Seq(false, true)) {
+      val rows = lcgRows(700, seed) ++ lcgRows(700, seed) // dup-heavy
+      val df = rows.map(r => (r.hx % 3, r.hx, r.id, r.v))
+        .toDF("g", "hx", "id", "v")
+        .repartition(7) // > shuffle partitions: real partial merges
+      val bk = udaf(new BottomKAgg(k, distinct))
+      val viaAgg = df.groupBy(col("g"))
+        .agg(bk(col("hx"), col("id"), col("v")).as("s"))
+        .as[(Long, Seq[(Long, Long, Double)])].collect().toMap
+      val viaExpr = df.groupBy(col("g"))
+        .agg(graft.functions.BottomKExpr.column(
+          col("hx"), col("id"), col("v"), k, distinct).as("s"))
+        .as[(Long, Seq[(Long, Long, Double)])].collect().toMap
+      assert(viaExpr === viaAgg,
+        s"native/Aggregator divergence at seed=$seed k=$k distinct=$distinct")
+      assert(viaAgg.values.exists(_.nonEmpty))
+    }
+  }
 }
