@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -49,10 +49,19 @@ case class BottomKExpr(keyChild: Expression, idChild: Expression,
                        distinctKeys: Boolean = false,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[BottomKState] {
+    extends TypedImperativeAggregate[BottomKState]
+    with ImplicitCastInputTypes {
   require(k >= 1 && k <= 65536, s"BottomKExpr: k=$k out of range")
 
   override def children: Seq[Expression] = Seq(keyChild, idChild, vChild)
+  // Analysis-time contract (r16, ADVICE item): update() reads the
+  // children as raw Long/Long/Double off the row. The udaf(Aggregator)
+  // form this replaced coerced via the SampleRow encoder, so callers
+  // could pass e.g. an INT id; declaring inputTypes restores that
+  // tolerance through Catalyst's implicit casts instead of failing
+  // with a runtime ClassCastException.
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(LongType, LongType, DoubleType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("hx", LongType, nullable = false),

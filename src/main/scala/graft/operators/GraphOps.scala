@@ -302,7 +302,9 @@ object GraphOps {
     // race to fill the same cache). Peeled levels only shrink, so the
     // total cache is ≤ iters × |edges| — and the input graph is small
     // by construction (repeat pairs).
+    val cached = Seq.newBuilder[DataFrame]
     var e = edges.persist()
+    cached += e
     e.count()
     val rounds = (1 to iters).map { i =>
       val und = e.select(col("a").as("u"))
@@ -313,6 +315,7 @@ object GraphOps {
         .join(keep.select(col("u").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("u").as("b")), Seq("b"), "left_semi")
         .persist()
+      cached += e
       e.count()
       val nE = e.agg(count(lit(1)).as("n_edges"))
       val nN = e.select(col("a").as("u"))
@@ -321,7 +324,10 @@ object GraphOps {
       nN.crossJoin(nE)
         .select(lit(i.toLong).as("iter"), col("n_nodes"), col("n_edges"))
     }
-    rounds.reduce(_ unionByName _).orderBy("iter")
+    // pin the (iters-row) summary, then release every peeled level —
+    // same lifecycle rationale as bfsLevels/landmarkCloseness.
+    val out = rounds.reduce(_ unionByName _).orderBy("iter")
+    try out.localCheckpoint() finally cached.result().foreach(_.unpersist())
   }
 
   /** Frequent part triples (market-basket mining, A-PRIORI pruned):
@@ -403,7 +409,9 @@ object GraphOps {
     // deterministic source: the smallest node id (a < b by edge
     // construction, but take the least of both ends for robustness)
     val src = und.agg(least(min(col("u")), min(col("v"))).as("node"))
+    val cached = Seq.newBuilder[DataFrame]
     var visited = src.select(col("node"), lit(0L).as("hops")).persist()
+    cached += visited
     visited.count()
     var frontier = visited.select(col("node"))
     for (i <- 1 to maxHops) {
@@ -411,6 +419,7 @@ object GraphOps {
         .select(col("v").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .persist()
+      cached += next
       // no eager next.count(): the visited.count() below evaluates the
       // union, which computes next's subtree and populates its cache
       // blocks as a side effect (persist caches on first computation,
@@ -421,10 +430,21 @@ object GraphOps {
       visited = visited
         .unionByName(next.select(col("node"), lit(i.toLong).as("hops")))
         .persist()
+      cached += visited
       visited.count()
       frontier = next.select(col("node"))
     }
-    visited.orderBy("node")
+    // release every level once the (≤|V|-row) result is pinned — a
+    // long-lived serving session must not accumulate 2·maxHops cached
+    // frames per call (r16 verdict item 4; the landmarkCloseness
+    // pattern). localCheckpoint also truncates the maxHops-deep
+    // lineage, which the Scaladoc's "checkpoint every ~10 levels"
+    // remark promised a real cluster anyway.
+    val out = visited.orderBy("node")
+    try out.localCheckpoint() finally {
+      und.unpersist()
+      cached.result().foreach(_.unpersist())
+    }
   }
 
   /** Landmark harmonic closeness — multi-source BFS from the
@@ -1078,8 +1098,11 @@ object GraphOps {
       .select(lit("c").as("node_type"),
         expr("CAST(src DIV 2 AS BIGINT)").as("node_id"),
         expr("CAST((h * 1000000) DIV m AS BIGINT)").as("score_ppm"))
-    auth.unionByName(hubs)
+    val out = auth.unionByName(hubs)
       .orderBy(col("node_type"), col("score_ppm").desc, col("node_id"))
+    // pin the (2k-row) result, release the two iterate caches (the
+    // bfsLevels/kCore lifecycle rule).
+    try out.localCheckpoint() finally { a.unpersist(); h.unpersist(); () }
   }
 
   /** Oracle SQL twin of [[hits]] over [[custSuppEdges]] — unrolled
@@ -1174,9 +1197,12 @@ object GraphOps {
       .unionByName(edges.select(col("b").as("u"), col("a").as("v"),
         col("wt")))
       .persist()
+    val cached = Seq.newBuilder[DataFrame]
+    cached += sym
     var lab = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
       .persist()
+    cached += lab
     lab.count()
     val w = Window.partitionBy(col("v"))
       .orderBy(col("sc").desc, col("lab"))
@@ -1187,9 +1213,13 @@ object GraphOps {
         .where(col("rn") === 1)
         .select(col("v").as("node"), col("lab"))
         .persist()
+      cached += lab
       lab.count()
     }
-    lab.orderBy("node")
+    val out = lab.orderBy("node")
+    // pin the (|V|-row) labels, release the level caches (the
+    // bfsLevels/kCore lifecycle rule).
+    try out.localCheckpoint() finally cached.result().foreach(_.unpersist())
   }
 
   /** Oracle SQL twin of [[labelPropagation]] over
@@ -1246,9 +1276,12 @@ object GraphOps {
         col("wt")))
       .withColumn("cost", call_function("div", lit(costScale), col("wt")))
       .persist()
+    val cached = Seq.newBuilder[DataFrame]
+    cached += sym
     var dist = sym.agg(min(col("u")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
       .persist()
+    cached += dist
     dist.count()
     for (_ <- 1 to iters) {
       val relax = sym
@@ -1258,9 +1291,13 @@ object GraphOps {
       dist = dist.unionByName(relax)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .persist()
+      cached += dist
       dist.count()
     }
-    dist.orderBy("node")
+    val out = dist.orderBy("node")
+    // pin the (|V|-row) distances, release the round caches (the
+    // bfsLevels/kCore lifecycle rule).
+    try out.localCheckpoint() finally cached.result().foreach(_.unpersist())
   }
 
   /** Oracle SQL twin of [[sssp]] over [[weightedCopurchaseEdges]] —

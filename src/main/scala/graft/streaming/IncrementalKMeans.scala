@@ -32,6 +32,17 @@ class IncrementalKMeans(val k: Int, val dims: Int,
   }
   private var counts: Array[Double] = Array.fill(k)(0.0)
 
+  /** Micro-batch id of the last batch whose [[update]] reached this
+    * model, persisted in the snapshot header: the snapshot runs AFTER
+    * the batch's update but BEFORE Spark commits the batch's offsets,
+    * so a crash in that gap replays the batch into a state that
+    * already contains it. Recording the id makes the update
+    * IDEMPOTENT under replay — the pipeline wiring skips `update` for
+    * any incoming id ≤ the restored one (r15 advice; exactly-once
+    * model state on top of at-least-once batch delivery). -1 = fresh.
+    */
+  @volatile var lastAppliedBatch: Long = -1L
+
   def currentCenters: Array[Array[Double]] = centers.map(_.clone())
   def currentCounts: Array[Double] = counts.clone()
 
@@ -47,7 +58,7 @@ class IncrementalKMeans(val k: Int, val dims: Int,
   def saveTo(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    val body = (Seq(s"$k $dims $decay $seed") ++
+    val body = (Seq(s"$k $dims $decay $seed $lastAppliedBatch") ++
       centers.map(_.map(java.lang.Double.toString).mkString(" ")) :+
       counts.map(java.lang.Double.toString).mkString(" "))
       .mkString("\n")
@@ -68,11 +79,15 @@ class IncrementalKMeans(val k: Int, val dims: Int,
     if (!java.nio.file.Files.exists(p)) return false
     val lines = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       .split("\n")
-    require(lines.length == k + 2 &&
-      lines(0) == s"$k $dims $decay $seed",
+    // header: "k dims decay seed [lastAppliedBatch]" — the batch id is
+    // a 5th token so pre-r16 snapshots (4 tokens) restore as -1
+    val hdr = lines(0).split(" ")
+    require(lines.length == k + 2 && hdr.length >= 4 &&
+      hdr.take(4).mkString(" ") == s"$k $dims $decay $seed",
       s"IncrementalKMeans.restoreFrom($path): snapshot header " +
         s"'${lines.headOption.getOrElse("")}' does not match model " +
         s"config '$k $dims $decay $seed'")
+    lastAppliedBatch = if (hdr.length >= 5) hdr(4).toLong else -1L
     centers = lines.slice(1, k + 1)
       .map(_.split(" ").map(java.lang.Double.parseDouble))
     counts = lines(k + 1).split(" ").map(java.lang.Double.parseDouble)

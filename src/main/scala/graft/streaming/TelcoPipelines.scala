@@ -113,7 +113,7 @@ object TelcoPipelines {
     */
   private def wire(attachStream: DataFrame, celltowerStream: DataFrame,
                    store: KeyedUpsertStore, sink: (Outputs, Long) => Unit,
-                   runBatch: (DataFrame, Option[DataFrame]) => Outputs,
+                   runBatch: (DataFrame, Option[DataFrame], Long) => Outputs,
                    trigger: Option[Trigger],
                    checkpointDir: Option[String],
                    afterBatch: Long => Unit = _ => ()): Seq[StreamingQuery] = {
@@ -128,12 +128,15 @@ object TelcoPipelines {
       .start()
     val fanoutQ = configure(celltowerStream.writeStream.outputMode("append"), "fanout")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val out = runBatch(batch, store.current)
+        val out = runBatch(batch, store.current, id)
         try sink(out, id) finally out.release()
         // post-sink state snapshot hook (model checkpoint). Runs
         // BEFORE the batch's offset commit, so a crash in the gap
-        // replays the batch into the restored state — at-least-once,
-        // the reference's ssc.checkpoint semantics too.
+        // replays the batch — OUTPUTS are at-least-once (the
+        // reference's ssc.checkpoint semantics too), but the MODEL
+        // update is exactly-once: runBatch sees the batch id and
+        // skips km.update for ids at or below the snapshot's
+        // lastAppliedBatch (r15 advice — no silent double-apply).
         afterBatch(id)
       }
       .start()
@@ -150,7 +153,7 @@ object TelcoPipelines {
     val store = new KeyedUpsertStore(attachStream.sparkSession, storePath,
       "bearerId", "ts")
     wire(attachStream, celltowerStream, store, sink,
-      (batch, cur) => processBatch(batch, cur, km, kmeansDims),
+      (batch, cur, _) => processBatch(batch, cur, km, kmeansDims),
       trigger, checkpointDir)
   }
 
@@ -176,12 +179,20 @@ object TelcoPipelines {
     val kmPath = config.checkpoint.map(d => s"$d/kmeans-model")
     kmPath.foreach(km.restoreFrom)
     val queries = wire(attachStream, celltowerStream, store, sink,
-      (batch, cur) => processBatch(batch, cur, km,
+      // train only on batches NEWER than the restored snapshot's
+      // last-applied id: a batch replayed after a crash in the
+      // snapshot→offset-commit gap re-emits its outputs
+      // (at-least-once) but must not re-enter the model state
+      (batch, cur, id) => processBatch(batch, cur, km,
         kmeansDims = config.kmeansDimensions,
+        train = id > km.lastAppliedBatch,
         windowSize = config.metricsWindow, slide = config.metricsSlide,
         watermark = config.watermark, fenceFile = config.geofenceFile),
       Some(config.trigger), config.checkpoint,
-      afterBatch = _ => kmPath.foreach(km.saveTo))
+      afterBatch = id => {
+        km.lastAppliedBatch = id
+        kmPath.foreach(km.saveTo)
+      })
     (queries, km)
   }
 }

@@ -100,4 +100,29 @@ class BottomKAggSpec extends AnyFunSuite {
       assert(viaAgg.values.exists(_.nonEmpty))
     }
   }
+
+  test("BottomKExpr tolerates narrower input types via implicit casts " +
+      "(int keys/ids, float values) — the Aggregator-form contract") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // INT hx/id and FLOAT v: before inputTypes was declared this threw
+    // ClassCastException at runtime; now analysis inserts casts.
+    val df = (1 to 200).map(i => ((i % 3), (i % 37), 201 - i, i / 7.0f))
+      .toDF("g", "hx", "id", "v").repartition(5)
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.BottomKExpr.column(
+        col("hx"), col("id"), col("v"), 10).as("s"))
+      .as[(Int, Seq[(Long, Long, Double)])].collect().toMap
+    assert(got.size == 3)
+    for ((g, s) <- got) {
+      val want = (1 to 200).filter(_ % 3 == g)
+        .map(i => ((i % 37).toLong, (201 - i).toLong, (i / 7.0f).toDouble))
+        .sortBy(t => (t._1, t._2)).take(10)
+      assert(s == want, s"group $g")
+    }
+  }
 }

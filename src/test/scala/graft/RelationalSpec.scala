@@ -244,6 +244,33 @@ class RelationalSpec extends SparkSuite {
     assert(out4(6L) === 4L && !out4.contains(10L) && !out4.contains(11L))
   }
 
+  test("iterative graph ops release their level caches: at most the " +
+       "pinned result survives a call (r16 lifecycle rule)") {
+    import graft.operators.GraphOps
+    val sc = spark.sparkContext
+    // each op used to leave its per-level persists cached for the
+    // session (bfsLevels at maxHops=4: ~10 frames); now everything is
+    // released once the result is pinned — at most ONE new persistent
+    // RDD (the localCheckpoint of the small result) may remain.
+    def newPersistent(f: => Unit): Int = {
+      val before = sc.getPersistentRDDs.keySet
+      f
+      sc.getPersistentRDDs.keySet.diff(before).size
+    }
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 3L), (2L, 4L)).toDF("a", "b")
+    val wedges = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L), (3L, 4L, 1L))
+      .toDF("a", "b", "wt")
+    val dedges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    assert(newPersistent(GraphOps.bfsLevels(edges, maxHops = 4).collect()) <= 1)
+    assert(newPersistent(GraphOps.kCore(edges, k = 2L, iters = 3).collect()) <= 1)
+    assert(newPersistent(GraphOps.labelPropagation(wedges, iters = 3).collect()) <= 1)
+    assert(newPersistent(GraphOps.sssp(wedges, iters = 3).collect()) <= 1)
+    assert(newPersistent(GraphOps.hits(dedges, iters = 2, k = 3).collect()) <= 1)
+  }
+
   test("brandSkyline: window filter equals the brute-force dominance set") {
     import graft.operators.RelationalOps
     // deterministic synthetic parts across 3 brands, with deliberate

@@ -546,6 +546,26 @@ class SimilaritySpec extends SparkSuite {
       eq spark)
   }
 
+  test("serve-fold pin is conf-tunable per session " +
+      "(spark.graft.serveFold.maxPairs), default unchanged") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    // a session pinned at 100 pairs rebinds even a tiny expansion...
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.serveFold.maxPairs", "100")
+    def corpus(s: org.apache.spark.sql.SparkSession, n: Long) = s.range(n)
+      .select(col("id").as("vec_id"),
+        array(lit(1f), lit(2f)).as("embedding"), lit(0L).as("label"))
+    assert(SimilarityOp.serveFoldMaxPairs(s2) === 100L)
+    assert(SimilarityOp.mutualKnn(corpus(s2, 100), qmod = 1).sparkSession
+      ne s2)
+    // ...and the pin is read ONCE per session: flipping the conf after
+    // first use must not flip the dispatch mid-query-set
+    s2.conf.set("spark.graft.serveFold.maxPairs", "999999999")
+    assert(SimilarityOp.serveFoldMaxPairs(s2) === 100L)
+    // untouched sessions keep the measured default
+    assert(SimilarityOp.serveFoldMaxPairs(spark) === (8L << 20))
+  }
+
   test("bottomKByKeyTwoPass edge cases: ties at bucket boundaries, " +
       "groups smaller than k, negative keys, degenerate one-bucket shift") {
     import spark.implicits._
