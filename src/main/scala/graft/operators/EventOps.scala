@@ -1353,7 +1353,7 @@ object EventOps {
       .select(col("event_type"), col("bk"),
         (col("cum") - col("cnt")).as("before"), col("np"))
     val w2 = Window.partitionBy(col("event_type")).orderBy(col("sp"))
-    slopes
+    val out = slopes
       .join(broadcast(sel), Seq("event_type"))
       .where(shiftright(col("sp"), shift) === col("bk"))
       .withColumn("rn", row_number().over(w2))
@@ -1361,6 +1361,9 @@ object EventOps {
       .select(col("event_type"), col("np").as("n_pairs"),
         col("sp").as("sen_slope_ppm"))
       .orderBy("event_type")
+    // pin the (|event_type|-row) medians, release the pair cache (the
+    // r16 lifecycle rule)
+    try out.localCheckpoint() finally { slopes.unpersist(); () }
   }
 
   /** Oracle SQL twin of [[theilSenSlope]]. */

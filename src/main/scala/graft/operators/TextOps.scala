@@ -1566,7 +1566,11 @@ object TextOps {
   def bpeMerges(docs: DataFrame, k: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeTrain(docs, k)._1.toDF("iter", "merged", "pair_count")
+    val (merges, words) = bpeTrain(docs, k)
+    // the merge list is already a driver-side Seq; the final vocab
+    // frame is unused here — release its cache (r16 lifecycle rule)
+    words.unpersist()
+    merges.toDF("iter", "merged", "pair_count")
       .orderBy("iter")
   }
 
@@ -1638,8 +1642,12 @@ object TextOps {
     * application is one narrow pass over the token stream — the
     * training loop's per-word rewrite is never repeated per occurrence.
     */
-  def bpeApplyStats(docs: DataFrame, k: Int = 6): DataFrame =
-    applyVocabStats(docs, bpeTrain(docs, k)._2)
+  def bpeApplyStats(docs: DataFrame, k: Int = 6): DataFrame = {
+    val (_, words) = bpeTrain(docs, k)
+    val out = applyVocabStats(docs, words)
+    // pin the (per-source) stats, release the trained-vocab cache
+    try out.localCheckpoint() finally { words.unpersist(); () }
+  }
 
   /** Shared application body — per-source tokenization stats from the
     * corpus and a trained `(word, sp, freq)` vocabulary frame, whether
@@ -1695,9 +1703,11 @@ object TextOps {
       merges.toDF("iter", "merged", "pair_count").coalesce(1)
         .write.mode("overwrite").option("path", s"$warehouse/$mT")
         .format("parquet").saveAsTable(mT)
-      vocab
+      try vocab
         .write.mode("overwrite").option("path", s"$warehouse/$vT")
         .format("parquet").saveAsTable(vT)
+      // the table write materialized the vocab to disk; drop its cache
+      finally { vocab.unpersist(); () }
     }
     (spark.table(mT), spark.table(vT))
   }

@@ -566,6 +566,31 @@ class SimilaritySpec extends SparkSuite {
     assert(SimilarityOp.serveFoldMaxPairs(spark) === (8L << 20))
   }
 
+  test("above the pin, binaryQuantRecall releases its shortlist cache " +
+      "once the audit summary is pinned (r16 lifecycle; pinned path " +
+      "forced via the conf-tunable pin on a tiny corpus)") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.serveFold.maxPairs", "10")
+    // 60 deterministic 4-dim vectors; est pairs (60/2+1)*60 = 1860 > 10
+    val emb = s2.range(60).select(col("id").as("vec_id"),
+      array((0 until 4).map(j =>
+        (((col("id") + j) % 5) - lit(2)).cast("float")): _*).as("embedding"),
+      lit(0L).as("label"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = SimilarityOp.binaryQuantRecall(emb, qmod = 2, k = 3,
+      cs = Seq(3, 5), inputTag = None)
+    // the pinned path really ran: the serve plan was rebound onto the
+    // lifted child session and the result came back eagerly pinned
+    assert(out.sparkSession ne s2)
+    assert(out.collect().length === 2) // one row per arm
+    // ...and at most the localCheckpoint of the 2-row summary remains
+    // cached — the 30x5-row ranked shortlist persist was released
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.diff(before).size <= 1,
+      s"leaked cached RDDs: ${after.diff(before)}")
+  }
+
   test("bottomKByKeyTwoPass edge cases: ties at bucket boundaries, " +
       "groups smaller than k, negative keys, degenerate one-bucket shift") {
     import spark.implicits._
