@@ -1186,8 +1186,11 @@ object GraphOps {
     * window on that (already aggregated) frame — the canonical
     * 2-shuffle Pregel step; nothing collects. The label frame MUTATES
     * across rounds and is referenced once per step, so per-level eager
-    * persists keep lineage linear (the [[kCore]] rule; total cache is
-    * iters × |nodes| rows of two BIGINTs).
+    * persists keep lineage linear (the [[kCore]] rule), each released
+    * as soon as the next level materializes — peak cache is two
+    * |nodes|-row frames of two BIGINTs, and the FINAL level's persist
+    * doubles as the result pin (release-intermediates-keep-final, the
+    * r16 pickup-3 form that drops the extra localCheckpoint pass).
     */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 10,
@@ -1197,29 +1200,33 @@ object GraphOps {
       .unionByName(edges.select(col("b").as("u"), col("a").as("v"),
         col("wt")))
       .persist()
-    val cached = Seq.newBuilder[DataFrame]
-    cached += sym
     var lab = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
       .persist()
-    cached += lab
     lab.count()
     val w = Window.partitionBy(col("v"))
       .orderBy(col("sc").desc, col("lab"))
     for (_ <- 1 to iters) {
-      lab = sym.join(lab.withColumnRenamed("node", "u"), Seq("u"))
+      val prev = lab
+      lab = sym.join(prev.withColumnRenamed("node", "u"), Seq("u"))
         .groupBy(col("v"), col("lab")).agg(sum(col("wt")).as("sc"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("v").as("node"), col("lab"))
         .persist()
-      cached += lab
       lab.count()
+      // level i is materialized — level i-1's cache is dead weight
+      // from here on (the standard iterative release point).
+      prev.unpersist()
     }
-    val out = lab.orderBy("node")
-    // pin the (|V|-row) labels, release the level caches (the
-    // bfsLevels/kCore lifecycle rule).
-    try out.localCheckpoint() finally cached.result().foreach(_.unpersist())
+    sym.unpersist()
+    // The final level's persist (|V| rows of two BIGINTs, already
+    // materialized by the loop's count) IS the pin — keeping it costs
+    // zero extra passes, where the previous localCheckpoint re-ran the
+    // |V|-row frame through an eager checkpoint job (+0.4-0.9 s at
+    // sf0.1, the one residual BenchDiff flagged in r16). Residual
+    // footprint is identical: one node-sized entry per call.
+    lab.orderBy("node")
   }
 
   /** Oracle SQL twin of [[labelPropagation]] over

@@ -25,15 +25,33 @@ import org.apache.spark.sql.functions._
   *     the marginal distribution is preserved while cross-copy cosine
   *     behaves like an independent pair — cells/buckets grow ×N in
   *     population, not in near-duplicate pathology.
+  *   - `lineitem`/`orders` (mode `graph` or `all`): N copies with
+  *     every graph-bearing key strided (`l_orderkey`/`l_partkey`/
+  *     `l_suppkey`, `o_orderkey`/`o_custkey`), so the co-purchase
+  *     graph ([[graft.operators.GraphOps.copurchaseEdges]] family) and
+  *     the customer↔supplier bipartite graph
+  *     ([[graft.operators.GraphOps.custSuppEdges]]) each become N
+  *     DISJOINT isomorphic components — |V| and |E| grow exactly ×N
+  *     with per-copy degree structure identical to the original, the
+  *     honest construction for the iterative graph tier (a naive
+  *     row-copy without strides would multiply edge WEIGHTS, not the
+  *     graph, and densify every join superlinearly). Non-key columns
+  *     ride unchanged. NOTE: the scaled dims are NOT FK-consistent
+  *     with the symlinked customer/supplier tables — graph-mode dirs
+  *     are for the graph/relational-agg tier only, not dim joins.
   *   - every other table: symlinked from the source dir unchanged.
   *
-  * Usage: ScaleUp <srcSfDir> <outDir> [factor=10]
+  * Usage: ScaleUp <srcSfDir> <outDir> [factor=10] [mode=docs|graph|all]
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val n = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "docs"
+    require(Set("docs", "graph", "all")(mode), s"bad mode $mode")
+    val doDocs = mode != "graph"
+    val doGraph = mode != "docs"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -54,15 +72,24 @@ object ScaleUp {
         .agg(max(col("vec_id"))).head.getLong(0)
       val evm = spark.read.parquet(s"$src/events.parquet")
         .agg(max(col("event_id")), max(col("user_id"))).head
+      val lim = spark.read.parquet(s"$src/lineitem.parquet")
+        .agg(max(col("l_orderkey")), max(col("l_partkey")),
+          max(col("l_suppkey"))).head
+      val om = spark.read.parquet(s"$src/orders.parquet")
+        .agg(max(col("o_orderkey")), max(col("o_custkey"))).head
       val maxId = Seq(maxDoc, maxVec, evm.getLong(0), evm.getLong(1),
+        lim.getLong(0), lim.getLong(1), lim.getLong(2),
+        om.getLong(0), om.getLong(1),
         999999L).max
       var s = 1000000L
       while (s <= maxId) s *= 10L
       s
     }
 
-    val docs = spark.read.parquet(s"$src/documents.parquet")
     val copies = spark.range(0, n).select(col("id").as("copy"))
+
+    if (doDocs) {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
     val scaledDocs = docs.crossJoin(copies)
       .select(
         (col("doc_id") + col("copy") * idStride).as("doc_id"),
@@ -109,16 +136,44 @@ object ScaleUp {
         col("event_type"), col("value"), col("props"))
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
+    }
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem")) {
+    if (doGraph) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      li.crossJoin(copies)
+        .select(
+          (col("l_orderkey") + col("copy") * idStride).as("l_orderkey"),
+          (col("l_partkey") + col("copy") * idStride).as("l_partkey"),
+          (col("l_suppkey") + col("copy") * idStride).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$out/lineitem.parquet")
+      val o = spark.read.parquet(s"$src/orders.parquet")
+      o.crossJoin(copies)
+        .select(
+          (col("o_orderkey") + col("copy") * idStride).as("o_orderkey"),
+          (col("o_custkey") + col("copy") * idStride).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$out/orders.parquet")
+    }
+
+    val linked = Seq("region", "nation", "customer", "supplier", "part") ++
+      (if (doGraph) Nil else Seq("orders", "lineitem")) ++
+      (if (doDocs) Nil
+       else Seq("documents", "embeddings", "events"))
+    for (t <- linked) {
       val link = Paths.get(s"$out/$t.parquet")
       if (!Files.exists(link))
         Files.createSymbolicLink(link, Paths.get(s"$src/$t.parquet"))
     }
-    println(s"[scaleup] wrote $out at factor $n: " +
+    println(s"[scaleup] wrote $out at factor $n mode $mode: " +
       s"docs=${spark.read.parquet(s"$out/documents.parquet").count()}, " +
-      s"emb=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+      s"emb=${spark.read.parquet(s"$out/embeddings.parquet").count()}, " +
+      s"lineitem=${spark.read.parquet(s"$out/lineitem.parquet").count()}")
     spark.stop()
   }
 }
