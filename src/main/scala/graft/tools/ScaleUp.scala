@@ -12,14 +12,27 @@ import org.apache.spark.sql.functions._
   *
   * Construction — the point is that the WORKLOAD scales linearly, not
   * just the row count:
-  *   - `documents`: N copies; copy i > 0 suffixes every token with
-  *     `_i`, so each copy is a DISJOINT corpus (no cross-copy shingle
-  *     collisions) with internal near-dup structure identical to the
-  *     original. True pair/candidate counts therefore grow exactly
-  *     ×N — the honest construction for checking near-linear
-  *     candidate-generation cost. (Naive replication with distinct ids
-  *     but identical text would grow pairs ×N², by construction, and
-  *     prove nothing about the operators.)
+  *   - `documents`: N copies; copy i > 0 rewrites the text through a
+  *     per-copy AFFINE SUBSTITUTION CIPHER on a-z (`translate`; char c
+  *     → a·c + b mod 26 with gcd(a,26)=1 — 311 distinct non-identity
+  *     maps), so each copy is a DISJOINT corpus (the 31-token vocab's
+  *     images under two distinct maps share an expected ≈0.06 tokens
+  *     and ~zero 3-token shingles) with internal near-dup structure
+  *     identical to the original and — crucially — IDENTICAL token
+  *     lengths and alphabet. True pair/candidate counts therefore grow
+  *     ~×N with iid per-copy jitter — the honest construction for
+  *     checking near-linear candidate-generation cost. (Naive
+  *     replication with distinct ids but identical text would grow
+  *     pairs ×N², by construction, and prove nothing.) Two rejected
+  *     constructions, both measured (Prof26, ×30 vs the 255-pair
+  *     unsuffixed baseline): a `_i` decimal token SUFFIX pushed real
+  *     shingle chars out of the 8-char window of the portable hash
+  *     ([[graft.functions.PortableHashExpr]], oracle-portable by
+  *     design) — the 3-char cohort read 4,030 est-Jaccard pairs/copy,
+  *     16× inflated; a 1-char out-of-alphabet tag still read
+  *     255-1,000/copy depending on the tag char because short tokens
+  *     keep the tag inside the hash window. The cipher adds zero
+  *     chars, so the hash window sees exactly the baseline's entropy.
   *   - `embeddings`: N copies; copy i circularly shifts the dimension
   *     order by i. The synthetic dims are identically distributed, so
   *     the marginal distribution is preserved while cross-copy cosine
@@ -90,17 +103,26 @@ object ScaleUp {
 
     if (doDocs) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val scaledDocs = docs.crossJoin(copies)
-      .select(
-        (col("doc_id") + col("copy") * idStride).as("doc_id"),
-        when(col("copy") === 0L, col("text"))
-          .otherwise(array_join(
-            transform(split(col("text"), " "),
-              t => concat(t, lit("_"), col("copy"))), " "))
-          .as("text"),
-        col("lang"), col("source"), col("copy"))
+    // per-copy affine cipher alphabets (see Scaladoc): copy 0 is the
+    // identity; copy i > 0 takes the i-th non-identity (a, b) pair.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val maps = for (a <- units; b <- 0 until 26
+                    if !(a == 1 && b == 0)) yield (a, b)
+    require(n <= 1 + maps.size,
+      s"docs mode supports factor <= ${1 + maps.size}")
+    def cipherAlpha(i: Int): String = {
+      val (a, b) = maps(i - 1)
+      alpha.map(c => ('a' + (a * (c - 'a') + b) % 26).toChar)
+    }
+    val scaledDocs = (0 until n).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong) * idStride).as("doc_id"),
+        (if (i == 0) col("text")
+         else translate(col("text"), alpha, cipherAlpha(i))).as("text"),
+        col("lang"), col("source"))
+    }.reduce(_ unionByName _)
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .drop("copy")
     scaledDocs.repartition(32).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
 
