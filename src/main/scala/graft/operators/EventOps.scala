@@ -1720,7 +1720,14 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
     val outTot = cnt.groupBy(col("src")).agg(sum(col("n")).as("out_n"))
     val trans = cnt.join(broadcast(outTot), Seq("src")).persist()
-    val types = outTot.select(col("src").as("event_type"))
+    // type count read THROUGH the persisted trans (distinct src of the
+    // inner join == outTot's src set), so this one job materializes the
+    // cache the supersteps below iterate over. Counting outTot directly
+    // (the pre-r16 form) ran the window+count pipeline once for the
+    // count and AGAIN when the final action first filled trans — the
+    // whole upstream pipeline twice per call (ProfPin same-window A/B
+    // ×4 alternating at sf0.1: old 1.37-1.62 s, new 1.16-1.22 s).
+    val types = trans.select(col("src").as("event_type")).distinct()
     val nTypes = types.count()
     if (nTypes == 0) {
       // no same-user consecutive pair anywhere (empty or singleton-

@@ -434,17 +434,19 @@ object GraphOps {
       visited.count()
       frontier = next.select(col("node"))
     }
-    // release every level once the (≤|V|-row) result is pinned — a
-    // long-lived serving session must not accumulate 2·maxHops cached
-    // frames per call (r16 verdict item 4; the landmarkCloseness
-    // pattern). localCheckpoint also truncates the maxHops-deep
-    // lineage, which the Scaladoc's "checkpoint every ~10 levels"
-    // remark promised a real cluster anyway.
-    val out = visited.orderBy("node")
-    try out.localCheckpoint() finally {
-      und.unpersist()
-      cached.result().foreach(_.unpersist())
-    }
+    // release every level once the final one is materialized, KEEPING
+    // the final visited persist as the result pin (the labelPropagation
+    // release-intermediates-keep-final form): the loop's last count()
+    // already materialized it, so the old localCheckpoint(orderBy(..))
+    // pin re-ran the |V|-row frame through an extra eager sort+
+    // checkpoint job per call. Residual footprint is identical — one
+    // node-sized cached frame per call (the lifecycle spec's ≤1 rule);
+    // eviction under pressure recomputes through lineage, which is
+    // correct, just slower.
+    val fin = visited
+    und.unpersist()
+    cached.result().filter(_ ne fin).foreach(_.unpersist())
+    fin.orderBy("node")
   }
 
   /** Landmark harmonic closeness — multi-source BFS from the
@@ -1301,10 +1303,13 @@ object GraphOps {
       cached += dist
       dist.count()
     }
-    val out = dist.orderBy("node")
-    // pin the (|V|-row) distances, release the round caches (the
-    // bfsLevels/kCore lifecycle rule).
-    try out.localCheckpoint() finally cached.result().foreach(_.unpersist())
+    // release the round caches KEEPING the final distance persist as
+    // the pin (the labelPropagation release-intermediates-keep-final
+    // form; see bfsLevels) — the loop's last count() materialized it,
+    // so the old localCheckpoint pin was an extra eager pass per call.
+    val fin = dist
+    cached.result().filter(_ ne fin).foreach(_.unpersist())
+    fin.orderBy("node")
   }
 
   /** Oracle SQL twin of [[sssp]] over [[weightedCopurchaseEdges]] —

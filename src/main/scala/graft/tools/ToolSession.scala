@@ -34,7 +34,7 @@ import org.apache.spark.sql.SparkSession
 object ToolSession {
   def build(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       : SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -51,7 +51,19 @@ object ToolSession {
       .config("spark.ui.retainedTasks", "2000")
       .config("spark.worker.ui.retainedExecutors", "10")
       .config("spark.cleaner.periodicGC.interval", "2min")
-      .getOrCreate()
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v": A/B harness hook — overlay
+    // arbitrary conf pairs on the bench-grade session WITHOUT a
+    // rebuild, so a knob experiment (join strategy, AQE thresholds)
+    // measures against the identical baseline session. Default unset =
+    // bit-identical config; the graded bench never sets it.
+    val withExtra = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(";").map(_.trim).filter(_.contains("="))
+        .foldLeft(builder) { (b, kv) =>
+          val i = kv.indexOf('=')
+          b.config(kv.substring(0, i).trim, kv.substring(i + 1).trim)
+        })
+      .getOrElse(builder)
+    val spark = withExtra.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
