@@ -121,8 +121,30 @@ object EventOps {
     */
   def locfResample(events: DataFrame, stepMs: Long = 3600000L,
                    maxSlots: Long = 200000L): DataFrame = {
-    val withHr = events.withColumn("hr",
-      floorDivMs("unix_millis(ts)", stepMs))
+    // r16 optimization, two parts (ProfPin `locf` three-way same-window
+    // A/B: old 1.75-1.94 s, repartition-only 1.83 s, this form
+    // 0.90-1.33 s steady at sf0.1):
+    // 1. ONE user-keyed exchange up front (guide §2.4 "share one
+    //    exchange"): every downstream step clusters by user_id or
+    //    (user_id, hr) — the last-in-slot window, the span aggregate,
+    //    the grid⋈obs join, the LOCF carry window.
+    //    HashPartitioning(user_id) satisfies ClusteredDistribution for
+    //    all of them (a key-prefix subset co-locates every (user, hr)
+    //    group), so the planner inserts sorts but no further
+    //    exchanges, and REPARTITION_BY_COL stays AQE-coalescible.
+    // 2. `obs` feeds TWO consumers in one plan (the span/grid subtree
+    //    AND the join's probe side); unpersisted, the whole
+    //    scan+repartition+window subtree ran twice per action (the
+    //    markovStationary double-pass class, visible as duplicate
+    //    subtrees in plans/r16/q82_locf_resample_before.txt). The
+    //    persist + localCheckpoint-pin + release-in-finally is the
+    //    repo's standard lifecycle form (≤1 surviving pinned frame).
+    // Values are untouched (partitioning + caching only); the q82
+    // oracle hash and the StreamingSpec replay-equality pin it.
+    val withHr = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .withColumn("hr", floorDivMs("unix_millis(ts)", stepMs))
     // last-in-slot via row_number over (ts DESC, event_id DESC). An
     // argmax-aggregate alternative (max of a (ts, event_id, value)
     // struct — partial-aggregable) A/B'd WITHIN box noise of this form
@@ -135,6 +157,7 @@ object EventOps {
     val obs = withHr.withColumn("rn", row_number().over(wLast))
       .where(col("rn") === 1)
       .select(col("user_id"), col("hr"), col("value").as("v"))
+      .persist()
     val spans = obs.groupBy(col("user_id"))
       .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
     // LOUD span guard: one corrupt timestamp (epoch 0, far future) would
@@ -153,11 +176,12 @@ object EventOps {
       explode(sequence(col("h0"), h1Checked)).as("hr"))
     val wRun = Window.partitionBy(col("user_id")).orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    grid.join(obs, Seq("user_id", "hr"), "left")
+    val out = grid.join(obs, Seq("user_id", "hr"), "left")
       .select(col("user_id"), (col("hr") * stepMs).as("hr_ms"),
         last(col("v"), ignoreNulls = true).over(wRun).as("locf_value"),
         when(col("v").isNotNull, 1L).otherwise(0L).as("is_obs"))
       .orderBy("user_id", "hr_ms")
+    try out.localCheckpoint() finally { obs.unpersist(); () }
   }
 
   /** Oracle SQL twin of [[locfResample]] — the identical grid /

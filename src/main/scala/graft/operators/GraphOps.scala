@@ -666,9 +666,19 @@ object GraphOps {
     import graft.functions.DetAgg.{halfUpDiv, ratio}
     require(minSupport >= 2L,
       "associationRules: the weighted edge layout is built at minW = 2")
+    // The eager nOrders count is taken straight off lineitem's
+    // orderkey column: a basket's id appears in every one of its pair
+    // rows, so count(distinct l_orderkey) == count(distinct ok of the
+    // pair distinct) — same literal, minus the (ok,pk) pair-distinct
+    // exchange in the count job. Persisting li for the two consumers
+    // (the markovStationary pattern) was A/B-REJECTED here: the pair
+    // distinct is too large to cache profitably (ProfPin asc old
+    // 1.36-1.44 s vs persist 1.82-2.22 s same-window; direct is a
+    // wash at sf0.1 and strictly fewer shuffled bytes at scale —
+    // OPTIMIZATION_r16.md).
     val li = lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk")).distinct()
-    val nOrders = li.select(col("ok")).distinct().count()
+    val nOrders = lineitem.select(col("l_orderkey")).distinct().count()
     val item = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
     val pair = wEdges
       .select(col("a"), col("b"), col("wt").as("n_ab"))

@@ -21,6 +21,9 @@ object ProfPin {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val rounds = if (args.length > 1) args(1).toInt else 3
+    val ops: Set[String] =
+      if (args.length > 2) args(2).split(",").toSet
+      else Set("bfs", "sssp", "mkv", "asc")
     val spark = ToolSession.build()
     spark.sparkContext.setLogLevel("WARN")
     val li = graft.tables.Tables.lineitem(spark, sfDir)
@@ -137,6 +140,123 @@ object ProfPin {
       try out.localCheckpoint() finally trans.unpersist()
     }
 
+    // assoc A/B (q178): `persistLi=false` is the pre-r16-opt form —
+    // the eager nOrders count runs the lineitem scan+distinct pipeline
+    // WITHOUT caching it, so the final plan's item rollup pays the
+    // whole pipeline again; `true` persists li so the count fills the
+    // cache the rollup then reads (the markovStationary class).
+    // modes: "old" = eager count reads through the UNPERSISTED pair
+    // distinct (runs scan+pair-distinct twice per call); "persist" =
+    // cache the pair distinct (markov-style); "direct" = count
+    // distinct l_orderkey straight off lineitem (same value — a
+    // basket's id appears in every one of its pair rows — skipping
+    // the pair-distinct exchange in the eager job entirely).
+    def assoc(mode: String, minSupport: Long = 2L): DataFrame = {
+      import graft.functions.DetAgg.{halfUpDiv, ratio}
+      val li0 = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pk")).distinct()
+      val liF = if (mode == "persist") li0.persist() else li0
+      val nOrders =
+        if (mode == "direct")
+          li.select(col("l_orderkey")).distinct().count()
+        else liF.select(col("ok")).distinct().count()
+      val item = liF.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val pair = wedges
+        .select(col("a"), col("b"), col("wt").as("n_ab"))
+        .where(col("n_ab") >= minSupport)
+      val sym = pair.select(col("a"), col("b"), col("n_ab"))
+        .unionByName(pair.select(col("b").as("a"), col("a").as("b"),
+          col("n_ab")))
+      val out = sym
+        .join(broadcast(item.select(col("pk").as("a"),
+          col("n_item").as("na"))), Seq("a"))
+        .join(broadcast(item.select(col("pk").as("b"),
+          col("n_item").as("nb"))), Seq("b"))
+        .select(col("a"), col("b"), col("n_ab"),
+          ratio(col("n_ab"), lit(nOrders), 6).as("support"),
+          ratio(col("n_ab"), col("na"), 6).as("confidence"),
+          halfUpDiv(col("n_ab") * lit(nOrders) * 1000000L,
+            col("na") * col("nb")).as("lift_ppm"))
+        .orderBy("a", "b")
+      try out.localCheckpoint()
+      finally { if (mode == "persist") { liF.unpersist(); () } }
+    }
+
+    // fk A/B (q95): `onePass=false` is the pre-r16-opt form — per
+    // relation, a counts-only aggregate over the child PLUS a LEFT
+    // ANTI join into a second aggregate (two full child scans),
+    // cross-joined back; `true` is the one-pass LEFT-join-with-marker
+    // form shipped in AuditOps.fkIntegrity.
+    def fk(onePass: Boolean): DataFrame = {
+      val rels = graft.operators.AuditOps.defaultRels(spark, sfDir)
+      rels.map { r =>
+        val keyed = r.child.select(col(r.childKey).cast("long").as("__k"))
+        val parents = r.parent
+          .select(col(r.parentKey).cast("long").as("__k")).distinct()
+        if (onePass) {
+          keyed.join(parents.withColumn("__p", lit(1L)), Seq("__k"), "left")
+            .agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(when(col("__k").isNull, 1L).otherwise(0L)),
+                lit(0L)).as("n_nulls"),
+              coalesce(sum(when(col("__k").isNotNull && col("__p").isNull,
+                1L).otherwise(0L)), lit(0L)).as("n_orphans"))
+            .select(lit(r.name).as("relation"),
+              col("n_rows"), col("n_nulls"), col("n_orphans"))
+        } else {
+          val orphans = keyed.where(col("__k").isNotNull)
+            .join(parents, Seq("__k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          keyed.agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(when(col("__k").isNull, 1L).otherwise(0L)),
+                lit(0L)).as("n_nulls"))
+            .crossJoin(orphans)
+            .select(lit(r.name).as("relation"),
+              col("n_rows"), col("n_nulls"), col("n_orphans"))
+        }
+      }.reduce(_ unionByName _).orderBy("relation")
+    }
+
+    // locf A/B (q82): `singleExchange=false` is the pre-r16-opt form
+    // (each step demands its own distribution); `true` repartitions by
+    // user_id once up front so every downstream window/agg/join reuses
+    // the one exchange (EventOps.locfResample's shipped form).
+    // modes: "old" = per-step distributions (pre-r16); "repart" = one
+    // up-front repartition(user_id) (the shipped candidate); "prst" =
+    // repart + persist the obs frame (it feeds BOTH the grid subtree
+    // and the join side — the plan otherwise duplicates the
+    // scan+window subtree), pinned via localCheckpoint + unpersist.
+    def locf(mode: String, stepMs: Long = 3600000L): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val events = graft.tables.Tables.events(spark, sfDir)
+      val base =
+        if (mode != "old")
+          events.select(col("user_id"), col("ts"), col("event_id"),
+            col("value")).repartition(col("user_id"))
+        else events
+      val withHr = base.withColumn("hr",
+        expr(s"unix_millis(ts) div $stepMs"))
+      val wLast = Window.partitionBy(col("user_id"), col("hr"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val obs0 = withHr.withColumn("rn", row_number().over(wLast))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("hr"), col("value").as("v"))
+      val obs = if (mode == "prst") obs0.persist() else obs0
+      val spans = obs.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      val grid = spans.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val wRun = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val out = grid.join(obs, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), (col("hr") * stepMs).as("hr_ms"),
+          last(col("v"), ignoreNulls = true).over(wRun).as("locf_value"),
+          when(col("v").isNotNull, 1L).otherwise(0L).as("is_obs"))
+        .orderBy("user_id", "hr_ms")
+      if (mode == "prst")
+        try out.localCheckpoint() finally { obs.unpersist(); () }
+      else out
+    }
+
     def t(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f
@@ -148,19 +268,35 @@ object ProfPin {
 
     for (r <- 1 to rounds) {
       if (r % 2 == 1) {
-        t(s"bfs ckpt  r$r")(run(bfs(true)))
-        t(s"bfs keep  r$r")(run(bfs(false)))
-        t(s"sssp ckpt r$r")(run(sssp(true)))
-        t(s"sssp keep r$r")(run(sssp(false)))
-        t(s"mkv old   r$r")(run(markov(false)))
-        t(s"mkv new   r$r")(run(markov(true)))
+        if (ops("bfs")) { t(s"bfs ckpt  r$r")(run(bfs(true)))
+          t(s"bfs keep  r$r")(run(bfs(false))) }
+        if (ops("sssp")) { t(s"sssp ckpt r$r")(run(sssp(true)))
+          t(s"sssp keep r$r")(run(sssp(false))) }
+        if (ops("mkv")) { t(s"mkv old   r$r")(run(markov(false)))
+          t(s"mkv new   r$r")(run(markov(true))) }
+        if (ops("asc")) { t(s"asc old   r$r")(run(assoc("old")))
+          t(s"asc prst  r$r")(run(assoc("persist")))
+          t(s"asc drct  r$r")(run(assoc("direct"))) }
+        if (ops("fk")) { t(s"fk  old   r$r")(run(fk(false)))
+          t(s"fk  new   r$r")(run(fk(true))) }
+        if (ops("locf")) { t(s"locf old  r$r")(run(locf("old")))
+          t(s"locf rep  r$r")(run(locf("repart")))
+          t(s"locf prst r$r")(run(locf("prst"))) }
       } else {
-        t(s"bfs keep  r$r")(run(bfs(false)))
-        t(s"bfs ckpt  r$r")(run(bfs(true)))
-        t(s"sssp keep r$r")(run(sssp(false)))
-        t(s"sssp ckpt r$r")(run(sssp(true)))
-        t(s"mkv new   r$r")(run(markov(true)))
-        t(s"mkv old   r$r")(run(markov(false)))
+        if (ops("bfs")) { t(s"bfs keep  r$r")(run(bfs(false)))
+          t(s"bfs ckpt  r$r")(run(bfs(true))) }
+        if (ops("sssp")) { t(s"sssp keep r$r")(run(sssp(false)))
+          t(s"sssp ckpt r$r")(run(sssp(true))) }
+        if (ops("mkv")) { t(s"mkv new   r$r")(run(markov(true)))
+          t(s"mkv old   r$r")(run(markov(false))) }
+        if (ops("asc")) { t(s"asc drct  r$r")(run(assoc("direct")))
+          t(s"asc prst  r$r")(run(assoc("persist")))
+          t(s"asc old   r$r")(run(assoc("old"))) }
+        if (ops("fk")) { t(s"fk  new   r$r")(run(fk(true)))
+          t(s"fk  old   r$r")(run(fk(false))) }
+        if (ops("locf")) { t(s"locf prst r$r")(run(locf("prst")))
+          t(s"locf rep  r$r")(run(locf("repart")))
+          t(s"locf old  r$r")(run(locf("old"))) }
       }
     }
     spark.stop()
