@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * Both leave ≤1 cached frame per call (the lifecycle spec); the
   * difference is one eager sort+cache pass per call.
   *
-  * Times both forms for bfsLevels and sssp in ONE JVM/window,
-  * alternating order across rounds to cancel warm-up bias.
+  * Grew into the round's general same-window A/B harness: every form
+  * pair/triple is compiled into ONE JVM and alternated within a
+  * window, order flipped between rounds to cancel warm-up bias.
+  * Arms: bfs/sssp (pin strategy), mkv (markov double-pass), asc
+  * (assoc nOrders forms), fk (one-pass audit), locf (repartition /
+  * persist forms), tri (q115 persist variants), peak (q80 persist
+  * variants). Verdicts recorded in OPTIMIZATION_r16.md.
   *
-  * Usage: ProfPin [sfDir] [rounds]
+  * Usage: ProfPin [sfDir] [rounds] [op,op,...]
   */
 object ProfPin {
   def main(args: Array[String]): Unit = {
@@ -257,6 +262,99 @@ object ProfPin {
       else out
     }
 
+    // tri A/B (q115): the a-priori triple miner consumes `li` (basket
+    // distinct) THREE times and `pairs` (the per-order pair expansion)
+    // TWICE in one plan. modes: "base" = recompute everything (current
+    // shipped form); "li" = persist li; "pairs" = persist pairs;
+    // "both" = persist both. Pinned via localCheckpoint + release.
+    def tri(mode: String, minSupport: Long = 2L): DataFrame = {
+      val li0 = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pk")).distinct()
+      val liF = if (mode == "li" || mode == "both") li0.persist() else li0
+      val pairs0 = liF.as("l").join(liF.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .select(col("l.ok").as("ok"), col("l.pk").as("a"),
+          col("r.pk").as("b"))
+      val pairs = if (mode == "pairs" || mode == "both") pairs0.persist()
+        else pairs0
+      val freqP = pairs.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= minSupport)
+        .select(col("a"), col("b"))
+      val candPairs = pairs.join(freqP, Seq("a", "b"), "left_semi").as("p")
+      val cand = candPairs.join(liF.as("c"),
+          col("p.ok") === col("c.ok") && col("c.pk") > col("p.b"))
+        .select(col("p.ok").as("ok"), col("p.a").as("a"),
+          col("p.b").as("b"), col("c.pk").as("cc"))
+        .join(freqP.select(col("a"), col("b").as("cc")),
+          Seq("a", "cc"), "left_semi")
+        .join(freqP.select(col("a").as("b"), col("b").as("cc")),
+          Seq("b", "cc"), "left_semi")
+      val out = cand.groupBy(col("a"), col("b"), col("cc"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= minSupport)
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("cc").as("part_c"), col("support"))
+        .orderBy("part_a", "part_b", "part_c")
+      if (mode == "base") out
+      else try out.localCheckpoint() finally {
+        if (mode == "li" || mode == "both") liF.unpersist()
+        if (mode == "pairs" || mode == "both") pairs.unpersist()
+        ()
+      }
+    }
+
+    // peak A/B (q80): the sessionize window chain feeds `deltas`,
+    // which is consumed by the partials agg AND the boundary join —
+    // and `offsets` is consumed by boundaryHours AND gapHours, so the
+    // sessionize subtree appears ~3x in the plan. An earlier-round
+    // persist A/B on this op was negative; re-measured post-locf.
+    // modes: "base" = shipped recompute; "sess" = persist sessionize
+    // output; "dlt" = persist deltas; pin via localCheckpoint.
+    def peak(mode: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val events = graft.tables.Tables.events(spark, sfDir)
+      val hourMs = 3600000L
+      val sess0 = graft.operators.EventOps.sessionize(events)
+        .select(col("start_ms"), col("end_ms"))
+      val sess = if (mode == "sess") sess0.persist() else sess0
+      val deltas0 = sess.select(explode(array(
+          struct(col("start_ms").as("t"), lit(1L).as("d")),
+          struct(col("end_ms").as("t"), lit(-1L).as("d")))).as("b"))
+        .select(col("b.t").as("t"), col("b.d").as("d"))
+        .withColumn("hr", expr(s"t div $hourMs"))
+      val deltas = if (mode == "dlt") deltas0.persist() else deltas0
+      val partials = deltas.groupBy(col("hr")).agg(sum(col("d")).as("p"))
+      val wCarry = Window.orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = partials.select(col("hr"),
+        coalesce(sum(col("p")).over(wCarry), lit(0L)).as("carry"))
+      val wInHour = Window.partitionBy(col("hr"))
+        .orderBy(col("t"), col("d").desc)
+      val boundaryHours = deltas.join(broadcast(offsets), Seq("hr"))
+        .withColumn("run", col("carry") + sum(col("d")).over(wInHour))
+        .groupBy(col("hr"))
+        .agg(greatest(max(col("run")), max(col("carry"))).as("peak"),
+          count(lit(1)).as("n_boundaries"))
+      val wLead = Window.orderBy(col("hr"))
+      val gapHours = offsets
+        .withColumn("next_hr", lead(col("hr"), 1).over(wLead))
+        .withColumn("next_carry", lead(col("carry"), 1).over(wLead))
+        .where(col("next_carry") > 0 && col("next_hr") > col("hr") + 1)
+        .select(explode(sequence(col("hr") + 1, col("next_hr") - 1))
+          .as("hr"), col("next_carry").as("peak"),
+          lit(0L).as("n_boundaries"))
+      val out = boundaryHours.unionByName(gapHours)
+        .select((col("hr") * hourMs).as("hr_ms"), col("peak"),
+          col("n_boundaries"))
+        .orderBy("hr_ms")
+      if (mode == "base") out
+      else try out.localCheckpoint() finally {
+        if (mode == "sess") sess.unpersist()
+        if (mode == "dlt") deltas.unpersist()
+        ()
+      }
+    }
+
     def t(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f
@@ -282,6 +380,13 @@ object ProfPin {
         if (ops("locf")) { t(s"locf old  r$r")(run(locf("old")))
           t(s"locf rep  r$r")(run(locf("repart")))
           t(s"locf prst r$r")(run(locf("prst"))) }
+        if (ops("tri")) { t(s"tri base  r$r")(run(tri("base")))
+          t(s"tri li    r$r")(run(tri("li")))
+          t(s"tri pairs r$r")(run(tri("pairs")))
+          t(s"tri both  r$r")(run(tri("both"))) }
+        if (ops("peak")) { t(s"peak base r$r")(run(peak("base")))
+          t(s"peak sess r$r")(run(peak("sess")))
+          t(s"peak dlt  r$r")(run(peak("dlt"))) }
       } else {
         if (ops("bfs")) { t(s"bfs keep  r$r")(run(bfs(false)))
           t(s"bfs ckpt  r$r")(run(bfs(true))) }
@@ -297,6 +402,13 @@ object ProfPin {
         if (ops("locf")) { t(s"locf prst r$r")(run(locf("prst")))
           t(s"locf rep  r$r")(run(locf("repart")))
           t(s"locf old  r$r")(run(locf("old"))) }
+        if (ops("tri")) { t(s"tri both  r$r")(run(tri("both")))
+          t(s"tri pairs r$r")(run(tri("pairs")))
+          t(s"tri li    r$r")(run(tri("li")))
+          t(s"tri base  r$r")(run(tri("base"))) }
+        if (ops("peak")) { t(s"peak dlt  r$r")(run(peak("dlt")))
+          t(s"peak sess r$r")(run(peak("sess")))
+          t(s"peak base r$r")(run(peak("base"))) }
       }
     }
     spark.stop()
