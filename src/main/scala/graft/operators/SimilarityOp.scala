@@ -1962,11 +1962,35 @@ object SimilarityOp {
       .reduce(_.unionByName(_))
     val w = Window.partitionBy(col("config"), col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
-    val topk = cands.join(corpusVecs(embeddings), Seq("vec_id"))
-      .join(broadcast(qframe), Seq("qid"))
-      .select(col("config"), col("qid"), col("vec_id"),
-        round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
-          .as("sim"))
+    // A/B switch, MEASURED NEGATIVE and kept default-off (r16 opt
+    // round, ProfDedup ×4 same-window): arms share many (qid, vec_id)
+    // pairs, so scoring the DISTINCT pairs once and joining the sims
+    // back trades ~the duplication factor of map-side codegen cosine
+    // for one extra exchange of the candidate frame. The exchange
+    // loses: q85 base 3.05-3.79 s vs dedup 3.62-4.09 steady, q84/q157
+    // wash-to-base, q153 −0.1 s — the 64-dim cosine is too cheap to
+    // out-cost a shuffle of the plan's largest frame (same verdict
+    // class as the r9/r16 persist rejections). Identical values either
+    // way (same sim per pair, same window; SimilaritySpec parity test),
+    // so the switch stays for re-measurement at other scales — the
+    // sigLayout-flag precedent.
+    val dedupScore = embeddings.sparkSession.conf
+      .getOption("spark.graft.recallArms.dedupScore").contains("true")
+    val scored =
+      if (dedupScore)
+        cands.select(col("qid"), col("vec_id")).distinct()
+          .join(corpusVecs(embeddings), Seq("vec_id"))
+          .join(broadcast(qframe), Seq("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(graft.functions.CosineExpr.column(col("qv"), col("v")),
+              6).as("sim"))
+      else null
+    val topk = (if (dedupScore) cands.join(scored, Seq("qid", "vec_id"))
+      else cands.join(corpusVecs(embeddings), Seq("vec_id"))
+        .join(broadcast(qframe), Seq("qid"))
+        .select(col("config"), col("qid"), col("vec_id"),
+          round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
+            .as("sim")))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("config"), col("qid"), col("vec_id"))
     val nc = cands.groupBy(col("config")).agg(count(lit(1)).as("__cand"))
