@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract: `sbt "runMain graft.Bench"` must end stdout
+// with ONE parseable JSON line. Two sbt defaults broke that in every
+// round r08-r16 (BENCH_r*.json all carry parsed:null): the forked
+// run's output was routed through sbt's logger (prefixing `[info] `),
+// and sbt appended a `[success] Total time: ...` banner AFTER the
+// JSON, so a literal-last-line parse read the banner. StdoutOutput
+// inherits the parent's stdout/stderr (no prefix, Spark's stderr logs
+// stay on stderr); showSuccess=false drops the trailing banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -86,42 +86,68 @@ object Bench {
     // read as an improvement to a totals-only comparison.
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    // Locale.ROOT: a comma-decimal JVM locale would render 104.6 as
-    // "104,600" and corrupt the JSON line
-    def fmt(v: Double): String =
-      if (v < 0) "-1.0"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     // The harness keeps only the LAST ~2000 chars of stdout; a JSON line
     // carrying all per-query times overflows that buffer and arrives
     // headless (unparseable — observed in every prior round's BENCH
     // artifact). So: full detail goes to stderr AND to BENCH_LOCAL.json
     // next to the repo for humans, while stdout gets ONE compact JSON
     // line — headline total + every failure + the worst 12 timings —
-    // sized to survive the tail capture intact.
-    val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$full,"sf":"$sfDir"}"""
+    // sized to survive the tail capture intact. (build.sbt additionally
+    // sets `run / outputStrategy := StdoutOutput` and
+    // `Global / showSuccess := false` so the compact line is the LAST
+    // stdout line with no `[info]` prefix and no trailing `[success]`
+    // sbt banner — every BENCH_r08..r16 artifact arrived parsed:null
+    // because a literal-last-line parser read sbt's banner instead.
+    // BenchLineSpec simulates that tail-capture parse.)
+    val fullLine = fullJsonLine(results, failed, total, sfDir)
     System.err.println(fullLine)
     // BENCH_LOCAL.json = gitignored scratch for in-session iteration;
     // BENCH_FULL.json = the SAME full per-query map, tracked in git at
-    // round close, so round-over-round per-query regression checks
-    // (the r14 q129 question) read a committed artifact instead of
-    // whatever scratch survived.
-    for (f <- Seq("BENCH_LOCAL.json", "BENCH_FULL.json")) {
+    // round close. r16 verdict: an unconditional write here let every
+    // ad-hoc run (including the driver's own 8-core pass) clobber the
+    // committed round-close artifact — so BENCH_FULL.json is now only
+    // written when SPARK_GRAFT_WRITE_FULL=1 (set once at round close).
+    val outFiles = "BENCH_LOCAL.json" ::
+      (if (sys.env.get("SPARK_GRAFT_WRITE_FULL").contains("1"))
+        List("BENCH_FULL.json") else Nil)
+    for (f <- outFiles) {
       try {
         val p = java.nio.file.Paths.get(f)
         java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
       } catch { case _: Throwable => () }
     }
-    // failures are capped like the timings — a mass-failure round
-    // (exactly when the artifact matters most) must not overflow the
-    // tail buffer; the full list is in the stderr/BENCH_LOCAL detail
+    println(compactJsonLine(results, failed, total, sfDir))
+    spark.stop()
+  }
+
+  // Locale.ROOT: a comma-decimal JVM locale would render 104.6 as
+  // "104,600" and corrupt the JSON line
+  private def fmt(v: Double): String =
+    if (v < 0) "-1.0"
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The full per-query JSON line (stderr + BENCH_LOCAL/FULL.json). */
+  private[graft] def fullJsonLine(results: Seq[(String, Double)],
+                                  failed: Int, total: Double,
+                                  sfDir: String): String = {
+    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$full,"sf":"$sfDir"}"""
+  }
+
+  /** The ONE compact stdout line the driver parses — total + every
+    * failure + worst-12 timings, sized to survive a ~2000-char tail
+    * capture. Failures are capped like the timings: a mass-failure
+    * round (exactly when the artifact matters most) must not overflow
+    * the tail buffer; the full list is in the stderr/BENCH_LOCAL
+    * detail. */
+  private[graft] def compactJsonLine(results: Seq[(String, Double)],
+                                     failed: Int, total: Double,
+                                     sfDir: String): String = {
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
     val shown = (results.filter(_._2 < 0).take(12) ++ worst)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$shown,"queries_shown":"failed+worst12_of_${results.size}","sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$shown,"queries_shown":"failed+worst12_of_${results.size}","sf":"$sfDir"}"""
   }
 }
