@@ -1976,23 +1976,54 @@ object SimilarityOp {
     // sigLayout-flag precedent.
     val dedupScore = embeddings.sparkSession.conf
       .getOption("spark.graft.recallArms.dedupScore").contains("true")
-    val scored =
-      if (dedupScore)
-        cands.select(col("qid"), col("vec_id")).distinct()
+    // scored construction lives inside its arm (r16 advice: the former
+    // `else null` sentinel was only consumed under the same flag but
+    // invited an NPE on any refactor that split the two conditionals)
+    val tagged =
+      if (dedupScore) {
+        val scored = cands.select(col("qid"), col("vec_id")).distinct()
           .join(corpusVecs(embeddings), Seq("vec_id"))
           .join(broadcast(qframe), Seq("qid"))
           .select(col("qid"), col("vec_id"),
             round(graft.functions.CosineExpr.column(col("qv"), col("v")),
               6).as("sim"))
-      else null
-    val topk = (if (dedupScore) cands.join(scored, Seq("qid", "vec_id"))
-      else cands.join(corpusVecs(embeddings), Seq("vec_id"))
+        cands.join(scored, Seq("qid", "vec_id"))
+      } else cands.join(corpusVecs(embeddings), Seq("vec_id"))
         .join(broadcast(qframe), Seq("qid"))
         .select(col("config"), col("qid"), col("vec_id"),
           round(graft.functions.CosineExpr.column(col("qv"), col("v")), 6)
-            .as("sim")))
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .select(col("config"), col("qid"), col("vec_id"))
+            .as("sim"))
+    // r17: rank via the native bounded BottomKExpr fold instead of the
+    // row_number window (the r16-verdict lead): the window shuffles the
+    // FULL tagged candidate expansion into per-(config, qid) sorts,
+    // while the fold partial-aggregates each map task's slice into
+    // ≤ k-row sketches, so the exchange carries ≤ tasks·groups·k rows
+    // and the rank never sorts the expansion. Key parity with
+    // (sim DESC, vec_id ASC) is the proven topKPerQuery argument (sim
+    // is 6-dp rounded ⇒ sim·10⁶ integral ⇒ the negated BIGINT key is
+    // order-isomorphic), with one addition: the window treats NaN as
+    // the LARGEST double (sorts first under DESC), but casting NaN to
+    // long yields 0, so the key maps NaN explicitly to Long.MinValue.
+    // Boundary/duplicate semantics match row_number exactly (BottomK's
+    // strict-less insert drops a full-buffer tie with the last element,
+    // just as row_number cuts the k+1-th duplicate) — SimilaritySpec
+    // pins fold-vs-window row parity incl. NaN and boundary ties.
+    // `spark.graft.recallArms.windowTopK=true` restores the window form
+    // (the A/B reference; same values either way).
+    val windowTopK = embeddings.sparkSession.conf
+      .getOption("spark.graft.recallArms.windowTopK").contains("true")
+    val topk =
+      if (windowTopK)
+        tagged.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+          .select(col("config"), col("qid"), col("vec_id"))
+      else tagged
+        .groupBy(col("config"), col("qid"))
+        .agg(graft.functions.BottomKExpr.column(
+          when(isnan(col("sim")), lit(Long.MinValue))
+            .otherwise(-round(col("sim") * lit(1e6), 0).cast("long")),
+          col("vec_id"), lit(0d), k).as("top"))
+        .select(col("config"), col("qid"),
+          explode(col("top.id")).as("vec_id"))
     val nc = cands.groupBy(col("config")).agg(count(lit(1)).as("__cand"))
     val nh = topk.join(exact, Seq("qid", "vec_id"))
       .groupBy(col("config")).agg(count(lit(1)).as("__hits"))

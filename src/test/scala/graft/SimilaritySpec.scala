@@ -443,6 +443,44 @@ class SimilaritySpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.recallArms.dedupScore")
   }
 
+  test("recallArms window-rank switch is row-identical to the fold form, " +
+       "zero-norm (NaN-sim) candidates included") {
+    // r17: the default rank is the bounded BottomKExpr fold; the window
+    // form stays behind spark.graft.recallArms.windowTopK as the A/B
+    // reference. Both must be row-identical — including when a
+    // candidate's cosine is NaN (zero-norm vector), which the window
+    // sorts FIRST under sim DESC and the fold maps to Long.MinValue.
+    val wh = java.nio.file.Files.createTempDirectory("foldtopk-wh").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    def both(e: org.apache.spark.sql.DataFrame,
+             f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+      val fold = f(e).collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.graft.recallArms.windowTopK", "true")
+      val win =
+        try f(e).collect().map(_.toSeq).toSeq
+        finally spark.conf.unset("spark.graft.recallArms.windowTopK")
+      (fold, win)
+    }
+    val (fold1, win1) = both(emb,
+      SimilarityOp.annRecallSweep(_, warehouse = wh))
+    assert(fold1 === win1)
+    // synthetic corpus with a planted zero-norm vector (NaN cosine
+    // against every query) plus tie-heavy duplicate-direction vectors
+    val vecs = (0 until 40).map { i =>
+      val a = Array.fill(8)(0.0f)
+      if (i == 13) () // vec 13 stays all-zero → NaN sim
+      else { a(i % 4) = 1.0f; a(4 + i % 3) = (1 + i % 2).toFloat }
+      (i.toLong, a)
+    }
+    import spark.implicits._
+    val synth = vecs.toDF("vec_id", "embedding")
+    val (fold2, win2) = both(synth,
+      SimilarityOp.annRecallMulti(_, qmod = 7, k = 5,
+        centerIds = Seq(3L, 11L, 26L), warehouse = wh))
+    assert(fold2.nonEmpty && fold2 === win2)
+  }
+
   test("knnLabelAccuracy: clean clusters score 1.0, planted mislabel drops its class") {
     // two tight clusters on orthogonal axes; qmod 7 picks 0 and 7 as
     // queries (one per cluster). All of cluster 0 is label 0, all of
