@@ -13,6 +13,51 @@ object GraphOps {
 
   private val Scale = 1000000000L // rank unit: parts-per-billion
 
+  /** Default row-count gate for [[pinIterativeResult]]: ≤ this many
+    * result rows the cache pin stays (zero extra passes — the loop's
+    * own count() materialized it); above it the pin converts to an
+    * eager `localCheckpoint` and the cache is released. ~4 M rows of
+    * two BIGINTs ≈ 64 MB — small enough that a cache entry per serving
+    * call is harmless, large enough that every local-bench graph
+    * (thousands of nodes) keeps the measured fast path. */
+  private val IterPinMaxRowsDefault: Long = 4L << 20
+
+  /** The gate value for `spark`: `spark.graft.graph.pinMaxRows` or the
+    * default. Read per call (NOT memoized like serveFoldMaxPairs): the
+    * gate only picks the pin's physical form, never a value, so a
+    * runtime retune is safe — and the per-call read is what lets the
+    * gate spec exercise both branches on one session. */
+  private[graft] def iterPinMaxRows(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.pinMaxRows")
+      .map(_.toLong).getOrElse(IterPinMaxRowsDefault)
+
+  /** Size-gated result pin for an iterative loop's FINAL persisted
+    * frame (r16 verdict item 3 / advice item 1). `rows` is the count
+    * the loop's last materialization already returned — no extra job.
+    *
+    *   - rows ≤ gate: keep the cache pin. Fast (zero extra passes) and
+    *     bounded: one small cached frame per call. CALLER CONTRACT for
+    *     long-lived serving sessions: the entry lives in the
+    *     CacheManager until the caller unpersists the returned frame
+    *     (or clearCache()); under block-manager pressure an evicted pin
+    *     recomputes through the full iterative lineage whose
+    *     intermediates were released — correct but slow, which is
+    *     exactly why large results take the other branch.
+    *   - rows > gate: convert to an eager `localCheckpoint` (one pass
+    *     over the already-cached rows) and RELEASE the cache. The
+    *     checkpoint truncates lineage — eviction can never trigger the
+    *     exponential re-evaluation — and its blocks are reclaimed by
+    *     the ContextCleaner once the returned frame is dropped, so a
+    *     serving session that loops over calls accumulates nothing.
+    */
+  private[graft] def pinIterativeResult(fin: DataFrame,
+                                        rows: Long): DataFrame =
+    if (rows <= iterPinMaxRows(fin.sparkSession)) fin
+    else {
+      try fin.localCheckpoint() finally { fin.unpersist(); () }
+    }
+
   /** Customer↔supplier interaction edges (who bought via whom), the
     * warehouse's natural bipartite graph: distinct (o_custkey,
     * l_suppkey) pairs from orders⋈lineitem, node-encoded as
@@ -349,7 +394,18 @@ object GraphOps {
                       minSupport: Long = 2L): DataFrame = {
     val li = lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk")).distinct()
-    val pairs = li.as("l").join(li.as("r"),
+    // r17 (verdict item 6): the basket self-join reliably prefers a
+    // shuffled-hash join over the planner's sort-merge pick (r16
+    // ProfJoin session-flip: q115 −0.4 s, the one join-heavy query with
+    // a uniform SHJ win) — but a SESSION flip regressed q164, so the
+    // hint is scoped to THIS join only (guide §3.1: per-join choice,
+    // planner stats mis-pick SMJ here; both sides are the same
+    // basket-distinct frame, so no build-side OOM asymmetry).
+    // `spark.graft.triples.smj=true` restores the stock pick (A/B ref).
+    val stockJoin = lineitem.sparkSession.conf
+      .getOption("spark.graft.triples.smj").contains("true")
+    val rSide = if (stockJoin) li.as("r") else li.hint("shuffle_hash").as("r")
+    val pairs = li.as("l").join(rSide,
         col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
       .select(col("l.ok").as("ok"), col("l.pk").as("a"), col("r.pk").as("b"))
     val freqP = pairs.groupBy(col("a"), col("b"))
@@ -412,7 +468,7 @@ object GraphOps {
     val cached = Seq.newBuilder[DataFrame]
     var visited = src.select(col("node"), lit(0L).as("hops")).persist()
     cached += visited
-    visited.count()
+    var finRows = visited.count()
     var frontier = visited.select(col("node"))
     for (i <- 1 to maxHops) {
       val next = und.join(frontier.select(col("node").as("u")), Seq("u"))
@@ -431,21 +487,19 @@ object GraphOps {
         .unionByName(next.select(col("node"), lit(i.toLong).as("hops")))
         .persist()
       cached += visited
-      visited.count()
+      finRows = visited.count()
       frontier = next.select(col("node"))
     }
-    // release every level once the final one is materialized, KEEPING
-    // the final visited persist as the result pin (the labelPropagation
-    // release-intermediates-keep-final form): the loop's last count()
-    // already materialized it, so the old localCheckpoint(orderBy(..))
-    // pin re-ran the |V|-row frame through an extra eager sort+
-    // checkpoint job per call. Residual footprint is identical — one
-    // node-sized cached frame per call (the lifecycle spec's ≤1 rule);
-    // eviction under pressure recomputes through lineage, which is
-    // correct, just slower.
-    val fin = visited
+    // release every level once the final one is materialized, pinning
+    // the final visited frame via the SIZE-GATED form (r17): small
+    // results keep the loop's persist (zero extra passes — the last
+    // count() materialized it), big results convert to localCheckpoint
+    // so an evicted pin can never re-walk the maxHops-deep lineage
+    // whose intermediates were just released. See
+    // [[pinIterativeResult]] for the caller contract.
+    val fin = pinIterativeResult(visited, finRows)
     und.unpersist()
-    cached.result().filter(_ ne fin).foreach(_.unpersist())
+    cached.result().filter(_ ne visited).foreach(_.unpersist())
     fin.orderBy("node")
   }
 
@@ -1215,7 +1269,7 @@ object GraphOps {
     var lab = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
       .persist()
-    lab.count()
+    var finRows = lab.count()
     val w = Window.partitionBy(col("v"))
       .orderBy(col("sc").desc, col("lab"))
     for (_ <- 1 to iters) {
@@ -1226,19 +1280,19 @@ object GraphOps {
         .where(col("rn") === 1)
         .select(col("v").as("node"), col("lab"))
         .persist()
-      lab.count()
+      finRows = lab.count()
       // level i is materialized — level i-1's cache is dead weight
       // from here on (the standard iterative release point).
       prev.unpersist()
     }
     sym.unpersist()
     // The final level's persist (|V| rows of two BIGINTs, already
-    // materialized by the loop's count) IS the pin — keeping it costs
-    // zero extra passes, where the previous localCheckpoint re-ran the
-    // |V|-row frame through an eager checkpoint job (+0.4-0.9 s at
-    // sf0.1, the one residual BenchDiff flagged in r16). Residual
-    // footprint is identical: one node-sized entry per call.
-    lab.orderBy("node")
+    // materialized by the loop's count) is the pin BELOW the size gate
+    // (zero extra passes, vs the old unconditional localCheckpoint's
+    // +0.4-0.9 s eager pass at sf0.1); above the gate it converts to a
+    // checkpoint so eviction can't re-walk the released superstep
+    // lineage — see [[pinIterativeResult]] for the contract.
+    pinIterativeResult(lab, finRows).orderBy("node")
   }
 
   /** Oracle SQL twin of [[labelPropagation]] over
@@ -1301,7 +1355,7 @@ object GraphOps {
       .select(col("node"), lit(0L).as("dist"))
       .persist()
     cached += dist
-    dist.count()
+    var finRows = dist.count()
     for (_ <- 1 to iters) {
       val relax = sym
         .join(dist.select(col("node").as("u"), col("dist").as("du")),
@@ -1311,14 +1365,15 @@ object GraphOps {
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .persist()
       cached += dist
-      dist.count()
+      finRows = dist.count()
     }
-    // release the round caches KEEPING the final distance persist as
-    // the pin (the labelPropagation release-intermediates-keep-final
-    // form; see bfsLevels) — the loop's last count() materialized it,
-    // so the old localCheckpoint pin was an extra eager pass per call.
-    val fin = dist
-    cached.result().filter(_ ne fin).foreach(_.unpersist())
+    // release the round caches, pinning the final distance frame via
+    // the SIZE-GATED form (r17; see [[pinIterativeResult]]): small
+    // results keep the loop's persist (the last count() materialized
+    // it — zero extra passes), big ones convert to localCheckpoint so
+    // eviction can't re-walk the released round lineage.
+    val fin = pinIterativeResult(dist, finRows)
+    cached.result().filter(_ ne dist).foreach(_.unpersist())
     fin.orderBy("node")
   }
 

@@ -271,6 +271,45 @@ class RelationalSpec extends SparkSuite {
     assert(newPersistent(GraphOps.hits(dedges, iters = 2, k = 3).collect()) <= 1)
   }
 
+  test("iterative result pin is size-gated: cache below " +
+       "spark.graft.graph.pinMaxRows, lineage-free checkpoint above " +
+       "(r17, verdict item 3)") {
+    import graft.operators.GraphOps
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 3L), (2L, 4L)).toDF("a", "b")
+    val wedges = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L), (3L, 4L, 1L))
+      .toDF("a", "b", "wt")
+    def runAll(): Seq[Seq[Seq[Any]]] = Seq(
+      GraphOps.bfsLevels(edges, maxHops = 4),
+      GraphOps.sssp(wedges, iters = 3),
+      GraphOps.labelPropagation(wedges, iters = 3),
+    ).map { df =>
+      // checkpointed results have truncated lineage: the analyzed plan
+      // bottoms out in an ExistingRDD/LogicalRDD, never a LocalRelation
+      // join chain; cached results keep their full logical lineage
+      val out = df.collect().map(_.toSeq).toSeq
+      assert(out.nonEmpty); out
+    }
+    // below the gate (default 4M rows ≫ these graphs): cache-pinned —
+    // results identical, at most one surviving cached frame per call
+    // (the lifecycle test above). Above... force the other branch with
+    // a zero gate: every pin converts to localCheckpoint, results must
+    // be IDENTICAL and nothing may stay in the cache registry.
+    val below = runAll()
+    spark.catalog.clearCache() // drop the below-gate cache pins
+    spark.conf.set("spark.graft.graph.pinMaxRows", "0")
+    val above = try {
+      val r = runAll()
+      // localCheckpoint registers the checkpoint RDD itself; allow it
+      // but assert no CACHED DataFrame (CacheManager entry) survives
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "checkpoint branch must not leave CacheManager entries")
+      r
+    } finally spark.conf.unset("spark.graft.graph.pinMaxRows")
+    assert(above === below)
+  }
+
   test("brandSkyline: window filter equals the brute-force dominance set") {
     import graft.operators.RelationalOps
     // deterministic synthetic parts across 3 brands, with deliberate
