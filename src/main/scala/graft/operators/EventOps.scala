@@ -118,6 +118,12 @@ object EventOps {
     * span is bounded by the retention window). Every window partitions
     * by user (or user+slot), so the heaviest shuffle carries grid-sized
     * rows of 3 columns; nothing is global.
+    *
+    * EAGERNESS: below the `spark.graft.locf.persistMaxBytes` size gate
+    * the returned frame is eagerly pinned (localCheckpoint — the full
+    * job, including the maxSlots raise_error guard, runs at
+    * construction); above it the returned plan is lazy. Values are
+    * identical either way.
     */
   def locfResample(events: DataFrame, stepMs: Long = 3600000L,
                    maxSlots: Long = 200000L): DataFrame = {
@@ -138,11 +144,30 @@ object EventOps {
     //    markovStationary double-pass class, visible as duplicate
     //    subtrees in plans/r16/q82_locf_resample_before.txt). The
     //    persist + localCheckpoint-pin + release-in-finally is the
-    //    repo's standard lifecycle form (≤1 surviving pinned frame).
-    // Values are untouched (partitioning + caching only); the q82
-    // oracle hash and the StreamingSpec replay-equality pin it.
-    val withHr = events
+    //    repo's standard lifecycle form (≤1 surviving pinned frame) —
+    //    but only BELOW a size gate (r17, verdict item 4): the r16 ×10
+    //    rehearsal showed the persist's margin shrinking and its
+    //    variance exploding as obs grows (min 5.3 s but 5.3-32.9 s
+    //    spikes, vs the stable ~6.9 s repartition-only form), so above
+    //    `spark.graft.locf.persistMaxBytes` (default 8 MB of estimated
+    //    projected input — between the measured sf0.1 win and the ×10
+    //    loss) the op returns the LAZY repartition-only plan.
+    // Values are untouched by either branch (partitioning + caching
+    // only); the q82 oracle hash and the StreamingSpec replay-equality
+    // pin it. API semantics note (r16 advice): below the gate the
+    // returned frame is EAGER (the localCheckpoint pin runs the full
+    // job at construction, so the maxSlots raise_error guard fires
+    // here); above the gate it is lazy and the guard fires at the
+    // caller's first action.
+    val projected = events
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val persistMaxBytes = events.sparkSession.conf
+      .getOption("spark.graft.locf.persistMaxBytes")
+      .map(_.toLong).getOrElse(8L << 20)
+    val persistObs =
+      projected.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        persistMaxBytes
+    val withHr = projected
       .repartition(col("user_id"))
       .withColumn("hr", floorDivMs("unix_millis(ts)", stepMs))
     // last-in-slot via row_number over (ts DESC, event_id DESC). An
@@ -154,10 +179,10 @@ object EventOps {
     // re-measure before taking that on faith.
     val wLast = Window.partitionBy(col("user_id"), col("hr"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    val obs = withHr.withColumn("rn", row_number().over(wLast))
+    val obs0 = withHr.withColumn("rn", row_number().over(wLast))
       .where(col("rn") === 1)
       .select(col("user_id"), col("hr"), col("value").as("v"))
-      .persist()
+    val obs = if (persistObs) obs0.persist() else obs0
     val spans = obs.groupBy(col("user_id"))
       .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
     // LOUD span guard: one corrupt timestamp (epoch 0, far future) would
@@ -181,7 +206,9 @@ object EventOps {
         last(col("v"), ignoreNulls = true).over(wRun).as("locf_value"),
         when(col("v").isNotNull, 1L).otherwise(0L).as("is_obs"))
       .orderBy("user_id", "hr_ms")
-    try out.localCheckpoint() finally { obs.unpersist(); () }
+    if (persistObs) {
+      try out.localCheckpoint() finally { obs.unpersist(); () }
+    } else out
   }
 
   /** Oracle SQL twin of [[locfResample]] — the identical grid /
