@@ -30,8 +30,18 @@ object ExplainDump {
         // same string explain("formatted") prints, captured instead
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
+        // cap committed evidence at 6000 lines (r16 advice: a
+        // keep-final-persist plan inlines nested InMemoryRelations per
+        // BFS level — q129's dump was 44k lines for a diff whose useful
+        // content is the top few hundred; 6000 keeps the widest real
+        // operator list, q85's ~3k lines, intact)
+        val lines = txt.split("\n", -1)
+        val capped =
+          if (lines.length <= 6000) txt
+          else lines.take(6000).mkString("\n") +
+            s"\n... [ExplainDump: truncated ${lines.length - 6000} lines]\n"
         Files.write(outDir.resolve(s"${n}_$suffix.txt"),
-          txt.getBytes("UTF-8"))
+          capped.getBytes("UTF-8"))
         println(s"[explain] wrote $n")
       } catch { case e: Throwable =>
         System.err.println(s"[explain] $n failed: ${e.getMessage}")

@@ -55,15 +55,29 @@ object ToolSession {
     // arbitrary conf pairs on the bench-grade session WITHOUT a
     // rebuild, so a knob experiment (join strategy, AQE thresholds)
     // measures against the identical baseline session. Default unset =
-    // bit-identical config; the graded bench never sets it.
-    val withExtra = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
-      .map(_.split(";").map(_.trim).filter(_.contains("="))
-        .foldLeft(builder) { (b, kv) =>
-          val i = kv.indexOf('=')
-          b.config(kv.substring(0, i).trim, kv.substring(i + 1).trim)
-        })
-      .getOrElse(builder)
-    val spark = withExtra.getOrCreate()
+    // bit-identical config; the graded bench never sets it. Values may
+    // not contain ';' (the pair separator — r16 advice).
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .toSeq.flatMap(_.split(";").map(_.trim).filter(_.contains("=")))
+      .map { kv =>
+        val i = kv.indexOf('=')
+        (kv.substring(0, i).trim, kv.substring(i + 1).trim)
+      }
+    val spark = extra.foldLeft(builder) { (b, kv) =>
+      b.config(kv._1, kv._2) }.getOrCreate()
+    // builder.config is silently ignored when getOrCreate() returns a
+    // pre-existing session — an A/B run would then measure the baseline
+    // while believing the overlay applied (r16 advice). Fail LOUDLY on
+    // any overlay key the live session does not carry at the requested
+    // value (static/core confs can't be read back — best-effort get).
+    for ((k, v) <- extra) {
+      val live = try spark.conf.getOption(k) catch { case _: Throwable => None }
+      if (!live.contains(v))
+        throw new IllegalStateException(
+          s"SPARK_GRAFT_EXTRA_CONF: '$k=$v' did not take (live: " +
+            s"${live.getOrElse("<unset>")}) — a SparkSession already " +
+            "existed in this JVM; overlays only apply to a fresh session")
+    }
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
