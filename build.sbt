@@ -21,6 +21,10 @@ run / fork := true
 // stay on stderr); showSuccess=false drops the trailing banner.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by another
+// setting — exclude it from the unused-key lint so the warning block
+// doesn't land in the driver's captured stdout
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
