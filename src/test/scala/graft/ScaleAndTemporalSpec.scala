@@ -10,6 +10,8 @@ import graft.operators.{ScaleOps, TemporalOps}
 class ScaleAndTemporalSpec extends SparkSuite {
   import spark.implicits._
 
+  private val sfDir = "/root/testdata/sf0.001"
+
   private def asOf(l: Seq[(Long, Long, Long)], r: Seq[(Long, Long, Double)]) = {
     val left = l.toDF("event_id", "user_id", "ts_ms")
     val right = r.toDF("user_id", "p_ms", "p_val")
@@ -480,6 +482,36 @@ class ScaleAndTemporalSpec extends SparkSuite {
       (1L, 2 * hr) -> (1.0, 0L),
       (1L, 3 * hr) -> (2.0, 1L),
       (2L, 7 * hr) -> (9.0, 1L)))
+  }
+
+  test("LOCF resample size gate: the lazy above-gate branch is " +
+       "row-identical to the eager persist branch (r17)") {
+    import graft.operators.EventOps
+    val events = graft.tables.Tables.events(spark, sfDir)
+    def rows(): Map[(Long, Long), (Double, Long)] =
+      EventOps.locfResample(events).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("hr_ms")) ->
+          (r.getAs[Double]("locf_value"), r.getAs[Long]("is_obs"))).toMap
+    val eager = rows() // sf test data is well under the 8MB default gate
+    spark.conf.set("spark.graft.locf.persistMaxBytes", "0")
+    val lazyForm =
+      try rows()
+      finally spark.conf.unset("spark.graft.locf.persistMaxBytes")
+    assert(lazyForm.nonEmpty && lazyForm === eager)
+  }
+
+  test("textRank persistEdges switch is row-identical to the lazy default (r17)") {
+    import graft.operators.TextOps
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    def rows(): Seq[(String, Long)] =
+      TextOps.textRank(docs, k = 20, minCount = 2L).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val lazyDefault = rows()
+    spark.conf.set("spark.graft.textrank.persistEdges", "true")
+    val persisted =
+      try rows()
+      finally spark.conf.unset("spark.graft.textrank.persistEdges")
+    assert(lazyDefault.nonEmpty && persisted === lazyDefault)
   }
 
   test("LOCF resample fails loudly on a span past maxSlots (corrupt timestamp)") {
